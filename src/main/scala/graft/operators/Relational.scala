@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Relational core: the batch query engine the stream operators sit on.
+  *
+  * Notes on oracle parity (driver compares against DuckDB by value hash):
+  *  - every double aggregate is `round`ed so summation-order fp noise
+  *    can't flip the hash;
+  *  - every query has a deterministic total ORDER BY;
+  *  - timestamps are emitted as formatted strings or epoch bigints,
+  *    never raw timestamp columns (tz-encoding differs across engines).
+  *
+  * Scale notes: dims (region/nation/supplier, and part/customer at the
+  * SFs where they stay small) are broadcast; fact-fact joins shuffle on
+  * the join key and rely on AQE for skew/coalesce.
+  */
+object Relational {
+
+  /** TPC-H Q1 pricing summary over lineitem. One shuffle (partial agg is
+    * map-side combined); scan is pruned to the 7 referenced columns and
+    * the shipdate predicate is pushed to parquet. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, group, top-10 revenue.
+    * customer is broadcast (small per-SF dim vs lineitem fact). */
+  def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation within one region, 5-way join.
+    * region/nation broadcast; customer-side join feeds the lineitem fact. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    val nat  = Tables.nation(spark, dir)
+    val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k parts by revenue; broadcast part dim into the lineitem agg. */
+  def topPartsByRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  /** Analytic window function: rank suppliers by revenue within nation. */
+  def windowRankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val li  = Tables.lineitem(spark, dir)
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
+        rank().over(w).as("rnk"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  /** left_semi + left_anti (EXISTS / NOT EXISTS) in one deterministic frame. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir).select(col("o_custkey"))
+    val semi = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .withColumn("has_order", lit(true))
+    val anti = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .withColumn("has_order", lit(false))
+    semi.unionByName(anti)
+      .select(col("c_custkey"), col("c_name"), col("has_order"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_extendedprice),2) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "top_parts_by_revenue" ->
+      """SELECT p_partkey, p_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY revenue DESC, p_partkey LIMIT 20""".stripMargin,
+    "window_rank_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name, revenue,
+        | rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rnk
+        |FROM (
+        |  SELECT s_suppkey, s_name, n_name,
+        |   round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY s_suppkey, s_name, n_name)
+        |ORDER BY n_name, rnk""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT c_custkey, c_name,
+        | c_custkey IN (SELECT o_custkey FROM orders) AS has_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => W}
+
+import graft.core.Tables
+
+/** Event-time windowed aggregation — the analytical heart of the
+  * reference (streaming/structured/analysis/TumblingWindow.scala:55-66,
+  * SlidingWindow.scala:56-69).
+  *
+  * The same transforms run on a stream (with `withWatermark`, see
+  * graft.streaming.StreamPipelines) and in batch, where the driver's
+  * DuckDB oracle checks them. Window starts are emitted as epoch-second
+  * bigints: Spark's `window()` aligns to epoch 0, so
+  * `unix_timestamp(window.start) == floor(epoch(ts)/len)*len`, which the
+  * oracle reproduces portably.
+  *
+  * Scale: groupBy(window, key) is a single shuffle with map-side partial
+  * aggregation; cardinality = windows × keys, far below input rows, so
+  * the reduce side is tiny even at 100 TB.
+  */
+object Windows {
+
+  /** 1-hour tumbling window per event_type (TumblingWindow.scala mirror,
+    * sums + count + avg). avg is computed in integer cents with
+    * half-up integer division: small windows of 2-decimal values land
+    * avg exactly on .005 boundaries, where Spark (decimal-string
+    * HALF_UP) and DuckDB (binary fp) round() disagree — integer math is
+    * bit-identical across engines. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"),
+        (expr("(cents*2 + n) DIV (n*2)").cast("double") / 100.0).as("avg_value"))
+
+  def tumblingQuery(spark: SparkSession, dir: String): DataFrame =
+    tumbling(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** 10-minute window sliding by 5 minutes, with the reference's
+    * post-aggregation filter (SlidingWindow.scala:66-69 filters avg_whc
+    * < 25.0; here: windows whose summed value clears a floor). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .filter(col("sum_value") > 100.0)
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def slidingQuery(spark: SparkSession, dir: String): DataFrame =
+    sliding(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Batch analog of BasicStreaming.scala:20 `updateStateByKey`: the
+    * running per-key count in event-time order, as an analytic window.
+    * (The true streaming form is graft.streaming.StatefulWordCount.) */
+  def statefulRunningCount(events: DataFrame): DataFrame = {
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    events.select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("running_n"))
+  }
+
+  def statefulRunningCountQuery(spark: SparkSession, dir: String): DataFrame =
+    statefulRunningCount(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  /** Wordcount over a text column — Basic.scala:24-25's
+    * flatMap(split).groupBy.count in declarative form. */
+  def wordCount(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  def wordCountQuery(spark: SparkSession, dir: String): DataFrame =
+    wordCount(Tables.documents(spark, dir)).orderBy(col("word"))
+
+  val oracles: Map[String, String] = Map(
+    "tumbling_window" ->
+      """SELECT window_start, event_type, n, sum_value,
+        | ((cents*2 + n) // (n*2)) / 100.0 AS avg_value
+        |FROM (
+        |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+        |   event_type, count(*) AS n, round(sum(value),2) AS sum_value,
+        |   CAST(round(sum(value)*100, 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "sliding_window" ->
+      """SELECT window_start, event_type, n, sum_value FROM (
+        |  SELECT CAST(floor(epoch(ts)/300)*300 - off.i*300 AS BIGINT) AS window_start,
+        |   event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |  FROM events CROSS JOIN (VALUES (0),(1)) AS off(i)
+        |  GROUP BY 1, 2)
+        |WHERE sum_value > 100.0 ORDER BY window_start, event_type""".stripMargin,
+    "stateful_running_count" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin,
+    "wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+  )
+}
