@@ -25,13 +25,12 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert (integer DIV — a double
-    * division would lose precision above 2^53 nanos). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * default; the session must set spark.sql.legacy.parquet.nanosAsLong
+    * (Sessions.local / Verify / Bench do). Convert with integer DIV — a
+    * double division would lose precision above 2^53 nanos. */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -41,13 +41,17 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: 3-way join, group, top-10 revenue.
-    * customer is broadcast (small per-SF dim vs lineitem fact). */
+    *
+    * Scale shape: customer scales with SF, so no forced broadcast — AQE
+    * picks broadcast only when the filtered side actually fits. The
+    * ord⋈cust join runs FIRST (both sides pre-filtered, pushed to the
+    * scan) so the expensive lineitem join carries only qualifying orders. */
   def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
     val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    val oc   = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+    li.join(oc, li("l_orderkey") === oc("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -58,32 +62,46 @@ object Relational {
   }
 
   /** TPC-H Q5-style: revenue per nation within one region, 5-way join.
-    * region/nation broadcast; customer-side join feeds the lineitem fact. */
+    *
+    * Scale shape: only region/nation (constant-size) are broadcast.
+    * Customer is pre-reduced by joining the broadcast nation⋈region
+    * filter FIRST, so only ASIA-nation customers flow into the shuffle
+    * join with orders; customer itself is never broadcast (it scales
+    * with SF — a forced hint would OOM the driver at 100 TB). */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val ord  = Tables.orders(spark, dir)
     val li   = Tables.lineitem(spark, dir)
     val nat  = Tables.nation(spark, dir)
     val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    val asiaCust = cust
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(asiaCust, ord("o_custkey") === asiaCust("c_custkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Top-k parts by revenue; broadcast part dim into the lineitem agg. */
+  /** Top-k parts by revenue.
+    *
+    * Scale shape: rank-then-join. The agg is ordered and cut to 20 rows
+    * BEFORE the part join, so the name lookup is a broadcast of 20 rows
+    * against part — at 100 TB this turns a fact-dim shuffle join into a
+    * constant-size lookup. (Revenue depends only on lineitem, so the cut
+    * commutes with the join.) */
   def topPartsByRevenue(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
     val li   = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_partkey"))
+    val top20 = li.groupBy(col("l_partkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(20)
+    broadcast(top20).join(part, col("l_partkey") === part("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("p_partkey"))
-      .limit(20)
   }
 
   /** Analytic window function: rank suppliers by revenue within nation. */
@@ -91,9 +109,11 @@ object Relational {
     val sup = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)
     val li  = Tables.lineitem(spark, dir)
+    // supplier scales with SF → no forced broadcast (AQE decides);
+    // nation is constant-size → safe to hint.
     val rev = li.groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("s_suppkey"))
     rev.select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
@@ -101,16 +121,15 @@ object Relational {
       .orderBy(col("n_name"), col("rnk"))
   }
 
-  /** left_semi + left_anti (EXISTS / NOT EXISTS) in one deterministic frame. */
+  /** EXISTS / NOT EXISTS flag in ONE pass: distinct order keys, then a
+    * single left_outer join with an isNotNull flag — the semi+anti+union
+    * form scans customer and orders twice (2× I/O at 100 TB). */
   def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val ord  = Tables.orders(spark, dir).select(col("o_custkey"))
-    val semi = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
-      .withColumn("has_order", lit(true))
-    val anti = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
-      .withColumn("has_order", lit(false))
-    semi.unionByName(anti)
-      .select(col("c_custkey"), col("c_name"), col("has_order"))
+    val ordKeys = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        col("o_custkey").isNotNull.as("has_order"))
       .orderBy(col("c_custkey"))
   }
 

@@ -56,11 +56,18 @@ object SensorPipeline {
 
   /** Stream-static enrichment join: mirrors
     * StreamingWithKafkaJoinedData.scala:42-52 (left_outer join of the
-    * stream against a static dim, after a rename). The dim is broadcast —
-    * at 100 TB the fact side never shuffles for this join. */
-  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame = {
+    * stream against a static dim, after a rename).
+    *
+    * The stream-static-enrich pattern WANTS a broadcast, but the dim here
+    * is unbounded (customer scales with SF), so the hint is opt-in:
+    * callers that know their dim is bounded (a config table, a filtered
+    * slice) pass broadcastDim=true; otherwise AQE decides from actual
+    * size — an unconditional hint on an unbounded dim OOMs at 100 TB. */
+  def enrichJoin(events: DataFrame, dim: DataFrame,
+                 broadcastDim: Boolean = false): DataFrame = {
     val renamed = events.withColumnRenamed("user_id", "cust_id")
-    renamed.join(broadcast(dim), renamed("cust_id") === dim("c_custkey"), "left_outer")
+    val d = if (broadcastDim) broadcast(dim) else dim
+    renamed.join(d, renamed("cust_id") === dim("c_custkey"), "left_outer")
       .select(
         col("event_id"), col("cust_id"), col("c_name"), col("c_mktsegment"),
         round(col("value"), 2).as("value"))
@@ -74,7 +81,10 @@ object SensorPipeline {
     * (`doubleString`). Registered for SQL use AND provided as a native
     * codegen'd column (concat) — the hot path should use the native form. */
   def registerDoubleString(spark: SparkSession): Unit =
-    spark.udf.register("double_string", (s: String) => s + s)
+    // null guard: a bare s + s yields "nullnull" for NULL input,
+    // diverging from both concat() and SQL || semantics
+    spark.udf.register("double_string",
+      (s: String) => if (s == null) null else s + s)
 
   def doubleStringNative(c: Column): Column = concat(c, c)
 
@@ -102,7 +112,7 @@ object SensorPipeline {
   val oracles: Map[String, String] = Map(
     "json_flatten" ->
       """SELECT event_id, event_type,
-        | CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         | round(value, 2) AS value
         |FROM events ORDER BY event_id""".stripMargin,
     "ts_parse_format" ->
