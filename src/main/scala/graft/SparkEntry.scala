@@ -31,9 +31,29 @@ object SparkEntry {
     "sliding_window"         -> (Windows.slidingQuery _),
     "stateful_running_count" -> (Windows.statefulRunningCountQuery _),
     "wordcount"              -> (Windows.wordCountQuery _),
+    // LLM-data-pipeline: text analysis
+    "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
+    "text_quality"           -> (TextAnalysis.textQualityQuery _),
+    "lang_id"                -> (TextAnalysis.langIdQuery _),
+    "token_count"            -> (TextAnalysis.tokenCountQuery _),
+    "doc_fingerprint"        -> (TextAnalysis.docFingerprintQuery _),
+    // LLM-data-pipeline: near-dup detection
+    "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
+    "dedup_minhash_lsh"      -> (Dedup.minhashLshQuery _),
+    "dedup_simhash"          -> (Dedup.simhashQuery _),
+    // LLM-data-pipeline: embedding similarity
+    "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
+    "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
+    "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
+    // LLM-data-pipeline: multimodal plumbing (stubbed decode)
+    "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
   )
 
-  /** DuckDB oracle SQL per query key (same parquet tables by name). */
+  /** DuckDB oracle SQL per query key (same parquet tables by name).
+    * ann_lsh_topk and multimodal_meta are intentionally absent →
+    * driver records the weaker rows-only check (LSH probing and the
+    * stubbed decoder aren't SQL-expressible). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ SensorPipeline.oracles ++ Windows.oracles
+    Relational.oracles ++ SensorPipeline.oracles ++ Windows.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

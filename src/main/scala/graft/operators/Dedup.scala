@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection for training-data pipelines: inverted-index
+  * n-gram Jaccard, MinHash+LSH banding, and SimHash — each designed so
+  * NO all-pairs comparison ever happens (the 100 TB requirement), while
+  * staying bit-replicable by a DuckDB oracle.
+  *
+  * All three share word-trigram shingling. With this corpus's 31-word
+  * vocabulary, bigrams have document frequency in the hundreds (the
+  * inverted-index join would blow up quadratically per hot shingle);
+  * trigrams keep per-shingle postings short. At real-corpus scale the
+  * same logic argues for k = 3..5 word shingles plus a stop-shingle
+  * frequency cap.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, shingle) postings — the inverted index. */
+  def shingleSet(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), k)).as("s"))
+      .distinct()
+
+  /** Exact Jaccard for every pair sharing >= 1 shingle, via the inverted
+    * index: self-join on the shingle key (shuffle keyed by shingle, so
+    * only co-occurring docs ever meet), count intersections, then
+    * |A∪B| = |A|+|B|-|A∩B|. Pairs sharing nothing have Jaccard 0 and
+    * are never materialized. Skewed hot shingles are handled by AQE
+    * skew-join; a production corpus would also cap shingle document
+    * frequency. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double): DataFrame = {
+    val sh = shingleSet(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "sa")
+    val b = sh.toDF("doc_b", "sb")
+    val inter = a.join(b, a("sa") === b("sb") && a("doc_a") < b("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val na = sizes.toDF("doc_a", "na")
+    val nb = sizes.toDF("doc_b", "nb")
+    inter.join(na, "doc_a").join(nb, "doc_b")
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), k = 3, tau = 0.7)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash(64) signatures + LSH banding (16 bands x 4 rows) →
+    * candidate pairs → exact-Jaccard verification of candidates ONLY.
+    *
+    * The signature is computed WITHOUT row explosion: 64 min() aggregates
+    * over the posting list (one shuffle, map-side combined), not a
+    * 64x seed cross-join. Minhash atoms stay 16-char lowercase hex —
+    * lexicographic min == numeric min — so the oracle can reproduce
+    * them with plain md5/substr/min.
+    *
+    * At Jaccard >= 0.8 a 16x4 banding collides with probability
+    * 1-(1-0.8^4)^16 ≈ 0.9997 per pair (and > 1-1e-7 at the >= 0.9
+    * planted pairs); the computation itself is deterministic, and the
+    * oracle below is the exhaustive ground truth, so the correctness
+    * gate verifies end-to-end recall, not just hash plumbing. */
+  def minhashLshPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val numHashes = 64
+    val bandsN = 16
+    val rowsPerBand = numHashes / bandsN
+
+    val sh = shingleSet(docs, 3)
+    val sigCols = (0 until numHashes)
+      .map(i => min(seededHex(col("s"), i)).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    val bandStructs = array((0 until bandsN).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), md5(concat(parts: _*)).as("bh"))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+
+    val x = bands.toDF("doc_a", "band_a", "bh_a")
+    val y = bands.toDF("doc_b", "band_b", "bh_b")
+    val cand = x.join(y,
+        x("band_a") === y("band_b") && x("bh_a") === y("bh_b") &&
+          x("doc_a") < y("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+    // exact-Jaccard verify, candidates only (no all-pairs anywhere)
+    val sa = sh.toDF("ia", "shingle_a")
+    val sb = sh.toDF("ib", "shingle_b")
+    val inter = cand
+      .join(sa, cand("doc_a") === sa("ia"))
+      .join(sb, cand("doc_b") === sb("ib") && sa("shingle_a") === sb("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  def minhashLshQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir), tau = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** 60-bit SimHash near-dup pairs at Hamming distance <= 3.
+    *
+    * Fingerprint: per-bit majority vote over the shingle set's 60-bit
+    * md5 hashes, computed as 60 conditional-sum aggregates in ONE
+    * groupBy (no 60x bit-position explosion through the shuffle).
+    *
+    * Pairing: pigeonhole banding — split the fingerprint into 4 pieces
+    * of 15 bits; Hamming <= 3 over 60 bits forces at least one piece
+    * to match exactly, so candidates come from an equi-join on
+    * (piece index, piece value) and only candidates get the exact
+    * popcount check. Integer arithmetic throughout — no fp drift. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x15 banding guarantees recall only to Hamming 3")
+    val bitsN = 60
+    val pieces = 4
+    val pieceBits = bitsN / pieces
+
+    val h = shingleSet(docs, 3)
+      .select(col("doc_id"), hash60(col("s")).as("hv"))
+    val bitSums = (0 until bitsN).map { b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"c$b")
+    }
+    val fp = h.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bitsN).map(b =>
+          when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+
+    val pieceStructs = array((0 until pieces).map { i =>
+      struct(lit(i).as("pi"),
+        shiftright(col("fp"), i * pieceBits)
+          .bitwiseAND(lit((1L << pieceBits) - 1)).as("pv"))
+    }: _*)
+    val banded = fp.select(col("doc_id"), col("fp"), explode(pieceStructs).as("p"))
+      .select(col("doc_id"), col("fp"), col("p.pi").as("pi"), col("p.pv").as("pv"))
+
+    val x = banded.toDF("doc_a", "fp_a", "pi_a", "pv_a")
+    val y = banded.toDF("doc_b", "fp_b", "pi_b", "pv_b")
+    x.join(y, x("pi_a") === y("pi_b") && x("pv_a") === y("pv_b") &&
+        x("doc_a") < y("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
+    * the engine must not be). Shared by both Jaccard-thresholded ops. */
+  private def jaccardOracle(tau: Double): String =
+    s"""SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) * 1.0 / (any_value(na.n) + any_value(nb.n) - count(*)) AS jac
+       | FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN sz3 na ON a.doc_id = na.doc_id
+       |  JOIN sz3 nb ON b.doc_id = nb.doc_id
+       | GROUP BY 1, 2)
+       |WHERE jac >= $tau ORDER BY doc_a, doc_b""".stripMargin
+
+  private val shingleCte =
+    """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh3 AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+      |  FROM words, UNNEST(range(1, greatest(len(w)-1,1))) t(i)
+      |  WHERE i+2 <= len(w)),
+      |sz3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_ngram_jaccard" -> (shingleCte + jaccardOracle(0.7)),
+    // exhaustive ground truth: passes iff LSH candidate recall is 100%
+    "dedup_minhash_lsh" -> (shingleCte + jaccardOracle(0.8)),
+    "dedup_simhash" -> (shingleCte +
+      """,h AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS hv FROM sh3),
+        |bits AS (SELECT doc_id, b,
+        |   sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM h, UNNEST(range(0,60)) t(b) GROUP BY 1,2),
+        |fp AS (SELECT doc_id,
+        |   sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS f
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Multimodal column plumbing: opaque binary payloads with typed
+  * metadata, plus a batched per-partition "decode / feature-extract"
+  * stage with the batch shape a real decoder (image/audio codec,
+  * vision-tower featurizer) would need.
+  *
+  * The decode itself is a DETERMINISTIC STUB — the container has no
+  * image/audio libraries — but everything Spark-side is real: schema,
+  * encoders, partition-local batching, and the typed mapPartitions
+  * boundary where a JNI/ONNX call would sit. Swap `decodeStub` for a
+  * real codec and nothing else changes.
+  */
+object Multimodal {
+
+  /** A media asset: binary payload + typed metadata. */
+  case class MediaAsset(
+    doc_id: Long, format: String, width: Int, height: Int,
+    payload: Array[Byte])
+
+  /** Decoder output: per-asset feature row. */
+  case class MediaFeatures(
+    doc_id: Long, format: String, width: Int, height: Int,
+    n_bytes: Long, checksum: Long, feat0: Double)
+
+  /** Attach a synthetic binary payload + metadata to each document.
+    * The payload is the utf-8 text bytes standing in for an encoded
+    * image; format / dimensions are md5-derived so they're stable. */
+  def withMediaColumns(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+        (hash60(col("source")) % 3 + 1).cast("int")).as("format"),
+      (hash60(col("text")) % 1024 + 64).cast("int").as("width"),
+      (hash60(concat(col("text"), lit("#h"))) % 1024 + 64).cast("int").as("height"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: deterministic fake features. A real implementation
+    * decodes `payload` with a codec and runs a featurizer over the
+    * whole batch (the batch boundary is why mapPartitions + grouped
+    * exists — codec/model init is amortized per batch, not per row). */
+  private def decodeStub(batch: Seq[MediaAsset]): Seq[MediaFeatures] =
+    batch.map { a =>
+      val checksum = a.payload.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
+      MediaFeatures(a.doc_id, a.format, a.width, a.height,
+        a.payload.length.toLong, checksum,
+        checksum.toDouble / 1000000007.0)
+    }
+
+  /** Batched feature extraction over the typed Dataset: partition-local
+    * batches of `batchSize` through the decode boundary. No shuffle —
+    * decoding is embarrassingly parallel; partition sizing (via
+    * spark.sql.files.maxPartitionBytes) controls memory per executor
+    * when payloads are real images. */
+  def extractFeatures(assets: Dataset[MediaAsset],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decodeStub(b))
+    }
+  }
+
+  def multimodalMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = withMediaColumns(Tables.documents(spark, dir)).as[MediaAsset]
+    extractFeatures(assets).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_bytes"), col("checksum"), round(col("feat0"), 6).as("feat0"))
+      .orderBy(col("doc_id"))
+  }
+}

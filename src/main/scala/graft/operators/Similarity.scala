@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => W}
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Embedding similarity: cosine near-dup pairs, brute-force top-k ANN
+  * (the correctness baseline) and a random-hyperplane-LSH bucketed ANN
+  * (the 100 TB path — candidates bounded per bucket, never all-pairs).
+  *
+  * All cosines are sequential-fold double arithmetic (see
+  * TextFunctions.dot) so the DuckDB oracle reproduces them bit-for-bit;
+  * ranking ties are broken on the ROUNDED cosine + neighbor id, so both
+  * engines rank identically even at the last ulp.
+  */
+object Similarity {
+
+  /** (vec_id, e: array<double>, nrm) projection of the embeddings table. */
+  def vectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+
+  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    dot(ea, eb) / (na * nb)
+
+  /** All-pairs cosine near-dup at threshold tau.
+    *
+    * This operator is inherently O(n²) — it exists as the exact
+    * baseline the driver can oracle-check; the scale path for the same
+    * question is annLshTopK's bucketing (or MinHash on discretized
+    * vectors). The join broadcasts the smaller side and streams the
+    * other, so memory stays bounded even when n² work is unavoidable. */
+  def cosineNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+    val v = vectors(emb)
+    val a = v.toDF("vec_a", "ea", "na")
+    val b = v.toDF("vec_b", "eb", "nb")
+    a.join(b, a("vec_a") < b("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(Tables.embeddings(spark, dir), tau = 0.40)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Brute-force cosine top-k for a bounded query set (vec_id < 8).
+    *
+    * Scale shape: the query side is broadcast (bounded by construction),
+    * so the big side is scanned exactly once with no shuffle; the only
+    * shuffle is the final per-query top-k, whose input is |Q| * n rows
+    * pre-truncatable by partial top-k. */
+  def annCosineTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val v = vectors(emb)
+    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq", "nq")
+    val cand = broadcast(q)
+      .join(v, col("query_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(cosine(col("eq"), col("e"), col("nq"), col("nrm")), 6))
+    val w = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  def annCosineTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annCosineTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
+  // ---------------------------------------------------------------- LSH ANN
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is an
+    * md5-derived value in [-1, 1). Driver-side constants — the plane
+    * matrix is tiny (numPlanes x dim) and ships as literals, the moral
+    * equivalent of broadcasting the model. */
+  private def planeMatrix(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Double = {
+      val bytes = digest.digest(s.getBytes("UTF-8"))
+      val v = ((bytes(0) & 0x7fL) << 20) | ((bytes(1) & 0xffL) << 12) |
+        ((bytes(2) & 0xffL) << 4) | (bytes(3) & 0xfL)
+      v.toDouble / (1L << 26).toDouble - 1.0 // [-1, 1)
+    }
+    Seq.tabulate(numPlanes, dim)((p, d) => h(s"plane#$p#$d"))
+  }
+
+  private def dotLit(e: Column, plane: Seq[Double]): Column = {
+    val lits = array(plane.map(lit): _*)
+    aggregate(
+      transform(e, (x, i) => x * element_at(lits, i + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+  }
+
+  /** Random-hyperplane LSH ANN: 6 sign bits → 64 buckets; queries probe
+    * their own bucket plus all Hamming-1 neighbors (7 probes), compute
+    * exact cosine only within probed buckets, keep top-k.
+    *
+    * Scale shape: candidate count per query is bounded by probe-bucket
+    * occupancy (E[n/2^planes * probes]), not n — this is the O(n·b)
+    * path that replaces cosineNearDupPairs' O(n²) at 100 TB. More
+    * planes → smaller buckets; more probes → higher recall. */
+  def annLshTopK(emb: DataFrame, numQueries: Int, k: Int,
+                 numPlanes: Int = 6): DataFrame = {
+    val v = vectors(emb)
+    val dim = 64
+    val planes = planeMatrix(numPlanes, dim)
+    val bucket = (0 until numPlanes).map { p =>
+      when(dotLit(col("e"), planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+    val vb = v.withColumn("bucket", bucket)
+    val probes = array(
+      lit(0) +: (0 until numPlanes).map(p => lit(1 << p)): _*)
+    val q = vb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+          .as("probe"))
+
+    val cand = broadcast(q)
+      .join(vb, col("probe") === col("bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(cosine(col("eq"), col("e"), col("nq"), col("nrm")), 6))
+    val w = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  def annLshTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annLshTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val vectorCte =
+    """WITH v AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      | FROM embeddings)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "embed_cosine_neardup" -> (vectorCte +
+      """SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]))
+        |    / (a.nrm * b.nrm) AS cos
+        | FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.40 ORDER BY vec_a, vec_b""".stripMargin),
+    "ann_cosine_topk" -> (vectorCte +
+      """SELECT query_id, neighbor_id, cos, rnk FROM (
+        | SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cos DESC, neighbor_id) AS rnk
+        | FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+        |     / (q.nrm * x.nrm), 6) AS cos
+        |  FROM v q JOIN v x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8))
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+  )
+}

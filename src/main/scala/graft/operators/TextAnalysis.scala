@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => W}
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text analysis + exact dedup for the training-data-pipeline surface:
+  * quality scoring, language ID, token counting, fingerprinting — all
+  * pure column functions (no UDFs, whole-stage-codegen friendly), each
+  * replicated exactly by a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- exact dedup
+
+  /** Exact dedup: canonical keep-id per identical-text class.
+    *
+    * Scale shape: the window partitions by md5(text) — a 32-byte key —
+    * so the shuffle carries a fixed-width hash instead of the full text
+    * as the partition key. One shuffle total; at 100 TB this is the
+    * minimum possible for a global dedup (every equality class must
+    * meet on one partition). */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = W.partitionBy(md5(col("text")))
+    docs.select(
+      col("doc_id"),
+      min(col("doc_id")).over(w).as("keep_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  def dedupExactQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- quality
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Quality scoring: length/word/punctuation/alpha/stopword ratios and
+    * a keep flag — the standard pre-training corpus filters. Ratios are
+    * exact int/int double divisions, bit-identical across engines. */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text"))
+    val toks   = tokens(col("text"))
+    val nWords = size(toks)
+    val nPunct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val nStop  = size(filter(toks, t => t.isin(enStop: _*)))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round((nChars - (nWords - lit(1))).cast("double") / nWords, 4).as("avg_word_len"),
+      round(nPunct.cast("double") / nChars, 4).as("punct_ratio"),
+      round(nAlpha.cast("double") / nChars, 4).as("alpha_ratio"),
+      round(nStop.cast("double") / nWords, 4).as("stopword_ratio"))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("n_words") <= 1000 && col("alpha_ratio") > 0.5)
+  }
+
+  def textQualityQuery(spark: SparkSession, dir: String): DataFrame =
+    textQuality(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Stopword inventories per language. Deliberately small and
+    * non-overlapping so the scoring is transparent; the oracle carries
+    * the same lists. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "des"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Heuristic language ID: per-language stopword hit counts, argmax
+    * with a fixed priority order (en > de > es > fr > zh) on ties, and
+    * 'und' when no list scores. Emitted next to the labeled `lang`
+    * column with a correctness flag so the operator doubles as an
+    * accuracy eval. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val score: Map[String, Column] = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }.toMap
+    val Seq(en, de, es, fr, zh) =
+      Seq("en", "de", "es", "fr", "zh").map(score)
+    val pred =
+      when(en === 0 && de === 0 && es === 0 && fr === 0 && zh === 0, lit("und"))
+        .when(en >= de && en >= es && en >= fr && en >= zh, lit("en"))
+        .when(de >= es && de >= fr && de >= zh, lit("de"))
+        .when(es >= fr && es >= zh, lit("es"))
+        .when(fr >= zh, lit("fr"))
+        .otherwise(lit("zh"))
+    docs.select(
+      col("doc_id"), col("lang").as("true_lang"), pred.as("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("true_lang"))
+  }
+
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single other non-space). The pattern is
+    * deliberately RE2-and-Java-regex agreeing. */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"))
+  }
+
+  def tokenCountQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenCount(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- fingerprint
+
+  /** Document fingerprinting: a 60-bit md5 whole-text fingerprint plus a
+    * positional polynomial over token hashes (order-sensitive, so
+    * re-ordered words change it, unlike a bag-of-words hash). All
+    * integer arithmetic — bit-identical across engines; max term is
+    * n_tokens * 2^28, far below long overflow. */
+  def docFingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val poly = aggregate(
+      transform(toks, (t, i) => (i + lit(1)).cast("long") * hash28(t)),
+      lit(0L), (acc, x) => acc + x) % lit(1000000007L)
+    docs.select(
+      col("doc_id"),
+      hash60(col("text")).as("fp60"),
+      poly.as("poly_fp"))
+  }
+
+  def docFingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    docFingerprint(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- oracles
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, keep_id, doc_id <> keep_id AS is_dup FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio,
+         | alpha_ratio, stopword_ratio,
+         | n_words >= 5 AND n_words <= 1000 AND alpha_ratio > 0.5 AS keep
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |   len(string_split(text, ' ')) AS n_words,
+         |   round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |     / len(string_split(text,' ')), 4) AS avg_word_len,
+         |   round(CAST(length(text) - length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)
+         |     / length(text), 4) AS punct_ratio,
+         |   round(CAST(length(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)
+         |     / length(text), 4) AS alpha_ratio,
+         |   round(CAST(len(list_filter(string_split(text,' '),
+         |     t -> t IN ${inList(enStop)})) AS DOUBLE)
+         |     / len(string_split(text,' ')), 4) AS stopword_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val scores = stopwords.map { case (lang, words) =>
+        s"len(list_filter(w, t -> t IN ${inList(words)})) AS s_$lang"
+      }.mkString(",\n   ")
+      s"""SELECT doc_id, true_lang, pred_lang, pred_lang = true_lang AS correct
+         |FROM (
+         |  SELECT doc_id, true_lang,
+         |   CASE
+         |    WHEN s_en=0 AND s_de=0 AND s_es=0 AND s_fr=0 AND s_zh=0 THEN 'und'
+         |    WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+         |    WHEN s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+         |    WHEN s_es>=s_fr AND s_es>=s_zh THEN 'es'
+         |    WHEN s_fr>=s_zh THEN 'fr'
+         |    ELSE 'zh' END AS pred_lang
+         |  FROM (
+         |   SELECT doc_id, lang AS true_lang,
+         |    $scores
+         |   FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) AS fp60,
+        | CAST(list_sum(list_transform(range(1, len(w)+1),
+        |   i -> i * CAST(concat('0x', substr(md5(w[i]),1,7)) AS BIGINT)))
+        |  % 1000000007 AS BIGINT) AS poly_fp
+        |FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
