@@ -1,0 +1,60 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The reference's four sink shapes (console/parquet/kafka/foreach) as
+  * reusable writers.
+  */
+object Sinks {
+
+  /** Partitioned parquet sink with checkpoint — the reference's
+    * ParquetOutput.scala (partitioned by the derived month column,
+    * checkpointLocation for exactly-once file commits). */
+  def partitionedParquet(df: DataFrame, path: String, checkpoint: String,
+                         partitionCols: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+
+  /** Kafka-shaped output frame: (key, value) with value = to_json of all
+    * columns — what a kafka sink requires
+    * (StreamingWithKafkaJoinedData.scala:55's to_json(struct(*)) frame).
+    * Kept as a transform so it works against ANY sink (including the
+    * kafka connector when its jar is on the classpath). */
+  def kafkaShaped(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Row-at-a-time external sink, the ForeachWriter pattern of the
+    * reference's Cassandra sink (cassandra/StreamingWithCasssandra
+    * .scala:65-80: open connection / process row / close). This
+    * implementation collects into a process-local buffer — the test
+    * double for any row-oriented external system. */
+  class CollectingForeachWriter extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(row: Row): Unit =
+      CollectingForeachWriter.append(row.toSeq)
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  object CollectingForeachWriter {
+    // global because ForeachWriter instances are serialized to tasks;
+    // fine for local-mode tests, which is this sink's only purpose
+    private val buf = mutable.ArrayBuffer.empty[Seq[Any]]
+    private[Sinks] def append(r: Seq[Any]): Unit = synchronized { buf += r }
+    def rows: Seq[Seq[Any]] = synchronized { buf.toSeq }
+    def clear(): Unit = synchronized { buf.clear() }
+  }
+
+  /** Named in-memory sink for tests/debugging (`format("memory")`). */
+  def memory(df: DataFrame, queryName: String,
+             outputMode: String): DataStreamWriter[Row] =
+    df.writeStream.format("memory").queryName(queryName).outputMode(outputMode)
+}

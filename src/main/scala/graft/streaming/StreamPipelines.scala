@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SensorPipeline, Windows}
+
+/** Source-pluggable streaming pipelines: the SAME operator transforms
+  * the batch oracle checks (SensorPipeline / Windows) wired for
+  * Structured Streaming — watermark + event-time window, exactly the
+  * reference's analysis jobs (analysis/TumblingWindow.scala:49-66,
+  * SlidingWindow.scala:50-69) re-expressed over any source (memory in
+  * tests, kafka via KafkaConfig in production).
+  *
+  * Because the transforms are pure DataFrame => DataFrame, Spark's
+  * unified model gives stream/batch parity for free — there is no
+  * separate streaming implementation to drift out of sync.
+  */
+object StreamPipelines {
+
+  /** Parse + enrich: from_json flatten of the props payload, then the
+    * stream-static dim join (reference StreamingWithKafkaJoinedData).
+    * Unlike the batch oracle projection (SensorPipeline.enrichJoin),
+    * this keeps the event-time and grouping columns so a window can
+    * follow — same join semantics, streaming-shaped projection.
+    * `dim` is static; pass broadcastDim=true when it's bounded. */
+  def parseAndEnrich(stream: DataFrame, dim: DataFrame,
+                     broadcastDim: Boolean = true): DataFrame = {
+    val parsed = stream
+      .withColumn("parsed", from_json(col("props"), SensorPipeline.propsSchema))
+      .withColumn("k", col("parsed.k"))
+      .drop("parsed", "props")
+      .withColumnRenamed("user_id", "cust_id")
+    val d = if (broadcastDim) broadcast(dim) else dim
+    parsed.join(d, parsed("cust_id") === d("c_custkey"), "left_outer")
+      .select(col("event_id"), col("ts"), col("event_type"), col("cust_id"),
+        col("c_name"), col("c_mktsegment"), col("k"), col("value"))
+  }
+
+  /** Watermarked tumbling-window aggregation (reference
+    * TumblingWindow.scala:49-66: 10 min watermark + window + sums). */
+  def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Windows.tumbling(events.withWatermark("ts", watermark))
+
+  /** Watermarked sliding-window aggregation with the post-agg filter
+    * (reference SlidingWindow.scala:50-69). */
+  def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Windows.sliding(events.withWatermark("ts", watermark))
+
+  /** The full reference pipeline: parse → enrich → watermark → window.
+    * One call from a kafka/memory/socket source to a windowed frame. */
+  def endToEnd(stream: DataFrame, dim: DataFrame,
+               watermark: String = "10 minutes"): DataFrame = {
+    val enriched = parseAndEnrich(stream, dim)
+    Windows.tumbling(enriched.withWatermark("ts", watermark))
+  }
+}
