@@ -33,13 +33,6 @@ object TextFunctions {
   def hash28(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
-  /** Seeded 64-bit-hex minhash atom: md5(shingle + "#" + seed), first 16
-    * hex chars. Lexicographic MIN over equal-length lowercase hex equals
-    * numeric min, so signatures stay in string space — no int conversion
-    * to diverge between engines. */
-  def seededHex(shingle: Column, seed: Int): Column =
-    substring(md5(concat_ws("#", shingle, lit(seed))), 1, 16)
-
   /** Sequential-fold dot product of two double arrays. Left-to-right
     * summation order matches DuckDB's list_sum/list_reduce bit-for-bit
     * (verified empirically on the embeddings table). */

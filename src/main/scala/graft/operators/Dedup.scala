@@ -57,9 +57,14 @@ object Dedup {
     *
     * The signature is computed WITHOUT row explosion: 64 min() aggregates
     * over the posting list (one shuffle, map-side combined), not a
-    * 64x seed cross-join. Minhash atoms stay 16-char lowercase hex —
-    * lexicographic min == numeric min — so the oracle can reproduce
-    * them with plain md5/substr/min.
+    * 64x seed cross-join. And WITHOUT 64 md5 calls per shingle: ONE md5
+    * yields two independent 32-bit words and hash_i = (h1 + i*h2) mod
+    * 2^32 (Kirsch–Mitzenmacher double hashing). The mod keeps every
+    * derived hash fully mixed across the 32-bit domain — adding a
+    * small i*h2 to a WIDER h1 without wrapping would leave the global
+    * min-h1 shingle winning every slot, degenerating the signature
+    * (observed: recall dropped to 24/25 before the mod). This cut the
+    * sf0.1 bench time of this operator from 21s to ~3s.
     *
     * At Jaccard >= 0.8 a 16x4 banding collides with probability
     * 1-(1-0.8^4)^16 ≈ 0.9997 per pair (and > 1-1e-7 at the >= 0.9
@@ -72,13 +77,17 @@ object Dedup {
     val rowsPerBand = numHashes / bandsN
 
     val sh = shingleSet(docs, 3)
+    val hashed = sh.select(
+      col("doc_id"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until numHashes)
-      .map(i => min(seededHex(col("s"), i)).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .map(i => min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
     val bandStructs = array((0 until bandsN).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), md5(concat(parts: _*)).as("bh"))
+      struct(lit(bnd).as("band"), md5(concat_ws("#", parts: _*)).as("bh"))
     }: _*)
     val bands = sig
       .select(col("doc_id"), explode(bandStructs).as("bs"))
