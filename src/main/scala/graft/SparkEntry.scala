@@ -26,6 +26,7 @@ object SparkEntry {
     "enrich_join"            -> (SensorPipeline.enrichJoinQuery _),
     "udf_double_string"      -> (SensorPipeline.udfDoubleStringQuery _),
     "to_json_struct"         -> (SensorPipeline.toJsonStructQuery _),
+    "typed_filter_map"       -> (SensorPipeline.typedFilterMapQuery _),
     // windows / state
     "tumbling_window"        -> (Windows.tumblingQuery _),
     "sliding_window"         -> (Windows.slidingQuery _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,6 +98,44 @@ object SensorPipeline {
         |FROM graft_customer ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Typed view of a decoded event — the case-class Encoder path of the
+    * reference's Dataset[SensorData] (cassandra/StreamingWithCasssandra
+    * .scala:10-19,62-67). `k` is Option: rows whose props payload fails
+    * to decode carry None, exactly like from_json's null. */
+  case class SensorReading(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double, k: Option[Long])
+
+  /** Decode the raw events frame into a typed Dataset. Works on batch
+    * and streaming frames alike (the encoder is schema-driven).
+    *
+    * Scale note: the typed path exists for type-safe consumers
+    * (ForeachWriter sinks, domain logic); typed lambdas deserialize
+    * every row and break column pruning/pushdown, so HOT paths should
+    * stay columnar — see the paired column-based ops above. */
+  def typedReadings(events: DataFrame): Dataset[SensorReading] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("parsed", from_json(col("props"), propsSchema))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("parsed.k").as("k"))
+      .as[SensorReading]
+  }
+
+  /** Typed filter + map demonstrating the encoder round-trip (the
+    * reference's Dataset-lambda style): keep high-value readings,
+    * double the value. Emitted via a columnar projection so the oracle
+    * compares rounded doubles. */
+  def typedFilterMapQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    typedReadings(Tables.events(spark, dir))
+      .filter(r => r.value >= 50.0)
+      .map(r => (r.event_id, r.event_type, r.value * 2))
+      .toDF("event_id", "event_type", "value_x2")
+      .select(col("event_id"), col("event_type"),
+        round(col("value_x2"), 2).as("value_x2"))
+      .orderBy(col("event_id"))
+  }
+
   /** to_json(struct(..)) re-serialization: mirrors the Kafka-sink frame
     * shape of StreamingWithKafkaJoinedData.scala:55 (string/long fields
     * only — double JSON formatting differs across engines). */
@@ -135,5 +173,8 @@ object SensorPipeline {
       """SELECT event_id,
         | '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS js
         |FROM events ORDER BY event_id""".stripMargin,
+    "typed_filter_map" ->
+      """SELECT event_id, event_type, round(value * 2, 2) AS value_x2
+        |FROM events WHERE value >= 50.0 ORDER BY event_id""".stripMargin,
   )
 }

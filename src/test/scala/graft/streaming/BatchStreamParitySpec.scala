@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Windows
+
+/** The architectural claim behind this library: every operator is a
+  * pure DataFrame transform, so the SAME code gives identical answers
+  * in batch and in Structured Streaming. This spec proves it on the
+  * real events table — the batch path (what the DuckDB oracle checks)
+  * vs a file-source stream of the same parquet. */
+class BatchStreamParitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tumbling window: streaming result == batch result on real events") {
+    val batch = Windows.tumbling(Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+
+    // same parquet, replayed as a file-source stream (ts arrives as
+    // nanos long under nanosAsLong, converted exactly like Tables.events);
+    // the file source wants a directory, so stage the file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_parity")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val q = Sinks.memory(Windows.tumbling(stream), "parity_sink", "complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sink").collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
