@@ -34,7 +34,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
-      }
+      } finally spark.catalog.clearCache() // multi-pass ops persist intermediates
     }
 
     // warmup: run the flagship once, discard the timing

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -34,7 +35,13 @@ object Dedup {
     * skew-join; a production corpus would also cap shingle document
     * frequency. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double): DataFrame = {
-    val sh = shingleSet(docs, k)
+    // the posting list feeds three consumers (both join sides + sizes);
+    // persist it so the scan+shingle+distinct pipeline runs ONCE, not
+    // three times (MEMORY_AND_DISK: spills, never OOMs). Multi-pass
+    // algorithms persisting their derived relation is the standard
+    // MLlib pattern; callers running many queries per session should
+    // clearCache() between them (Verify/Bench do).
+    val sh = shingleSet(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sa")
     val b = sh.toDF("doc_b", "sb")
@@ -76,29 +83,34 @@ object Dedup {
     val bandsN = 16
     val rowsPerBand = numHashes / bandsN
 
-    val sh = shingleSet(docs, 3)
+    // persisted: the posting list feeds the signature agg AND both
+    // sides of the verification join — one derivation, three readers
+    val sh = shingleSet(docs, 3).persist(StorageLevel.MEMORY_AND_DISK)
     val hashed = sh.select(
       col("doc_id"),
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),
       conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until numHashes)
       .map(i => min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"m$i"))
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // one groupBy carries the 64 mins AND the set size — |A| rides the
+    // banding rows for free instead of a separate sizes aggregation
+    val sig = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sigCols: _*)
 
     val bandStructs = array((0 until bandsN).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
       struct(lit(bnd).as("band"), md5(concat_ws("#", parts: _*)).as("bh"))
     }: _*)
     val bands = sig
-      .select(col("doc_id"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+      .select(col("doc_id"), col("n"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("n"), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
-    val x = bands.toDF("doc_a", "band_a", "bh_a")
-    val y = bands.toDF("doc_b", "band_b", "bh_b")
+    val x = bands.toDF("doc_a", "na", "band_a", "bh_a")
+    val y = bands.toDF("doc_b", "nb", "band_b", "bh_b")
     val cand = x.join(y,
         x("band_a") === y("band_b") && x("bh_a") === y("bh_b") &&
           x("doc_a") < y("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
 
     // exact-Jaccard verify, candidates only (no all-pairs anywhere)
     val sa = sh.toDF("ia", "shingle_a")
@@ -106,11 +118,9 @@ object Dedup {
     val inter = cand
       .join(sa, cand("doc_a") === sa("ia"))
       .join(sb, cand("doc_b") === sb("ib") && sa("shingle_a") === sb("shingle_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
     inter
-      .join(sizes.toDF("doc_a", "na"), "doc_a")
-      .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
