@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The extension must make cosine_similarity resolvable from plain SQL
+  * in a session built with withExtensions. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("cosine_similarity is callable from SQL in an extended session") {
+    // force-create a NEW session (over the shared SparkContext) so the
+    // extension actually applies, then restore the shared session for
+    // the other suites
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = extended.sql(
+        """SELECT cosine_similarity(array(3.0D, 0.0D), array(7.0D, 0.0D)) AS c,
+          |       cosine_similarity(array(1.0D, 0.0D), array(0.0D, 5.0D)) AS o
+          |""".stripMargin).collect().head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 0.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
