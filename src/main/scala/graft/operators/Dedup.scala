@@ -112,15 +112,18 @@ object Dedup {
           x("doc_a") < y("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
 
-    // exact-Jaccard verify, candidates only (no all-pairs anywhere)
-    val sa = sh.toDF("ia", "shingle_a")
-    val sb = sh.toDF("ib", "shingle_b")
-    val inter = cand
-      .join(sa, cand("doc_a") === sa("ia"))
-      .join(sb, cand("doc_b") === sb("ib") && sa("shingle_a") === sb("shingle_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-    inter
+    // exact-Jaccard verify, candidates only (no all-pairs anywhere).
+    // Intersections via per-doc shingle ARRAYS + array_intersect: the
+    // candidate set joins the (small) per-doc array table twice and
+    // intersects in-row — cheaper than re-shuffling the full posting
+    // list through a shingle-equality join, because |candidates| <<
+    // |postings|.
+    val shArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("s"))).as("sset"))
+    cand
+      .join(shArr.toDF("ia", "set_a"), col("doc_a") === col("ia"))
+      .join(shArr.toDF("ib", "set_b"), col("doc_b") === col("ib"))
+      .withColumn("c", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))

@@ -47,6 +47,16 @@ object StreamPipelines {
   def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     Windows.sliding(events.withWatermark("ts", watermark))
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon. The state store keeps one entry per
+    * key and the watermark bounds its growth — unbounded-state dedup
+    * (no watermark) is a slow OOM at production scale, so the delay is
+    * a required argument here, not an optional nicety. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** The full reference pipeline: parse → enrich → watermark → window.
     * One call from a kafka/memory/socket source to a windowed frame. */
   def endToEnd(stream: DataFrame, dim: DataFrame,

@@ -49,6 +49,26 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-sent keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SensorEvent]
+    val out = StreamPipelines.dedupStream(ms.toDF(), Seq("event_id"), "1 hour")
+    val q = Sinks.memory(out, "dedup_sink", "append").start()
+    try {
+      ms.addData(
+        SensorEvent.at(1, "2024-01-01 10:00:00", 1, "click", 1.0, 1),
+        SensorEvent.at(1, "2024-01-01 10:00:30", 1, "click", 1.0, 1)) // same batch dup
+      q.processAllAvailable()
+      ms.addData(
+        SensorEvent.at(1, "2024-01-01 10:05:00", 1, "click", 1.0, 1), // later dup
+        SensorEvent.at(2, "2024-01-01 10:05:00", 2, "view", 2.0, 2))  // new key
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-static enrich keeps unmatched stream rows (left_outer)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[SensorEvent]
