@@ -51,10 +51,11 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).
-    * ann_lsh_topk and multimodal_meta are intentionally absent →
-    * driver records the weaker rows-only check (LSH probing and the
-    * stubbed decoder aren't SQL-expressible). */
+    * Every query — including the LSH ANN path (plane matrix embedded
+    * as SQL literals) and the multimodal stub (deterministic byte
+    * arithmetic) — is oracle-checked. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SensorPipeline.oracles ++ Windows.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

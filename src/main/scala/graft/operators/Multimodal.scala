@@ -74,4 +74,28 @@ object Multimodal {
         col("n_bytes"), col("checksum"), round(col("feat0"), 6).as("feat0"))
       .orderBy(col("doc_id"))
   }
+
+  /** The stub decoder's outputs are all deterministic functions of the
+    * payload bytes (ASCII text, so bytes == codepoints), which makes
+    * even the mapPartitions path oracle-checkable: metadata from
+    * md5-derived hashes, checksum as the same left-fold rolling hash
+    * via list_reduce. */
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id, format, width, height, n_bytes, checksum,
+        | round(checksum / 1000000007.0, 6) AS feat0
+        |FROM (
+        | SELECT doc_id,
+        |  ['jpeg','png','webp'][CAST(CAST('0x'||substr(md5(source),1,15) AS BIGINT) % 3 + 1 AS INTEGER)] AS format,
+        |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS width,
+        |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text)+1),
+        |     i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |   (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+  )
 }

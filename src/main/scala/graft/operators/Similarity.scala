@@ -149,7 +149,50 @@ object Similarity {
       | FROM embeddings)
       |""".stripMargin
 
+  /** Full oracle for the LSH path: the plane matrix is deterministic
+    * driver-side data, so it is embedded as SQL literals (Double
+    * .toString round-trips exactly through DuckDB's parser) and the
+    * whole bucket → probe → cosine → rank pipeline is replicated in
+    * SQL. This checks the LSH plumbing itself, not just row counts. */
+  private def annLshOracle(numQueries: Int, k: Int, numPlanes: Int): String = {
+    val planes = planeMatrix(numPlanes, 64)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}])"
+    }.mkString(",\n   ")
+    val probeRows = (0 +: (0 until numPlanes).map(1 << _)).map(m => s"($m)").mkString(",")
+    s"""WITH planes(pi, pvec) AS (VALUES
+       |   $planeRows),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       | SELECT v.vec_id, p.pi,
+       |  list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * p.pvec[i])) AS d
+       | FROM v, planes p),
+       |buckets AS (
+       | SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << pi) ELSE 0 END) AS INTEGER) AS bucket
+       | FROM dots GROUP BY 1),
+       |q AS (
+       | SELECT b.vec_id AS query_id, xor(b.bucket, m.m) AS probe
+       | FROM buckets b, (VALUES $probeRows) AS m(m)
+       | WHERE b.vec_id < $numQueries),
+       |cand AS (
+       | SELECT q.query_id, x.vec_id AS neighbor_id
+       | FROM q JOIN buckets x ON x.bucket = q.probe AND x.vec_id <> q.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
+       |   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+       |      * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+       | FROM cand c JOIN v a ON c.query_id = a.vec_id
+       |  JOIN v b ON c.neighbor_id = b.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
     "embed_cosine_neardup" -> (vectorCte +
       """SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
