@@ -7,9 +7,19 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's whole pipeline in one expression — JSON parse →
+    * stream-static enrich → event-time tumbling window — run in batch;
+    * the identical transforms drive the streaming path
+    * (graft.streaming.StreamPipelines.endToEnd). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.events(spark, dir)
+    val dim = graft.core.Tables.customer(spark, dir)
+    graft.streaming.StreamPipelines
+      .parseAndEnrich(events, dim, broadcastDim = false)
+      .transform(Windows.tumbling)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
