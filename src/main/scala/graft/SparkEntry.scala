@@ -13,12 +13,14 @@ object SparkEntry {
     * the identical transforms drive the streaming path
     * (graft.streaming.StreamPipelines.endToEnd). */
   def entry(spark: SparkSession): DataFrame = {
+    // entry() is called with the DRIVER's session, which has not been
+    // through our builders — set the conf events.parquet needs
+    // (TIMESTAMP(NANOS)) before the scan's schema is resolved
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     val events = graft.core.Tables.events(spark, dir)
     val dim = graft.core.Tables.customer(spark, dir)
-    graft.streaming.StreamPipelines
-      .parseAndEnrich(events, dim, broadcastDim = false)
-      .transform(Windows.tumbling)
+    graft.streaming.StreamPipelines.endToEnd(events, dim)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -34,14 +34,17 @@ object Dedup {
     * are never materialized. Skewed hot shingles are handled by AQE
     * skew-join; a production corpus would also cap shingle document
     * frequency. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double,
+                        persistPostings: Boolean = true): DataFrame = {
     // the posting list feeds three consumers (both join sides + sizes);
     // persist it so the scan+shingle+distinct pipeline runs ONCE, not
     // three times (MEMORY_AND_DISK: spills, never OOMs). Multi-pass
     // algorithms persisting their derived relation is the standard
-    // MLlib pattern; callers running many queries per session should
-    // clearCache() between them (Verify/Bench do).
-    val sh = shingleSet(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    // MLlib pattern. The cache entry outlives the returned DataFrame's
+    // action: long-lived sessions should clearCache() between queries
+    // (Verify/Bench do) or pass persistPostings=false.
+    val base = shingleSet(docs, k)
+    val sh = if (persistPostings) base.persist(StorageLevel.MEMORY_AND_DISK) else base
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sa")
     val b = sh.toDF("doc_b", "sb")
@@ -78,14 +81,17 @@ object Dedup {
     * planted pairs); the computation itself is deterministic, and the
     * oracle below is the exhaustive ground truth, so the correctness
     * gate verifies end-to-end recall, not just hash plumbing. */
-  def minhashLshPairs(docs: DataFrame, tau: Double): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, tau: Double,
+                      persistPostings: Boolean = true): DataFrame = {
     val numHashes = 64
     val bandsN = 16
     val rowsPerBand = numHashes / bandsN
 
-    // persisted: the posting list feeds the signature agg AND both
-    // sides of the verification join — one derivation, three readers
-    val sh = shingleSet(docs, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the posting list feeds the signature agg AND the
+    // verification arrays — one derivation, multiple readers (see
+    // ngramJaccardPairs on lifetime / persistPostings=false)
+    val base = shingleSet(docs, 3)
+    val sh = if (persistPostings) base.persist(StorageLevel.MEMORY_AND_DISK) else base
     val hashed = sh.select(
       col("doc_id"),
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),

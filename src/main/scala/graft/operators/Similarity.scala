@@ -19,10 +19,13 @@ import graft.functions.TextFunctions._
   */
 object Similarity {
 
-  /** (vec_id, e: array<double>, nrm) projection of the embeddings table. */
+  /** (vec_id, e: array<double>) projection of the embeddings table.
+    * Norms are NOT precomputed: every consumer scores through the
+    * native CosineSimilarity expression, which derives both norms
+    * inside its fused loop (bit-identical to the oracle's per-vector
+    * sqrt(list_sum(x*x)) because the accumulation order is the same). */
   def vectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("e"))
-      .withColumn("nrm", l2norm(col("e")))
 
 
   /** All-pairs cosine near-dup at threshold tau.
@@ -59,7 +62,7 @@ object Similarity {
     * pre-truncatable by partial top-k. */
   def annCosineTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val v = vectors(emb)
-    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq", "nq")
+    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
     val cand = broadcast(q)
       .join(v, col("query_id") =!= col("vec_id"))
       .withColumn("cos",

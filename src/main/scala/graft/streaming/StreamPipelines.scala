@@ -23,9 +23,11 @@ object StreamPipelines {
     * Unlike the batch oracle projection (SensorPipeline.enrichJoin),
     * this keeps the event-time and grouping columns so a window can
     * follow — same join semantics, streaming-shaped projection.
-    * `dim` is static; pass broadcastDim=true when it's bounded. */
+    * `dim` is static; pass broadcastDim=true when it's bounded (the
+    * default is false — same rule as everywhere else in this library:
+    * never force a broadcast of a dim that might scale). */
   def parseAndEnrich(stream: DataFrame, dim: DataFrame,
-                     broadcastDim: Boolean = true): DataFrame = {
+                     broadcastDim: Boolean = false): DataFrame = {
     val parsed = stream
       .withColumn("parsed", from_json(col("props"), SensorPipeline.propsSchema))
       .withColumn("k", col("parsed.k"))
@@ -60,8 +62,9 @@ object StreamPipelines {
   /** The full reference pipeline: parse → enrich → watermark → window.
     * One call from a kafka/memory/socket source to a windowed frame. */
   def endToEnd(stream: DataFrame, dim: DataFrame,
-               watermark: String = "10 minutes"): DataFrame = {
-    val enriched = parseAndEnrich(stream, dim)
+               watermark: String = "10 minutes",
+               broadcastDim: Boolean = false): DataFrame = {
+    val enriched = parseAndEnrich(stream, dim, broadcastDim)
     Windows.tumbling(enriched.withWatermark("ts", watermark))
   }
 }

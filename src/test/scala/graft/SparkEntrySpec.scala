@@ -8,10 +8,12 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a query; keys are unique and well-formed") {
+  test("queries and oracles cover each other exactly") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
-    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    // set EQUALITY: a query without an oracle would ship unverified
+    assert(os === qs,
+      s"oracles without queries: ${os -- qs}; queries without oracles: ${qs -- os}")
     assert(qs.forall(_.matches("[a-z0-9_]+")))
   }
 }
