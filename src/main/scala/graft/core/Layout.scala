@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for the two shuffle problems a 100 TB join
+  * hits: repeated shuffles of the same fact table (→ bucketing) and
+  * hot keys that overwhelm one reducer (→ salting).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and optionally sorted) managed table.
+    * Two tables bucketed by their join key into the same bucket count
+    * sort-merge-join with NO exchange on either side — the shuffle is
+    * paid once at layout time and amortized over every subsequent
+    * join (the classic fact-table co-location strategy; at 100 TB this
+    * is the difference between re-shuffling terabytes per query and
+    * none). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(table)
+  }
+
+  /** Salted equi-join for skewed keys (the manual fallback when AQE's
+    * skew-join can't help, e.g. for aggregations-after-join or on
+    * engines without AQE).
+    *
+    * The skewed LEFT side gets a deterministic salt in [0, salts) from
+    * `saltBy` — pass a column expression that VARIES WITHIN the hot key
+    * (e.g. hash of the row's other columns); the RIGHT side is
+    * replicated `salts` times so every (key, salt) combination still
+    * meets. The hot key's rows now spread over `salts` reducers at the
+    * cost of an O(salts) blow-up of the right side — use for
+    * fact⋈dim joins where the dim side is small enough to replicate
+    * but too big (or too slow) to broadcast. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 salts: Int, saltBy: Column): DataFrame = {
+    require(salts > 0)
+    val l = left.withColumn("__graft_salt", pmod(saltBy, lit(salts)))
+    val r = right.withColumn("__graft_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__graft_salt") === r("__graft_salt"))
+      .drop("__graft_salt")
+  }
+}
