@@ -72,4 +72,12 @@ object Sinks {
   def memory(df: DataFrame, queryName: String,
              outputMode: String): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(queryName).outputMode(outputMode)
+
+  /** Console sink — the reference's default debugging sink in every
+    * job (`format("console")`, truncate off so window structs are
+    * readable). */
+  def console(df: DataFrame, outputMode: String,
+              numRows: Int = 20): DataStreamWriter[Row] =
+    df.writeStream.format("console").outputMode(outputMode)
+      .option("numRows", numRows.toString).option("truncate", "false")
 }
