@@ -82,26 +82,33 @@ object Dedup {
     * oracle below is the exhaustive ground truth, so the correctness
     * gate verifies end-to-end recall, not just hash plumbing. */
   def minhashLshPairs(docs: DataFrame, tau: Double,
-                      persistPostings: Boolean = true): DataFrame = {
+                      persistSignatures: Boolean = true): DataFrame = {
     val numHashes = 64
     val bandsN = 16
     val rowsPerBand = numHashes / bandsN
 
-    // persisted: the posting list feeds the signature agg AND the
-    // verification arrays — one derivation, multiple readers (see
-    // ngramJaccardPairs on lifetime / persistPostings=false)
-    val base = shingleSet(docs, 3)
-    val sh = if (persistPostings) base.persist(StorageLevel.MEMORY_AND_DISK) else base
-    val hashed = sh.select(
-      col("doc_id"),
+    // ONE wide aggregation does everything per doc: 64 minhash minima,
+    // the distinct shingle set (for exact verification) and its size.
+    // No pre-distinct — min() over a multiset equals min() over its
+    // set, and collect_set dedupes — so the whole signature build is a
+    // single shuffle with map-side partial aggregation.
+    val raw = docs.select(col("doc_id"),
+      explode(wordShingles(tokens(col("text")), 3)).as("s"))
+    val hashed = raw.select(
+      col("doc_id"), col("s"),
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),
       conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until numHashes)
       .map(i => min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"m$i"))
-    // one groupBy carries the 64 mins AND the set size — |A| rides the
-    // banding rows for free instead of a separate sizes aggregation
-    val sig = hashed.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), sigCols: _*)
+    val sigBase = hashed.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("s"))).as("sset"), sigCols: _*)
+      .withColumn("n", size(col("sset")).cast("long"))
+    // persisted: per-doc rows (small — one per document), read by the
+    // banding pass and twice by verification. Long-lived sessions:
+    // clearCache() between queries (Verify/Bench do) or pass
+    // persistSignatures=false.
+    val sig = if (persistSignatures)
+      sigBase.persist(StorageLevel.MEMORY_AND_DISK) else sigBase
 
     val bandStructs = array((0 until bandsN).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
@@ -118,14 +125,10 @@ object Dedup {
           x("doc_a") < y("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
 
-    // exact-Jaccard verify, candidates only (no all-pairs anywhere).
-    // Intersections via per-doc shingle ARRAYS + array_intersect: the
-    // candidate set joins the (small) per-doc array table twice and
-    // intersects in-row — cheaper than re-shuffling the full posting
-    // list through a shingle-equality join, because |candidates| <<
-    // |postings|.
-    val shArr = sh.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("s"))).as("sset"))
+    // exact-Jaccard verify, candidates only (no all-pairs anywhere):
+    // join the (tiny) candidate set back to the per-doc shingle arrays
+    // and intersect in-row — |candidates| << |postings|.
+    val shArr = sig.select(col("doc_id"), col("sset"))
     cand
       .join(shArr.toDF("ia", "set_a"), col("doc_a") === col("ia"))
       .join(shArr.toDF("ib", "set_b"), col("doc_b") === col("ib"))

@@ -38,6 +38,7 @@ object Windows {
         round(sum(col("value")) * 100, 0).cast("long").as("cents"))
       .select(
         unix_timestamp(col("window.start")).as("window_start"),
+        unix_timestamp(col("window.end")).as("window_end"),
         col("event_type"), col("n"), col("sum_value"),
         (expr("(cents*2 + n) DIV (n*2)").cast("double") / 100.0).as("avg_value"))
 
@@ -91,7 +92,8 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "tumbling_window" ->
-      """SELECT window_start, event_type, n, sum_value,
+      """SELECT window_start, window_start + 3600 AS window_end,
+        | event_type, n, sum_value,
         | ((cents*2 + n) // (n*2)) / 100.0 AS avg_value
         |FROM (
         |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
