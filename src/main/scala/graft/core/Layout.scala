@@ -39,7 +39,10 @@ object Layout {
                  leftKey: String, rightKey: String,
                  salts: Int, saltBy: Column): DataFrame = {
     require(salts > 0)
-    val l = left.withColumn("__graft_salt", pmod(saltBy, lit(salts)))
+    // coalesce: a NULL saltBy row must still join (salt 0), not
+    // silently vanish because NULL === salt never matches
+    val l = left.withColumn("__graft_salt",
+      coalesce(pmod(saltBy, lit(salts)), lit(0)))
     val r = right.withColumn("__graft_salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, l(leftKey) === r(rightKey) && l("__graft_salt") === r("__graft_salt"))

@@ -21,11 +21,15 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** (doc_id, shingle) rows WITH duplicates — the one shingling recipe
+    * every operator (and the oracle's sh3 CTE) derives from. */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(wordShingles(tokens(col("text")), k)).as("s"))
+
   /** Distinct (doc_id, shingle) postings — the inverted index. */
   def shingleSet(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(wordShingles(tokens(col("text")), k)).as("s"))
-      .distinct()
+    shingles(docs, k).distinct()
 
   /** Exact Jaccard for every pair sharing >= 1 shingle, via the inverted
     * index: self-join on the shingle key (shuffle keyed by shingle, so
@@ -92,8 +96,7 @@ object Dedup {
     // No pre-distinct — min() over a multiset equals min() over its
     // set, and collect_set dedupes — so the whole signature build is a
     // single shuffle with map-side partial aggregation.
-    val raw = docs.select(col("doc_id"),
-      explode(wordShingles(tokens(col("text")), 3)).as("s"))
+    val raw = shingles(docs, 3)
     val hashed = raw.select(
       col("doc_id"), col("s"),
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),

@@ -35,7 +35,9 @@ class RocksDbStateSpec extends SparkSpec {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
-      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+      StreamingConfs.rocksDbStateStore(1024).keys
+        .filterNot(_ == "spark.sql.streaming.stateStore.providerClass")
+        .foreach(spark.conf.unset)
     }
   }
 }
