@@ -60,6 +60,8 @@ object SparkEntry {
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
+    "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),
+    "multimodal_framesample" -> (Multimodal.multimodalFrameSampleQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -75,6 +75,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Resize planning: fit each asset into a square `target` box
+    * preserving aspect ratio. floor((side*target)/longSide): the
+    * operands are small exact ints, IEEE division is correctly
+    * rounded, so the floor is bit-identical across engines. This is
+    * the metadata half of a real resize; the pixel half lives behind
+    * the decode stub. */
+  def resizePlan(assets: DataFrame, target: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    def scaled(c: org.apache.spark.sql.Column) =
+      greatest(lit(1L), floor((c * target) / longSide)).cast("int")
+    assets.select(
+      col("doc_id"), col("width"), col("height"),
+      scaled(col("width")).as("out_w"),
+      scaled(col("height")).as("out_h"))
+  }
+
+  def multimodalResizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizePlan(withMediaColumns(Tables.documents(spark, dir)), target = 224)
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling for "video" assets: a deterministic synthetic
+    * frame count per doc, then every `stride`-th frame index capped at
+    * `maxFrames` — the uniform-sampling schedule a video pipeline
+    * feeds its decoder. Emitted as a joined string for engine-neutral
+    * comparison. */
+  def frameSamplePlan(docs: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
+    val nFrames = (hash60(concat(col("text"), lit("#v"))) % 300 + 30).cast("int")
+    val idx = slice(sequence(lit(0), nFrames - 1, lit(stride)), 1, maxFrames)
+    docs.select(
+      col("doc_id"),
+      nFrames.as("n_frames"),
+      size(idx).as("n_sampled"),
+      array_join(idx, ",").as("frame_idx"))
+  }
+
+  def multimodalFrameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSamplePlan(Tables.documents(spark, dir), stride = 30, maxFrames = 8)
+      .orderBy(col("doc_id"))
+
   /** The stub decoder's outputs are all deterministic functions of the
     * payload bytes (ASCII text, so bytes == codepoints), which makes
     * even the mapPartitions path oracle-checkable: metadata from
@@ -96,6 +135,28 @@ object Multimodal {
         |     i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
         |   (a, b) -> (a * 131 + b) % 1000000007) AS checksum
         | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id, width, height,
+        | CAST(greatest(1, floor((width*224) / greatest(width, height))) AS INTEGER) AS out_w,
+        | CAST(greatest(1, floor((height*224) / greatest(width, height))) AS INTEGER) AS out_h
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS width,
+        |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS height
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_framesample" ->
+      """SELECT doc_id, n_frames,
+        | CAST(len(idx) AS INTEGER) AS n_sampled,
+        | array_to_string(idx, ',') AS frame_idx
+        |FROM (
+        | SELECT doc_id, n_frames,
+        |  (range(0, n_frames, 30))[1:8] AS idx
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(CAST('0x'||substr(md5(text||'#v'),1,15) AS BIGINT) % 300 + 30 AS INTEGER) AS n_frames
+        |  FROM documents))
         |ORDER BY doc_id""".stripMargin,
   )
 }
