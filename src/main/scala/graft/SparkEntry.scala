@@ -39,6 +39,7 @@ object SparkEntry {
     "udf_double_string"      -> (SensorPipeline.udfDoubleStringQuery _),
     "to_json_struct"         -> (SensorPipeline.toJsonStructQuery _),
     "typed_filter_map"       -> (SensorPipeline.typedFilterMapQuery _),
+    "asof_join"              -> (AsofJoin.asofLatestOrderQuery _),
     // windows / state
     "tumbling_window"        -> (Windows.tumblingQuery _),
     "sliding_window"         -> (Windows.slidingQuery _),
@@ -71,5 +72,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SensorPipeline.oracles ++ Windows.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ AsofJoin.oracles
 }

@@ -23,6 +23,29 @@ object Layout {
     ws.format("parquet").saveAsTable(table)
   }
 
+  /** Range join (point-in-interval) WITHOUT an equi-key, executed as
+    * an equi-join on fixed-width bins: each interval replicates to the
+    * bins it spans, each point lands in exactly one bin, and only
+    * co-binned rows ever meet — Spark's native plan for this predicate
+    * is a nested-loop cross product, which is a non-starter at scale.
+    * `binWidth` trades replication (intervals spanning many bins)
+    * against bin population; pick it near the median interval span.
+    * Values must be non-negative (epoch seconds, offsets). */
+  def binnedRangeJoin(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val p = points.withColumn("__graft_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val i = intervals.withColumn("__graft_bin",
+      explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    p.join(i, p("__graft_bin") === i("__graft_bin") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__graft_bin")
+  }
+
   /** Salted equi-join for skewed keys (the manual fallback when AQE's
     * skew-join can't help, e.g. for aggregations-after-join or on
     * engines without AQE).

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** As-of (point-in-time) join — the operator Spark lacks natively that
+  * every sensor/feature pipeline eventually needs: for each left row,
+  * attach the state of the right side as it was at the left row's
+  * timestamp (greatest right.ts <= left.ts within the key).
+  *
+  * Implementation is the union–sort–carry pattern, per the library's
+  * preference order: composition of built-ins BEFORE custom plans.
+  * Both sides are tagged and unioned, shuffled ONCE by key, sorted by
+  * (ts, side) within the key, and the right payload is carried forward
+  * with last(ignoreNulls) over an unbounded-preceding window. That is
+  * O(n log n) per key with a single exchange — versus the naive
+  * range-join (left.ts >= right.ts then argmax), which explodes to
+  * |L|x|R| rows per key before pruning. At 100 TB the sort is the
+  * floor for this semantics; no custom SparkPlan would beat it
+  * asymptotically, so none is built.
+  */
+object AsofJoin {
+
+  /** @param right must have at most ONE row per (key, ts) — pre-dedup
+    *              (the match is otherwise ambiguous; DuckDB's ASOF has
+    *              the same caveat). Payload columns are every right
+    *              column except key and ts, returned null when no
+    *              right row precedes the left row (LEFT semantics). */
+  def asof(left: DataFrame, leftKey: String, leftTs: String,
+           right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTs).toSeq
+    val leftCols = left.columns.toSeq
+
+    val lTagged = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payloadCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))))
+      .select((Seq("__key", "__ts", "__side", "__payload") ++ leftCols).map(col): _*)
+
+    val rTagged = right
+      .withColumn("__key", col(rightKey))
+      .withColumn("__ts", col(rightTs).cast("long"))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(payloadCols.map(col): _*))
+      .select(Seq(col("__key"), col("__ts"), col("__side"), col("__payload")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // updates (side 0) sort before events (side 1) at equal ts, so a
+    // same-timestamp update IS visible to the event (ASOF >= semantics)
+    val w = W.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+
+  /** Oracle query: each event enriched with the customer's most recent
+    * order at event time (orders deduped to max o_orderkey per
+    * (custkey, day) — ties would make the match ambiguous in any
+    * engine). */
+  def asofLatestOrderQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ets"))
+    val dedup = W.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(spark, dir)
+      .withColumn("__rn", row_number().over(dedup))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("ots"),
+        col("o_orderkey"), col("o_totalprice"))
+    asof(events, "user_id", "ets", orders, "o_custkey", "ots")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey,
+        | round(o.o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS ets
+        |      FROM events) e
+        |ASOF LEFT JOIN (
+        | SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS ots,
+        |  o_orderkey, o_totalprice
+        | FROM orders
+        | QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) = 1)
+        | o ON e.user_id = o.o_custkey AND e.ets >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

@@ -33,6 +33,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("binnedRangeJoin: same rows as the naive range join, but never a cartesian plan") {
+    val rnd = new scala.util.Random(77)
+    val points = (1 to 300).map(_ => rnd.nextInt(10000).toLong).toDF("p")
+    val intervals = (1 to 40).map { _ =>
+      val s = rnd.nextInt(9500).toLong; (s, s + 1 + rnd.nextInt(800))
+    }.toDF("s", "e")
+
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val binned = Layout.binnedRangeJoin(points, "p", intervals, "s", "e", binWidth = 500)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(binned === naive)
+    assert(naive.nonEmpty)
+
+    val plan = Layout.binnedRangeJoin(points, "p", intervals, "s", "e", 500)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"range join must stay an equi-join on bins:\n$plan")
+  }
+
   test("saltedJoin: same result as the plain join, hot key spread across salts") {
     // 90% of rows share one hot key
     val left = (1L to 2000L).map(i => (if (i % 10 == 0) i % 7 else 42L, i))
