@@ -32,6 +32,7 @@ object SparkEntry {
     "top_parts_by_revenue"   -> (Relational.topPartsByRevenue _),
     "window_rank_suppliers"  -> (Relational.windowRankSuppliers _),
     "semi_anti_join"         -> (Relational.semiAntiJoin _),
+    "value_percentiles"      -> (Relational.valuePercentiles _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
     "ts_parse_format"        -> (SensorPipeline.tsParseFormatQuery _),

@@ -133,7 +133,35 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Exact interpolated percentiles of event values per type — the
+    * distribution-cut primitive a data pipeline uses for threshold
+    * selection ("keep above p95"). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the sorted-linear-interpolation definition
+    * and agree bit-for-bit (verified empirically).
+    *
+    * Scale note: exact percentiles sort each group's values; for
+    * 100 TB-per-group data switch to `approx_percentile` and accept
+    * sketch error — kept exact here because the oracle must be
+    * deterministic. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5, 0.9, 0.95, 0.99))").as("q"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p90"),
+        element_at(col("q"), 3).as("p95"),
+        element_at(col("q"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   val oracles: Map[String, String] = Map(
+    "value_percentiles" ->
+      """SELECT event_type, q[1] AS p50, q[2] AS p90, q[3] AS p95, q[4] AS p99
+        |FROM (
+        | SELECT event_type,
+        |  quantile_cont(value, [0.5, 0.9, 0.95, 0.99]) AS q
+        | FROM events GROUP BY 1)
+        |ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
