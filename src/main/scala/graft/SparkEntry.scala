@@ -44,6 +44,7 @@ object SparkEntry {
     // windows / state
     "tumbling_window"        -> (Windows.tumblingQuery _),
     "sliding_window"         -> (Windows.slidingQuery _),
+    "session_window_agg"     -> (Windows.sessionizedQuery _),
     "stateful_running_count" -> (Windows.statefulRunningCountQuery _),
     "wordcount"              -> (Windows.wordCountQuery _),
     // LLM-data-pipeline: text analysis

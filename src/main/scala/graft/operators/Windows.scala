@@ -64,6 +64,28 @@ object Windows {
     sliding(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Gap-based sessionization per user: events within `gap` of the
+    * previous event merge into one session (session_window — the third
+    * event-time window family, beyond tumbling/sliding). Works
+    * identically on a stream with a watermark (see
+    * StreamingSessionSpec). Session starts are emitted at microsecond
+    * precision: the session boundary IS an exact event timestamp, and
+    * the oracle reproduces the same gaps-and-islands grouping with
+    * integer micros arithmetic. */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  def sessionizedQuery(spark: SparkSession, dir: String): DataFrame =
+    sessionized(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** Batch analog of BasicStreaming.scala:20 `updateStateByKey`: the
     * running per-key count in event-time order, as an analytic window.
     * (The true streaming form is graft.streaming.StatefulWordCount.) */
@@ -108,6 +130,21 @@ object Windows {
         |  FROM events CROSS JOIN (VALUES (0),(1)) AS off(i)
         |  GROUP BY 1, 2)
         |WHERE sum_value > 100.0 ORDER BY window_start, event_type""".stripMargin,
+    "session_window_agg" ->
+      """SELECT user_id, session_start_us, n, sum_value FROM (
+        | SELECT user_id, min(tus) AS session_start_us, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        | FROM (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM (
+        |   SELECT *, CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+        |                                            ORDER BY tus, event_id)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM (SELECT user_id, epoch_ns(ts)//1000 AS tus, value, event_id
+        |         FROM events)))
+        | GROUP BY user_id, grp)
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "stateful_running_count" ->
       """SELECT event_id, user_id,
         | count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
