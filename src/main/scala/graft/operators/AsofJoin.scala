@@ -28,15 +28,28 @@ object AsofJoin {
     *              (the match is otherwise ambiguous; DuckDB's ASOF has
     *              the same caveat). Payload columns are every right
     *              column except key and ts, returned null when no
-    *              right row precedes the left row (LEFT semantics). */
+    *              right row precedes the left row (LEFT semantics).
+    *              The two ts columns must share one orderable type —
+    *              they are compared AS-IS, at full precision (a cast
+    *              to seconds here would silently leak sub-second
+    *              FUTURE updates into a point-in-time join). */
   def asof(left: DataFrame, leftKey: String, leftTs: String,
            right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"asof ts types must match: ${left.schema(leftTs).dataType} vs " +
+        s"${right.schema(rightTs).dataType} (cast explicitly, at full precision)")
     val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTs).toSeq
     val leftCols = left.columns.toSeq
+    val clash = payloadCols.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: $clash — rename before asof")
+    val reserved = Seq("__key", "__ts", "__side", "__payload")
+    require(!(leftCols ++ payloadCols).exists(reserved.contains),
+      s"column names $reserved are reserved by asof")
 
     val lTagged = left
       .withColumn("__key", col(leftKey))
-      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(
         org.apache.spark.sql.types.StructType(
@@ -46,7 +59,7 @@ object AsofJoin {
 
     val rTagged = right
       .withColumn("__key", col(rightKey))
-      .withColumn("__ts", col(rightTs).cast("long"))
+      .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__payload", struct(payloadCols.map(col): _*))
       .select(Seq(col("__key"), col("__ts"), col("__side"), col("__payload")) ++

@@ -41,7 +41,7 @@ object Similarity {
     * into broadcast-sized chunks and union one block-join per chunk —
     * same operator, bounded memory. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val v = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("e"))
+    val v = vectors(emb)
     val a = v.toDF("vec_a", "ea")
     val b = v.toDF("vec_b", "eb")
     a.join(b, a("vec_a") < b("vec_b"))

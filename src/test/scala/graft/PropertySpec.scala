@@ -34,18 +34,27 @@ class PropertySpec extends SparkSpec {
 
   test("property: LSH-verified pairs == exhaustive Jaccard pairs at the same threshold") {
     val rnd = new Random(422)
-    val vocab = Seq("a", "b", "c", "d", "e")
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     for (_ <- 1 to 4) {
-      val texts = List.fill(6)(List.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // random base texts plus PLANTED near-dups (one token mutated →
+      // trigram Jaccard ~0.8+), mirroring how near-dup corpora look
+      val bases = List.fill(4)(List.fill(16)(vocab(rnd.nextInt(vocab.size))))
+      val nearDups = bases.take(2).map { toks =>
+        toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
+      }
+      val texts = (bases ++ nearDups).map(_.mkString(" "))
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val lsh = Dedup.minhashLshPairs(docs, tau = 0.5, persistSignatures = false)
+      val lsh = Dedup.minhashLshPairs(docs, tau = 0.8, persistSignatures = false)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-      val exact = Dedup.ngramJaccardPairs(docs, k = 3, tau = 0.5, persistPostings = false)
+      val exact = Dedup.ngramJaccardPairs(docs, k = 3, tau = 0.8, persistPostings = false)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       // LSH candidates are verified exactly, so false positives are
-      // impossible; at tau=0.5 a 16x4 banding misses a qualifying pair
-      // with probability < 1e-3 — with fixed seeds any miss here is a
-      // real regression, not flakiness.
+      // impossible. Misses: a 16x4 banding misses a pair at Jaccard s
+      // with probability (1-s^4)^16 — ~2e-4 at s=0.8 and far lower for
+      // the planted ~0.85+ pairs (do NOT lower tau here: at s=0.5 the
+      // miss rate is ~35% and equality would be flaky by design).
+      // With fixed seeds this is deterministic: a failure means the
+      // hashing/banding changed, not bad luck.
       assert(lsh === exact, s"texts: $texts")
     }
   }
