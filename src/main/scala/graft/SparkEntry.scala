@@ -33,6 +33,8 @@ object SparkEntry {
     "window_rank_suppliers"  -> (Relational.windowRankSuppliers _),
     "semi_anti_join"         -> (Relational.semiAntiJoin _),
     "value_percentiles"      -> (Relational.valuePercentiles _),
+    "rollup_revenue"         -> (Relational.rollupRevenue _),
+    "pivot_segment_revenue"  -> (Relational.pivotSegmentRevenue _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
     "ts_parse_format"        -> (SensorPipeline.tsParseFormatQuery _),

@@ -154,7 +154,66 @@ object Relational {
         element_at(col("q"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Hierarchical totals: revenue by (region, nation) with ROLLUP
+    * subtotals and a grand total — one pass, partial-aggregated like
+    * any groupBy (rollup expands to grouping sets, not extra scans).
+    * NULL group labels are coalesced to sentinels so the oracle's
+    * column-sorted hash compare is unambiguous. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Wide pivot: per-nation revenue split across market segments as
+    * columns — groupBy().pivot() with an explicit segment list (an
+    * unlisted pivot would need an extra pass to discover values;
+    * always pin the list at scale). */
+  def pivotSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(round(sum(col("o_totalprice")), 2))
+      .na.fill(0.0, segments)
+      .orderBy(col("n_name"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "pivot_segment_revenue" ->
+      """SELECT n_name,
+        | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'AUTOMOBILE'), 2), 0) AS "AUTOMOBILE",
+        | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'BUILDING'), 2), 0) AS "BUILDING",
+        | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'FURNITURE'), 2), 0) AS "FURNITURE",
+        | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'HOUSEHOLD'), 2), 0) AS "HOUSEHOLD",
+        | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'MACHINERY'), 2), 0) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type, q[1] AS p50, q[2] AS p90, q[3] AS p95, q[4] AS p99
         |FROM (
