@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful streaming: the reference's DStream
   * `updateStateByKey` running wordcount (streaming/BasicStreaming
@@ -34,5 +35,32 @@ object StatefulWordCount {
     implicit val strEnc = Encoders.STRING
     words.groupByKey(identity)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFn)
+  }
+
+  /** The same semantics on Spark 4's transformWithState — the
+    * successor API: named per-key state variables (ValueState/ListState
+    * /MapState), timers, TTL, and schema evolution, all on the RocksDB
+    * state store (which this operator REQUIRES — see
+    * StreamingConfs.rocksDbStateStore). */
+  class RunningCountProcessor extends StatefulProcessor[String, String, WordCount] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: TimerValues): Iterator[WordCount] = {
+      val total = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(total)
+      Iterator(WordCount(key, total))
+    }
+  }
+
+  def runningCountsTws(words: Dataset[String]): Dataset[WordCount] = {
+    implicit val wcEnc = Encoders.product[WordCount]
+    implicit val strEnc = Encoders.STRING
+    words.groupByKey(identity)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update)
   }
 }

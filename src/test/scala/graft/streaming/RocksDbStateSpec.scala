@@ -30,6 +30,21 @@ class RocksDbStateSpec extends SparkSpec {
         assert(q.lastProgress.stateOperators.head.customMetrics
           .keySet.toString.contains("rocksdb"))
       } finally q.stop()
+
+      // the transformWithState successor API must give the same answer
+      val ms2 = MemoryStream[String]
+      val q2 = Sinks.memory(
+        StatefulWordCount.runningCountsTws(ms2.toDS()).toDF(), "tws_sink", "update")
+        .start()
+      try {
+        ms2.addData("x", "y", "x")
+        q2.processAllAvailable()
+        ms2.addData("x")
+        q2.processAllAvailable()
+        val counts2 = spark.table("tws_sink").as[(String, Long)].collect()
+          .groupBy(_._1).map { case (w, r) => w -> r.map(_._2).max }
+        assert(counts2 === Map("x" -> 3L, "y" -> 1L))
+      } finally q2.stop()
     } finally {
       before match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
