@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,32 +32,59 @@ object Dedup {
   def shingleSet(docs: DataFrame, k: Int): DataFrame =
     shingles(docs, k).distinct()
 
-  /** Exact Jaccard for every pair sharing >= 1 shingle, via the inverted
-    * index: self-join on the shingle key (shuffle keyed by shingle, so
-    * only co-occurring docs ever meet), count intersections, then
-    * |A∪B| = |A|+|B|-|A∩B|. Pairs sharing nothing have Jaccard 0 and
-    * are never materialized. Skewed hot shingles are handled by AQE
-    * skew-join; a production corpus would also cap shingle document
-    * frequency. */
+  /** Exact Jaccard >= tau pairs via a PREFIX-FILTERED inverted index
+    * (the AllPairs/PPJoin technique):
+    *
+    *  1. rank each doc's shingles by global document frequency
+    *     (rarest first — a consistent global order);
+    *  2. index only the PREFIX of m = n - floor(tau*n) + 1 shingles
+    *     per doc. Guarantee: jac(A,B) >= tau forces |A∩B| >= tau*|A|,
+    *     and an intersection that large cannot fit entirely in the
+    *     n - m shingles outside A's prefix — so B must hit A's prefix.
+    *     (floor, not ceil: fp noise in tau*n can only LENGTHEN the
+    *     prefix, never shorten it below the tight bound.)
+    *  3. candidates = prefix-postings ⋈ full-postings on the shingle
+    *     key — only co-occurring docs ever meet, and the join's build
+    *     side is the ~(1-tau) prefix fraction of the index, with the
+    *     rarest (shortest-posting) shingles doing the matching;
+    *  4. verify candidates EXACTLY with per-doc shingle arrays +
+    *     array_intersect (same shape as minhash verification).
+    *
+    * Output is identical to a naive all-shared-shingle-pairs scan (the
+    * oracle is exactly that); only the candidate generation shrinks. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double,
                         persistPostings: Boolean = true): DataFrame = {
-    // the posting list feeds three consumers (both join sides + sizes);
-    // persist it so the scan+shingle+distinct pipeline runs ONCE, not
-    // three times (MEMORY_AND_DISK: spills, never OOMs). Multi-pass
-    // algorithms persisting their derived relation is the standard
-    // MLlib pattern. The cache entry outlives the returned DataFrame's
-    // action: long-lived sessions should clearCache() between queries
-    // (Verify/Bench do) or pass persistPostings=false.
+    // the posting list feeds several consumers; persist so the
+    // scan+shingle+distinct pipeline runs once (MEMORY_AND_DISK:
+    // spills, never OOMs — the MLlib multi-pass pattern). Long-lived
+    // sessions: clearCache() between queries (Verify/Bench do) or
+    // pass persistPostings=false.
     val base = shingleSet(docs, k)
     val sh = if (persistPostings) base.persist(StorageLevel.MEMORY_AND_DISK) else base
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "sa")
+
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = W.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+
+    val a = prefix.toDF("doc_a", "sa")
     val b = sh.toDF("doc_b", "sb")
-    val inter = a.join(b, a("sa") === b("sb") && a("doc_a") < b("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    val na = sizes.toDF("doc_a", "na")
-    val nb = sizes.toDF("doc_b", "nb")
-    inter.join(na, "doc_a").join(nb, "doc_b")
+    val cand = a.join(b, a("sa") === b("sb") && a("doc_a") =!= b("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+
+    val arr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("s"))).as("sset"))
+      .withColumn("n", size(col("sset")).cast("long"))
+    cand
+      .join(arr.toDF("ia", "set_a", "na"), col("doc_a") === col("ia"))
+      .join(arr.toDF("ib", "set_b", "nb"), col("doc_b") === col("ib"))
+      .withColumn("c", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
