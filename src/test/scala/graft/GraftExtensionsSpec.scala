@@ -28,4 +28,10 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  // NOTE: the spark.sql.extensions CONFIG path reads the SparkContext's
+  // conf, fixed at context creation — it cannot be exercised in this
+  // shared-context test JVM (it works on a cluster because the context
+  // is created with the config present). withExtensions above runs the
+  // identical GraftExtensions code path.
 }
