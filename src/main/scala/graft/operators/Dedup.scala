@@ -32,6 +32,22 @@ object Dedup {
   def shingleSet(docs: DataFrame, k: Int): DataFrame =
     shingles(docs, k).distinct()
 
+  /** Exact-Jaccard verification of candidate pairs: join the (small)
+    * candidate set to per-doc sorted shingle arrays and intersect
+    * in-row. ONE implementation shared by every candidate-generation
+    * strategy (prefix filter, LSH banding), so the verified semantics
+    * cannot diverge between operators.
+    * @param docSets (doc_id, sset: array<string>, n: long) */
+  private def verifyJaccard(cand: DataFrame, docSets: DataFrame,
+                            tau: Double): DataFrame =
+    cand.select("doc_a", "doc_b")
+      .join(docSets.toDF("ia", "set_a", "na"), col("doc_a") === col("ia"))
+      .join(docSets.toDF("ib", "set_b", "nb"), col("doc_b") === col("ib"))
+      .withColumn("c", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+
   /** Exact Jaccard >= tau pairs via a PREFIX-FILTERED inverted index
     * (the AllPairs/PPJoin technique):
     *
@@ -81,13 +97,7 @@ object Dedup {
     val arr = sh.groupBy("doc_id")
       .agg(sort_array(collect_set(col("s"))).as("sset"))
       .withColumn("n", size(col("sset")).cast("long"))
-    cand
-      .join(arr.toDF("ia", "set_a", "na"), col("doc_a") === col("ia"))
-      .join(arr.toDF("ib", "set_b", "nb"), col("doc_b") === col("ib"))
-      .withColumn("c", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    verifyJaccard(cand, arr, tau)
   }
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
@@ -146,27 +156,18 @@ object Dedup {
       struct(lit(bnd).as("band"), md5(concat_ws("#", parts: _*)).as("bh"))
     }: _*)
     val bands = sig
-      .select(col("doc_id"), col("n"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("n"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
-    val x = bands.toDF("doc_a", "na", "band_a", "bh_a")
-    val y = bands.toDF("doc_b", "nb", "band_b", "bh_b")
+    val x = bands.toDF("doc_a", "band_a", "bh_a")
+    val y = bands.toDF("doc_b", "band_b", "bh_b")
     val cand = x.join(y,
         x("band_a") === y("band_b") && x("bh_a") === y("bh_b") &&
           x("doc_a") < y("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct()
 
-    // exact-Jaccard verify, candidates only (no all-pairs anywhere):
-    // join the (tiny) candidate set back to the per-doc shingle arrays
-    // and intersect in-row — |candidates| << |postings|.
-    val shArr = sig.select(col("doc_id"), col("sset"))
-    cand
-      .join(shArr.toDF("ia", "set_a"), col("doc_a") === col("ia"))
-      .join(shArr.toDF("ib", "set_b"), col("doc_b") === col("ib"))
-      .withColumn("c", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    // exact-Jaccard verify, candidates only (no all-pairs anywhere)
+    verifyJaccard(cand, sig.select(col("doc_id"), col("sset"), col("n")), tau)
   }
 
   def minhashLshQuery(spark: SparkSession, dir: String): DataFrame =
