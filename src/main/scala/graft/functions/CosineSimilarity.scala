@@ -39,6 +39,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  // Ragged-length inputs null the result even when both children are
+  // non-nullable, so the default left.nullable || right.nullable would
+  // under-report. Worse, with nullable=false nullSafeCodeGen replaces
+  // ev.isNull with the literal "false" and the emitted "false = true;"
+  // is a Java compile error — codegen falls back to the interpreted
+  // path, which then breaks the schema's nullability promise downstream.
+  override def nullable: Boolean = true
+
   // Mismatched lengths yield NULL — same observable behavior as the
   // declarative zip_with+fold (whose null-padded products null the
   // sum), never a silently-truncated prefix cosine.

@@ -43,7 +43,7 @@ object AsofJoin {
     val clash = payloadCols.toSet.intersect(leftCols.toSet)
     require(clash.isEmpty,
       s"right payload columns collide with left columns: $clash — rename before asof")
-    val reserved = Seq("__key", "__ts", "__side", "__payload")
+    val reserved = Seq("__key", "__ts", "__side", "__payload", "__carried")
     require(!(leftCols ++ payloadCols).exists(reserved.contains),
       s"column names $reserved are reserved by asof")
 

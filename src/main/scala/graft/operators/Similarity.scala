@@ -28,26 +28,57 @@ object Similarity {
     emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("e"))
 
 
-  /** All-pairs cosine near-dup at threshold tau.
+  /** EXACT cosine near-dup at threshold tau, as a block-tiled pair
+    * enumeration — an EQUI-JOIN on block-pair keys, never a broadcast
+    * nested loop over the whole table.
     *
-    * Exact-by-construction O(n²) baseline (the scale answer to the same
-    * question is annLshTopK's bucketing). The pair join is a broadcast
-    * nested loop on vec_a < vec_b; the cosine itself is the native
-    * codegen'd CosineSimilarity expression — a primitive loop inside
-    * whole-stage codegen, ~30x faster than the zip_with+aggregate HOF
-    * form (31s → ~1s at sf0.1) while staying fully Catalyst-visible.
+    * Why not LSH candidates here: at tau = 0.40 the angle is ~66°, so a
+    * random hyperplane separates a QUALIFYING pair with p ≈ 0.37. Any
+    * banding strong enough for the ~100% recall this operator's exact
+    * contract requires (miss ≤ 1e-6 needs ~27 bands of 2 planes) also
+    * collides ~100% of UNRELATED pairs (p=0.5/plane) — at low angular
+    * thresholds hyperplane LSH prunes nothing. LSH is the right tool
+    * for high-similarity top-k (annLshTopK below); the exact threshold
+    * join at tau=0.4 on dense vectors has an O(n²) compute floor, and
+    * the engineering question is making that floor SCALE.
     *
-    * At 100 TB the broadcast side is tiled: partition the vector set
-    * into broadcast-sized chunks and union one block-join per chunk —
-    * same operator, bounded memory. */
-  def cosineNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val v = vectors(emb)
-    val a = v.toDF("vec_a", "ea")
-    val b = v.toDF("vec_b", "eb")
-    a.join(b, a("vec_a") < b("vec_b"))
+    * Tiling: vectors hash into G blocks. A vector in block x enters the
+    * join's A side under keys {(x, j) : j >= x} and its B side under
+    * keys {(i, x) : i <= x}; a pair from blocks {x, y} therefore meets
+    * at EXACTLY one key, (min, max) — no dedup pass needed. The join on
+    * (bi, bj) is a shuffled equi-join over G(G+1)/2 evenly-loaded keys:
+    * per-task memory is O(n/G) vectors and per-task work (n/G)² — both
+    * tuned by numBlocks, independent of executor count or driver
+    * memory. At 100 TB: raise numBlocks until a block fits an executor
+    * core's memory; replication cost is G+1 copies of the (small)
+    * vector column, traded for never materializing an O(n) broadcast.
+    *
+    * The cosine itself is the native codegen'd CosineSimilarity
+    * expression — a primitive loop inside whole-stage codegen, ~30x
+    * faster than the zip_with+aggregate HOF form. */
+  def cosineNearDupPairs(emb: DataFrame, tau: Double,
+                         numBlocks: Int = 16): DataFrame = {
+    val g = numBlocks
+    val v = vectors(emb).withColumn("blk", pmod(hash(col("vec_id")), lit(g)))
+    val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(g - 1))).as("bj"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      explode(sequence(lit(0), col("blk"))).as("ci"),
+      col("blk").as("cj"))
+    // Cross-block pairs (bi < bj) meet exactly once but with ARBITRARY
+    // id order (the A/B role is assigned by block, not id) — accept
+    // them as-is and canonicalize with least/greatest. Same-block
+    // pairs (bi == bj) meet under BOTH role assignments, so the id
+    // order keeps exactly one.
+    a.join(b, col("bi") === col("ci") && col("bj") === col("cj") &&
+        (col("bi") < col("bj") || col("vec_a") < col("vec_b")) &&
+        col("vec_a") =!= col("vec_b"))
       .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
       .filter(col("cos") >= tau)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        round(col("cos"), 6).as("cos"))
   }
 
   def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =

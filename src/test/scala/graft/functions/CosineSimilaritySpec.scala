@@ -35,4 +35,20 @@ class CosineSimilaritySpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(out.toSeq === Seq(Some(1.0), None, None))
   }
+
+  test("ragged lengths null the result even on NON-nullable inputs " +
+      "(nullable must be true or codegen emits `false = true;`)") {
+    // literal arrays: the one construction Catalyst types non-nullable
+    val df = spark.range(2).select(
+      when(col("id") === 0, array(lit(1.0), lit(0.0), lit(5.0)))
+        .otherwise(array(lit(2.0), lit(0.0))).as("a"), // row 0 ragged
+      array(lit(2.0), lit(0.0)).as("b"))
+    assert(df.schema.forall(!_.nullable), "precondition: inputs non-nullable")
+    val proj = df.select(CosineSimilarity(col("a"), col("b")).as("c"))
+    assert(proj.schema("c").nullable,
+      "expression must declare nullable: ragged inputs can null the result")
+    val out = proj.collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSet === Set(None, Some(1.0)))
+  }
 }

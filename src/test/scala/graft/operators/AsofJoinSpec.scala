@@ -39,4 +39,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(out === ((Some("new_a"), None)),
       "col_b must be the matched row's NULL, not the older row's value")
   }
+
+  test("asof: every internal column name is reserved, including __carried") {
+    val updates = Seq((7L, 100L, "a")).toDF("ukey", "uts", "state")
+    for (bad <- Seq("__key", "__ts", "__side", "__payload", "__carried")) {
+      val events = Seq((1L, 7L, 400L, "x")).toDF("event_id", "key", "ets", bad)
+      val e = intercept[IllegalArgumentException] {
+        AsofJoin.asof(events, "key", "ets", updates, "ukey", "uts")
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad must be rejected")
+    }
+  }
 }

@@ -17,6 +17,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 1.0)))
   }
 
+  test("block-tiled near-dup == naive all-pairs: every pair met exactly once") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val naive = {
+      val v = Similarity.vectors(e)
+      val a = v.toDF("vec_a", "ea")
+      val b = v.toDF("vec_b", "eb")
+      a.join(b, a("vec_a") < b("vec_b"))
+        .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.40)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    assert(naive.nonEmpty, "precondition: corpus has qualifying pairs")
+    // a block count that divides 500 unevenly, incl. the 1-block edge
+    for (g <- Seq(1, 3, 16)) {
+      val tiled = Similarity.cosineNearDupPairs(e, tau = 0.40, numBlocks = g)
+        .as[(Long, Long, Double)].collect().toSeq
+      // multiset compare: a pair emitted from TWO block keys would dup
+      assert(tiled.sorted === naive.sorted, s"numBlocks=$g")
+    }
+  }
+
   test("annCosineTopK ranks by cosine with deterministic ties") {
     val out = Similarity.annCosineTopK(emb(
       0L -> Seq(1f, 0f),
