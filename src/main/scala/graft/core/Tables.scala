@@ -17,6 +17,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a poorly-partitioned scan out to the cluster's parallelism —
+    * ONLY when the source under-delivers partitions (a single-row-group
+    * parquet file scans as ONE task, serializing every downstream
+    * map-side stage: shingling, hashing, vector casts). The condition
+    * makes this a no-op at scale: a 100 TB table already scans as tens
+    * of thousands of splits, so the exchange is never added; a small
+    * hot table pays one shuffle of its raw bytes to unlock N-way
+    * compute. getNumPartitions only plans the scan, it runs no job. */
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -31,6 +44,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings feed compute-heavy map stages (shingling,
+    * md5, per-element vector math), so their loaders fan out when the
+    * file layout starves parallelism (see fanOut). */
+  def documents(s: SparkSession, d: String): DataFrame  =
+    fanOut(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "embeddings"))
 }

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -13,14 +12,38 @@ import graft.functions.TextFunctions._
   * NO all-pairs comparison ever happens (the 100 TB requirement), while
   * staying bit-replicable by a DuckDB oracle.
   *
+  * Shared structural insight: the documents table has ONE row per doc,
+  * so per-doc shingle SETS are a map-only projection (array_distinct +
+  * sort_array are native collection ops), never an explode+distinct
+  * shuffle — exact verification reads that projection directly, and
+  * every explode feeding an aggregate starts from pre-deduped arrays.
+  * The signature/fingerprint folds themselves stay as groupBy
+  * aggregates over the exploded sets, NOT in-row higher-order-function
+  * folds: HOF lambdas evaluate interpreted (~10x slower per element
+  * than the codegen'd min/sum aggregates, measured ~12us/element for
+  * nested lambdas), so one map-side-combined exchange of signature
+  * rows is cheaper than "zero shuffles" at every scale.
+  *
   * All three share word-trigram shingling. With this corpus's 31-word
   * vocabulary, bigrams have document frequency in the hundreds (the
   * inverted-index join would blow up quadratically per hot shingle);
   * trigrams keep per-shingle postings short. At real-corpus scale the
-  * same logic argues for k = 3..5 word shingles plus a stop-shingle
-  * frequency cap.
+  * same logic argues for k = 3..5 word shingles plus the `maxDf`
+  * stop-shingle cap on `ngramJaccardPairs`.
   */
 object Dedup {
+
+  /** (doc_id, sset: sorted distinct shingle array, n) — MAP-ONLY:
+    * each doc is one input row, so set semantics come from
+    * array_distinct in-row, never a shuffle. Docs with no shingles
+    * (fewer than k tokens) are excluded, matching what an
+    * explode+distinct pipeline would produce. */
+  def docShingleSets(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        sort_array(array_distinct(wordShingles(tokens(col("text")), k)))
+          .as("sset"))
+      .filter(size(col("sset")) > 0)
+      .withColumn("n", size(col("sset")).cast("long"))
 
   /** (doc_id, shingle) rows WITH duplicates — the one shingling recipe
     * every operator (and the oracle's sh3 CTE) derives from. */
@@ -28,9 +51,10 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(wordShingles(tokens(col("text")), k)).as("s"))
 
-  /** Distinct (doc_id, shingle) postings — the inverted index. */
+  /** Distinct (doc_id, shingle) postings — the inverted index. Derived
+    * by exploding the per-doc set, so it needs NO distinct shuffle. */
   def shingleSet(docs: DataFrame, k: Int): DataFrame =
-    shingles(docs, k).distinct()
+    docShingleSets(docs, k).select(col("doc_id"), explode(col("sset")).as("s"))
 
   /** Exact-Jaccard verification of candidate pairs: join the (small)
     * candidate set to per-doc sorted shingle arrays and intersect
@@ -66,39 +90,55 @@ object Dedup {
     *  4. verify candidates EXACTLY with per-doc shingle arrays +
     *     array_intersect (same shape as minhash verification).
     *
-    * Output is identical to a naive all-shared-shingle-pairs scan (the
-    * oracle is exactly that); only the candidate generation shrinks. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double,
-                        persistPostings: Boolean = true): DataFrame = {
-    // the posting list feeds several consumers; persist so the
-    // scan+shingle+distinct pipeline runs once (MEMORY_AND_DISK:
-    // spills, never OOMs — the MLlib multi-pass pattern). Long-lived
-    // sessions: clearCache() between queries (Verify/Bench do) or
-    // pass persistPostings=false.
-    val base = shingleSet(docs, k)
-    val sh = if (persistPostings) base.persist(StorageLevel.MEMORY_AND_DISK) else base
-
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = W.partitionBy(col("doc_id"))
-    val ranked = sh.join(dfreq, "s")
-      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("s"))))
-      .withColumn("n", count(lit(1)).over(wDoc))
+    * Document frequency comes from ONE window over the shingle key (no
+    * aggregate+join back), and per-doc set size n rides along from the
+    * map-only docShingleSets — the whole pipeline is two window
+    * shuffles plus the candidate equi-join.
+    *
+    * @param maxDf OPTIONAL stop-shingle cap: shingles occurring in more
+    *   than maxDf documents are dropped from the index (both prefix and
+    *   probe side) BEFORE ranking, bounding every posting list — and
+    *   with it per-shingle candidate generation, the one remaining
+    *   quadratic pocket at corpus scale (a shingle in f docs yields
+    *   O(f²) candidate pairs; a web-scale boilerplate shingle makes
+    *   that catastrophic). RECALL CAVEAT: a pair whose shared shingles
+    *   are ALL hotter than maxDf is missed — exactness holds only for
+    *   the default (no cap). Verification stays exact either way, so a
+    *   cap can only lose pairs, never emit a wrong one.
+    *
+    * Output with the default cap is identical to a naive
+    * all-shared-shingle-pairs scan (the oracle is exactly that); only
+    * the candidate generation shrinks. */
+  /** Candidate pairs only (exposed for bound tests): everything in
+    * ngramJaccardPairs before exact verification. */
+  private[graft] def ngramCandidates(docs: DataFrame, k: Int, tau: Double,
+                                     maxDf: Long): DataFrame = {
+    val docSets = docShingleSets(docs, k)
+    val sh = docSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
+    val withDf = {
+      val d = sh.withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
+      if (maxDf < Long.MaxValue) d.filter(col("df") <= maxDf) else d
+    }
+    val ranked = withDf.withColumn("pos",
+      row_number().over(W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
     val prefix = ranked
       .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
       .select(col("doc_id"), col("s"))
 
+    // probe side needs no df filter of its own: df is a function of the
+    // join key, so equality with a kept prefix shingle implies df<=maxDf
     val a = prefix.toDF("doc_a", "sa")
-    val b = sh.toDF("doc_b", "sb")
-    val cand = a.join(b, a("sa") === b("sb") && a("doc_a") =!= b("doc_b"))
+    val b = sh.select(col("doc_id"), col("s")).toDF("doc_b", "sb")
+    a.join(b, a("sa") === b("sb") && a("doc_a") =!= b("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
-
-    val arr = sh.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("s"))).as("sset"))
-      .withColumn("n", size(col("sset")).cast("long"))
-    verifyJaccard(cand, arr, tau)
   }
+
+  def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double,
+                        maxDf: Long = Long.MaxValue): DataFrame =
+    verifyJaccard(ngramCandidates(docs, k, tau, maxDf),
+      docShingleSets(docs, k).select("doc_id", "sset", "n"), tau)
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), k = 3, tau = 0.7)
@@ -107,49 +147,44 @@ object Dedup {
   /** MinHash(64) signatures + LSH banding (16 bands x 4 rows) →
     * candidate pairs → exact-Jaccard verification of candidates ONLY.
     *
-    * The signature is computed WITHOUT row explosion: 64 min() aggregates
-    * over the posting list (one shuffle, map-side combined), not a
-    * 64x seed cross-join. And WITHOUT 64 md5 calls per shingle: ONE md5
-    * yields two independent 32-bit words and hash_i = (h1 + i*h2) mod
-    * 2^32 (Kirsch–Mitzenmacher double hashing). The mod keeps every
-    * derived hash fully mixed across the 32-bit domain — adding a
-    * small i*h2 to a WIDER h1 without wrapping would leave the global
-    * min-h1 shingle winning every slot, degenerating the signature
-    * (observed: recall dropped to 24/25 before the mod). This cut the
-    * sf0.1 bench time of this operator from 21s to ~3s.
+    * The signature is computed WITHOUT row explosion of seeds: 64 min()
+    * aggregates over the exploded shingle set (ONE shuffle, map-side
+    * combined — the codegen'd aggregate is ~10x faster per element
+    * than any interpreted higher-order-function fold, which is why the
+    * signature is NOT built in-row despite the doc-per-row layout).
+    * And WITHOUT 64 md5 calls per shingle: ONE md5 yields two
+    * independent 32-bit words and hash_i = (h1 + i*h2) mod 2^32
+    * (Kirsch–Mitzenmacher double hashing). The mod keeps every derived
+    * hash fully mixed across the 32-bit domain — adding a small i*h2
+    * to a WIDER h1 without wrapping would leave the global min-h1
+    * shingle winning every slot, degenerating the signature (observed:
+    * recall dropped to 24/25 before the mod).
+    *
+    * The aggregate carries ONLY the 64 minima (per-doc shingle sets
+    * for verification come from the map-only docShingleSets, not a
+    * collect_set through the shuffle), so the signature frame is
+    * consumed exactly once by banding and nothing needs persist().
     *
     * At Jaccard >= 0.8 a 16x4 banding collides with probability
     * 1-(1-0.8^4)^16 ≈ 0.9997 per pair (and > 1-1e-7 at the >= 0.9
     * planted pairs); the computation itself is deterministic, and the
     * oracle below is the exhaustive ground truth, so the correctness
     * gate verifies end-to-end recall, not just hash plumbing. */
-  def minhashLshPairs(docs: DataFrame, tau: Double,
-                      persistSignatures: Boolean = true): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, tau: Double): DataFrame = {
     val numHashes = 64
     val bandsN = 16
     val rowsPerBand = numHashes / bandsN
 
-    // ONE wide aggregation does everything per doc: 64 minhash minima,
-    // the distinct shingle set (for exact verification) and its size.
-    // No pre-distinct — min() over a multiset equals min() over its
-    // set, and collect_set dedupes — so the whole signature build is a
-    // single shuffle with map-side partial aggregation.
-    val raw = shingles(docs, 3)
-    val hashed = raw.select(
-      col("doc_id"), col("s"),
-      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("h2"))
+    val docSets = docShingleSets(docs, 3)
+    val hashed = docSets
+      .select(col("doc_id"), explode(col("sset")).as("s"))
+      .withColumn("m", md5(col("s"))) // ONE md5 per (doc, shingle)
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until numHashes)
       .map(i => min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"m$i"))
-    val sigBase = hashed.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("s"))).as("sset"), sigCols: _*)
-      .withColumn("n", size(col("sset")).cast("long"))
-    // persisted: per-doc rows (small — one per document), read by the
-    // banding pass and twice by verification. Long-lived sessions:
-    // clearCache() between queries (Verify/Bench do) or pass
-    // persistSignatures=false.
-    val sig = if (persistSignatures)
-      sigBase.persist(StorageLevel.MEMORY_AND_DISK) else sigBase
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
     val bandStructs = array((0 until bandsN).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
@@ -167,7 +202,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
 
     // exact-Jaccard verify, candidates only (no all-pairs anywhere)
-    verifyJaccard(cand, sig.select(col("doc_id"), col("sset"), col("n")), tau)
+    verifyJaccard(cand, docSets.select("doc_id", "sset", "n"), tau)
   }
 
   def minhashLshQuery(spark: SparkSession, dir: String): DataFrame =
@@ -178,7 +213,9 @@ object Dedup {
     *
     * Fingerprint: per-bit majority vote over the shingle set's 60-bit
     * md5 hashes, computed as 60 conditional-sum aggregates in ONE
-    * groupBy (no 60x bit-position explosion through the shuffle).
+    * groupBy (no 60x bit-position explosion through the shuffle; the
+    * codegen'd aggregate beats an in-row interpreted fold by ~10x
+    * per element, same reasoning as the minhash signature).
     *
     * Pairing: pigeonhole banding — split the fingerprint into 4 pieces
     * of 15 bits; Hamming <= 3 over 60 bits forces at least one piece

@@ -44,9 +44,9 @@ class PropertySpec extends SparkSpec {
       }
       val texts = (bases ++ nearDups).map(_.mkString(" "))
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val lsh = Dedup.minhashLshPairs(docs, tau = 0.8, persistSignatures = false)
+      val lsh = Dedup.minhashLshPairs(docs, tau = 0.8)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-      val exact = Dedup.ngramJaccardPairs(docs, k = 3, tau = 0.8, persistPostings = false)
+      val exact = Dedup.ngramJaccardPairs(docs, k = 3, tau = 0.8)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       // LSH candidates are verified exactly, so false positives are
       // impossible. Misses: a 16x4 banding misses a pair at Jaccard s
@@ -57,6 +57,42 @@ class PropertySpec extends SparkSpec {
       // hashing/banding changed, not bad luck.
       assert(lsh === exact, s"texts: $texts")
     }
+  }
+
+  test("property: maxDf caps hot-shingle candidate blowup; rare-shingle pairs survive") {
+    val rnd = new Random(424)
+    // skewed corpus: one boilerplate trigram in 50% of docs (a web-scale
+    // header/footer in miniature), unique filler everywhere else, plus a
+    // planted near-dup pair whose shared shingles are all RARE (df=2)
+    val hot = "copy right footer"
+    def filler(i: Int) = List.fill(12)(s"w${i}_${rnd.nextInt(1000)}").mkString(" ")
+    val base = (0 until 20).map { i =>
+      val t = filler(i)
+      (i.toLong, if (i % 2 == 0) s"$hot $t" else t)
+    }
+    val dup = (20L, base(1)._2 + " tail") // near-dup of doc 1, rare shingles
+    val hotOnlyA = (21L, hot)             // identical pair whose ONLY shingle
+    val hotOnlyB = (22L, hot)             // is the hot one (jac = 1.0)
+    val docs = (base :+ dup :+ hotOnlyA :+ hotOnlyB).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramCandidates(docs, k = 3, tau = 0.7, maxDf = Long.MaxValue).count()
+    val capped = Dedup.ngramCandidates(docs, k = 3, tau = 0.7, maxDf = 5L).count()
+    // the hot shingle (df=12) pairs up to 12*11/2 docs; the cap must
+    // collapse candidates to only genuinely co-rare pairs
+    assert(capped < uncapped, s"cap must prune: capped=$capped uncapped=$uncapped")
+    assert(capped <= 3, s"only rare-shingle pairs may survive, got $capped")
+
+    val cappedPairs = Dedup.ngramJaccardPairs(docs, k = 3, tau = 0.7, maxDf = 5L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncappedPairs = Dedup.ngramJaccardPairs(docs, k = 3, tau = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact verification means the cap can only LOSE pairs, never add
+    assert(cappedPairs.subsetOf(uncappedPairs))
+    // rare-shingle near-dup survives the cap
+    assert(cappedPairs.contains((1L, 20L)))
+    // the documented recall caveat, concretely: a pair whose shared
+    // shingles are ALL hotter than maxDf is missed by the capped index
+    assert(uncappedPairs.contains((21L, 22L)) && !cappedPairs.contains((21L, 22L)))
   }
 
   test("property: saltedJoin is result-equivalent to the plain join") {
