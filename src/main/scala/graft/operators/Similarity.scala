@@ -133,26 +133,40 @@ object Similarity {
       lit(0.0d), (acc, x) => acc + x)
   }
 
-  /** Random-hyperplane LSH ANN: 6 sign bits → 64 buckets; queries probe
-    * their own bucket plus all Hamming-1 neighbors (7 probes), compute
+  /** All XOR masks of Hamming weight <= r over `planes` bits — the
+    * multi-probe neighborhood. Driver-side constant (2^planes masks
+    * scanned; planes is single-digit). */
+  private def probeMasks(numPlanes: Int, probeHamming: Int): Seq[Int] =
+    (0 until (1 << numPlanes)).filter(m => Integer.bitCount(m) <= probeHamming)
+
+  /** Random-hyperplane LSH ANN: `numPlanes` sign bits → 2^planes
+    * buckets; queries probe every bucket within Hamming distance
+    * `probeHamming` of their own (sum of C(planes, i) probes), compute
     * exact cosine only within probed buckets, keep top-k.
     *
     * Scale shape: candidate count per query is bounded by probe-bucket
     * occupancy (E[n/2^planes * probes]), not n — this is the O(n·b)
-    * path that replaces cosineNearDupPairs' O(n²) at 100 TB. More
-    * planes → smaller buckets; more probes → higher recall. */
+    * path that replaces cosineNearDupPairs' O(n²) at 100 TB.
+    *
+    * Tuning (see the recall property test in SimilaritySpec):
+    * more planes → smaller buckets, cheaper probes, lower recall at
+    * fixed probeHamming; more probeHamming → recall rises toward
+    * brute force (at probeHamming = numPlanes it IS brute force).
+    * Raising probeHamming by 1 can only grow each query's candidate
+    * set, so recall is monotone in it. */
   def annLshTopK(emb: DataFrame, numQueries: Int, k: Int,
-                 numPlanes: Int = 6): DataFrame = {
+                 numPlanes: Int = 6, probeHamming: Int = 1,
+                 dim: Int = 64): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= numPlanes,
+      s"probeHamming must be in [0, numPlanes], got $probeHamming")
     val v = vectors(emb)
-    val dim = 64
     val planes = planeMatrix(numPlanes, dim)
     val bucket = (0 until numPlanes).map { p =>
       when(dotLit(col("e"), planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
     val vb = v.withColumn("bucket", bucket)
-    val probes = array(
-      lit(0) +: (0 until numPlanes).map(p => lit(1 << p)): _*)
+    val probes = array(probeMasks(numPlanes, probeHamming).map(lit): _*)
     val q = vb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
@@ -188,12 +202,13 @@ object Similarity {
     * .toString round-trips exactly through DuckDB's parser) and the
     * whole bucket → probe → cosine → rank pipeline is replicated in
     * SQL. This checks the LSH plumbing itself, not just row counts. */
-  private def annLshOracle(numQueries: Int, k: Int, numPlanes: Int): String = {
+  private def annLshOracle(numQueries: Int, k: Int, numPlanes: Int,
+                           probeHamming: Int = 1): String = {
     val planes = planeMatrix(numPlanes, 64)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}])"
     }.mkString(",\n   ")
-    val probeRows = (0 +: (0 until numPlanes).map(1 << _)).map(m => s"($m)").mkString(",")
+    val probeRows = probeMasks(numPlanes, probeHamming).map(m => s"($m)").mkString(",")
     s"""WITH planes(pi, pvec) AS (VALUES
        |   $planeRows),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, ValueState}
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful streaming: the reference's DStream
   * `updateStateByKey` running wordcount (streaming/BasicStreaming
@@ -41,13 +41,20 @@ object StatefulWordCount {
     * successor API: named per-key state variables (ValueState/ListState
     * /MapState), timers, TTL, and schema evolution, all on the RocksDB
     * state store (which this operator REQUIRES — see
-    * StreamingConfs.rocksDbStateStore). */
-  class RunningCountProcessor extends StatefulProcessor[String, String, WordCount] {
+    * StreamingConfs.rocksDbStateStore).
+    *
+    * @param ttl per-key state time-to-live. With a finite TTL the
+    *   store EVICTS idle keys (processing-time based) — the point of
+    *   this API over flatMapGroupsWithState, where unbounded keyspaces
+    *   (user ids, session ids) grow state forever unless every update
+    *   hand-rolls timeout bookkeeping. An evicted key simply restarts
+    *   its count at zero on its next appearance. */
+  class RunningCountProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, String, WordCount] {
     @transient private var count: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[String],
                                  timerValues: TimerValues): Iterator[WordCount] = {
@@ -62,5 +69,17 @@ object StatefulWordCount {
     implicit val strEnc = Encoders.STRING
     words.groupByKey(identity)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update)
+  }
+
+  /** Running counts whose per-key state expires after `ttl` of
+    * inactivity. TTL is processing-time based, so the time mode must
+    * be ProcessingTime. */
+  def runningCountsTwsTtl(words: Dataset[String],
+                          ttl: java.time.Duration): Dataset[WordCount] = {
+    implicit val wcEnc = Encoders.product[WordCount]
+    implicit val strEnc = Encoders.STRING
+    words.groupByKey(identity)
+      .transformWithState(new RunningCountProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Update)
   }
 }

@@ -52,6 +52,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("annLshTopK recall@k vs brute force: high at Hamming-1, monotone in probes") {
+    import scala.util.Random
+    val rnd = new Random(427)
+    val dim = 16
+    val n = 200
+    val numQ = 8
+    val k = 5
+    // zero-mean random vectors — the hardest (unclustered) case
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val e = emb(vecs: _*)
+
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val exact = topk(Similarity.annCosineTopK(e, numQ, k))
+    def recallAt(probe: Int): Double = {
+      val lsh = topk(Similarity.annLshTopK(e, numQ, k,
+        numPlanes = 4, probeHamming = probe, dim = dim))
+      exact.map { case (q, t) =>
+        lsh.getOrElse(q, Set.empty).intersect(t).size.toDouble / k
+      }.sum / exact.size
+    }
+
+    val r = (0 to 4).map(recallAt)
+    // candidate sets grow with the probe radius, so recall is monotone
+    assert(r.zip(r.tail).forall { case (lo, hi) => lo <= hi }, s"recall=$r")
+    // at probeHamming = numPlanes every bucket is probed == brute force
+    assert(r.last === 1.0, s"full probe must equal brute force, recall=$r")
+    // the documented operating point (seeded, deterministic)
+    assert(r(1) >= 0.7, s"Hamming-1 recall too low: $r")
+  }
+
   test("annLshTopK returns only true near neighbors for clustered data") {
     // two tight clusters; query 0 must retrieve its own cluster-mates
     val vecs = (0L to 3L).map(i => i -> Seq(1f, 0.01f * i, 0f)) ++

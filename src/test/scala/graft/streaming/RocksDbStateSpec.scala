@@ -31,6 +31,64 @@ class RocksDbStateSpec extends SparkSpec {
           .keySet.toString.contains("rocksdb"))
       } finally q.stop()
 
+      // state TTL: an idle key is EVICTED and restarts at zero — the
+      // eviction story flatMapGroupsWithState lacks
+      val msT = MemoryStream[String]
+      val qT = Sinks.memory(
+        StatefulWordCount.runningCountsTwsTtl(
+          msT.toDS(), java.time.Duration.ofMillis(1500)).toDF(),
+        "ttl_sink", "update").start()
+      try {
+        // ProcessingTime mode runs continuous timer-evaluation batches,
+        // so processAllAvailable never settles — poll the sink instead
+        def awaitRow(row: (String, Long), tag: String): Unit = {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!spark.table("ttl_sink").as[(String, Long)].collect()
+              .contains(row)) {
+            assert(System.nanoTime() < deadline, s"timeout waiting for $tag")
+            assert(qT.exception.isEmpty, s"query died: ${qT.exception}")
+            Thread.sleep(100)
+          }
+        }
+        msT.addData("k", "k")
+        awaitRow(("k", 2L), "pre-TTL total")
+        Thread.sleep(2500) // > TTL: "k" state must expire
+        msT.addData("k")
+        // count RESTARTS at 1 after eviction (without TTL it would be 3)
+        awaitRow(("k", 1L), "post-TTL restart")
+        val rows = spark.table("ttl_sink").as[(String, Long)].collect().toSeq
+        assert(!rows.contains(("k", 3L)), s"state survived TTL: $rows")
+      } finally qT.stop()
+
+      // event-time timers: sessions close when the watermark passes
+      // last-event-time + gap; stale timers are ignored
+      import graft.streaming.Sessionize.Event
+      val msS = MemoryStream[Event]
+      val sessions = Sessionize.closedSessions(
+        msS.toDS().withWatermark("ts", "0 seconds"), gapMs = 5000)
+      val qS = Sinks.memory(sessions.toDF(), "sess_sink", "append").start()
+      try {
+        def ev(w: String, sec: Long) = Event(w, new java.sql.Timestamp(sec * 1000))
+        msS.addData(ev("a", 1), ev("a", 2), ev("b", 3))
+        qS.processAllAvailable()       // watermark -> 3s; nothing closes
+        msS.addData(ev("b", 20))       // extends b: timer moves 8s -> 25s
+        qS.processAllAvailable()       // watermark -> 20s: a's 7s timer
+        val afterA = spark.table("sess_sink")
+          .as[(String, Long)].collect().toSet
+        // b's 8s timer also fired here (wm 20s) but is STALE — honoring
+        // it would have closed b at count 2
+        assert(afterA === Set(("a", 2L)),
+          s"a closes with 2 events; b must stay open (8s timer stale), got $afterA")
+        msS.addData(ev("b", 22))       // extends again: timer 25s -> 27s
+        qS.processAllAvailable()
+        msS.addData(ev("zz", 60))      // watermark -> 60s: 25s stale, 27s real
+        qS.processAllAvailable()
+        val afterB = spark.table("sess_sink").as[(String, Long)].collect().toSet
+        // ONE close per session with the FULL count — stale-timer
+        // mishandling would instead have split b into (2) + (1)
+        assert(afterB === Set(("a", 2L), ("b", 3L)), s"got $afterB")
+      } finally qS.stop()
+
       // the transformWithState successor API must give the same answer
       val ms2 = MemoryStream[String]
       val q2 = Sinks.memory(
