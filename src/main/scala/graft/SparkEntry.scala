@@ -63,6 +63,7 @@ object SparkEntry {
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
+    "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),

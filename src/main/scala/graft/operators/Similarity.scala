@@ -188,6 +188,70 @@ object Similarity {
     annLshTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 3)
       .orderBy(col("query_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- IVF ANN
+
+  /** IVF (inverted-file) cosine ANN — the other standard scale path
+    * next to hyperplane LSH: a coarse quantizer of `numCentroids`
+    * centroid vectors partitions the corpus into cells; each query
+    * probes its `nProbe` nearest cells and computes exact cosine only
+    * there. Candidates per query ≈ nProbe · n/C — linear scan of a
+    * tunable corpus fraction, never all of n.
+    *
+    * Scale shape: cell assignment is ONE map-side pass (corpus ×
+    * broadcast centroid table — C is a bounded model constant, the
+    * moral equivalent of the LSH plane matrix) reduced by a map-side-
+    * combined max_by aggregate, and candidate generation is an
+    * equi-join on the cell id. No window over the full corpus, no
+    * all-pairs anywhere.
+    *
+    * Centroids are the first `numCentroids` vectors — deterministic,
+    * so the DuckDB oracle replicates assignment bit-for-bit. A real
+    * deployment plugs TRAINED k-means centroids into the same plan
+    * (assignment, probing, ranking are unchanged); training itself is
+    * a separate offline job, and its floating-point reductions are not
+    * cross-engine reproducible, which is exactly why the oracle pins
+    * the serving path, not the training path. */
+  def annIvfTopK(emb: DataFrame, numQueries: Int, k: Int,
+                 numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    val v = vectors(emb)
+    val cents = v.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+
+    // nearest centroid per vector: max (rounded cosine, then smallest
+    // cid) via max_by over a struct — aggregates combine map-side, so
+    // the C-fold row amplification never crosses the exchange
+    val scoredCells = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
+    val assigned = scoredCells.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (lit(0L) - col("cid")).as("nc")))
+        .as("cell"), first(col("e")).as("e"))
+
+    // query probes: top-nProbe centroids (bounded rows — window is fine)
+    val wProbe = W.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = scoredCells.filter(col("vec_id") < numQueries)
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("cid").as("probe"))
+
+    val cand = broadcast(probes)
+      .join(assigned, col("probe") === col("cell") &&
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    val w = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  def annIvfTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+
   // ---------------------------------------------------------------- oracles
 
   private val vectorCte =
@@ -240,8 +304,49 @@ object Similarity {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Full oracle for the IVF path: centroids are the first C vectors,
+    * so assignment, probing and ranking all replicate in SQL — the
+    * whole serving pipeline is checked, not just row counts. */
+  private def annIvfOracle(numQueries: Int, k: Int, numCentroids: Int,
+                           nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
+       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       | FROM cand c JOIN v q ON c.query_id = q.vec_id
+       |  JOIN v x ON c.neighbor_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM scored) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
+    "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
+      numCentroids = 16, nProbe = 4),
     "embed_cosine_neardup" -> (vectorCte +
       """SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

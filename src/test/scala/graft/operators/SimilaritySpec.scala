@@ -86,6 +86,39 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1) >= 0.7, s"Hamming-1 recall too low: $r")
   }
 
+  test("annIvfTopK: probing every cell equals brute force; recall monotone in nProbe") {
+    import scala.util.Random
+    val rnd = new Random(428)
+    val vecs = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(12)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val e = emb(vecs: _*)
+    val numQ = 6
+    val k = 4
+
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.select("query_id", "neighbor_id", "cos", "rnk")
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+
+    val exact = topk(Similarity.annCosineTopK(e, numQ, k))
+    // nProbe == numCentroids probes the whole corpus: EXACTLY brute force
+    val full = topk(Similarity.annIvfTopK(e, numQ, k,
+      numCentroids = 8, nProbe = 8))
+    assert(full === exact)
+
+    val recalls = (1 to 8).map { p =>
+      val ivf = topk(Similarity.annIvfTopK(e, numQ, k, numCentroids = 8, nProbe = p))
+      exact.map { case (q, t) =>
+        ivf.getOrElse(q, Seq.empty).map(_._1).toSet
+          .intersect(t.map(_._1).toSet).size.toDouble / k
+      }.sum / exact.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi },
+      s"recall must be monotone in nProbe: $recalls")
+    assert(recalls.last === 1.0)
+  }
+
   test("annLshTopK returns only true near neighbors for clustered data") {
     // two tight clusters; query 0 must retrieve its own cluster-mates
     val vecs = (0L to 3L).map(i => i -> Seq(1f, 0.01f * i, 0f)) ++
