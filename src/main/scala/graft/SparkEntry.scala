@@ -55,6 +55,7 @@ object SparkEntry {
     "lang_id"                -> (TextAnalysis.langIdQuery _),
     "token_count"            -> (TextAnalysis.tokenCountQuery _),
     "doc_fingerprint"        -> (TextAnalysis.docFingerprintQuery _),
+    "curation_summary"       -> (TextAnalysis.curationSummaryQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
     "dedup_minhash_lsh"      -> (Dedup.minhashLshQuery _),

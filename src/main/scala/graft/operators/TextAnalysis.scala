@@ -38,6 +38,17 @@ object TextAnalysis {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "is", "in")
 
+  /** The corpus keep rule as a reusable column expression (word count
+    * in [5, 1000] and ROUNDED alpha ratio > 0.5 — the rounding matters
+    * for cross-engine tie behavior). Shared by textQuality and the
+    * fused curation pipeline so the rule cannot drift. */
+  def qualityKeepExpr(text: Column): Column = {
+    val nWords = size(tokens(text))
+    val alpha = round(
+      length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text), 4)
+    nWords >= 5 && nWords <= 1000 && alpha > 0.5
+  }
+
   /** Quality scoring: length/word/punctuation/alpha/stopword ratios and
     * a keep flag — the standard pre-training corpus filters. Ratios are
     * exact int/int double divisions, bit-identical across engines. */
@@ -55,9 +66,10 @@ object TextAnalysis {
       round((nChars - (nWords - lit(1))).cast("double") / nWords, 4).as("avg_word_len"),
       round(nPunct.cast("double") / nChars, 4).as("punct_ratio"),
       round(nAlpha.cast("double") / nChars, 4).as("alpha_ratio"),
-      round(nStop.cast("double") / nWords, 4).as("stopword_ratio"))
-      .withColumn("keep",
-        col("n_words") >= 5 && col("n_words") <= 1000 && col("alpha_ratio") > 0.5)
+      round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
+      col("text"))
+      .withColumn("keep", qualityKeepExpr(col("text")))
+      .drop("text")
   }
 
   def textQualityQuery(spark: SparkSession, dir: String): DataFrame =
@@ -80,24 +92,28 @@ object TextAnalysis {
     * 'und' when no list scores. Emitted next to the labeled `lang`
     * column with a correctness flag so the operator doubles as an
     * accuracy eval. */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** The language prediction as a reusable column expression — shared
+    * by langId and the fused curation pipeline. */
+  def predLangExpr(text: Column): Column = {
+    val toks = tokens(text)
     val score: Map[String, Column] = stopwords.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*)))
     }.toMap
     val Seq(en, de, es, fr, zh) =
       Seq("en", "de", "es", "fr", "zh").map(score)
-    val pred =
-      when(en === 0 && de === 0 && es === 0 && fr === 0 && zh === 0, lit("und"))
-        .when(en >= de && en >= es && en >= fr && en >= zh, lit("en"))
-        .when(de >= es && de >= fr && de >= zh, lit("de"))
-        .when(es >= fr && es >= zh, lit("es"))
-        .when(fr >= zh, lit("fr"))
-        .otherwise(lit("zh"))
-    docs.select(
-      col("doc_id"), col("lang").as("true_lang"), pred.as("pred_lang"))
-      .withColumn("correct", col("pred_lang") === col("true_lang"))
+    when(en === 0 && de === 0 && es === 0 && fr === 0 && zh === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr && en >= zh, lit("en"))
+      .when(de >= es && de >= fr && de >= zh, lit("de"))
+      .when(es >= fr && es >= zh, lit("es"))
+      .when(fr >= zh, lit("fr"))
+      .otherwise(lit("zh"))
   }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang").as("true_lang"),
+      predLangExpr(col("text")).as("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("true_lang"))
 
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
@@ -139,6 +155,38 @@ object TextAnalysis {
 
   def docFingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     docFingerprint(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- curation
+
+  /** The end-to-end corpus curation pass a training-data pipeline
+    * actually runs — quality filter → language ID → exact dedup →
+    * per-language token accounting — FUSED into one plan instead of
+    * joined op-by-op: every per-doc feature (keep flag, predicted
+    * language, token count) is a column expression over the same scan,
+    * so they all evaluate in one whole-stage-codegen pass; the only
+    * shuffles are the dedup window (fixed-width md5 key) and the final
+    * tiny per-language aggregate. At 100 TB this reads the corpus
+    * ONCE — the op-composition form (4 scans + 3 joins) reads it four
+    * times and shuffles three 1:1 joins for nothing. */
+  def curationSummary(docs: DataFrame): DataFrame = {
+    val w = W.partitionBy(md5(col("text")))
+    docs.select(
+        col("doc_id"), col("text"),
+        predLangExpr(col("text")).as("pred_lang"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        qualityKeepExpr(col("text")).as("keep"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("keep") && col("doc_id") === col("keep_id"))
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_tokens"),
+        round(sum(col("ws_tokens")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"))
+  }
+
+  def curationSummaryQuery(spark: SparkSession, dir: String): DataFrame =
+    curationSummary(Tables.documents(spark, dir)).orderBy(col("pred_lang"))
 
   // ---------------------------------------------------------------- oracles
 
@@ -188,6 +236,34 @@ object TextAnalysis {
          |    $scores
          |   FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)))
          |ORDER BY doc_id""".stripMargin
+    },
+    "curation_summary" -> {
+      val scores = stopwords.map { case (lang, words) =>
+        s"len(list_filter(w, t -> t IN ${inList(words)})) AS s_$lang"
+      }.mkString(",\n   ")
+      s"""SELECT pred_lang, count(*) AS n_docs,
+         | CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(ws_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+         |FROM (
+         | SELECT doc_id, ws_tokens, keep, keep_id,
+         |  CASE
+         |   WHEN s_en=0 AND s_de=0 AND s_es=0 AND s_fr=0 AND s_zh=0 THEN 'und'
+         |   WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+         |   WHEN s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+         |   WHEN s_es>=s_fr AND s_es>=s_zh THEN 'es'
+         |   WHEN s_fr>=s_zh THEN 'fr'
+         |   ELSE 'zh' END AS pred_lang
+         | FROM (
+         |  SELECT doc_id,
+         |   len(w) AS ws_tokens,
+         |   len(w) >= 5 AND len(w) <= 1000 AND
+         |    round(CAST(length(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)
+         |     / length(text), 4) > 0.5 AS keep,
+         |   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+         |   $scores
+         |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)))
+         |WHERE keep AND doc_id = keep_id
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
     },
     "token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,

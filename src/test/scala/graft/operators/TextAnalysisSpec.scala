@@ -24,6 +24,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("curationSummary: filters short docs, drops dups, groups by predicted lang") {
+    val out = TextAnalysis.curationSummary(docs(
+      (1L, "the cat sat of the mat and ran", "en"),
+      (2L, "the cat sat of the mat and ran", "en"), // exact dup of 1 — dropped
+      (3L, "x y", "en"),                            // too short — filtered
+      (4L, "der die das und ist ein wort extra", "de")))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out === Set(("en", 1L, 8L, 8.0), ("de", 1L, 8L, 8.0)))
+  }
+
   test("textQuality: keep flag rejects too-short docs") {
     val out = TextAnalysis.textQuality(docs(
       (1L, "a b", "en"),
