@@ -49,7 +49,11 @@ object Bench {
     // interleave rounds (all queries, then repeat) rather than running a
     // query's reps back-to-back: a phantom-load burst then pollutes one
     // ROUND, not every sample of one query. Optional args restrict the
-    // set (dev iteration on a single operator).
+    // set (dev iteration on a single operator); a typo'd name must fail
+    // loudly, not produce a clean-looking zero-query run.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val names = (if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains)
       else SparkEntry.queries.keys.toSeq).sorted
     val runs = (1 to reps).map(_ => names.map(n => n -> materialize(n)).toMap)

@@ -58,6 +58,7 @@ object Similarity {
     * faster than the zip_with+aggregate HOF form. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double,
                          numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
     val g = numBlocks
     val v = vectors(emb).withColumn("blk", pmod(hash(col("vec_id")), lit(g)))
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),

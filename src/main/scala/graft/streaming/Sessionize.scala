@@ -11,13 +11,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   * timeouts are per-key singletons tied to the output mode; timers
   * here are first-class, multiple per key, fired by the watermark).
   *
-  * One timer per key marks the session's would-be close (last event
-  * time + gap). Every new event re-registers; when the watermark
-  * passes a timer, the session closes: emit (key, event count) and
-  * clear state. A timer made stale by a later event is detected by
-  * comparing its expiry against the live state — deleting it eagerly
-  * would also work, but the stale check keeps handleInputRows
-  * single-write.
+  * Sessions close two ways, both on EVENT time: inline, when a new
+  * event arrives more than gap past the session's last event (the
+  * watermark may not have reached the old timer yet — waiting on it
+  * would merge sessions based on arrival timing); and by timer, when
+  * the watermark passes last-event-time + gap and no later event ever
+  * came. A timer made stale by a later event is detected by comparing
+  * its expiry against the live state — deleting it eagerly would also
+  * work, but the stale check keeps handleInputRows single-write.
   */
 object Sessionize {
 
@@ -36,13 +37,30 @@ object Sessionize {
 
     override def handleInputRows(key: String, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[ClosedSession] = {
-      var n = 0L
-      var maxTs = if (lastTs.exists()) lastTs.get() else Long.MinValue
-      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
-      count.update((if (count.exists()) count.get() else 0L) + n)
-      lastTs.update(maxTs)
-      getHandle.registerTimer(maxTs + gapMs)
-      Iterator.empty
+      // The gap rule is EVENT-time, so it must be enforced here, not
+      // only by timers: an event far past lastTs + gap can arrive
+      // before the watermark ever passes the old session's timer, and
+      // merging it would make sessionization depend on batch/arrival
+      // timing. Walk the batch in event-time order and close inline at
+      // every gap; the timer only covers the final "no more events"
+      // close. Events at or before lastTs (late but within watermark)
+      // extend the current session.
+      val ts = rows.map(_.ts.getTime).toArray.sorted
+      var closed = List.empty[ClosedSession]
+      var cnt = if (count.exists()) count.get() else 0L
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      ts.foreach { t =>
+        if (last != Long.MinValue && t > last + gapMs) {
+          closed ::= ClosedSession(key, cnt)
+          cnt = 0L
+        }
+        cnt += 1
+        last = math.max(last, t)
+      }
+      count.update(cnt)
+      lastTs.update(last)
+      getHandle.registerTimer(last + gapMs)
+      closed.reverse.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,

@@ -71,22 +71,24 @@ class RocksDbStateSpec extends SparkSpec {
         def ev(w: String, sec: Long) = Event(w, new java.sql.Timestamp(sec * 1000))
         msS.addData(ev("a", 1), ev("a", 2), ev("b", 3))
         qS.processAllAvailable()       // watermark -> 3s; nothing closes
-        msS.addData(ev("b", 20))       // extends b: timer moves 8s -> 25s
-        qS.processAllAvailable()       // watermark -> 20s: a's 7s timer
+        // b@20 is 17s past b@3 — an EVENT-time gap, so the old session
+        // must close inline with count 1 even though the watermark (3s)
+        // never reached its 8s timer
+        msS.addData(ev("b", 20))
+        qS.processAllAvailable()       // watermark -> 20s: a's 7s timer fires
         val afterA = spark.table("sess_sink")
           .as[(String, Long)].collect().toSet
-        // b's 8s timer also fired here (wm 20s) but is STALE — honoring
-        // it would have closed b at count 2
-        assert(afterA === Set(("a", 2L)),
-          s"a closes with 2 events; b must stay open (8s timer stale), got $afterA")
-        msS.addData(ev("b", 22))       // extends again: timer 25s -> 27s
+        // b's 8s timer also fired here (wm 20s) but is STALE against
+        // the new session — honoring it would double-close b
+        assert(afterA === Set(("a", 2L), ("b", 1L)),
+          s"a closes by timer, b's first session closes by gap, got $afterA")
+        msS.addData(ev("b", 22))       // within gap: extends, timer 25s -> 27s
         qS.processAllAvailable()
         msS.addData(ev("zz", 60))      // watermark -> 60s: 25s stale, 27s real
         qS.processAllAvailable()
         val afterB = spark.table("sess_sink").as[(String, Long)].collect().toSet
-        // ONE close per session with the FULL count — stale-timer
-        // mishandling would instead have split b into (2) + (1)
-        assert(afterB === Set(("a", 2L), ("b", 3L)), s"got $afterB")
+        // the second b session (20s, 22s) closes ONCE with both events
+        assert(afterB === Set(("a", 2L), ("b", 1L), ("b", 2L)), s"got $afterB")
       } finally qS.stop()
 
       // the transformWithState successor API must give the same answer

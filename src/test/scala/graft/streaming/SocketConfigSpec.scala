@@ -18,6 +18,7 @@ class SocketConfigSpec extends SparkSpec {
 
   test("socket source end-to-end: lines from a real socket reach the sink") {
     val server = new ServerSocket(0) // ephemeral port
+    server.setSoTimeout(30000) // a query that dies pre-connect must fail, not wedge
     try {
       val lines = SocketConfig.Source("localhost", server.getLocalPort).lines(spark)
       assert(lines.isStreaming && lines.columns.toSeq === Seq("value"))
