@@ -59,6 +59,38 @@ object StreamPipelines {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** The curation pass as a STREAM over arriving documents: the same
+    * per-doc feature expressions as the batch TextAnalysis
+    * .curationSummary (shared qualityKeepExpr/predLangExpr — no
+    * drift), streaming dedup on the fixed-width md5 of the text, and
+    * the per-language running totals in update/complete mode.
+    *
+    * The summary is representative-agnostic (identical texts have
+    * identical features), so which duplicate survives dropDuplicates
+    * does not affect the output and batch/stream parity is EXACT —
+    * proven in BatchStreamParitySpec. Production note: documents
+    * carrying an event-time column should dedup via
+    * dropDuplicatesWithinWatermark (see dedupStream) to bound state;
+    * the unbounded form here matches the batch semantics of a finite
+    * corpus. */
+  def curationStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.select(
+        col("doc_id"),
+        TextAnalysis.predLangExpr(col("text")).as("pred_lang"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        TextAnalysis.qualityKeepExpr(col("text")).as("keep"),
+        md5(col("text")).as("text_md5"))
+      .filter(col("keep"))
+      .dropDuplicates("text_md5")
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_tokens"),
+        round(sum(col("ws_tokens")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"))
+  }
+
   /** The full reference pipeline: parse → enrich → watermark → window.
     * One call from a kafka/memory/socket source to a windowed frame. */
   def endToEnd(stream: DataFrame, dim: DataFrame,

@@ -40,4 +40,26 @@ class BatchStreamParitySpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("curation pipeline: streaming summary == batch summary on real documents") {
+    import graft.operators.TextAnalysis
+    val batch = TextAnalysis.curationSummary(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_curation")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+
+    val q = Sinks.memory(
+      StreamPipelines.curationStream(stream), "curation_parity", "complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curation_parity").collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
