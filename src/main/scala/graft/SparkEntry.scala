@@ -35,6 +35,7 @@ object SparkEntry {
     "value_percentiles"      -> (Relational.valuePercentiles _),
     "rollup_revenue"         -> (Relational.rollupRevenue _),
     "pivot_segment_revenue"  -> (Relational.pivotSegmentRevenue _),
+    "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
     "ts_parse_format"        -> (SensorPipeline.tsParseFormatQuery _),

@@ -154,6 +154,34 @@ object Relational {
         element_at(col("q"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Point-in-interval RANGE join with NO equi-key, executed as
+    * Layout.binnedRangeJoin's bin equi-join (Spark's native plan for a
+    * pure inequality predicate is BroadcastNestedLoopJoin — a
+    * non-starter once both sides scale). Here: count events landing in
+    * each 3-day "promo window" — a pseudo-random ~0.1% of orders opens
+    * one, so the interval side scales WITH the data and nothing here
+    * is broadcast-able by construction. (The synthetic orders' 1990s
+    * dates don't overlap the events' 2024 observation month, so the
+    * window start is derived inside that month from the order key.)
+    * Each interval spans 2-3 of the 2-day bins; only co-binned rows
+    * ever meet. */
+  def rangeJoinBins(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val monthStart = 1704067200L // 2024-01-01, the events observation month
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ets"))
+    val promos = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        (lit(monthStart) + (col("o_orderkey") % 28) * day).as("pstart"))
+      .withColumn("pend", col("pstart") + lit(3 * day))
+    graft.core.Layout.binnedRangeJoin(events, "ets", promos,
+        "pstart", "pend", binWidth = 2 * day)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("promo_id"))
+  }
+
   /** Hierarchical totals: revenue by (region, nation) with ROLLUP
     * subtotals and a grand total — one pass, partial-aggregated like
     * any groupBy (rollup expands to grouping sets, not extra scans).
@@ -195,6 +223,15 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "range_join_bins" ->
+      """SELECT promo_id, count(*) AS n_events
+        |FROM (SELECT event_id, epoch_ns(ts)//1000000000 AS ets FROM events) e
+        |JOIN (SELECT o_orderkey AS promo_id,
+        |       1704067200 + (o_orderkey % 28) * 86400 AS pstart,
+        |       1704067200 + (o_orderkey % 28) * 86400 + 3*86400 AS pend
+        |      FROM orders WHERE o_orderkey % 997 = 0) p
+        | ON e.ets >= p.pstart AND e.ets < p.pend
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
     "rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
         | coalesce(n_name, 'ALL') AS nation,
