@@ -51,11 +51,11 @@ object Bench {
     // ROUND, not every sample of one query. Optional args restrict the
     // set (dev iteration on a single operator); a typo'd name must fail
     // loudly, not produce a clean-looking zero-query run.
+    val all = SparkEntry.queries.keys.toSeq.sorted
     val unknown = args.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
-      s"unknown queries: ${unknown.mkString(", ")} — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-    val names = (if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains)
-      else SparkEntry.queries.keys.toSeq).sorted
+      s"unknown queries: ${unknown.mkString(", ")} — known: ${all.mkString(", ")}")
+    val names = if (args.nonEmpty) all.filter(args.contains) else all
     val runs = (1 to reps).map(_ => names.map(n => n -> materialize(n)).toMap)
     val best = names.map { n =>
       val ts = runs.map(_(n))

@@ -71,10 +71,10 @@ object Similarity {
     // id order (the A/B role is assigned by block, not id) — accept
     // them as-is and canonicalize with least/greatest. Same-block
     // pairs (bi == bj) meet under BOTH role assignments, so the id
-    // order keeps exactly one.
+    // order keeps exactly one (and excludes self-pairs; cross-block
+    // pairs are distinct vectors by construction).
     a.join(b, col("bi") === col("ci") && col("bj") === col("cj") &&
-        (col("bi") < col("bj") || col("vec_a") < col("vec_b")) &&
-        col("vec_a") =!= col("vec_b"))
+        (col("bi") < col("bj") || col("vec_a") < col("vec_b")))
       .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
       .filter(col("cos") >= tau)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
@@ -85,6 +85,18 @@ object Similarity {
   def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupPairs(Tables.embeddings(spark, dir), tau = 0.40)
       .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Shared top-k tail of every ANN variant: rank candidates per query
+    * by (rounded cosine desc, id) — ties break identically in the
+    * DuckDB oracles — and keep rnk <= k.
+    * @param cand (query_id, vec_id, cos) candidate rows */
+  private def topK(cand: DataFrame, k: Int): DataFrame = {
+    val w = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
 
   /** Brute-force cosine top-k for a bounded query set (vec_id < 8).
     *
@@ -99,11 +111,7 @@ object Similarity {
       .join(v, col("query_id") =!= col("vec_id"))
       .withColumn("cos",
         round(CosineSimilarity(col("eq"), col("e")), 6))
-    val w = W.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= k)
+    topK(cand, k)
   }
 
   def annCosineTopKQuery(spark: SparkSession, dir: String): DataFrame =
@@ -178,11 +186,7 @@ object Similarity {
         col("query_id") =!= col("vec_id"))
       .withColumn("cos",
         round(CosineSimilarity(col("eq"), col("e")), 6))
-    val w = W.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= k)
+    topK(cand, k)
   }
 
   def annLshTopKQuery(spark: SparkSession, dir: String): DataFrame =
@@ -242,11 +246,7 @@ object Similarity {
       .join(assigned, col("probe") === col("cell") &&
         col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
-    val w = W.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= k)
+    topK(cand, k)
   }
 
   def annIvfTopKQuery(spark: SparkSession, dir: String): DataFrame =

@@ -67,9 +67,7 @@ object TextAnalysis {
       round(nPunct.cast("double") / nChars, 4).as("punct_ratio"),
       round(nAlpha.cast("double") / nChars, 4).as("alpha_ratio"),
       round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
-      col("text"))
-      .withColumn("keep", qualityKeepExpr(col("text")))
-      .drop("text")
+      qualityKeepExpr(col("text")).as("keep"))
   }
 
   def textQualityQuery(spark: SparkSession, dir: String): DataFrame =

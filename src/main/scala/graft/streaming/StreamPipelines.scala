@@ -78,7 +78,7 @@ object StreamPipelines {
     docs.select(
         col("doc_id"),
         TextAnalysis.predLangExpr(col("text")).as("pred_lang"),
-        size(split(col("text"), " ")).as("ws_tokens"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ws_tokens"),
         TextAnalysis.qualityKeepExpr(col("text")).as("keep"),
         md5(col("text")).as("text_md5"))
       .filter(col("keep"))
