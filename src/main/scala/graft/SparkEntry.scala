@@ -70,6 +70,7 @@ object SparkEntry {
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),
     "multimodal_framesample" -> (Multimodal.multimodalFrameSampleQuery _),
+    "multimodal_patchgrid"   -> (Multimodal.multimodalPatchGridQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -95,6 +95,29 @@ object Multimodal {
     resizePlan(withMediaColumns(Tables.documents(spark, dir)), target = 224)
       .orderBy(col("doc_id"))
 
+  /** ViT-style patch-grid planning on top of the resize plan: how many
+    * `patch`-sized tiles cover the resized image (partial tiles padded
+    * up), and the sequence length the vision tower sees (grid + one
+    * class token). All small exact ints through correctly-rounded IEEE
+    * division, so floor is bit-identical across engines — same
+    * argument as resizePlan. */
+  def patchGridPlan(assets: DataFrame, target: Int, patch: Int): DataFrame = {
+    require(patch >= 1, s"patch must be >= 1, got $patch")
+    def grid(c: org.apache.spark.sql.Column) =
+      floor((c + (patch - 1)) / patch).cast("int")
+    resizePlan(assets, target).select(
+      col("doc_id"), col("out_w"), col("out_h"),
+      grid(col("out_w")).as("grid_w"),
+      grid(col("out_h")).as("grid_h"),
+      (grid(col("out_w")) * grid(col("out_h"))).as("n_patches"),
+      (grid(col("out_w")) * grid(col("out_h")) + 1).as("seq_len"))
+  }
+
+  def multimodalPatchGridQuery(spark: SparkSession, dir: String): DataFrame =
+    patchGridPlan(withMediaColumns(Tables.documents(spark, dir)),
+        target = 224, patch = 16)
+      .orderBy(col("doc_id"))
+
   /** Frame sampling for "video" assets: a deterministic synthetic
     * frame count per doc, then every `stride`-th frame index capped at
     * `maxFrames` — the uniform-sampling schedule a video pipeline
@@ -145,6 +168,22 @@ object Multimodal {
         |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS width,
         |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS height
         | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_patchgrid" ->
+      """SELECT doc_id, out_w, out_h,
+        | CAST(floor((out_w + 15) / 16) AS INTEGER) AS grid_w,
+        | CAST(floor((out_h + 15) / 16) AS INTEGER) AS grid_h,
+        | CAST(floor((out_w + 15) / 16) * floor((out_h + 15) / 16) AS INTEGER) AS n_patches,
+        | CAST(floor((out_w + 15) / 16) * floor((out_h + 15) / 16) + 1 AS INTEGER) AS seq_len
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(greatest(1, floor((width*224) / greatest(width, height))) AS INTEGER) AS out_w,
+        |  CAST(greatest(1, floor((height*224) / greatest(width, height))) AS INTEGER) AS out_h
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS width,
+        |   CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS height
+        |  FROM documents))
         |ORDER BY doc_id""".stripMargin,
     "multimodal_framesample" ->
       """SELECT doc_id, n_frames,
