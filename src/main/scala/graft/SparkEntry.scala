@@ -71,6 +71,7 @@ object SparkEntry {
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),
     "multimodal_framesample" -> (Multimodal.multimodalFrameSampleQuery _),
     "multimodal_patchgrid"   -> (Multimodal.multimodalPatchGridQuery _),
+    "multimodal_audiochunks" -> (Multimodal.multimodalAudioChunkQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -137,6 +137,31 @@ object Multimodal {
     frameSamplePlan(Tables.documents(spark, dir), stride = 30, maxFrames = 8)
       .orderBy(col("doc_id"))
 
+  /** Audio chunking schedule: synthetic (sample_rate, duration) per
+    * doc, then the number of fixed-length windows with overlap that an
+    * ASR/audio-tower pipeline feeds its encoder — the audio analog of
+    * frame sampling. ceil via (a + b - 1) div b on exact ints; a
+    * clip shorter than one window still yields one chunk. */
+  def audioChunkPlan(docs: DataFrame, windowSec: Int, hopSec: Int): DataFrame = {
+    require(hopSec >= 1 && windowSec >= hopSec,
+      s"need windowSec >= hopSec >= 1, got window=$windowSec hop=$hopSec")
+    val rate = element_at(array(lit(16000), lit(22050), lit(44100)),
+      (hash60(concat(col("text"), lit("#r"))) % 3 + 1).cast("int"))
+    val durSec = (hash60(concat(col("text"), lit("#d"))) % 600 + 5).cast("int")
+    // chunks start every hop until the last window start < duration:
+    // ceil(max(dur - window, 0) / hop) + 1
+    val tail = greatest(col("dur_sec") - windowSec, lit(0))
+    docs.select(col("doc_id"), rate.as("sample_rate"), durSec.as("dur_sec"))
+      .withColumn("n_samples",
+        col("sample_rate").cast("long") * col("dur_sec"))
+      .withColumn("n_chunks",
+        (floor((tail + (hopSec - 1)) / hopSec) + 1).cast("int"))
+  }
+
+  def multimodalAudioChunkQuery(spark: SparkSession, dir: String): DataFrame =
+    audioChunkPlan(Tables.documents(spark, dir), windowSec = 30, hopSec = 25)
+      .orderBy(col("doc_id"))
+
   /** The stub decoder's outputs are all deterministic functions of the
     * payload bytes (ASCII text, so bytes == codepoints), which makes
     * even the mapPartitions path oracle-checkable: metadata from
@@ -167,6 +192,16 @@ object Multimodal {
         | SELECT doc_id,
         |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS width,
         |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 1024 + 64 AS INTEGER) AS height
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_audiochunks" ->
+      """SELECT doc_id, sample_rate, dur_sec,
+        | CAST(sample_rate AS BIGINT) * dur_sec AS n_samples,
+        | CAST(floor((greatest(dur_sec - 30, 0) + 24) / 25) + 1 AS INTEGER) AS n_chunks
+        |FROM (
+        | SELECT doc_id,
+        |  [16000, 22050, 44100][CAST(CAST('0x'||substr(md5(text||'#r'),1,15) AS BIGINT) % 3 + 1 AS INTEGER)] AS sample_rate,
+        |  CAST(CAST('0x'||substr(md5(text||'#d'),1,15) AS BIGINT) % 600 + 5 AS INTEGER) AS dur_sec
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "multimodal_patchgrid" ->
