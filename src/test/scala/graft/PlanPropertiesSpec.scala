@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape regression gate: scale-killer operators must never
+  * reappear in any registered query's physical plan. PLANS.md is the
+  * reviewable artifact; THIS is the enforcement — reintroducing an
+  * all-pairs nested loop (round 2's embed_cosine_neardup bug) fails CI
+  * instead of waiting for a human to read the audit.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  /** Queries allowed a BroadcastNestedLoopJoin because the BROADCAST
+    * side is bounded BY CONSTRUCTION (a fixed query set / centroid
+    * table — model-sized, independent of corpus scale), which is the
+    * one legitimate use. Everything else must candidate-generate via
+    * keyed equi-joins. */
+  private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk")
+
+  test("no unbounded nested-loop or cartesian join in any registered query") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!boundedBroadcastOk(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — candidates must come " +
+            "from keyed equi-joins (see PLANS.md for the expected shapes)")
+      }
+    }
+  }
+
+  test("relational scans push their filters into parquet") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q3_top_unshipped", "q5_region_revenue")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: ["),
+        s"$name shows no parquet filter pushdown")
+    }
+  }
+}
