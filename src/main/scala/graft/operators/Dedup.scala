@@ -170,9 +170,15 @@ object Dedup {
     * planted pairs); the computation itself is deterministic, and the
     * oracle below is the exhaustive ground truth, so the correctness
     * gate verifies end-to-end recall, not just hash plumbing. */
-  def minhashLshPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val numHashes = 64
-    val bandsN = 16
+  /** @param numHashes signature width; @param bandsN LSH bands (rows
+    *   per band = numHashes/bandsN). Collision probability for a pair
+    *   at Jaccard s is 1-(1-s^(numHashes/bandsN))^bandsN — more bands
+    *   (fewer rows each) raises recall and candidate volume; the
+    *   defaults (64, 16) target tau >= 0.8. */
+  def minhashLshPairs(docs: DataFrame, tau: Double,
+                      numHashes: Int = 64, bandsN: Int = 16): DataFrame = {
+    require(bandsN >= 1 && numHashes % bandsN == 0,
+      s"bandsN must divide numHashes, got $numHashes/$bandsN")
     val rowsPerBand = numHashes / bandsN
 
     val docSets = docShingleSets(docs, 3)
