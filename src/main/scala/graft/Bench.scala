@@ -68,7 +68,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
     val failed = best.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: log-capture windows have truncated the
+    // stdout line two rounds running, losing per-query timings.
+    val out = java.nio.file.Paths.get("target", "bench_last.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -90,10 +90,17 @@ object Dedup {
     *  4. verify candidates EXACTLY with per-doc shingle arrays +
     *     array_intersect (same shape as minhash verification).
     *
-    * Document frequency comes from ONE window over the shingle key (no
-    * aggregate+join back), and per-doc set size n rides along from the
-    * map-only docShingleSets — the whole pipeline is two window
-    * shuffles plus the candidate equi-join.
+    * Document frequency comes from a map-side-combined
+    * groupBy(shingle).count() joined back to the postings — NOT a
+    * window over the shingle key. A window puts every posting row for
+    * one shingle in ONE reducer partition and sorts it there (a
+    * boilerplate shingle in 0.1% of a 10B-doc corpus means ~10M rows
+    * in a single window partition, and AQE can split skewed joins but
+    * not skewed window partitions); the aggregate combines map-side so
+    * each hot shingle ships one partial count per task, and the
+    * join-back is an equi-join AQE can both skew-split and broadcast
+    * when the distinct-shingle frame is small. Per-doc set size n
+    * rides along from the map-only docShingleSets.
     *
     * @param maxDf OPTIONAL stop-shingle cap: shingles occurring in more
     *   than maxDf documents are dropped from the index (both prefix and
@@ -115,10 +122,15 @@ object Dedup {
                                      maxDf: Long): DataFrame = {
     val docSets = docShingleSets(docs, k)
     val sh = docSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
-    val withDf = {
-      val d = sh.withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
-      if (maxDf < Long.MaxValue) d.filter(col("df") <= maxDf) else d
-    }
+    // df per shingle as an aggregate (map-side combined: hot shingles
+    // cost one partial per task, never one sorted window partition),
+    // then an AQE-splittable equi-join back onto the postings. The
+    // maxDf cap prunes the df frame BEFORE the join, so capped runs
+    // never ship hot-shingle postings anywhere.
+    val dfBySh = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val kept =
+      if (maxDf < Long.MaxValue) dfBySh.filter(col("df") <= maxDf) else dfBySh
+    val withDf = sh.join(kept, "s")
     val ranked = withDf.withColumn("pos",
       row_number().over(W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
     val prefix = ranked

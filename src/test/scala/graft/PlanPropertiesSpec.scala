@@ -29,6 +29,20 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_ngram_jaccard computes df as an aggregate, not a shingle window") {
+    // A Window partitioned by the shingle key puts every posting for a
+    // hot shingle into ONE reducer partition (AQE cannot split skewed
+    // window partitions). df must come from a map-side-combined
+    // groupBy(s).count() + join-back. The per-doc row_number window
+    // (partitioned by doc_id, bounded by doc length) is fine.
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*windowspecdefinition\\(s#\\d.*"),
+      "dedup_ngram_jaccard plans a Window partitioned by the shingle key")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "expected a map-side-combined aggregate for document frequency")
+  }
+
   test("relational scans push their filters into parquet") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("q3_top_unshipped", "q5_region_revenue")) {
