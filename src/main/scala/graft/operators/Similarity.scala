@@ -165,7 +165,17 @@ object Similarity {
     * set, so recall is monotone in it. */
   def annLshTopK(emb: DataFrame, numQueries: Int, k: Int,
                  numPlanes: Int = 6, probeHamming: Int = 1,
-                 dim: Int = 64): DataFrame = {
+                 dim: Int = 64): DataFrame =
+    topK(annLshCandidates(emb, numQueries, numPlanes, probeHamming, dim), k)
+
+  /** The candidate frame (query_id, vec_id, cos) BEFORE top-k — exposed
+    * so ScaleProbe can audit per-query candidate volume (the quantity
+    * the planes knob must hold ≈ constant as n grows: occupancy of a
+    * probed bucket is E[n/2^planes], so planes must rise by 1 per
+    * corpus doubling to keep candidate cost flat). */
+  private[graft] def annLshCandidates(emb: DataFrame, numQueries: Int,
+                                      numPlanes: Int, probeHamming: Int,
+                                      dim: Int): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= numPlanes,
       s"probeHamming must be in [0, numPlanes], got $probeHamming")
     val v = vectors(emb)
@@ -181,12 +191,11 @@ object Similarity {
         explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
           .as("probe"))
 
-    val cand = broadcast(q)
+    broadcast(q)
       .join(vb, col("probe") === col("bucket") &&
         col("query_id") =!= col("vec_id"))
       .withColumn("cos",
         round(CosineSimilarity(col("eq"), col("e")), 6))
-    topK(cand, k)
   }
 
   def annLshTopKQuery(spark: SparkSession, dir: String): DataFrame =
@@ -220,9 +229,25 @@ object Similarity {
                  numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids,
       s"nProbe must be in [1, numCentroids], got $nProbe")
-    val v = vectors(emb)
-    val cents = v.filter(col("vec_id") < numCentroids)
+    val cents = vectors(emb).filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
+    topK(annIvfCandidates(emb, cents, numQueries, nProbe), k)
+  }
+
+  /** IVF serving with an EXPLICIT centroid table (cid, ce) — the plan
+    * the oracle pins, unchanged whether centroids are the deterministic
+    * first-C default or trained by [[trainIvfCentroids]]. */
+  def annIvfTopKWith(emb: DataFrame, cents: DataFrame, numQueries: Int,
+                     k: Int, nProbe: Int): DataFrame =
+    topK(annIvfCandidates(emb, cents, numQueries, nProbe), k)
+
+  /** The candidate frame (query_id, vec_id, cos) BEFORE top-k — shared
+    * serving path for any centroid table, and exposed so ScaleProbe can
+    * audit candidates/query (≈ nProbe · n/C; C must grow linearly with
+    * n to hold the per-query scan constant). */
+  private[graft] def annIvfCandidates(emb: DataFrame, cents: DataFrame,
+                                      numQueries: Int, nProbe: Int): DataFrame = {
+    val v = vectors(emb)
 
     // nearest centroid per vector: max (rounded cosine, then smallest
     // cid) via max_by over a struct — aggregates combine map-side, so
@@ -242,11 +267,59 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("cid").as("probe"))
 
-    val cand = broadcast(probes)
+    broadcast(probes)
       .join(assigned, col("probe") === col("cell") &&
         col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
-    topK(cand, k)
+  }
+
+  /** Offline spherical k-means (Lloyd) training for the IVF coarse
+    * quantizer. Each iteration is one corpus scan feeding two map-side-
+    * combined aggregates: assignment (corpus × broadcast centroids +
+    * max_by — same shape as serving) and the update, where the per-cell
+    * elementwise mean is `dim` codegen'd avg() columns in ONE groupBy
+    * (the minhash-signature trick: no posexplode row amplification, no
+    * UDFs, no interpreted HOF folds). Cosine assignment ignores vector
+    * magnitude, so the un-normalized mean is a valid spherical-k-means
+    * update.
+    *
+    * Init is a deterministic md5-ordered sample — spread across the
+    * corpus rather than the first C rows, because a corpus sorted by
+    * source/cluster would seed every centroid from one shard (exactly
+    * the degenerate case the recall property test exercises). Empty
+    * cells drop out (standard Lloyd degeneracy); serving accepts any
+    * centroid count.
+    *
+    * The centroid frame is model-sized (C × dim); localCheckpoint
+    * truncates lineage each iteration so iteration i+1 does not replay
+    * iterations 1..i, and the broadcast each round ships only the
+    * materialized rows. Training is NOT oracle-checked by design: its
+    * float reductions are not cross-engine reproducible, which is why
+    * the oracle pins the serving path (annIvfTopK) instead — see the
+    * recall property test in SimilaritySpec for the training check. */
+  def trainIvfCentroids(emb: DataFrame, numCentroids: Int, iters: Int,
+                        dim: Int = 64): DataFrame = {
+    require(numCentroids >= 1 && iters >= 0)
+    val v = vectors(emb)
+    var cents = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+      .localCheckpoint()
+    val meanCols = (0 until dim).map(i => avg(element_at(col("e"), i + 1)).as(s"x$i"))
+    for (_ <- 1 to iters) {
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("ccos", CosineSimilarity(col("e"), col("ce")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (lit(0L) - col("cid")).as("nc")))
+          .as("cell"), first(col("e")).as("e"))
+      cents = assigned.groupBy("cell")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .select(col("cell").as("cid"),
+          array((0 until dim).map(i => col(s"x$i")): _*).as("ce"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   def annIvfTopKQuery(spark: SparkSession, dir: String): DataFrame =

@@ -119,6 +119,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.last === 1.0)
   }
 
+  test("trainIvfCentroids: trained quantizer beats the untrained default on clustered data") {
+    // Four well-separated clusters (centers = distinct basis directions,
+    // small deterministic md5 noise), stored CLUSTER-CONTIGUOUS: the
+    // untrained default takes the first C vectors as centroids, so all
+    // of them come from cluster 0 — exactly the sorted-corpus degeneracy
+    // trainIvfCentroids' spread init + Lloyd iterations must escape.
+    val dim = 16
+    val perCluster = 50
+    val clusters = 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def noise(s: String): Double = {
+      val b = md.digest(s.getBytes("UTF-8"))(0)
+      (b & 0xff) / 255.0 * 0.1 - 0.05
+    }
+    val vecs = for (c <- 0 until clusters; i <- 0 until perCluster) yield {
+      val id = (c * perCluster + i).toLong
+      id -> Seq.tabulate(dim)(d =>
+        (noise(s"p#$id#$d") + (if (d == c * 4) 1.0 else 0.0)).toFloat)
+    }
+    val e = emb(vecs: _*)
+    val numQ = 8
+    val k = 5
+
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double =
+      want.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / k
+      }.sum / want.size
+
+    val exact = topk(Similarity.annCosineTopK(e, numQ, k))
+    val untrained = recall(
+      topk(Similarity.annIvfTopK(e, numQ, k, numCentroids = clusters, nProbe = 1)),
+      exact)
+    val cents = Similarity.trainIvfCentroids(e, numCentroids = clusters,
+      iters = 5, dim = dim)
+    val trained = recall(
+      topk(Similarity.annIvfTopKWith(e, cents, numQ, k, nProbe = 1)),
+      exact)
+
+    // trained centroids ≈ cluster means: one probe covers the query's
+    // whole cluster; untrained first-C cells shatter cluster 0 and
+    // scatter clusters 1-3 arbitrarily
+    assert(trained >= 0.9, s"trained recall too low: $trained (untrained $untrained)")
+    assert(trained > untrained,
+      s"training must improve recall on clustered data: trained=$trained untrained=$untrained")
+  }
+
   test("annLshTopK returns only true near neighbors for clustered data") {
     // two tight clusters; query 0 must retrieve its own cluster-mates
     val vecs = (0L to 3L).map(i => i -> Seq(1f, 0.01f * i, 0f)) ++
