@@ -2,7 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-behavior probe for the dedup/similarity family: replicates the
@@ -83,7 +83,105 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] factor=$f%-3d $name%-22s ${sec}%8.2fs rows=$rows")
       }
+      annProbe(spark, f, dir)
     }
+    skewProbe(spark)
     spark.stop()
+  }
+
+  /** ANN bucket-occupancy audit: per-query CANDIDATE volume (not just
+    * wall time) at each corpus factor, under two knob regimes:
+    *
+    *  - `fixed`: the sf0.1 defaults held constant. Expected and
+    *    observed: candidates/query grows linearly with n (LSH probe
+    *    buckets hold E[n/2^planes] vectors; IVF cells hold n/C) — the
+    *    audit that the defaults do NOT silently survive a scale-up.
+    *  - `scaled`: the documented tuning law applied — LSH gains one
+    *    plane per corpus doubling, IVF grows C linearly with n.
+    *    Expected and observed: candidates/query ≈ constant, which is
+    *    the property that makes these the 100 TB serving paths.
+    */
+  private def annProbe(spark: SparkSession, f: Int, dir: String): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val numQ = 8
+    val log2f = 31 - Integer.numberOfLeadingZeros(f) // factors are powers of 2
+
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "ann_lsh fixed(planes=6)" ->
+        operators.Similarity.annLshCandidates(emb, numQ, 6, 1, 64),
+      s"ann_lsh scaled(planes=${6 + log2f * 2})" ->
+        operators.Similarity.annLshCandidates(emb, numQ, 6 + log2f * 2, 1, 64),
+      "ann_ivf fixed(C=16)" -> {
+        val cents = operators.Similarity.vectors(emb)
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        operators.Similarity.annIvfCandidates(emb, cents, numQ, 4)
+      },
+      s"ann_ivf scaled(C=${16 * f})" -> {
+        val cents = operators.Similarity.vectors(emb)
+          .filter(col("vec_id") < 16 * f)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        operators.Similarity.annIvfCandidates(emb, cents, numQ, 4)
+      })
+
+    cases.foreach { case (name, cand) =>
+      val t0 = System.nanoTime()
+      val Array(total, maxQ, avgQ) = cand.groupBy("query_id").count()
+        .agg(sum("count"), max("count"), avg("count"))
+        .head().toSeq.map(v => v.toString.toDouble).toArray
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-ann] factor=$f%-3d $name%-26s ${sec}%7.2fs " +
+        f"cand_total=${total.toLong}%-8d cand_max/q=${maxQ.toLong}%-7d cand_avg/q=${avgQ}%.1f")
+    }
+  }
+
+  /** Salted-join skew measurement: one key owns ~30% of a 2M-row fact
+    * side. Reports (a) max rows a single reducer task receives under
+    * the join's HashPartitioning — the quantity salting exists to cap —
+    * with and without Layout.saltedJoin's salt in the key, and (b) wall
+    * time of the actual joins with AQE and auto-broadcast off (the
+    * documented saltedJoin use case: engines/stages where AQE skew
+    * handling can't help and the dim is replicable but not broadcast).
+    */
+  private def skewProbe(spark: SparkSession): Unit = {
+    val salts = 32
+    val nKeys = 100
+    val left = spark.range(2000000L).select(
+      when(pmod(col("id"), lit(10)) < 3, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(nKeys)).cast("long")).as("k"),
+      col("id").as("payload"))
+    val right = spark.range(nKeys).select(col("id").as("rk"),
+      concat(lit("dim_"), col("id")).as("attr"))
+
+    // rows per reducer under the exchange the join would plan:
+    // HashPartitioning on exactly the join keys
+    def maxRowsPerTask(df: DataFrame, keys: Column*): Long =
+      df.repartition(32, keys: _*)
+        .groupBy(spark_partition_id().as("pid")).count()
+        .agg(max("count")).head().getLong(0)
+
+    val unsaltedMax = maxRowsPerTask(left, col("k"))
+    val saltedLeft = left.withColumn("salt",
+      pmod(hash(col("payload")), lit(salts)))
+    val saltedMax = maxRowsPerTask(saltedLeft, col("k"), col("salt"))
+
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      def timeJoin(joined: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        joined.groupBy(col("attr")).agg(count(lit(1))).write
+          .format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val plain = timeJoin(left.join(right, col("k") === col("rk")))
+      val salted = timeJoin(core.Layout.saltedJoin(left, right, "k", "rk",
+        salts, hash(col("payload"))))
+      println(f"[scale-skew] hot key = 30%% of 2M rows: max rows/task " +
+        f"unsalted=$unsaltedMax salted($salts)=$saltedMax; " +
+        f"join+agg wall unsalted=${plain}%.2fs salted=${salted}%.2fs (AQE off, no broadcast)")
+    } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
   }
 }
