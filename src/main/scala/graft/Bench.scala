@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * per-query MINIMUM — this host shows 3-4x phantom-load timing noise,
   * and the minimum is the run least polluted by contention; all runs are
   * recorded under "runs" so the spread itself is auditable.
+  *
+  * The JSON line is ALSO written to target/bench_last.json (log capture
+  * has truncated the stdout line before), and when benching sf0.1 a
+  * "scaling" object records each query's sf0.01 minimum and the
+  * sf0.01→sf0.1 ratio — the self-baseline linearity table (≈10 is
+  * linear in data volume; far above 10 is super-linear).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,10 +36,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    def materialize(name: String, dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -68,7 +74,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
     val failed = best.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+
+    // Self-baseline linearity (no external baseline is published): the
+    // same queries at sf0.01, and the per-query sf0.01→sf0.1 wall-time
+    // ratio of the two minima. Data grows 10×, so a ratio well under 10
+    // means fixed overhead still dominates at sf0.1, ≈10 is linear, and
+    // well OVER 10 is the super-linear red flag this table exists to
+    // catch. Skipped when benching some other directory or when
+    // SPARK_GRAFT_SCALING=0.
+    val scaling =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+          && sfDir.endsWith("sf0.1")) {
+        val smallDir = sfDir.stripSuffix("sf0.1") + "sf0.01"
+        val smallRuns = (1 to reps).map(_ => names.map(n => n -> materialize(n, smallDir)).toMap)
+        val smallBest = names.map { n =>
+          val ts = smallRuns.map(_(n))
+          n -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+        }.toMap
+        val entries = names.map { n =>
+          val s = smallBest(n)
+          val b = best.toMap.apply(n)
+          val ratio = if (s > 0 && b >= 0) (b / s * 100).round / 100.0 else -1.0
+          "\"" + n + s"""":{"sf001":$s,"sf01":$b,"ratio":$ratio}"""
+        }.mkString("{", ",", "}")
+        s""","scaling":$entries"""
+      } else ""
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed$scaling,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: log-capture windows have truncated the
     // stdout line two rounds running, losing per-query timings.
