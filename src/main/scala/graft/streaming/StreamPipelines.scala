@@ -91,6 +91,43 @@ object StreamPipelines {
           .as("avg_tokens"))
   }
 
+  /** The curation pass over documents CARRYING EVENT TIME — the
+    * production form of curationStream: dedup state is bounded by the
+    * watermark (dropDuplicatesWithinWatermark keeps one fixed-width md5
+    * key per text until the watermark passes it, instead of forever),
+    * and the per-language accounting is windowed so the aggregation
+    * state is bounded too. Dedup + windowed aggregation is the
+    * supported multi-stateful-operator chain in append mode; each
+    * closed (window, language) row emits exactly once.
+    *
+    * Semantics note: a text recurring AFTER the watermark horizon is
+    * counted again — the horizon is the explicit freshness/state-size
+    * trade every streaming dedup at scale has to pick (see dedupStream;
+    * the unbounded curationStream above matches the batch semantics of
+    * a finite corpus instead). */
+  def curationStreamWatermarked(docs: DataFrame,
+                                watermark: String = "1 hour",
+                                windowLen: String = "1 day"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.select(
+        col("doc_id"), col("ts"),
+        TextAnalysis.predLangExpr(col("text")).as("pred_lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ws_tokens"),
+        TextAnalysis.qualityKeepExpr(col("text")).as("keep"),
+        md5(col("text")).as("text_md5"))
+      .filter(col("keep"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+      .groupBy(window(col("ts"), windowLen), col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_tokens"),
+        round(sum(col("ws_tokens")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("pred_lang"), col("n_docs"), col("total_tokens"), col("avg_tokens"))
+  }
+
   /** The full reference pipeline: parse → enrich → watermark → window.
     * One call from a kafka/memory/socket source to a windowed frame. */
   def endToEnd(stream: DataFrame, dim: DataFrame,
