@@ -57,10 +57,14 @@ object SparkEntry {
     "token_count"            -> (TextAnalysis.tokenCountQuery _),
     "doc_fingerprint"        -> (TextAnalysis.docFingerprintQuery _),
     "curation_summary"       -> (TextAnalysis.curationSummaryQuery _),
+    "pack_token_budget"      -> (TextAnalysis.packTokenBudgetQuery _),
+    "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
     "dedup_minhash_lsh"      -> (Dedup.minhashLshQuery _),
     "dedup_simhash"          -> (Dedup.simhashQuery _),
+    "dedup_clusters"         -> (Dedup.dedupClustersQuery _),
+    "ngram_stats"            -> (Dedup.ngramStatsQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),

@@ -281,11 +281,107 @@ object Dedup {
     simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // ---------------------------------------------------------------- clustering
+
+  /** Connected components over a near-dup pair frame by iterative
+    * min-label propagation — the step every dedup pipeline needs AFTER
+    * pair generation: pairwise similarity is not transitive, so "keep
+    * one doc per pair" over-deletes (A~B, B~C removes two of three even
+    * when A,C share nothing); the unit of deduplication is the
+    * CLUSTER, i.e. the connected component of the pair graph.
+    *
+    * Scale shape: labels and edges are fixed-width long frames; each
+    * round is one equi-join (AQE-splittable, skew-safe) plus one
+    * map-side-combined min() aggregate — no windows, no driver-side
+    * graph. Rounds = component diameter, and near-dup components are
+    * band-induced near-cliques (diameter 2-3 in practice), which is why
+    * plain propagation is the right tool here; a corpus with unbounded-
+    * diameter components (path graphs) would want the O(log d)
+    * large-star/small-star contraction instead. localCheckpoint
+    * truncates lineage so round i+1 does not replay rounds 1..i, and
+    * convergence detection is exact without a diff join: labels are
+    * monotone non-increasing, so the label SUM (decimal — a 10B-doc id
+    * sum overflows a long) is strictly decreasing until fixpoint.
+    *
+    * @param nodes one row per doc_id (singletons become their own
+    *   cluster); @param pairs (doc_a, doc_b) undirected edges. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id").as("v"), col("doc_id").as("l"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("l"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min("l").as("l"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"component diameter exceeds maxIters=$maxIters propagation rounds")
+    // cluster_size as an aggregate joined back, NOT a window over
+    // rep_id: a pathological giant cluster would otherwise sort in one
+    // window partition (same reasoning as the shingle-df fix above)
+    val comp = labels.select(col("v").as("doc_id"), col("l").as("rep_id"))
+    val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        (col("doc_id") === col("rep_id")).as("is_canonical"))
+  }
+
+  /** Cluster-level dedup over the exact n-gram Jaccard pair graph:
+    * every doc labeled with its component representative (min doc_id),
+    * the component size, and the keep flag a curation pass filters on. */
+  def dedupClusters(docs: DataFrame, k: Int, tau: Double): DataFrame =
+    connectedComponents(docs.select(col("doc_id")),
+      ngramJaccardPairs(docs, k, tau).select("doc_a", "doc_b"))
+
+  def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(Tables.documents(spark, dir), k = 3, tau = 0.7)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- ngram stats
+
+  /** Corpus n-gram statistics: top-N shingles by document frequency
+    * with corpus share — the boilerplate-detection job that feeds
+    * ngramJaccardPairs' maxDf stop-shingle cap (you pick the cap by
+    * LOOKING at this table). Scale shape: map-side-combined df
+    * aggregate (one partial per task per hot shingle), then the global
+    * top-N is a per-partition TakeOrdered merged on the driver — N
+    * rows per partition, never a global sort. Ties at the rank-N
+    * boundary break on the shingle string, so the result set is
+    * deterministic in both engines. */
+  def ngramStats(docs: DataFrame, k: Int, topN: Int): DataFrame =
+    shingleSet(docs, k)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("s"), col("df"),
+        round(col("df").cast("double") / col("n_docs"), 4).as("df_ratio"))
+      .orderBy(col("df").desc, col("s"))
+      .limit(topN)
+
+  def ngramStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramStats(Tables.documents(spark, dir), k = 3, topN = 50)
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
-    * the engine must not be). Shared by both Jaccard-thresholded ops. */
-  private def jaccardOracle(tau: Double): String =
+    * the engine must not be). Shared by both Jaccard-thresholded ops,
+    * and embedded as a CTE by the clusters oracle. */
+  private def jaccardPairsSql(tau: Double): String =
     s"""SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  count(*) * 1.0 / (any_value(na.n) + any_value(nb.n) - count(*)) AS jac
@@ -293,7 +389,10 @@ object Dedup {
        |  JOIN sz3 na ON a.doc_id = na.doc_id
        |  JOIN sz3 nb ON b.doc_id = nb.doc_id
        | GROUP BY 1, 2)
-       |WHERE jac >= $tau ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE jac >= $tau""".stripMargin
+
+  private def jaccardOracle(tau: Double): String =
+    jaccardPairsSql(tau) + " ORDER BY doc_a, doc_b"
 
   private val shingleCte =
     """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -320,5 +419,29 @@ object Dedup {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // transitive closure over the exact-Jaccard pair graph: min
+    // reachable doc_id per node via a recursive CTE (UNION dedup
+    // terminates the cycle walk)
+    "dedup_clusters" -> ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+      s""",pairs AS (${jaccardPairsSql(0.7)}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |comp AS (SELECT v AS doc_id, min(l) AS rep_id FROM reach GROUP BY v),
+         |sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT c.doc_id, c.rep_id,
+         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+         |  c.doc_id = c.rep_id AS is_canonical
+         |FROM comp c JOIN sz USING (rep_id)
+         |ORDER BY doc_id""".stripMargin),
+    "ngram_stats" -> (shingleCte +
+      """,df AS (SELECT s, count(*) AS df FROM sh3 GROUP BY 1)
+        |SELECT s, CAST(df AS BIGINT) AS df,
+        |  round(CAST(df AS DOUBLE) / (SELECT count(*) FROM documents), 4)
+        |    AS df_ratio
+        |FROM df ORDER BY df DESC, s LIMIT 50""".stripMargin),
   )
 }

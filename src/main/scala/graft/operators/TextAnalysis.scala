@@ -186,6 +186,66 @@ object TextAnalysis {
   def curationSummaryQuery(spark: SparkSession, dir: String): DataFrame =
     curationSummary(Tables.documents(spark, dir)).orderBy(col("pred_lang"))
 
+  // ---------------------------------------------------------------- packing
+
+  /** Token-budget packing: assign each doc to a training shard
+    * (pack_id) by its starting offset in the per-(lang, source)
+    * cumulative token stream — the deterministic, order-preserving
+    * sharding a pre-training pipeline runs to cut a corpus into
+    * ~budget-token chunks (greedy first-fit reshuffles docs and is
+    * order-dependent; offset sharding is a pure function of the sorted
+    * stream, so it is reproducible and resumable).
+    *
+    * Scale shape: ONE window, partitioned by (lang, source) — in a
+    * real corpus `source` is the crawl shard (thousands to millions of
+    * values), so partitions stay bounded; the global-stream variant
+    * would need the classic two-phase scan (per-range partial sums +
+    * broadcast prefix offsets) instead of a window. The running sum is
+    * rows-framed (no range lookback), and pack_id is integer division
+    * — no fp drift at any offset magnitude. */
+  def packTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = W.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"))
+      .withColumn("start_off", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off div $budget"))
+  }
+
+  def packTokenBudgetQuery(spark: SparkSession, dir: String): DataFrame =
+    packTokenBudget(Tables.documents(spark, dir), budget = 512)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- sampling
+
+  /** Default per-language sampling rates for the query entry — the
+    * up/down-weighting shape every data-mixture recipe uses. */
+  private[graft] val sampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.3, "es" -> 0.3, "fr" -> 0.2, "zh" -> 0.2)
+
+  /** Deterministic stratified sampling: keep a doc iff the first 32
+    * md5 bits of its doc_id fall below floor(rate(lang) * 2^32). A
+    * pure map-side filter — zero shuffles, zero RNG state — and the
+    * SAME rows are kept on every run, every engine, every cluster
+    * size: the property a training pipeline needs so a re-run (or an
+    * incremental top-up) reproduces the mixture exactly. Unlisted
+    * strata get rate 0. */
+  def stratifiedSample(docs: DataFrame,
+                       rates: Seq[(String, Double)]): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    val thresh = rates.foldLeft(lit(0L)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit((r * 4294967296L).toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < thresh)
+  }
+
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), sampleRates)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- oracles
 
   private def inList(words: Seq[String]): String =
@@ -275,5 +335,29 @@ object TextAnalysis {
         |  % 1000000007 AS BIGINT) AS poly_fp
         |FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "pack_token_budget" ->
+      """SELECT doc_id, lang, source, ws_tokens, start_off,
+        | CAST(start_off // 512 AS BIGINT) AS pack_id
+        |FROM (
+        | SELECT doc_id, lang, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
+        |    PARTITION BY lang, source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_off
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" -> {
+      val cases = sampleRates.map { case (lang, r) =>
+        s"WHEN '$lang' THEN ${(r * 4294967296L).toLong}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, bucket FROM (
+         | SELECT doc_id, lang,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |   AS bucket
+         | FROM documents)
+         |WHERE bucket < CASE lang $cases ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

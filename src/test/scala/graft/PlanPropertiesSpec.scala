@@ -13,7 +13,10 @@ class PlanPropertiesSpec extends SparkSpec {
     * table — model-sized, independent of corpus scale), which is the
     * one legitimate use. Everything else must candidate-generate via
     * keyed equi-joins. */
-  private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk")
+  private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk",
+    // scalar corpus-count frame (exactly ONE row) broadcast onto the
+    // shingle-df aggregate for the df_ratio column
+    "ngram_stats")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

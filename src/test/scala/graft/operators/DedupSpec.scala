@@ -53,4 +53,55 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(docs(1L -> "a b c"), maxHamming = 4)
     }
   }
+
+  test("connectedComponents: transitive closure, singletons, cluster sizes") {
+    // pairs 1-2, 2-3 chain into one component even though (1,3) is not
+    // a pair — the over-deletion case pairwise dedup gets wrong; 4-5 is
+    // a separate component; 6 is a singleton
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false),
+      (6L, 6L, 1L, true)))
+  }
+
+  test("connectedComponents: a long path needs diameter rounds and still converges") {
+    // path 0-1-2-...-9: diameter 9, the worst case for min propagation
+    val nodes = (0L until 10L).toDF("doc_id")
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, pairs)
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toSet
+    assert(out === (0L until 10L).map(_ -> 0L).toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, pairs, maxIters = 2)
+    }
+  }
+
+  test("dedupClusters: near-dup chain collapses to one canonical doc") {
+    val out = Dedup.dedupClusters(docs(
+        1L -> "a b c d e f",
+        2L -> "a b c d e f", // exact dup of 1
+        3L -> "a b c d e g", // near-dup of 1/2, not identical
+        4L -> "p q r s t u"),
+      k = 3, tau = 0.5)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true)))
+  }
+
+  test("ngramStats: df counts docs not occurrences; ties at the cut break on the shingle") {
+    val d = docs(
+      1L -> "a b c a b c", // 'a b c' twice in one doc → df 1, not 2
+      2L -> "a b c x y z",
+      3L -> "x y z q r s")
+    val top = Dedup.ngramStats(d, k = 3, topN = 2)
+      .select("s", "df").as[(String, Long)].collect().toSeq
+    // df: 'a b c'→2, 'x y z'→2, everything else 1; the two winners in
+    // string order
+    assert(top === Seq("a b c" -> 2L, "x y z" -> 2L))
+  }
 }

@@ -49,4 +49,43 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "poly_fp").as[(Long, Long)].collect().toMap
     assert(fps(1L) !== fps(2L))
   }
+
+  private def sourcedDocs(rows: (Long, String, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang", "source")
+
+  test("packTokenBudget: pack_id = exclusive-prefix-sum div budget, per (lang, source) stream") {
+    // tokens: 3, 4, 5 in one (en, s1) stream; offsets 0, 3, 7; budget 5
+    // → packs 0, 0, 1. The (de, s1) doc starts its own stream at pack 0.
+    val out = TextAnalysis.packTokenBudget(sourcedDocs(
+        (1L, "a b c", "en", "s1"),
+        (2L, "d e f g", "en", "s1"),
+        (3L, "h i j k l", "en", "s1"),
+        (4L, "x y z w", "de", "s1")), budget = 5)
+      .select("doc_id", "start_off", "pack_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 1L), (4L, 0L, 0L)))
+  }
+
+  test("packTokenBudget: a doc longer than the budget still gets exactly one pack") {
+    val out = TextAnalysis.packTokenBudget(sourcedDocs(
+        (1L, "a b c d e f g h i j k l", "en", "s1"), // 12 tokens, budget 4
+        (2L, "m n", "en", "s1")), budget = 4)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 3L)) // doc 2 starts at offset 12
+  }
+
+  test("stratifiedSample: deterministic across runs, rate 0 for unlisted strata, monotone in rate") {
+    val d = sourcedDocs((0L until 100L).map(i =>
+      (i, "text", if (i % 2 == 0) "en" else "fr", "s")): _*)
+    val half = TextAnalysis.stratifiedSample(d, Seq("en" -> 0.5))
+      .as[(Long, String, Long)].collect().toSet
+    assert(half === TextAnalysis.stratifiedSample(d, Seq("en" -> 0.5))
+      .as[(Long, String, Long)].collect().toSet)
+    assert(half.forall(_._2 == "en")) // fr unlisted → rate 0
+    assert(half.nonEmpty)
+    val all = TextAnalysis.stratifiedSample(d, Seq("en" -> 1.0))
+      .as[(Long, String, Long)].collect().toSet
+    assert(all.size === 50) // rate 1.0 keeps every en doc
+    assert(half.subsetOf(all)) // raising the rate only ADDS docs
+  }
 }
