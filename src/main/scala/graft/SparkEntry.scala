@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_simhash"          -> (Dedup.simhashQuery _),
     "dedup_clusters"         -> (Dedup.dedupClustersQuery _),
     "ngram_stats"            -> (Dedup.ngramStatsQuery _),
+    "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),

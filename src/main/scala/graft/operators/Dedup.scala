@@ -376,6 +376,45 @@ object Dedup {
   def ngramStatsQuery(spark: SparkSession, dir: String): DataFrame =
     ngramStats(Tables.documents(spark, dir), k = 3, topN = 50)
 
+  // ---------------------------------------------------------------- decontam
+
+  /** Benchmark decontamination: for every corpus doc, the number of its
+    * distinct k-shingles that appear ANYWHERE in the benchmark set —
+    * the standard eval-contamination check run before training.
+    *
+    * Scale shape: the asymmetry is the design — the corpus is 100 TB
+    * but a benchmark is model-sized (thousands of docs), so the
+    * benchmark's distinct-shingle union is aggregated small and
+    * BROADCAST; the corpus side is a map-only shingle explode probed
+    * against the broadcast hash (no corpus shuffle at all until the
+    * per-doc count, which combines map-side on doc_id). A benchmark too
+    * big to broadcast degrades gracefully to the same AQE-splittable
+    * equi-join shape as ngramCandidates.
+    *
+    * Corpus docs with no shingles (< k tokens) count 0 — too short to
+    * contaminate. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    k: Int): DataFrame = {
+    val benchShingles = broadcast(
+      shingleSet(benchmark, k).select("s").distinct())
+    val hits = shingleSet(corpus, k)
+      .join(benchShingles, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 1)
+  }
+
+  /** Query form: every 50th doc plays the benchmark; the rest are the
+    * corpus under test. */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -443,5 +482,17 @@ object Dedup {
         |  round(CAST(df AS DOUBLE) / (SELECT count(*) FROM documents), 4)
         |    AS df_ratio
         |FROM df ORDER BY df DESC, s LIMIT 50""".stripMargin),
+    "benchmark_decontam" -> (shingleCte +
+      """,bench AS (SELECT DISTINCT s FROM sh3 WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT a.doc_id, count(*) AS n_shared
+        |  FROM sh3 a JOIN bench b ON a.s = b.s
+        |  WHERE a.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -93,6 +93,19 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, 1L, true)))
   }
 
+  test("decontaminate: counts distinct shared shingles; short and clean docs report 0") {
+    val bench = docs(100L -> "a b c d e")           // shingles: abc bcd cde
+    val corpus = docs(
+      1L -> "a b c d x",                            // shares abc, bcd → 2
+      2L -> "z a b c a b c",                        // shares abc (once, distinct) → 1
+      3L -> "p q r s t",                            // disjoint → 0
+      4L -> "a b")                                  // too short for trigrams → 0
+    val out = Dedup.decontaminate(corpus, bench, k = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, true), (2L, 1L, true), (3L, 0L, false), (4L, 0L, false)))
+  }
+
   test("ngramStats: df counts docs not occurrences; ties at the cut break on the shingle") {
     val d = docs(
       1L -> "a b c a b c", // 'a b c' twice in one doc → df 1, not 2
