@@ -35,14 +35,14 @@ object ScaleProbe {
   }
 
   private def replicate(spark: SparkSession, factor: Int): String = {
-    val out = s"/tmp/graft_scale_f$factor"
+    val out = s"/tmp/graft_scale_f${factor}_v2"
     if (new java.io.File(s"$out/_done").exists()) return out
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docCopies = (0 until factor).map { c =>
       docs.select(
         (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
         regexp_replace(col("text"), "(^| )", s"$$1c${c}_").as("text"),
-        col("lang"))
+        col("lang"), col("source"))
     }.reduce(_ unionByName _)
     docCopies.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -73,7 +73,11 @@ object ScaleProbe {
       "dedup_minhash_lsh"   -> (operators.Dedup.minhashLshQuery _),
       "dedup_simhash"       -> (operators.Dedup.simhashQuery _),
       "embed_cosine_neardup" -> (operators.Similarity.cosineNearDupQuery _),
-      "curation_summary"    -> (operators.TextAnalysis.curationSummaryQuery _))
+      "curation_summary"    -> (operators.TextAnalysis.curationSummaryQuery _),
+      // copies are pair-disjoint by construction, so component count
+      // grows linearly and propagation ROUNDS stay constant (cluster
+      // diameter is a property of the within-copy dup structure)
+      "dedup_clusters"      -> (operators.Dedup.dedupClustersQuery _))
 
     factors.foreach { f =>
       val dir = replicate(spark, f)

@@ -59,6 +59,7 @@ object SparkEntry {
     "curation_summary"       -> (TextAnalysis.curationSummaryQuery _),
     "pack_token_budget"      -> (TextAnalysis.packTokenBudgetQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
+    "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
     "dedup_minhash_lsh"      -> (Dedup.minhashLshQuery _),
@@ -86,5 +87,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SensorPipeline.oracles ++ Windows.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ AsofJoin.oracles
+      Multimodal.oracles ++ AsofJoin.oracles ++ CorpusPrep.oracles
 }

@@ -433,13 +433,31 @@ object Dedup {
   private def jaccardOracle(tau: Double): String =
     jaccardPairsSql(tau) + " ORDER BY doc_a, doc_b"
 
-  private val shingleCte =
-    """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |sh3 AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
-      |  FROM words, UNNEST(range(1, greatest(len(w)-1,1))) t(i)
-      |  WHERE i+2 <= len(w)),
-      |sz3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1)
-      |""".stripMargin
+  /** Shingle CTEs over an arbitrary (doc_id, text) relation — `table`
+    * is "documents" for the standalone oracles and the kept-docs CTE
+    * for the composed corpus-prep oracle. */
+  private[operators] def shingleCteFrom(table: String): String =
+    s"""words AS (SELECT doc_id, string_split(text,' ') AS w FROM $table),
+       |sh3 AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+       |  FROM words, UNNEST(range(1, greatest(len(w)-1,1))) t(i)
+       |  WHERE i+2 <= len(w)),
+       |sz3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1)
+       |""".stripMargin
+
+  private val shingleCte = "WITH " + shingleCteFrom("documents")
+
+  /** Pair graph + transitive closure CTEs (requires WITH RECURSIVE and
+    * the shingle CTEs in scope): comp = (doc_id, rep_id = min label). */
+  private[operators] def componentsCteSql(tau: Double,
+                                          nodesTable: String): String =
+    s""",pairs AS (${jaccardPairsSql(tau)}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT doc_id, doc_id FROM $nodesTable
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+       |comp AS (SELECT v AS doc_id, min(l) AS rep_id FROM reach GROUP BY v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> (shingleCte + jaccardOracle(0.7)),
@@ -461,21 +479,14 @@ object Dedup {
     // transitive closure over the exact-Jaccard pair graph: min
     // reachable doc_id per node via a recursive CTE (UNION dedup
     // terminates the cycle walk)
-    "dedup_clusters" -> ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-      s""",pairs AS (${jaccardPairsSql(0.7)}),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(v, l) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
-         |comp AS (SELECT v AS doc_id, min(l) AS rep_id FROM reach GROUP BY v),
-         |sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
-         |SELECT c.doc_id, c.rep_id,
-         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
-         |  c.doc_id = c.rep_id AS is_canonical
-         |FROM comp c JOIN sz USING (rep_id)
-         |ORDER BY doc_id""".stripMargin),
+    "dedup_clusters" -> ("WITH RECURSIVE " + shingleCteFrom("documents") +
+      componentsCteSql(0.7, "documents") +
+      """,sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT c.doc_id, c.rep_id,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+        |  c.doc_id = c.rep_id AS is_canonical
+        |FROM comp c JOIN sz USING (rep_id)
+        |ORDER BY doc_id""".stripMargin),
     "ngram_stats" -> (shingleCte +
       """,df AS (SELECT s, count(*) AS df FROM sh3 GROUP BY 1)
         |SELECT s, CAST(df AS BIGINT) AS df,

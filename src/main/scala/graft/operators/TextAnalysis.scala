@@ -230,17 +230,25 @@ object TextAnalysis {
     * size: the property a training pipeline needs so a re-run (or an
     * incremental top-up) reproduces the mixture exactly. Unlisted
     * strata get rate 0. */
-  def stratifiedSample(docs: DataFrame,
-                       rates: Seq[(String, Double)]): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
+  /** The sampling bucket: first 32 md5 bits of doc_id as a long. */
+  private[operators] def sampleBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The keep predicate as a reusable expression over (doc_id, lang) —
+    * shared by stratifiedSample and the composed corpus-prep pipeline
+    * so the sampling rule cannot drift between them. */
+  private[operators] def sampleKeepExpr(rates: Seq[(String, Double)]): Column = {
     val thresh = rates.foldLeft(lit(0L)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, lit((r * 4294967296L).toLong)).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
-      .filter(col("bucket") < thresh)
+    sampleBucket < thresh
   }
+
+  def stratifiedSample(docs: DataFrame,
+                       rates: Seq[(String, Double)]): DataFrame =
+    docs.select(col("doc_id"), col("lang"), sampleBucket.as("bucket"))
+      .filter(sampleKeepExpr(rates))
 
   def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.documents(spark, dir), sampleRates)
@@ -250,6 +258,30 @@ object TextAnalysis {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Oracle-side fragments mirrored from the column expressions above;
+    * shared with the corpus-prep oracle so the rules cannot drift. */
+  private[operators] val sampleBucketSql =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)"
+  private[operators] def sampleCaseSql: String =
+    "CASE lang " + sampleRates.map { case (lang, r) =>
+      s"WHEN '$lang' THEN ${(r * 4294967296L).toLong}"
+    }.mkString(" ") + " ELSE 0 END"
+  private[operators] val keepSql =
+    """len(string_split(text,' ')) >= 5 AND len(string_split(text,' ')) <= 1000
+      |  AND round(CAST(length(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)
+      |   / length(text), 4) > 0.5""".stripMargin
+  private[operators] def packSelectSql(budget: Long, from: String): String =
+    s"""SELECT doc_id, lang, source, ws_tokens, start_off,
+       | CAST(start_off // $budget AS BIGINT) AS pack_id
+       |FROM (
+       | SELECT doc_id, lang, source,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
+       |    PARTITION BY lang, source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |   AS start_off
+       | FROM $from)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -336,28 +368,12 @@ object TextAnalysis {
         |FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "pack_token_budget" ->
-      """SELECT doc_id, lang, source, ws_tokens, start_off,
-        | CAST(start_off // 512 AS BIGINT) AS pack_id
-        |FROM (
-        | SELECT doc_id, lang, source,
-        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
-        |    PARTITION BY lang, source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |   AS start_off
-        | FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "stratified_sample" -> {
-      val cases = sampleRates.map { case (lang, r) =>
-        s"WHEN '$lang' THEN ${(r * 4294967296L).toLong}"
-      }.mkString(" ")
+      (packSelectSql(512, "documents") + "\nORDER BY doc_id"),
+    "stratified_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
-         | SELECT doc_id, lang,
-         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
-         |   AS bucket
+         | SELECT doc_id, lang, $sampleBucketSql AS bucket
          | FROM documents)
-         |WHERE bucket < CASE lang $cases ELSE 0 END
-         |ORDER BY doc_id""".stripMargin
-    },
+         |WHERE bucket < $sampleCaseSql
+         |ORDER BY doc_id""".stripMargin,
   )
 }
