@@ -69,6 +69,7 @@ object SparkEntry {
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
+    "embed_clusters"         -> (Similarity.embedClustersQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),

@@ -86,6 +86,25 @@ object Similarity {
     cosineNearDupPairs(Tables.embeddings(spark, dir), tau = 0.40)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Embedding-space dedup clusters: connected components over the
+    * exact cosine near-dup pair graph — the SAME component operator
+    * the text path uses (Dedup.connectedComponents is edge-set
+    * generic); only the pair generator differs. Semantic near-dups
+    * chain exactly like textual ones (A≈B, B≈C with A,C below
+    * threshold), so the cluster, not the pair, is the dedup unit here
+    * too. */
+  def embedClusters(emb: DataFrame, tau: Double): DataFrame =
+    Dedup.connectedComponents(
+      vectors(emb).select(col("vec_id").as("doc_id")),
+      cosineNearDupPairs(emb, tau)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("rep_id"),
+        col("cluster_size"), col("is_canonical"))
+
+  def embedClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    embedClusters(Tables.embeddings(spark, dir), tau = 0.40)
+      .orderBy(col("vec_id"))
+
   /** Shared top-k tail of every ANN variant: rank candidates per query
     * by (rounded cosine desc, id) — ties break identically in the
     * DuckDB oracles — and keep rnk <= k.
@@ -428,6 +447,27 @@ object Similarity {
         |    / (a.nrm * b.nrm) AS cos
         | FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.40 ORDER BY vec_a, vec_b""".stripMargin),
+    "embed_clusters" -> ("WITH RECURSIVE " + vectorCte.stripPrefix("WITH ") +
+      """,pairs AS (
+        | SELECT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]))
+        |     / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        | WHERE cos >= 0.40),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(x, l) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.x),
+        |comp AS (SELECT x AS vec_id, min(l) AS rep_id FROM reach GROUP BY x),
+        |sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT c.vec_id, c.rep_id,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+        |  c.vec_id = c.rep_id AS is_canonical
+        |FROM comp c JOIN sz USING (rep_id)
+        |ORDER BY vec_id""".stripMargin),
     "ann_cosine_topk" -> (vectorCte +
       """SELECT query_id, neighbor_id, cos, rnk FROM (
         | SELECT query_id, neighbor_id, cos,
