@@ -95,6 +95,29 @@ class PropertySpec extends SparkSpec {
     assert(uncappedPairs.contains((21L, 22L)) && !cappedPairs.contains((21L, 22L)))
   }
 
+  test("property: connectedComponents matches a driver-side union-find on random graphs") {
+    val rnd = new Random(424)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = List.fill(20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (a min b, a max b) }.distinct
+      // reference: classic union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val want = (0 until n).map { v =>
+        v.toLong -> (0 until n).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+
+      val got = Dedup.connectedComponents(
+          (0L until n.toLong).toDF("doc_id"),
+          edges.toDF("doc_a", "doc_b"))
+        .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+      assert(got === want)
+    }
+  }
+
   test("property: saltedJoin is result-equivalent to the plain join") {
     val rnd = new Random(423)
     for (_ <- 1 to 4) {
