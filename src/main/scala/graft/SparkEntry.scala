@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_clusters"         -> (Dedup.dedupClustersQuery _),
     "ngram_stats"            -> (Dedup.ngramStatsQuery _),
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
+    "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),

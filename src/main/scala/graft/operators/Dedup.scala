@@ -376,6 +376,66 @@ object Dedup {
   def ngramStatsQuery(spark: SparkSession, dir: String): DataFrame =
     ngramStats(Tables.documents(spark, dir), k = 3, topN = 50)
 
+  // ---------------------------------------------------------------- incremental
+
+  /** Incremental (delta-vs-corpus) near-dup detection — the nightly
+    * production job: find every (delta doc, corpus doc) pair with
+    * exact Jaccard >= tau WITHOUT ever generating corpus×corpus pairs
+    * (the already-deduped corpus needs no re-pairing) or delta×delta
+    * pairs (run ngramJaccardPairs on the delta separately if wanted).
+    *
+    * The AllPairs prefix bound is one-sided, so it applies
+    * asymmetrically: jac(A,B) >= tau forces |A∩B| >= tau·|A| for the
+    * DELTA doc A (c >= tau(na+nb-c) and c <= nb give both
+    * c >= tau·na and nb >= tau·na), hence B must hit A's first
+    * n - floor(tau·n) + 1 shingles under ANY fixed global order —
+    * correctness never depends on the order, only candidate count
+    * does. Ranking by CORPUS document frequency (delta-only shingles
+    * get df 0, probing an empty posting list) keeps the rarest-first
+    * pruning of the symmetric operator.
+    *
+    * Scale shape: df and the inverted index come from the corpus side
+    * only — both map-side-combined aggregates over a table that, in
+    * production, is the static already-ingested corpus (precompute and
+    * reuse across deltas); the delta side contributes only its tiny
+    * prefix postings to the AQE-splittable equi-join. Verification
+    * joins candidates to both per-doc shingle-set projections, exact
+    * as always. */
+  def incrementalDedupPairs(delta: DataFrame, corpus: DataFrame,
+                            k: Int, tau: Double): DataFrame = {
+    val dSets = docShingleSets(delta, k)
+    val cSets = docShingleSets(corpus, k)
+    val dSh = dSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
+    val cSh = cSets.select(col("doc_id"), explode(col("sset")).as("s"))
+
+    val dfBySh = cSh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = dSh.join(dfBySh, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+
+    val cand = prefix.toDF("doc_a", "sa")
+      .join(cSh.toDF("doc_b", "sb"), col("sa") === col("sb"))
+      .select("doc_a", "doc_b").distinct()
+    // ids are disjoint between delta and corpus, so the shared
+    // verifier reads each side's sets from the union projection
+    verifyJaccard(cand, dSets.unionByName(cSets), tau)
+      .select(col("doc_a").as("delta_id"), col("doc_b").as("corpus_id"),
+        col("jac"))
+  }
+
+  /** Query form: every 5th doc is tonight's delta, the rest the
+    * standing corpus. */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalDedupPairs(docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0), k = 3, tau = 0.7)
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   // ---------------------------------------------------------------- decontam
 
   /** Benchmark decontamination: for every corpus doc, the number of its
@@ -493,6 +553,27 @@ object Dedup {
         |  round(CAST(df AS DOUBLE) / (SELECT count(*) FROM documents), 4)
         |    AS df_ratio
         |FROM df ORDER BY df DESC, s LIMIT 50""".stripMargin),
+    "incremental_dedup" ->
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |cc AS (SELECT doc_id, string_split(text,' ') AS w
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |shd AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+        |  FROM dd, UNNEST(range(1, greatest(len(w)-1,1))) t(i)
+        |  WHERE i+2 <= len(w)),
+        |shc AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+        |  FROM cc, UNNEST(range(1, greatest(len(w)-1,1))) t(i)
+        |  WHERE i+2 <= len(w)),
+        |szd AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1)
+        |SELECT delta_id, corpus_id, round(jac, 4) AS jac FROM (
+        | SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+        |  count(*) * 1.0 / (any_value(na.n) + any_value(nb.n) - count(*)) AS jac
+        | FROM shd a JOIN shc b ON a.s = b.s
+        |  JOIN szd na ON a.doc_id = na.doc_id
+        |  JOIN szc nb ON b.doc_id = nb.doc_id
+        | GROUP BY 1, 2)
+        |WHERE jac >= 0.7 ORDER BY delta_id, corpus_id""".stripMargin,
     "benchmark_decontam" -> (shingleCte +
       """,bench AS (SELECT DISTINCT s FROM sh3 WHERE doc_id % 50 = 0),
         |hits AS (

@@ -93,6 +93,40 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, 1L, true)))
   }
 
+  test("incrementalDedupPairs: delta x corpus only — never delta x delta or corpus x corpus") {
+    val delta = docs(
+      10L -> "a b c d e f",  // exact dup of corpus doc 1
+      11L -> "a b c d e f",  // also dup of corpus 1 AND of delta 10
+      12L -> "p q r s t u")  // novel
+    val corpus = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",   // corpus-internal dup of 1 — must NOT pair
+      3L -> "x y z w v u")
+    val out = Dedup.incrementalDedupPairs(delta, corpus, k = 3, tau = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set(
+      (10L, 1L, 1.0), (10L, 2L, 1.0),
+      (11L, 1L, 1.0), (11L, 2L, 1.0)))
+  }
+
+  test("incrementalDedupPairs matches the symmetric operator restricted to cross pairs") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different text with no overlap at all whatsoever now")
+    val c = docs(
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      4L -> "another unrelated corpus document full of fresh words entirely")
+    val inc = Dedup.incrementalDedupPairs(d, c, k = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val sym = Dedup.ngramJaccardPairs(
+        d.unionByName(c), k = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 2 == 1 && p._2 % 2 == 0)
+    assert(inc === sym)
+    // 10-token texts differing in the last word: 7 of 8 trigrams shared
+    assert(inc === Set((1L, 2L, 0.7778)))
+  }
+
   test("decontaminate: counts distinct shared shingles; short and clean docs report 0") {
     val bench = docs(100L -> "a b c d e")           // shingles: abc bcd cde
     val corpus = docs(
