@@ -420,10 +420,24 @@ object Dedup {
     * as always. */
   def incrementalDedupPairs(delta: DataFrame, corpus: DataFrame,
                             k: Int, tau: Double): DataFrame = {
-    val dSets = docShingleSets(delta, k)
     val cSets = docShingleSets(corpus, k)
+    incrementalDedupWithIndex(delta,
+      cSets.select(col("doc_id"), explode(col("sset")).as("s")), cSets, k, tau)
+  }
+
+  /** The production entry point: probe a PRECOMPUTED corpus index —
+    * `postings` = distinct (doc_id, s) rows, `corpusSets` = per-doc
+    * (doc_id, sset, n) — built once per corpus version (corpusIndex
+    * below) and reused across every delta. Persist the postings with
+    * [[graft.core.Layout.writeBucketed]] on the shingle column and the
+    * nightly candidate join reads the corpus side with ZERO exchange:
+    * only the delta's prefix postings shuffle. */
+  def incrementalDedupWithIndex(delta: DataFrame, postings: DataFrame,
+                                corpusSets: DataFrame,
+                                k: Int, tau: Double): DataFrame = {
+    val dSets = docShingleSets(delta, k)
     val dSh = dSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
-    val cSh = cSets.select(col("doc_id"), explode(col("sset")).as("s"))
+    val cSh = postings
 
     val dfBySh = cSh.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = dSh.join(dfBySh, Seq("s"), "left")
@@ -439,9 +453,16 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     // ids are disjoint between delta and corpus, so the shared
     // verifier reads each side's sets from the union projection
-    verifyJaccard(cand, dSets.unionByName(cSets), tau)
+    verifyJaccard(cand, dSets.unionByName(corpusSets), tau)
       .select(col("doc_a").as("delta_id"), col("doc_b").as("corpus_id"),
         col("jac"))
+  }
+
+  /** Build the reusable corpus-side artifacts for incremental dedup:
+    * (postings bucketable by shingle, per-doc shingle sets). */
+  def corpusIndex(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val cSets = docShingleSets(corpus, k)
+    (cSets.select(col("doc_id"), explode(col("sset")).as("s")), cSets)
   }
 
   /** Query form: every 5th doc is tonight's delta, the rest the

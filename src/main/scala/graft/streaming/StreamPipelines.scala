@@ -128,6 +128,55 @@ object StreamPipelines {
         col("pred_lang"), col("n_docs"), col("total_tokens"), col("avg_tokens"))
   }
 
+  /** Streaming incremental dedup: a delta document STREAM probed
+    * against the static, precomputed corpus index — the ingest-time
+    * form of `Dedup.incrementalDedupPairs`. Emits one row per
+    * (event-time window, delta doc, corpus near-dup) with the EXACT
+    * Jaccard, in append mode once the watermark closes the window.
+    *
+    * Shape: the delta side explodes its distinct shingle set in-row
+    * (map-only, no prefix filter — per-doc df ranking needs a window,
+    * which streams don't support; the corpus postings join is the same
+    * candidate generator, just unpruned), stream-static joins the
+    * postings, and the ONE stateful operator counts shared shingles
+    * per (window, delta doc, corpus doc): the candidate rows are
+    * distinct-by-construction on both sides, so count(*) IS the
+    * intersection size c, and jac = c/(n + cn - c) needs only the two
+    * set sizes — delta n rides the stream, corpus cn joins back
+    * statically AFTER the aggregate. State is bounded by the watermark
+    * horizon; the corpus index is the same artifact the batch probe
+    * uses (bucket it by shingle and the per-batch join never shuffles
+    * the corpus). */
+  def incrementalDedupStream(delta: DataFrame, corpus: DataFrame,
+                             k: Int, tau: Double,
+                             watermark: String = "1 hour",
+                             windowLen: String = "1 day"): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.Dedup
+    val (postings, corpusSets) = Dedup.corpusIndex(corpus, k)
+    val csz = corpusSets.select(col("doc_id").as("corpus_id"),
+      col("n").as("cn"))
+
+    val shaped = delta
+      .withColumn("sset",
+        sort_array(array_distinct(wordShingles(tokens(col("text")), k))))
+      .filter(size(col("sset")) > 0)
+      .select(col("doc_id"), col("ts"),
+        size(col("sset")).cast("long").as("n"),
+        explode(col("sset")).as("s"))
+
+    shaped.withWatermark("ts", watermark)
+      .join(postings.toDF("corpus_id", "cs"), col("s") === col("cs"))
+      .groupBy(window(col("ts"), windowLen), col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("c"), first(col("n")).as("n"))
+      .join(csz, "corpus_id")
+      .withColumn("jac", col("c") / (col("n") + col("cn") - col("c")))
+      .filter(col("jac") >= tau)
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("doc_id").as("delta_id"), col("corpus_id"),
+        round(col("jac"), 4).as("jac"))
+  }
+
   /** The full reference pipeline: parse → enrich → watermark → window.
     * One call from a kafka/memory/socket source to a windowed frame. */
   def endToEnd(stream: DataFrame, dim: DataFrame,

@@ -127,6 +127,19 @@ class DedupSpec extends SparkSpec {
     assert(inc === Set((1L, 2L, 0.7778)))
   }
 
+  test("incrementalDedupWithIndex over a precomputed corpusIndex equals the direct path") {
+    val delta = docs(10L -> "a b c d e f", 12L -> "p q r s t u")
+    val corpus = docs(1L -> "a b c d e g", 3L -> "x y z w v u")
+    val (postings, corpusSets) = Dedup.corpusIndex(corpus, k = 3)
+    val viaIndex = Dedup.incrementalDedupWithIndex(delta, postings, corpusSets,
+        k = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.incrementalDedupPairs(delta, corpus, k = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === direct)
+    assert(viaIndex === Set((10L, 1L, 0.6)))
+  }
+
   test("decontaminate: counts distinct shared shingles; short and clean docs report 0") {
     val bench = docs(100L -> "a b c d e")           // shingles: abc bcd cde
     val corpus = docs(
