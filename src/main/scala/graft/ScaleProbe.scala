@@ -77,7 +77,11 @@ object ScaleProbe {
       // copies are pair-disjoint by construction, so component count
       // grows linearly and propagation ROUNDS stay constant (cluster
       // diameter is a property of the within-copy dup structure)
-      "dedup_clusters"      -> (operators.Dedup.dedupClustersQuery _))
+      "dedup_clusters"      -> (operators.Dedup.dedupClustersQuery _),
+      // delta = every 5th doc of every copy; the corpus inverted index
+      // grows linearly, the delta prefix with it
+      "incremental_dedup"   -> (operators.Dedup.incrementalDedupQuery _),
+      "corpus_prep"         -> (operators.CorpusPrep.corpusPrepQuery _))
 
     factors.foreach { f =>
       val dir = replicate(spark, f)
