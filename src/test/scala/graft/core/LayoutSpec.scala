@@ -33,6 +33,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed corpus postings feed incremental dedup with zero corpus-side shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Dedup
+
+    val corpus = Seq(
+      (1L, "a b c d e g"), (3L, "x y z w v u"), (5L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, "a b c d e f"), (12L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val (postings, corpusSets) = Dedup.corpusIndex(corpus, k = 3)
+    Layout.writeBucketed(postings, "graft_b_postings", "s", 8, sortCols = Seq("s"))
+
+    val old = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.incrementalDedupWithIndex(delta,
+        spark.table("graft_b_postings"), corpusSets, k = 3, tau = 0.5)
+      val plan = probe.queryExecution.executedPlan
+
+      // the bucketed scan is actually used...
+      assert(plan.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }, "bucketed postings scan missing from plan")
+      // ...and the RAW postings are never re-shuffled: every path from
+      // the bucketed scan up to its first s-keyed consumer (the df
+      // aggregate / the candidate join) crosses no exchange. Downstream
+      // exchanges of DERIVED frames (candidate pairs keyed by doc ids)
+      // are expected — they carry candidate-sized data, not the index.
+      def rawPostings(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _: ShuffleExchangeExec => false
+          case n if n.getClass.getSimpleName.contains("Aggregate") => false
+          case n if n.getClass.getSimpleName.contains("Join") => false
+          case n => n.children.exists(rawPostings)
+        }
+      val reshuffled = plan.collect { case s: ShuffleExchangeExec => s }
+        .exists(s => rawPostings(s.child))
+      assert(!reshuffled, s"raw bucketed postings were re-shuffled:\n$plan")
+
+      assert(probe.select("delta_id", "corpus_id").as[(Long, Long)]
+        .collect().toSet === Set((10L, 1L)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", old._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+      spark.sql("DROP TABLE graft_b_postings")
+    }
+  }
+
   test("binnedRangeJoin: same rows as the naive range join, but never a cartesian plan") {
     val rnd = new scala.util.Random(77)
     val points = (1 to 300).map(_ => rnd.nextInt(10000).toLong).toDF("p")
