@@ -34,6 +34,7 @@ object SparkEntry {
     "semi_anti_join"         -> (Relational.semiAntiJoin _),
     "value_percentiles"      -> (Relational.valuePercentiles _),
     "rollup_revenue"         -> (Relational.rollupRevenue _),
+    "cube_segment_revenue"   -> (Relational.cubeSegmentRevenue _),
     "pivot_segment_revenue"  -> (Relational.pivotSegmentRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline

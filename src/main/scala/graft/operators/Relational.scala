@@ -204,6 +204,31 @@ object Relational {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** Full CUBE over two independent dimensions — every (region,
+    * segment) cell PLUS both one-dimensional margins and the grand
+    * total, which ROLLUP's hierarchy cannot express (it only subtotals
+    * along its prefix order). Same single-pass grouping-sets execution
+    * as rollup: 4 grouping sets expand in the aggregate, partial
+    * combine map-side, no extra scans. */
+  def cubeSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("region"), col("segment"))
+  }
+
   /** Wide pivot: per-nation revenue split across market segments as
     * columns — groupBy().pivot() with an explicit segment list (an
     * unlisted pivot would need an extra pass to discover values;
@@ -241,6 +266,16 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "cube_segment_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY region, segment""".stripMargin,
     "pivot_segment_revenue" ->
       """SELECT n_name,
         | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'AUTOMOBILE'), 2), 0) AS "AUTOMOBILE",
