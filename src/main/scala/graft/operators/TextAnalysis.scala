@@ -204,6 +204,7 @@ object TextAnalysis {
     * rows-framed (no range lookback), and pack_id is integer division
     * — no fp drift at any offset magnitude. */
   def packTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     val w = W.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     docs.select(col("doc_id"), col("lang"), col("source"),

@@ -72,6 +72,9 @@ class TextAnalysisSpec extends SparkSpec {
         (2L, "m n", "en", "s1")), budget = 4)
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 0L, 2L -> 3L)) // doc 2 starts at offset 12
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packTokenBudget(sourcedDocs((1L, "a", "en", "s1")), budget = 0)
+    }
   }
 
   test("stratifiedSample: deterministic across runs, rate 0 for unlisted strata, monotone in rate") {
