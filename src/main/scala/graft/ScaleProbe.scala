@@ -117,26 +117,25 @@ object ScaleProbe {
     val cases: Seq[(String, DataFrame)] = Seq(
       "ann_lsh fixed(planes=6)" ->
         operators.Similarity.annLshCandidates(emb, numQ, 6, 1, 64),
-      s"ann_lsh scaled(planes=${6 + log2f * 2})" ->
-        operators.Similarity.annLshCandidates(emb, numQ, 6 + log2f * 2, 1, 64),
-      "ann_ivf fixed(C=16)" -> {
-        val cents = operators.Similarity.vectors(emb)
-          .filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        operators.Similarity.annIvfCandidates(emb, cents, numQ, 4)
-      },
-      s"ann_ivf scaled(C=${16 * f})" -> {
-        val cents = operators.Similarity.vectors(emb)
-          .filter(col("vec_id") < 16 * f)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        operators.Similarity.annIvfCandidates(emb, cents, numQ, 4)
-      })
+      // the documented law: ONE plane per corpus doubling (probe-bucket
+      // occupancy is E[n/2^planes], so +1 plane exactly cancels each 2x)
+      s"ann_lsh scaled(planes=${6 + log2f})" ->
+        operators.Similarity.annLshCandidates(emb, numQ, 6 + log2f, 1, 64),
+      "ann_ivf fixed(C=16)" ->
+        operators.Similarity.annIvfCandidates(emb,
+          operators.Similarity.defaultCentroids(emb, 16), numQ, 4),
+      s"ann_ivf scaled(C=${16 * f})" ->
+        operators.Similarity.annIvfCandidates(emb,
+          operators.Similarity.defaultCentroids(emb, 16 * f), numQ, 4))
 
     cases.foreach { case (name, cand) =>
       val t0 = System.nanoTime()
-      val Array(total, maxQ, avgQ) = cand.groupBy("query_id").count()
-        .agg(sum("count"), max("count"), avg("count"))
-        .head().toSeq.map(v => v.toString.toDouble).toArray
+      val row = cand.groupBy("query_id").count()
+        .agg(sum("count"), max("count"), avg("count")).head()
+      // agg over an empty frame yields one all-null row
+      val Array(total, maxQ, avgQ) = (0 until 3)
+        .map(i => if (row.isNullAt(i)) 0.0 else row.get(i).toString.toDouble)
+        .toArray
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale-ann] factor=$f%-3d $name%-26s ${sec}%7.2fs " +
         f"cand_total=${total.toLong}%-8d cand_max/q=${maxQ.toLong}%-7d cand_avg/q=${avgQ}%.1f")

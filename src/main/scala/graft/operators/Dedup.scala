@@ -322,8 +322,11 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col("doc_id").as("v"), col("doc_id").as("l"))
       .localCheckpoint()
+    // sum() over zero rows is null — an empty node frame must converge
+    // to an empty result, not NPE in the fixpoint compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -431,7 +434,15 @@ object Dedup {
     * below) and reused across every delta. Persist the postings with
     * [[graft.core.Layout.writeBucketed]] on the shingle column and the
     * nightly candidate join reads the corpus side with ZERO exchange:
-    * only the delta's prefix postings shuffle. */
+    * only the delta's prefix postings shuffle.
+    *
+    * CONTRACT: delta and corpus doc_ids must be DISJOINT (assign the
+    * delta ids from a fresh range, the natural ingest shape). The
+    * exact verifier resolves each pair side against the union of both
+    * per-doc set frames, so a doc_id present on both sides would fan
+    * the verification join out to wrong-set comparisons and duplicate
+    * output rows. Not validated at runtime — a distributed
+    * disjointness check would cost a full join per delta. */
   def incrementalDedupWithIndex(delta: DataFrame, postings: DataFrame,
                                 corpusSets: DataFrame,
                                 k: Int, tau: Double): DataFrame = {
@@ -483,18 +494,23 @@ object Dedup {
     * Scale shape: the asymmetry is the design — the corpus is 100 TB
     * but a benchmark is model-sized (thousands of docs), so the
     * benchmark's distinct-shingle union is aggregated small and
-    * BROADCAST; the corpus side is a map-only shingle explode probed
-    * against the broadcast hash (no corpus shuffle at all until the
-    * per-doc count, which combines map-side on doc_id). A benchmark too
-    * big to broadcast degrades gracefully to the same AQE-splittable
-    * equi-join shape as ngramCandidates.
+    * BROADCAST by default; the corpus side is a map-only shingle
+    * explode probed against the broadcast hash (no corpus shuffle at
+    * all until the per-doc count, which combines map-side on doc_id).
+    * The hint is explicit, so it is NOT size-gated: for a benchmark
+    * whose shingle union is too big to broadcast (Spark's 8 GB hard
+    * limit), pass broadcastBenchmark = false and the candidate join
+    * becomes the same AQE-splittable shuffled equi-join shape as
+    * ngramCandidates (AQE may still broadcast it if it measures
+    * small).
     *
     * Corpus docs with no shingles (< k tokens) count 0 — too short to
     * contaminate. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                    k: Int): DataFrame = {
-    val benchShingles = broadcast(
-      shingleSet(benchmark, k).select("s").distinct())
+                    k: Int, broadcastBenchmark: Boolean = true): DataFrame = {
+    val benchDistinct = shingleSet(benchmark, k).select("s").distinct()
+    val benchShingles =
+      if (broadcastBenchmark) broadcast(benchDistinct) else benchDistinct
     val hits = shingleSet(corpus, k)
       .join(benchShingles, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

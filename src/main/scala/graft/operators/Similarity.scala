@@ -248,10 +248,17 @@ object Similarity {
                  numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids,
       s"nProbe must be in [1, numCentroids], got $nProbe")
-    val cents = vectors(emb).filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    topK(annIvfCandidates(emb, cents, numQueries, nProbe), k)
+    topK(annIvfCandidates(emb, defaultCentroids(emb, numCentroids),
+      numQueries, nProbe), k)
   }
+
+  /** The untrained default coarse quantizer: the first C vectors as
+    * centroids. ONE definition — the serving path and ScaleProbe's
+    * occupancy audit must quantize identically or the audit measures a
+    * different operator than it claims. */
+  def defaultCentroids(emb: DataFrame, numCentroids: Int): DataFrame =
+    vectors(emb).filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
 
   /** IVF serving with an EXPLICIT centroid table (cid, ce) — the plan
     * the oracle pins, unchanged whether centroids are the deterministic

@@ -224,13 +224,6 @@ object TextAnalysis {
   private[graft] val sampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 0.3, "es" -> 0.3, "fr" -> 0.2, "zh" -> 0.2)
 
-  /** Deterministic stratified sampling: keep a doc iff the first 32
-    * md5 bits of its doc_id fall below floor(rate(lang) * 2^32). A
-    * pure map-side filter — zero shuffles, zero RNG state — and the
-    * SAME rows are kept on every run, every engine, every cluster
-    * size: the property a training pipeline needs so a re-run (or an
-    * incremental top-up) reproduces the mixture exactly. Unlisted
-    * strata get rate 0. */
   /** The sampling bucket: first 32 md5 bits of doc_id as a long. */
   private[operators] def sampleBucket: Column =
     conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -246,6 +239,13 @@ object TextAnalysis {
     sampleBucket < thresh
   }
 
+  /** Deterministic stratified sampling: keep a doc iff the first 32
+    * md5 bits of its doc_id fall below floor(rate(lang) * 2^32). A
+    * pure map-side filter — zero shuffles, zero RNG state — and the
+    * SAME rows are kept on every run, every engine, every cluster
+    * size: the property a training pipeline needs so a re-run (or an
+    * incremental top-up) reproduces the mixture exactly. Unlisted
+    * strata get rate 0. */
   def stratifiedSample(docs: DataFrame,
                        rates: Seq[(String, Double)]): DataFrame =
     docs.select(col("doc_id"), col("lang"), sampleBucket.as("bucket"))

@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: empty node frame converges to an empty result") {
+    val out = Dedup.connectedComponents(
+      docs().select($"doc_id"),
+      docs().select($"doc_id".as("doc_a"), $"doc_id".as("doc_b")))
+    assert(out.count() === 0)
+  }
+
+  test("decontaminate without the broadcast hint returns identical counts") {
+    val bench = docs(100L -> "a b c d e")
+    val corpus = docs(1L -> "a b c d x", 3L -> "p q r s t")
+    val hinted = Dedup.decontaminate(corpus, bench, k = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val plain = Dedup.decontaminate(corpus, bench, k = 3,
+        broadcastBenchmark = false)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(hinted === plain)
+  }
+
   test("dedupClusters: near-dup chain collapses to one canonical doc") {
     val out = Dedup.dedupClusters(docs(
         1L -> "a b c d e f",
