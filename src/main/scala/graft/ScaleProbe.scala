@@ -106,8 +106,11 @@ object ScaleProbe {
     *    audit that the defaults do NOT silently survive a scale-up.
     *  - `scaled`: the documented tuning law applied — LSH gains one
     *    plane per corpus doubling, IVF grows C linearly with n.
-    *    Expected and observed: candidates/query ≈ constant, which is
-    *    the property that makes these the 100 TB serving paths.
+    *    Expected and observed: IVF candidates/query ≈ constant
+    *    (nProbe·n/C is flat); LSH per-BUCKET occupancy is constant
+    *    while candidates/query grows only with the multi-probe bucket
+    *    count 1 + planes = O(log n) — a log factor versus the fixed
+    *    regime's linear growth. These are the 100 TB serving paths.
     */
   private def annProbe(spark: SparkSession, f: Int, dir: String): Unit = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -188,10 +188,12 @@ object Similarity {
     topK(annLshCandidates(emb, numQueries, numPlanes, probeHamming, dim), k)
 
   /** The candidate frame (query_id, vec_id, cos) BEFORE top-k — exposed
-    * so ScaleProbe can audit per-query candidate volume (the quantity
-    * the planes knob must hold ≈ constant as n grows: occupancy of a
-    * probed bucket is E[n/2^planes], so planes must rise by 1 per
-    * corpus doubling to keep candidate cost flat). */
+    * so ScaleProbe can audit per-query candidate volume. Occupancy of
+    * a probed bucket is E[n/2^planes], so planes must rise by 1 per
+    * corpus doubling to hold per-bucket occupancy flat; total
+    * candidates then grow only with the multi-probe bucket count
+    * (1 + planes at probeHamming=1), i.e. O(log n) versus the linear
+    * growth of fixed knobs — measured in ScaleProbe.annProbe. */
   private[graft] def annLshCandidates(emb: DataFrame, numQueries: Int,
                                       numPlanes: Int, probeHamming: Int,
                                       dim: Int): DataFrame = {
