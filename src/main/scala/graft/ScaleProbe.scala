@@ -93,6 +93,7 @@ object ScaleProbe {
       }
       annProbe(spark, f, dir)
     }
+    bucketBench(spark)
     skewProbe(spark)
     spark.stop()
   }
@@ -143,6 +144,45 @@ object ScaleProbe {
       println(f"[scale-ann] factor=$f%-3d $name%-26s ${sec}%7.2fs " +
         f"cand_total=${total.toLong}%-8d cand_max/q=${maxQ.toLong}%-7d cand_avg/q=${avgQ}%.1f")
     }
+  }
+
+  /** LSH bucket-assignment microbench: native codegen'd
+    * HyperplaneBucket vs the interpreted HOF fold it replaced (kept
+    * inline here as the measured strawman), on the 16×-replicated
+    * embeddings (32k vectors × 64 dims × 6 planes). This is the map
+    * pass that touches EVERY corpus vector on the LSH serving path —
+    * the round-5 `weak`. Both variants aggregate the buckets so the
+    * work can't be optimized away; timing is min of 3 runs. */
+  private def bucketBench(spark: SparkSession): Unit = {
+    val dir = replicate(spark, 16)
+    val planes = Seq.tabulate(6, 64)((p, d) => math.sin(p * 131.0 + d * 7.0))
+    val e = graft.functions.TextFunctions.toDoubleArray(col("embedding"))
+    val nativeB = graft.functions.HyperplaneBucket(e, planes)
+    val foldedB = planes.zipWithIndex.map { case (plane, p) =>
+      val lits = array(plane.map(lit): _*)
+      val dot = aggregate(
+        transform(e, (x, i) => x * element_at(lits, i + 1)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+    // 32k replicated vectors × 32 = 1M rows — enough that per-row
+    // expression cost dominates the ~0.2s local job-scheduling floor
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("rep", explode(sequence(lit(1), lit(32))))
+      .repartition(32).persist()
+    val n = emb.count()
+    def time(bucket: Column): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      emb.select(bucket.as("b")).groupBy("b").count()
+        .agg(count(lit(1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val (tn, tf) = (time(nativeB), time(foldedB))
+    emb.unpersist()
+    println(f"[scale-bucket] n=$n native=${tn}%.3fs interpreted=${tf}%.3fs " +
+      f"speedup=${tf / tn}%.1fx per_row_native=${tn / n * 1e6}%.2fus " +
+      f"per_row_interpreted=${tf / n * 1e6}%.2fus")
   }
 
   /** Salted-join skew measurement: one key owns ~30% of a 2M-row fact

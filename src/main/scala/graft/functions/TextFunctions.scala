@@ -45,6 +45,8 @@ object TextFunctions {
 
   /** float[] parquet column → double[] (exact: every float32 is
     * representable as float64, and double products of floats are exact
-    * to 48 bits < 53). */
-  def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
+    * to 48 bits < 53). A native array cast, NOT `transform(_, cast)`:
+    * the element-wise lambda form drags an interpreted lambdafunction
+    * into every ANN plan's scan stage, while Cast stays codegen'd. */
+  def toDoubleArray(a: Column): Column = a.cast("array<double>")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window => W}
 
 import graft.core.Tables
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HyperplaneBucket}
 import graft.functions.TextFunctions._
 
 /** Embedding similarity: cosine near-dup pairs, brute-force top-k ANN
@@ -154,13 +154,6 @@ object Similarity {
     Seq.tabulate(numPlanes, dim)((p, d) => h(s"plane#$p#$d"))
   }
 
-  private def dotLit(e: Column, plane: Seq[Double]): Column = {
-    val lits = array(plane.map(lit): _*)
-    aggregate(
-      transform(e, (x, i) => x * element_at(lits, i + 1)),
-      lit(0.0d), (acc, x) => acc + x)
-  }
-
   /** All XOR masks of Hamming weight <= r over `planes` bits — the
     * multi-probe neighborhood. Driver-side constant (2^planes masks
     * scanned; planes is single-digit). */
@@ -200,17 +193,20 @@ object Similarity {
     require(probeHamming >= 0 && probeHamming <= numPlanes,
       s"probeHamming must be in [0, numPlanes], got $probeHamming")
     val v = vectors(emb)
-    val planes = planeMatrix(numPlanes, dim)
-    val bucket = (0 until numPlanes).map { p =>
-      when(dotLit(col("e"), planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-
-    val vb = v.withColumn("bucket", bucket)
-    val probes = array(probeMasks(numPlanes, probeHamming).map(lit): _*)
+    // Bucket assignment is the ONE expression that touches every corpus
+    // vector, so it is the native codegen'd HyperplaneBucket — a
+    // primitive numPlanes×dim loop, not numPlanes interpreted HOF
+    // folds (bit-parity with the old fold pinned by HyperplaneBucketSpec).
+    val vb = v.withColumn("bucket",
+      HyperplaneBucket(col("e"), planeMatrix(numPlanes, dim)))
+    // Explode the LITERAL mask array first, then XOR as a plain column
+    // op — keeps the probe expansion codegen'd too (a transform lambda
+    // over the masks would be the plan's only interpreted expression).
     val q = vb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("eq"),
-        explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
-          .as("probe"))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("bucket"),
+        explode(array(probeMasks(numPlanes, probeHamming).map(lit): _*)).as("m"))
+      .select(col("query_id"), col("eq"),
+        col("bucket").bitwiseXOR(col("m")).as("probe"))
 
     broadcast(q)
       .join(vb, col("probe") === col("bucket") &&

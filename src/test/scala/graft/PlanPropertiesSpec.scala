@@ -46,6 +46,25 @@ class PlanPropertiesSpec extends SparkSpec {
       "expected a map-side-combined aggregate for document frequency")
   }
 
+  test("ANN / similarity plans contain NO interpreted lambda expressions") {
+    // These queries' map passes touch every corpus vector; an
+    // interpreted HOF (aggregate/transform lambdafunction) there is a
+    // 10-30x constant factor on the one full-corpus stage of the ANN
+    // path (the round-5 `weak`). Bucket assignment is the native
+    // HyperplaneBucket, cosines are the native CosineSimilarity, the
+    // float→double widening is a native Cast, and the probe expansion
+    // explodes a literal mask array — so the WHOLE plan must be
+    // lambda-free, pinned here.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("ann_lsh_topk", "ann_cosine_topk", "ann_ivf_topk",
+        "embed_cosine_neardup")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"),
+        s"$name plans an interpreted lambda expression")
+    }
+  }
+
   test("relational scans push their filters into parquet") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("q3_top_unshipped", "q5_region_revenue")) {

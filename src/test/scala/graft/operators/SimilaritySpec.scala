@@ -172,7 +172,10 @@ class SimilaritySpec extends SparkSpec {
     // two tight clusters; query 0 must retrieve its own cluster-mates
     val vecs = (0L to 3L).map(i => i -> Seq(1f, 0.01f * i, 0f)) ++
       (4L to 7L).map(i => i -> Seq(-1f, 0f, 0.01f * i))
-    val out = Similarity.annLshTopK(emb(vecs: _*), numQueries = 1, k = 3, numPlanes = 4)
+    // dim must match the vectors: HyperplaneBucket nulls (excludes)
+    // mismatched rows rather than silently dotting a plane prefix
+    val out = Similarity.annLshTopK(emb(vecs: _*), numQueries = 1, k = 3,
+      numPlanes = 4, dim = 3)
       .select("neighbor_id").as[Long].collect().toSet
     assert(out.nonEmpty && out.subsetOf(Set(1L, 2L, 3L)))
   }
