@@ -92,6 +92,7 @@ object ScaleProbe {
         println(f"[scale] factor=$f%-3d $name%-22s ${sec}%8.2fs rows=$rows")
       }
       annProbe(spark, f, dir)
+      ccProbe(spark, f, dir)
     }
     bucketBench(spark)
     skewProbe(spark)
@@ -144,6 +145,26 @@ object ScaleProbe {
       println(f"[scale-ann] factor=$f%-3d $name%-26s ${sec}%7.2fs " +
         f"cand_total=${total.toLong}%-8d cand_max/q=${maxQ.toLong}%-7d cand_avg/q=${avgQ}%.1f")
     }
+  }
+
+  /** Frontier-size audit for connectedComponents' delta iteration on
+    * the CHAINED graph (the embedding tau=0.4 cosine pairs — text
+    * components are near-cliques that converge in 2 rounds and prove
+    * nothing). The frontier IS the per-round shuffle volume: the label
+    * and edge frames are co-partitioned once, so only frontier-sized
+    * frames move after round 1 — the audit shows it collapsing
+    * geometrically instead of staying at n like full-frame rounds. */
+  private def ccProbe(spark: SparkSession, f: Int, dir: String): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t0 = System.nanoTime()
+    val (out, frontiers) = operators.Dedup.connectedComponentsWithStats(
+      operators.Similarity.vectors(emb).select(col("vec_id").as("doc_id")),
+      operators.Similarity.cosineNearDupPairs(emb, 0.40)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val rows = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-cc] factor=$f%-3d embed graph rounds=${frontiers.size} " +
+      f"${sec}%.2fs rows=$rows frontier_sizes=${frontiers.mkString("[", ",", "]")}")
   }
 
   /** LSH bucket-assignment microbench: native codegen'd

@@ -290,76 +290,122 @@ object Dedup {
     * when A,C share nothing); the unit of deduplication is the
     * CLUSTER, i.e. the connected component of the pair graph.
     *
-    * Scale shape: labels and edges are fixed-width long frames; each
-    * round is one equi-join (AQE-splittable, skew-safe) plus one
-    * map-side-combined min() aggregate, then a POINTER-JUMPING step
-    * l(v) ← l(l(v)) (one more equi-join on the label frame) — no
+    * Scale shape — FRONTIER (delta) iteration: only labels that
+    * DECREASED last round re-enter the propagation join. Edges are
+    * hash-partitioned on src and labels on v ONCE (localCheckpoint
+    * preserves the physical partitioning, so the planner re-exchanges
+    * NEITHER big frame in later rounds); each round then shuffles only
+    * frontier-sized frames — candidate proposals from frontier-adjacent
+    * edges (an equi-join + map-side-combined min), the improved-row
+    * merge back into the co-partitioned label frame, and a POINTER-
+    * JUMPING hop l(v) ← l(l(v)) applied to the improved rows. No
     * windows, no driver-side graph. Propagation alone needs
-    * diameter-many rounds; composing each round with pointer jumping
-    * doubles the effective reach per round, so convergence is
-    * O(log diameter) — text near-dup components are band-induced
-    * near-cliques (diameter 2-3) where this barely matters, but
-    * embedding-threshold graphs chain (measured: the tau=0.4 cosine
-    * graph converged ~4x faster with jumping). Correctness is
-    * unaffected: every label is a node id from the same component
+    * diameter-many rounds; jumping composes the previous round's reach
+    * into each new label, so convergence stays O(log diameter) — text
+    * near-dup components are band-induced near-cliques (diameter 2-3)
+    * where this barely matters, but embedding-threshold graphs chain
+    * (measured: the tau=0.4 cosine graph converged ~4x faster with
+    * jumping, and ScaleProbe's [scale-cc] line shows the frontier —
+    * i.e. per-round shuffle volume — collapsing geometrically while
+    * the old form re-shuffled all n labels every round). Correctness
+    * is unaffected: every label is a node id from the same component
     * (composition of labels stays in-component), labels are monotone
-    * non-increasing and bounded by the component minimum, and at
-    * fixpoint edge-stability forces labels constant per component —
-    * the constant c satisfies c >= min (it IS a node id) and
-    * c = l(min) <= min, hence exactly min. localCheckpoint truncates
-    * lineage so round i+1 does not replay rounds 1..i, and
-    * convergence detection is exact without a diff join: labels are
-    * monotone non-increasing, so the label SUM (decimal — a 10B-doc id
-    * sum overflows a long) is strictly decreasing until fixpoint.
+    * non-increasing and bounded by the component minimum, and an empty
+    * frontier is an EXACT fixpoint — if some edge (u,v) still had
+    * l(u) < l(v), then the round after u's label last decreased would
+    * have proposed l(u) to v and improved it, so that round's frontier
+    * was nonempty. At fixpoint labels are edge-stable, hence constant
+    * per component; the constant c satisfies c >= min (it IS an
+    * in-component node id) and c = l(min) <= min, hence exactly min.
+    * localCheckpoint truncates lineage so round i+1 does not replay
+    * rounds 1..i.
     *
     * @param nodes one row per doc_id (singletons become their own
     *   cluster); @param pairs (doc_a, doc_b) undirected edges. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIters: Int = 50): DataFrame = {
-    val edges = pairs
+                          maxIters: Int = 50): DataFrame =
+    connectedComponentsWithStats(nodes, pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the per-round frontier sizes (the
+    * rows shuffled per round) — exposed so ScaleProbe can audit that
+    * delta iteration actually shrinks per-round work. */
+  private[graft] def connectedComponentsWithStats(
+      nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, Seq[Long]) = {
+    val sess = nodes.sparkSession
+    val p = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    // Pair GENERATION (often a heavy join, e.g. the block-tiled cosine
+    // join) runs under whatever AQE setting the session has — only the
+    // fixpoint loop below needs AQE off.
+    val rawEdges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // AQE OFF for the loop's checkpoints: an AdaptiveSparkPlan reports
+    // UnknownPartitioning until finalized, so localCheckpoint under AQE
+    // records NO partitioning and every round would re-shuffle the full
+    // label/edge frames — exactly what delta iteration exists to avoid.
+    // With AQE off the checkpoint preserves hashpartitioning(key, p)
+    // and each round's joins move only frontier-sized frames (pinned by
+    // PlanPropertiesSpec). Residual: skew in edges⋈frontier is not
+    // AQE-split inside the loop; edge skew is bounded upstream by the
+    // pair generators' banding/maxDf caps.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeSaved = sess.conf.get(aqeKey)
+    sess.conf.set(aqeKey, "false")
+    try {
+      connectedComponentsLoop(rawEdges, nodes, p, maxIters)
+    } finally sess.conf.set(aqeKey, aqeSaved)
+  }
+
+  private def connectedComponentsLoop(rawEdges: DataFrame, nodes: DataFrame,
+                                      p: Int, maxIters: Int): (DataFrame, Seq[Long]) = {
+    val edges = rawEdges.repartition(p, col("src")).localCheckpoint()
     var labels = nodes.select(col("doc_id").as("v"), col("doc_id").as("l"))
-      .localCheckpoint()
-    // sum() over zero rows is null — an empty node frame must converge
-    // to an empty result, not NPE in the fixpoint compare
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var converged = false
+      .repartition(p, col("v")).localCheckpoint()
+    // round 0: every vertex is "changed" (carries its own id as label)
+    var frontier = labels
+    var frontierN = frontier.count()
+    val stats = scala.collection.mutable.ArrayBuffer[Long]()
     var it = 0
-    while (!converged && it < maxIters) {
-      val prop = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("l"))
-      val propagated = labels.union(prop)
-        .groupBy("v").agg(min("l").as("l"))
-      // pointer jumping: follow the label one more hop. l(l(v)) always
-      // exists (every label is a node id, every node has a label row)
-      // and is <= l(v) by monotonicity; least() guards the invariant
-      // regardless.
-      val next = propagated.toDF("v", "l0")
-        .join(propagated.toDF("lv", "ll"), col("l0") === col("lv"), "left")
-        .select(col("v"),
-          least(col("l0"), coalesce(col("ll"), col("l0"))).as("l"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+    while (frontierN > 0 && it < maxIters) {
+      // proposals reachable from last round's changes only
+      val cand = edges.join(frontier.toDF("fv", "fl"), col("src") === col("fv"))
+        .select(col("dst").as("v"), col("fl").as("cl"))
+        .groupBy("v").agg(min("cl").as("cl"))
+      // rows that actually improve (labels side is co-partitioned on v
+      // — only the frontier-sized cand frame moves)
+      val improved = cand.join(labels, "v")
+        .filter(col("cl") < col("l"))
+        .select(col("v"), col("cl"))
+      // pointer jumping: follow the new label one more hop through the
+      // label map. l(cl) always exists (every label is a node id) and
+      // is <= cl by monotonicity; least() guards the invariant anyway.
+      val jumped = improved
+        .join(labels.toDF("jv", "jl"), col("cl") === col("jv"), "left")
+        .select(col("v"), least(col("cl"), coalesce(col("jl"), col("cl"))).as("l"))
+        .repartition(p, col("v")).localCheckpoint()
+      frontierN = jumped.count()
+      stats += frontierN
+      if (frontierN > 0) {
+        labels = labels.join(jumped.toDF("cv", "nl"), col("v") === col("cv"), "left")
+          .select(col("v"), coalesce(col("nl"), col("l")).as("l"))
+          .localCheckpoint()
+        frontier = jumped
+      }
       it += 1
     }
-    require(converged,
+    require(frontierN == 0,
       s"component diameter exceeds maxIters=$maxIters propagation rounds")
     // cluster_size as an aggregate joined back, NOT a window over
     // rep_id: a pathological giant cluster would otherwise sort in one
     // window partition (same reasoning as the shingle-df fix above)
     val comp = labels.select(col("v").as("doc_id"), col("l").as("rep_id"))
     val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "rep_id")
+    val out = comp.join(sizes, "rep_id")
       .select(col("doc_id"), col("rep_id"), col("cluster_size"),
         (col("doc_id") === col("rep_id")).as("is_canonical"))
+    (out, stats.toSeq)
   }
 
   /** Cluster-level dedup over the exact n-gram Jaccard pair graph:

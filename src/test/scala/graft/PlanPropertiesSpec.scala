@@ -65,6 +65,40 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("co-partitioned localCheckpoint frames join with ZERO exchange " +
+      "(the contract connectedComponents' frontier rounds rely on)") {
+    // connectedComponents partitions labels/edges on their join keys
+    // once and localCheckpoints them; every later round's joins must
+    // reuse that partitioning (shuffling only frontier-sized frames)
+    // or delta iteration silently degrades to full-frame shuffles.
+    // The partitioning is only RECORDED with AQE off (an adaptive plan
+    // reports UnknownPartitioning at checkpoint time), which is why
+    // the fixpoint loop disables AQE around its checkpoints — pin the
+    // planner behavior that decision rests on.
+    import org.apache.spark.sql.functions.col
+    val p = 4
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      // a small frontier broadcasts (zero shuffle anywhere — fine);
+      // the load-bearing case is a LARGE frontier, where both sides
+      // must reuse the checkpointed hash partitioning
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val labels = spark.range(1000)
+        .select(col("id").as("v"), col("id").as("l"))
+        .repartition(p, col("v")).localCheckpoint()
+      val delta = spark.range(10)
+        .select(col("id").as("cv"), col("id").as("nl"))
+        .repartition(p, col("cv")).localCheckpoint()
+      val merged = labels.join(delta, col("v") === col("cv"), "left")
+      merged.collect()
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"pre-partitioned checkpointed join still plans a shuffle:\n$plan")
+    } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
+  }
+
   test("relational scans push their filters into parquet") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("q3_top_unshipped", "q5_region_revenue")) {
