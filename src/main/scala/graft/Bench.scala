@@ -100,7 +100,50 @@ object Bench {
         s""","scaling":$entries"""
       } else ""
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed$scaling,"sf":"$sfDir"}"""
+    // Standing-baseline comparison (BASELINE.md, round-5 judge directive
+    // #3): per-query ratio of this run's minimum to the recorded
+    // baseline minimum at the same SF. Ratios are the judged statistic
+    // — minima-vs-minima filters the host's 3-4x phantom-load noise;
+    // >1.5 is flagged as a regression, <0.67 as an improvement, and a
+    // query the baseline doesn't know is listed, not counted.
+    val vsBaseline = try {
+      val bestMap = best.toMap
+      val md = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+      val sfKey =
+        if (sfDir.endsWith("sf0.1")) Some("sf01")
+        else if (sfDir.endsWith("sf0.01")) Some("sf001")
+        else None
+      val block = "(?s)```json\\n(.*?)\\n```".r.findFirstMatchIn(md).map(_.group(1))
+      (sfKey zip block).headOption.map { case (key, js) =>
+        import org.json4s._
+        val baseMap = org.json4s.jackson.JsonMethods.parse(js) \ key match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        val known = names.filter(n => baseMap.getOrElse(n, -1.0) > 0 && bestMap(n) >= 0)
+        val ratios = known.map(n => n -> (bestMap(n) / baseMap(n) * 100).round / 100.0)
+        val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        def list(f: Double => Boolean) = ratios.collect { case (k, v) if f(v) => "\"" + k + "\"" }
+          .mkString("[", ",", "]")
+        val newQs = names.filterNot(baseMap.contains).map("\"" + _ + "\"")
+          .mkString("[", ",", "]")
+        val baseTotal = known.map(baseMap).sum
+        val curTotal = known.map(bestMap).sum
+        val totalRatio = if (baseTotal > 0) (curTotal / baseTotal * 100).round / 100.0 else -1.0
+        s""","vs_baseline":{"ratios":$ratioJson,"regressions":${list(_ > 1.5)},""" +
+          s""""improvements":${list(_ < 0.67)},"new_queries":$newQs,""" +
+          s""""baseline_total":${(baseTotal * 1000).round / 1000.0},"total_ratio":$totalRatio}"""
+      }.getOrElse("")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline compare skipped: ${e.getMessage}"); ""
+    }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed$scaling$vsBaseline,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: log-capture windows have truncated the
     // stdout line two rounds running, losing per-query timings.

@@ -333,7 +333,6 @@ object Dedup {
       nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): (DataFrame, Seq[Long]) = {
     val sess = nodes.sparkSession
-    val p = sess.conf.get("spark.sql.shuffle.partitions").toInt
     // Pair GENERATION (often a heavy join, e.g. the block-tiled cosine
     // join) runs under whatever AQE setting the session has — only the
     // fixpoint loop below needs AQE off.
@@ -341,15 +340,28 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    // AQE OFF for the loop's checkpoints: an AdaptiveSparkPlan reports
-    // UnknownPartitioning until finalized, so localCheckpoint under AQE
-    // records NO partitioning and every round would re-shuffle the full
-    // label/edge frames — exactly what delta iteration exists to avoid.
-    // With AQE off the checkpoint preserves hashpartitioning(key, p)
-    // and each round's joins move only frontier-sized frames (pinned by
-    // PlanPropertiesSpec). Residual: skew in edges⋈frontier is not
-    // AQE-split inside the loop; edge skew is bounded upstream by the
-    // pair generators' banding/maxDf caps.
+    // Partition count sized to the GRAPH, not the session conf: with
+    // AQE off (below) nothing coalesces tiny shuffles, and a fixpoint
+    // loop multiplies per-task scheduling overhead by (stages × rounds)
+    // — 32-partition stages on a 2k-node graph cost more than the work.
+    // Rows are 16-byte longs, so 4M rows/partition ≈ 64 MB shuffle
+    // blocks; the session's shuffle.partitions caps it (that conf IS
+    // the cluster's declared parallelism — at 10B docs it, not this
+    // divisor, is the binding term).
+    val confP = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphRows = math.max(rawEdges.count(), nodes.count())
+    val p = math.max(1L, math.min(confP.toLong,
+      (graphRows + 4000000L - 1) / 4000000L)).toInt
+    // AQE OFF for the loop: an AdaptiveSparkPlanExec reports
+    // UnknownPartitioning even once finalized, so a checkpoint under
+    // AQE records NO partitioning and every round would re-shuffle the
+    // full label/edge frames — exactly what delta iteration exists to
+    // avoid. With AQE off the checkpoint preserves
+    // hashpartitioning(key, p) and each round's joins move only
+    // frontier-sized frames (pinned by PlanPropertiesSpec). Residual:
+    // skew in edges⋈frontier is not AQE-split inside the loop; edge
+    // skew is bounded upstream by the pair generators' banding/maxDf
+    // caps.
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeSaved = sess.conf.get(aqeKey)
     sess.conf.set(aqeKey, "false")
@@ -360,37 +372,62 @@ object Dedup {
 
   private def connectedComponentsLoop(rawEdges: DataFrame, nodes: DataFrame,
                                       p: Int, maxIters: Int): (DataFrame, Seq[Long]) = {
-    val edges = rawEdges.repartition(p, col("src")).localCheckpoint()
-    var labels = nodes.select(col("doc_id").as("v"), col("doc_id").as("l"))
-      .repartition(p, col("v")).localCheckpoint()
+    // ALL in-loop checkpoints are GraftBridge.localCheckpointFlat, not
+    // Dataset.localCheckpoint: the standard form captures the plan's
+    // estimated Statistics into the LogicalRDD, and the size-only
+    // estimator MULTIPLIES join children's sizes — so checkpoint-of-
+    // checkpoint chains compound the estimate geometrically (measured:
+    // a 53-million-bit sizeInBytes BigInt by round 13, with seconds of
+    // driver time per round spent on BigInt arithmetic between jobs).
+    // The flat variant keeps the materialized RDD, truncated lineage,
+    // and the preserved hashpartitioning the round joins rely on, and
+    // drops only the stats capture.
+    import org.apache.spark.sql.GraftBridge.localCheckpointFlat
+    val edges = localCheckpointFlat(rawEdges.repartition(p, col("src")))
+    var labels = localCheckpointFlat(
+      nodes.select(col("doc_id").as("v"), col("doc_id").as("l"))
+        .repartition(p, col("v")))
     // round 0: every vertex is "changed" (carries its own id as label)
     var frontier = labels
     var frontierN = frontier.count()
     val stats = scala.collection.mutable.ArrayBuffer[Long]()
     var it = 0
+    // Per-round cost discipline: the SMALL (frontier-derived) side of
+    // every join carries a shuffle_hash hint, so the planner builds the
+    // hash map from it and STREAMS the big co-partitioned frame — a
+    // sort-merge join would re-sort all n labels every round, an
+    // O(n log n) per-round tax delta iteration exists to avoid.
     while (frontierN > 0 && it < maxIters) {
+      val tRound = System.nanoTime()
       // proposals reachable from last round's changes only
-      val cand = edges.join(frontier.toDF("fv", "fl"), col("src") === col("fv"))
+      val cand = edges
+        .join(frontier.toDF("fv", "fl").hint("shuffle_hash"),
+          col("src") === col("fv"))
         .select(col("dst").as("v"), col("fl").as("cl"))
         .groupBy("v").agg(min("cl").as("cl"))
       // rows that actually improve (labels side is co-partitioned on v
       // — only the frontier-sized cand frame moves)
-      val improved = cand.join(labels, "v")
+      val improved = cand.hint("shuffle_hash").join(labels, "v")
         .filter(col("cl") < col("l"))
         .select(col("v"), col("cl"))
       // pointer jumping: follow the new label one more hop through the
       // label map. l(cl) always exists (every label is a node id) and
       // is <= cl by monotonicity; least() guards the invariant anyway.
-      val jumped = improved
-        .join(labels.toDF("jv", "jl"), col("cl") === col("jv"), "left")
-        .select(col("v"), least(col("cl"), coalesce(col("jl"), col("cl"))).as("l"))
-        .repartition(p, col("v")).localCheckpoint()
+      val jumped = localCheckpointFlat(
+        improved.hint("shuffle_hash")
+          .join(labels.toDF("jv", "jl"), col("cl") === col("jv"), "left")
+          .select(col("v"), least(col("cl"), coalesce(col("jl"), col("cl"))).as("l"))
+          .repartition(p, col("v")))
       frontierN = jumped.count()
       stats += frontierN
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc-debug] round=$it frontier=$frontierN " +
+          f"wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
       if (frontierN > 0) {
-        labels = labels.join(jumped.toDF("cv", "nl"), col("v") === col("cv"), "left")
-          .select(col("v"), coalesce(col("nl"), col("l")).as("l"))
-          .localCheckpoint()
+        labels = localCheckpointFlat(labels
+          .join(jumped.toDF("cv", "nl").hint("shuffle_hash"),
+            col("v") === col("cv"), "left")
+          .select(col("v"), coalesce(col("nl"), col("l")).as("l")))
         frontier = jumped
       }
       it += 1
