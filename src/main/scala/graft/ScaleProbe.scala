@@ -93,6 +93,7 @@ object ScaleProbe {
       }
       annProbe(spark, f, dir)
       ccProbe(spark, f, dir)
+      ppjoinProbe(spark, f, dir)
     }
     bucketBench(spark)
     skewProbe(spark)
@@ -145,6 +146,27 @@ object ScaleProbe {
       println(f"[scale-ann] factor=$f%-3d $name%-26s ${sec}%7.2fs " +
         f"cand_total=${total.toLong}%-8d cand_max/q=${maxQ.toLong}%-7d cand_avg/q=${avgQ}%.1f")
     }
+  }
+
+  /** PPJoin candidate-volume audit: the same corpus and tau, candidates
+    * from the plain AllPairs prefix×full join vs the PPJoin
+    * prefix×prefix + size + positional filters. The verified OUTPUT is
+    * identical (property-tested); this measures how much of the verify
+    * join the filters delete — the quantity that scales the ONE
+    * remaining joint-frequency-driven stage of the dedup path. */
+  private def ppjoinProbe(spark: SparkSession, f: Int, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def run(pp: Boolean): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = operators.Dedup.ngramCandidates(docs, k = 3, tau = 0.7,
+        maxDf = Long.MaxValue, ppjoin = pp).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nPp, tPp) = run(true)
+    val (nAll, tAll) = run(false)
+    println(f"[scale-ppjoin] factor=$f%-3d cand_allpairs=$nAll%-8d " +
+      f"cand_ppjoin=$nPp%-8d cut=${100.0 * (nAll - nPp) / math.max(nAll, 1)}%.1f%% " +
+      f"wall_allpairs=${tAll}%.2fs wall_ppjoin=${tPp}%.2fs")
   }
 
   /** Frontier-size audit for connectedComponents' delta iteration on

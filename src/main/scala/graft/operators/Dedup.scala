@@ -116,10 +116,35 @@ object Dedup {
     * Output with the default cap is identical to a naive
     * all-shared-shingle-pairs scan (the oracle is exactly that); only
     * the candidate generation shrinks. */
+  /** PPJoin pruning predicates shared by the self-join and the
+    * incremental probe. All integer-vs-τ·n comparisons carry +0.5
+    * slack: n, pos are exact longs but τ·n is double arithmetic, and
+    * the slack guarantees float rounding can only OVER-admit a
+    * candidate (verification is exact, so over-admission costs time,
+    * never correctness).
+    *
+    *  - size filter: jac(A,B) >= tau forces tau*na <= nb <= na/tau;
+    *  - positional filter: a candidate row that meets on a token at
+    *    (1-based) positions (pa, pb) of the df-ranked sets bounds the
+    *    overlap by 1 + min(na-pa, nb-pb); the pair qualifies only if
+    *    that bound reaches the required overlap
+    *    ceil(tau/(1+tau)·(na+nb)). Correct per-row because for the
+    *    SMALLEST common token every other common token sits after it
+    *    on both sides, so that row's bound >= |A∩B| — a pair is kept
+    *    if ANY of its meeting rows passes. */
+  private def ppjoinFilters(tau: Double): Column =
+    (col("nb") + 0.5 >= lit(tau) * col("na")) &&
+      (col("na") + 0.5 >= lit(tau) * col("nb")) &&
+      (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) + 0.5 >=
+        lit(tau / (1 + tau)) * (col("na") + col("nb")))
+
   /** Candidate pairs only (exposed for bound tests): everything in
-    * ngramJaccardPairs before exact verification. */
+    * ngramJaccardPairs before exact verification.
+    * @param ppjoin when false, falls back to the plain AllPairs
+    *   prefix×full join (kept for ScaleProbe's candidate-cut audit). */
   private[graft] def ngramCandidates(docs: DataFrame, k: Int, tau: Double,
-                                     maxDf: Long): DataFrame = {
+                                     maxDf: Long,
+                                     ppjoin: Boolean = true): DataFrame = {
     val docSets = docShingleSets(docs, k)
     val sh = docSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
     // df per shingle as an aggregate (map-side combined: hot shingles
@@ -135,16 +160,37 @@ object Dedup {
       row_number().over(W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
     val prefix = ranked
       .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
-      .select(col("doc_id"), col("s"))
 
-    // probe side needs no df filter of its own: df is a function of the
-    // join key, so equality with a kept prefix shingle implies df<=maxDf
-    val a = prefix.toDF("doc_a", "sa")
-    val b = sh.select(col("doc_id"), col("s")).toDF("doc_b", "sb")
-    a.join(b, a("sa") === b("sb") && a("doc_a") =!= b("doc_b"))
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct()
+    // PREFIX×PREFIX join (symmetric prefix filter): a qualifying pair's
+    // smallest common token under the global (df, s) order must sit in
+    // BOTH prefixes — if it fell outside A's prefix, every common token
+    // would, capping the overlap below ceil(tau*na). So the probe side
+    // shrinks to the same ~(1-tau) fraction as the indexed side, and
+    // the positional/size filters prune meetings that cannot reach the
+    // required overlap. With maxDf capped, positions are ranks among
+    // KEPT tokens while n stays the full set size — the positional
+    // bound only widens, preserving the documented recall caveat
+    // unchanged. (The probe side needs no df filter of its own: df is
+    // a function of the join key, so equality with a kept prefix
+    // shingle implies df <= maxDf.)
+    if (ppjoin) {
+      val a = prefix.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+        col("n").as("na"), col("pos").as("pa"))
+      val b = prefix.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+        col("n").as("nb"), col("pos").as("pb"))
+      a.join(b, col("sa") === col("sb") && col("doc_a") =!= col("doc_b") &&
+          ppjoinFilters(tau))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+    } else {
+      val a = prefix.select(col("doc_id"), col("s")).toDF("doc_a", "sa")
+      val b = sh.select(col("doc_id"), col("s")).toDF("doc_b", "sb")
+      a.join(b, col("sa") === col("sb") && col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+    }
   }
 
   def ngramJaccardPairs(docs: DataFrame, k: Int, tau: Double,
@@ -506,9 +552,8 @@ object Dedup {
     * as always. */
   def incrementalDedupPairs(delta: DataFrame, corpus: DataFrame,
                             k: Int, tau: Double): DataFrame = {
-    val cSets = docShingleSets(corpus, k)
-    incrementalDedupWithIndex(delta,
-      cSets.select(col("doc_id"), explode(col("sset")).as("s")), cSets, k, tau)
+    val (postings, cSets) = corpusIndex(corpus, k)
+    incrementalDedupWithIndex(delta, postings, cSets, k, tau)
   }
 
   /** The production entry point: probe a PRECOMPUTED corpus index —
@@ -531,19 +576,36 @@ object Dedup {
                                 k: Int, tau: Double): DataFrame = {
     val dSets = docShingleSets(delta, k)
     val dSh = dSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
-    val cSh = postings
 
-    val dfBySh = cSh.groupBy("s").agg(count(lit(1)).as("df"))
+    // Delta tokens rank under the SAME global (df, s) order the index
+    // was built with: df comes from the index postings themselves
+    // (bucketed index → the aggregate needs no corpus exchange), and
+    // tokens unseen in the corpus take df = 0 — they sort first, which
+    // only pushes common tokens later in the delta's ranks; the prefix
+    // theorem is position-arithmetic within each record, so order
+    // consistency on COMMON tokens is all it needs.
+    val dfBySh = postings.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = dSh.join(dfBySh, Seq("s"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("pos", row_number().over(
         W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-    val prefix = ranked
+    val dPrefix = ranked
       .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id").as("doc_a"), col("s").as("sa"),
+        col("n").as("na"), col("pos").as("pa"))
 
-    val cand = prefix.toDF("doc_a", "sa")
-      .join(cSh.toDF("doc_b", "sb"), col("sa") === col("sb"))
+    // Corpus side: PREFIX of the ranked index, a map-only filter on the
+    // index read (pos/n are precomputed at build time, so the prefix
+    // bound — which depends on the probe-time tau — costs nothing and
+    // the index stays tau-agnostic). Symmetric prefix theorem: the
+    // smallest common token of a qualifying pair lies in both prefixes.
+    val cPrefix = postings
+      .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
+      .select(col("doc_id").as("doc_b"), col("s").as("sb"),
+        col("n").as("nb"), col("pos").as("pb"))
+
+    val cand = dPrefix
+      .join(cPrefix, col("sa") === col("sb") && ppjoinFilters(tau))
       .select("doc_a", "doc_b").distinct()
     // ids are disjoint between delta and corpus, so the shared
     // verifier reads each side's sets from the union projection
@@ -553,10 +615,24 @@ object Dedup {
   }
 
   /** Build the reusable corpus-side artifacts for incremental dedup:
-    * (postings bucketable by shingle, per-doc shingle sets). */
+    * (RANKED postings bucketable by shingle, per-doc shingle sets).
+    *
+    * Postings carry (doc_id, s, pos, n): pos is the token's 1-based
+    * rank within its doc under the global (corpus df, s) order and n
+    * the doc's full set size — the two numbers the PPJoin prefix and
+    * positional filters need at probe time. Ranking costs one corpus
+    * window at BUILD time (amortized over every delta); the index
+    * itself stays tau-agnostic because the prefix bound is evaluated
+    * against pos/n when probing. */
   def corpusIndex(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val cSets = docShingleSets(corpus, k)
-    (cSets.select(col("doc_id"), explode(col("sset")).as("s")), cSets)
+    val cSh = cSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
+    val dfBySh = cSh.groupBy("s").agg(count(lit(1)).as("df"))
+    val rankedPostings = cSh.join(dfBySh, "s")
+      .withColumn("pos", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .select(col("doc_id"), col("s"), col("pos"), col("n"))
+    (rankedPostings, cSets)
   }
 
   /** Query form: every 5th doc is tonight's delta, the rest the

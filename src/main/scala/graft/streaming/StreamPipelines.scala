@@ -166,7 +166,11 @@ object StreamPipelines {
         explode(col("sset")).as("s"))
 
     shaped.withWatermark("ts", watermark)
-      .join(postings.toDF("corpus_id", "cs"), col("s") === col("cs"))
+      // the ranked index carries (doc_id, s, pos, n) since the PPJoin
+      // change; the stream's unpruned candidate join uses only the
+      // posting itself
+      .join(postings.select(col("doc_id").as("corpus_id"), col("s").as("cs")),
+        col("s") === col("cs"))
       .groupBy(window(col("ts"), windowLen), col("doc_id"), col("corpus_id"))
       .agg(count(lit(1)).as("c"), first(col("n")).as("n"))
       .join(csz, "corpus_id")

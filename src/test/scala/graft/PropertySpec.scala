@@ -95,6 +95,49 @@ class PropertySpec extends SparkSpec {
     assert(uncappedPairs.contains((21L, 22L)) && !cappedPairs.contains((21L, 22L)))
   }
 
+  test("property: PPJoin prunes candidates but never a qualifying pair") {
+    val rnd = new Random(427)
+    for (round <- 1 to 3) {
+      // random docs over a small vocab (lots of shared shingles) plus
+      // planted near-dups at varied sizes — including boundary cases
+      // where tau*n arithmetic is exercised at the integer edge
+      val vocab = Vector.tabulate(15)(i => s"t$i")
+      def doc(len: Int) = List.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0 until 15).map(i => (i.toLong, doc(6 + rnd.nextInt(10))))
+      val dups = base.take(4).zipWithIndex.map { case ((_, t), j) =>
+        (100L + j, t + (if (j % 2 == 0) " extra" else ""))
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      for (tau <- Seq(0.5, 0.7, 0.8)) {
+        val pp = Dedup.ngramCandidates(docs, k = 3, tau = tau,
+          maxDf = Long.MaxValue, ppjoin = true)
+          .as[(Long, Long)].collect().toSet
+        val classic = Dedup.ngramCandidates(docs, k = 3, tau = tau,
+          maxDf = Long.MaxValue, ppjoin = false)
+          .as[(Long, Long)].collect().toSet
+        assert(pp.subsetOf(classic),
+          s"round=$round tau=$tau: PPJoin emitted a pair AllPairs didn't")
+        // the filters must never drop a pair the EXACT verifier keeps:
+        // ground-truth jaccard over ALL pairs == the operator's output
+        // through the pruned candidates (the identity that keeps the
+        // DuckDB oracle hash-matching)
+        val sets = Dedup.docShingleSets(docs, 3)
+          .select("doc_id", "sset").as[(Long, Seq[String])]
+          .collect().toMap.view.mapValues(_.toSet).toMap
+        val want = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          inter = sets(a).intersect(sets(b)).size
+          jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+          if jac >= tau
+        } yield (a, b)).toSet
+        val got = Dedup.ngramJaccardPairs(docs, k = 3, tau = tau)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(got === want,
+          s"round=$round tau=$tau: pruned operator output != exhaustive truth")
+      }
+    }
+  }
+
   test("property: connectedComponents matches a driver-side union-find on random graphs") {
     val rnd = new Random(424)
     for (_ <- 1 to 3) {
