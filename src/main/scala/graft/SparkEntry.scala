@@ -59,6 +59,9 @@ object SparkEntry {
     "doc_fingerprint"        -> (TextAnalysis.docFingerprintQuery _),
     "curation_summary"       -> (TextAnalysis.curationSummaryQuery _),
     "pack_token_budget"      -> (TextAnalysis.packTokenBudgetQuery _),
+    "pack_token_budget_sharded" -> (TextAnalysis.packTokenBudgetShardedQuery _),
+    "chunk_tokens"           -> (TextAnalysis.chunkTokensQuery _),
+    "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     // LLM-data-pipeline: near-dup detection

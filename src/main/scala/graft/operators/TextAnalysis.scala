@@ -217,6 +217,102 @@ object TextAnalysis {
     packTokenBudget(Tables.documents(spark, dir), budget = 512)
       .orderBy(col("doc_id"))
 
+  /** Sharded token-budget packing — the hot-stratum fallback measured
+    * by ScaleProbe's [scale-prep-skew]: a window partition cannot be
+    * AQE-split, so when one (lang, source) stratum owns a large corpus
+    * share its whole prefix sum serializes in ONE task. Sharding by
+    * doc_id range (shard = doc_id div shardDocs) caps every window
+    * partition at ~shardDocs rows while keeping the assignment a pure
+    * function of the sorted stream (reproducible, resumable — the
+    * property plain packing has). The trade, stated: offsets reset at
+    * shard boundaries, so each shard's final pack may run under
+    * budget — bounded waste of < budget tokens per shard, the price of
+    * bounded parallelism. pack_id is globally unique via (shard,
+    * within-shard id). */
+  def packTokenBudgetSharded(docs: DataFrame, budget: Long,
+                             shardDocs: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
+    val w = W.partitionBy(col("lang"), col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        expr(s"doc_id div $shardDocs").as("shard"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"))
+      .withColumn("start_off", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        col("shard") * lit(1000000L) + expr(s"start_off div $budget"))
+  }
+
+  def packTokenBudgetShardedQuery(spark: SparkSession, dir: String): DataFrame =
+    packTokenBudgetSharded(Tables.documents(spark, dir), budget = 512,
+      shardDocs = 100).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- chunking
+
+  /** Overlapping token-window chunking — the context-window prep step
+    * of a pretraining / retrieval pipeline: each doc's token stream is
+    * cut into chunks of `chunkTokens` starting every `stride` tokens
+    * (stride < chunkTokens ⇒ overlap), with the tail chunk shortened
+    * rather than dropped so every token lands in ≥1 chunk.
+    *
+    * Scale shape: map-only — sequence + explode amplify each doc by
+    * ceil(n/stride) rows with NO shuffle and NO lambda (the chunk index
+    * comes from exploding a numeric range, and the slice/concat are
+    * native collection ops); partition output volume is bounded by
+    * fanOut upstream. */
+  def chunkTokens(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0L),
+          expr(s"(n_toks - 1) div $stride"))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(chunkTokens.toLong), col("n_toks") - col("start_tok"))
+          .as("n_tok"),
+        concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  def chunkTokensQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables.documents(spark, dir), chunkTokens = 32, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // ---------------------------------------------------------------- keywords
+
+  /** Per-doc TF-IDF-style keyword extraction: top `k` tokens per doc
+    * ranked by tf/df (term frequency over corpus document frequency —
+    * the log-free form, so the score is ONE ieee division both engines
+    * compute identically), ties broken on the token string.
+    *
+    * Scale shape: tf is a map-side-combined (doc, token) aggregate, df
+    * an aggregate over the distinct postings joined back (the same
+    * shape as the dedup df — never a window over the token key), and
+    * the final top-k window partitions by doc_id (bounded by doc
+    * vocabulary, never corpus-scale). */
+  def keywordExtract(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = W.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    tf.join(df, "t")
+      .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  def keywordExtractQuery(spark: SparkSession, dir: String): DataFrame =
+    keywordExtract(Tables.documents(spark, dir), k = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
   // ---------------------------------------------------------------- sampling
 
   /** Default per-language sampling rates for the query entry — the
@@ -370,6 +466,46 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
     "pack_token_budget" ->
       (packSelectSql(512, "documents") + "\nORDER BY doc_id"),
+    "pack_token_budget_sharded" ->
+      """SELECT doc_id, lang, source, shard, ws_tokens, start_off,
+        | CAST(shard * 1000000 + (start_off // 512) AS BIGINT) AS pack_id
+        |FROM (
+        | SELECT doc_id, lang, source,
+        |  CAST(doc_id // 100 AS BIGINT) AS shard,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
+        |    PARTITION BY lang, source, doc_id // 100 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_off
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "chunk_tokens" ->
+      """SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        | CAST(ci * 8 AS BIGINT) AS start_tok,
+        | CAST(LEAST(32, n - ci * 8) AS BIGINT) AS n_tok,
+        | array_to_string(list_slice(toks, CAST(ci*8 + 1 AS BIGINT),
+        |   CAST(ci*8 + 32 AS BIGINT)), ' ') AS chunk_text
+        |FROM (
+        | SELECT doc_id, toks, n, unnest(range(0, (n - 1) // 8 + 1)) AS ci
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |       FROM documents))
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "keyword_extract" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT tf.doc_id, tf.t, tf.tf, dfx.df,
+        |  round(tf.tf::DOUBLE / dfx.df, 6) AS score
+        | FROM tf JOIN dfx USING (t))
+        |SELECT doc_id, t AS term, tf, df, score, rnk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, t) AS rnk
+        | FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "stratified_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          | SELECT doc_id, lang, $sampleBucketSql AS bucket

@@ -77,6 +77,63 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("packTokenBudgetSharded: caps window partitions at shardDocs; degenerates to plain packing") {
+    val d = sourcedDocs((0L until 40L).map(i => (i, "a b c", "en", "s1")): _*)
+    val sharded = TextAnalysis.packTokenBudgetSharded(d, budget = 6, shardDocs = 10)
+      .select("doc_id", "shard", "start_off").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // shard is the id range, offsets reset at every shard boundary
+    assert(sharded.forall { case (id, sh, _) => sh === id / 10 })
+    assert(sharded.filter(_._2 == 1L).minBy(_._1)._3 === 0L)
+    // window partition rows bounded by shardDocs
+    assert(sharded.groupBy(r => r._2).values.map(_.size).max <= 10)
+    // one giant shard == the plain operator (same offsets and packs)
+    val degenerate = TextAnalysis
+      .packTokenBudgetSharded(d, budget = 6, shardDocs = 1000000L)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+    val plain = TextAnalysis.packTokenBudget(d, budget = 6)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+    assert(degenerate === plain)
+  }
+
+  test("chunkTokens: full coverage, overlap, shortened tail, single-chunk short docs") {
+    val d = docs((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en"), // 10 tokens
+      (2L, "s0 s1", "en"))                                // shorter than chunk
+    val out = TextAnalysis.chunkTokens(d, chunkTokens = 4, stride = 2)
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    // starts at 0,2,4,6,8 — last start < n; tail shortened to 2 tokens
+    assert(doc1.map(_._3).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(doc1.map(_._4).toSeq === Seq(4L, 4L, 4L, 4L, 2L))
+    assert(doc1.head._5 === "t0 t1 t2 t3" && doc1.last._5 === "t8 t9")
+    // every token appears in at least one chunk (coverage)
+    val covered = doc1.flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered === (0L until 10L).toSet)
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length === 1 && doc2.head._4 === 2L && doc2.head._5 === "s0 s1")
+    // stride == chunk: exact partition, no overlap
+    val exact = TextAnalysis.chunkTokens(d, chunkTokens = 5, stride = 5)
+      .filter($"doc_id" === 1L).select("n_tok").as[Long].collect()
+    assert(exact.toSeq === Seq(5L, 5L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(d, chunkTokens = 4, stride = 5) // stride > chunk
+    }
+  }
+
+  test("keywordExtract: rare terms outrank common ones; k bounds output per doc") {
+    val d = docs(
+      (1L, "unique unique common", "en"), // 'unique' tf=2 df=1, 'common' df=3
+      (2L, "common filler filler", "en"),
+      (3L, "common other other", "en"))
+    val out = TextAnalysis.keywordExtract(d, k = 2)
+      .select("doc_id", "term", "rnk").as[(Long, String, Int)].collect()
+    assert(out.count(_._1 == 1L) === 2)
+    // doc 1's top keyword is its rare repeated term, not the shared one
+    assert(out.find(r => r._1 == 1L && r._3 == 1).get._2 === "unique")
+    assert(out.find(r => r._1 == 2L && r._3 == 1).get._2 === "filler")
+  }
+
   test("stratifiedSample: deterministic across runs, rate 0 for unlisted strata, monotone in rate") {
     val d = sourcedDocs((0L until 100L).map(i =>
       (i, "text", if (i % 2 == 0) "en" else "fr", "s")): _*)
