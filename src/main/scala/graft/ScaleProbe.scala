@@ -265,6 +265,14 @@ object ScaleProbe {
     }
     run(docs, "uniform")
     run(skewed, "hot30")
+    // the sharded fallback on the SAME skewed frame: max rows per
+    // window partition must drop from stratum-sized to ~shardDocs
+    val shardedMax = operators.TextAnalysis
+      .packTokenBudgetSharded(skewed, budget = 512, shardDocs = 2000)
+      .groupBy("lang", "source", "shard").count()
+      .agg(max("count")).head().getLong(0)
+    println(f"[scale-prep-skew] hot30+sharded(2000) " +
+      f"max_window_partition_rows=$shardedMax")
   }
 
   /** Salted-join skew measurement: one key owns ~30% of a 2M-row fact

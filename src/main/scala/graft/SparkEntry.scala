@@ -60,6 +60,7 @@ object SparkEntry {
     "curation_summary"       -> (TextAnalysis.curationSummaryQuery _),
     "pack_token_budget"      -> (TextAnalysis.packTokenBudgetQuery _),
     "pack_token_budget_sharded" -> (TextAnalysis.packTokenBudgetShardedQuery _),
+    "pack_token_budget_global" -> (TextAnalysis.packTokenBudgetGlobalQuery _),
     "chunk_tokens"           -> (TextAnalysis.chunkTokensQuery _),
     "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),

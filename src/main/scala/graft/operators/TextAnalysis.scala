@@ -248,6 +248,50 @@ object TextAnalysis {
     packTokenBudgetSharded(Tables.documents(spark, dir), budget = 512,
       shardDocs = 100).orderBy(col("doc_id"))
 
+  /** GLOBAL token-budget packing (one corpus-wide stream in doc_id
+    * order) via the classic TWO-PHASE prefix sum — the pattern that
+    * replaces a window when there is no stratum key to partition by:
+    * an unpartitioned window would sort the ENTIRE corpus in one task.
+    *
+    * Phase 1: per-range partial sums (range = doc_id div rangeDocs), a
+    * map-side-combined aggregate over ~n/rangeDocs rows. Phase 2: the
+    * exclusive prefix over RANGES — a window over the range frame,
+    * which is rangeDocs-fold smaller than the corpus (pick rangeDocs
+    * so that frame is millions, not billions) — broadcast-joined back,
+    * so each doc's global offset = its range's base + its within-range
+    * offset from a window bounded by rangeDocs rows. Offsets are
+    * IDENTICAL to the single-window form (integer sums reassociate
+    * exactly), which the oracle — a plain global window — proves. */
+  def packTokenBudgetGlobal(docs: DataFrame, budget: Long,
+                            rangeDocs: Long = 100000L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(rangeDocs > 0, s"rangeDocs must be positive, got $rangeDocs")
+    val sized = docs.select(col("doc_id"),
+      expr(s"doc_id div $rangeDocs").as("rng"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"))
+    // phase 1: token mass per range (tiny frame: n / rangeDocs rows)
+    val rangeSums = sized.groupBy("rng")
+      .agg(sum(col("ws_tokens")).as("rng_tokens"))
+    // phase 2: exclusive prefix over ranges — window over the SMALL
+    // range frame only (single partition of n/rangeDocs rows, by
+    // construction bounded), then broadcast back
+    val wRng = W.orderBy(col("rng")).rowsBetween(W.unboundedPreceding, -1)
+    val rangeBase = rangeSums
+      .withColumn("rng_base", coalesce(sum(col("rng_tokens")).over(wRng), lit(0L)))
+      .select(col("rng"), col("rng_base"))
+    val wIn = W.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    sized.join(broadcast(rangeBase), "rng")
+      .withColumn("start_off",
+        col("rng_base") + coalesce(sum(col("ws_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("ws_tokens"), col("start_off"),
+        expr(s"start_off div $budget").as("pack_id"))
+  }
+
+  def packTokenBudgetGlobalQuery(spark: SparkSession, dir: String): DataFrame =
+    packTokenBudgetGlobal(Tables.documents(spark, dir), budget = 512,
+      rangeDocs = 100).orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- chunking
 
   /** Overlapping token-window chunking — the context-window prep step
@@ -475,6 +519,18 @@ object TextAnalysis {
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
         |  CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
         |    PARTITION BY lang, source, doc_id // 100 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_off
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_token_budget_global" ->
+      """SELECT doc_id, ws_tokens, start_off,
+        | CAST(start_off // 512 AS BIGINT) AS pack_id
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
+        |    ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |   AS start_off
         | FROM documents)

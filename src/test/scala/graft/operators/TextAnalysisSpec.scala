@@ -96,6 +96,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(degenerate === plain)
   }
 
+  test("packTokenBudgetGlobal: two-phase prefix sum == exact global offsets across range boundaries") {
+    // 25 docs with varying token counts, rangeDocs=10 → 3 ranges; the
+    // two-phase offsets must equal the driver-computed global prefix
+    val rows = (0L until 25L).map(i => (i, ("w " * (1 + (i % 5).toInt)).trim, "en"))
+    val d = docs(rows: _*)
+    val got = TextAnalysis.packTokenBudgetGlobal(d, budget = 7, rangeDocs = 10)
+      .select("doc_id", "ws_tokens", "start_off", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val toks = rows.map(r => 1L + (r._1 % 5))
+    val want = toks.scanLeft(0L)(_ + _).init
+    assert(got.map(_._3).toSeq === want)
+    assert(got.forall { case (_, _, off, pid) => pid === off / 7 })
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packTokenBudgetGlobal(d, budget = 7, rangeDocs = 0)
+    }
+  }
+
   test("chunkTokens: full coverage, overlap, shortened tail, single-chunk short docs") {
     val d = docs((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en"), // 10 tokens
       (2L, "s0 s1", "en"))                                // shorter than chunk
