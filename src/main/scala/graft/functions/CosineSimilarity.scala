@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bit-identical to both the declarative form and the DuckDB oracle.
   *
   * Nulls: null array → null result (BinaryExpression's default
-  * null-intolerant contract); null ELEMENTS are treated as 0 via
-  * ArrayData.getDouble semantics — the embeddings schema has
+  * null-intolerant contract); a NULL ELEMENT on either side also
+  * nulls the result — ArrayData.getDouble on a null slot is undefined
+  * (NPE interpreted, garbage under codegen), so the explicit check
+  * keeps both evaluation paths identical. The embeddings schema has
   * non-null elements, so this path never triggers on real data.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -55,6 +57,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    var j = 0
+    while (j < n) {
+      if (x.isNullAt(j) || y.isNullAt(j)) return null
+      j += 1
+    }
     var dot = 0.0d; var nx = 0.0d; var ny = 0.0d
     var i = 0
     while (i < n) {
@@ -74,9 +81,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val j = ctx.freshName("j")
       s"""
          |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
+         |boolean ${dot}_bad = ($n != $b.numElements());
+         |for (int $j = 0; !${dot}_bad && $j < $n; $j++) {
+         |  ${dot}_bad = $a.isNullAt($j) || $b.isNullAt($j);
+         |}
+         |if (${dot}_bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;

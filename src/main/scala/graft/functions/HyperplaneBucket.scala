@@ -27,10 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * oracle's `list_sum` + `CASE WHEN d > 0 THEN (1 << pi)`.
   *
   * Nulls: null array → null (UnaryExpression's null-intolerant
-  * default); a vector whose length differs from the plane dimension →
-  * null (the embeddings schema is fixed-dim, so this never fires on
-  * real data — it exists so a malformed row can't silently land in
-  * bucket 0 and create phantom candidates).
+  * default); a vector whose length differs from the plane dimension,
+  * or containing a NULL ELEMENT, → null (the embeddings schema is
+  * fixed-dim non-null, so neither fires on real data — they exist so
+  * a malformed row can't silently land in bucket 0 and create phantom
+  * candidates, and the element check keeps the interpreted and
+  * codegen paths identical: ArrayData.getDouble on a null slot is
+  * undefined — NPE interpreted, garbage under codegen).
   */
 case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -59,6 +62,8 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     val e = input.asInstanceOf[ArrayData]
     val dim = mat(0).length
     if (e.numElements() != dim) return null
+    var j = 0
+    while (j < dim) { if (e.isNullAt(j)) return null; j += 1 }
     var bucket = 0
     var p = 0
     while (p < mat.length) {
@@ -81,9 +86,14 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       val i = ctx.freshName("i")
       val plane = ctx.freshName("plane")
       val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
       s"""
          |final int $dim = $planesRef[0].length;
-         |if ($a.numElements() != $dim) {
+         |boolean ${bucket}_bad = ($a.numElements() != $dim);
+         |for (int $j = 0; !${bucket}_bad && $j < $dim; $j++) {
+         |  ${bucket}_bad = $a.isNullAt($j);
+         |}
+         |if (${bucket}_bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $bucket = 0;

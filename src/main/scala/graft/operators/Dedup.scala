@@ -366,6 +366,14 @@ object Dedup {
     * localCheckpoint truncates lineage so round i+1 does not replay
     * rounds 1..i.
     *
+    * CONTRACT: every pair endpoint must appear in `nodes` (the cluster
+    * operators pass the full doc/vector id frame, so this holds by
+    * construction). An endpoint absent from nodes neither receives a
+    * label nor propagates connectivity THROUGH itself — unlike the
+    * pre-frontier implementation, which silently grew label rows for
+    * unknown endpoints; the frontier form's inner joins drop their
+    * proposals instead.
+    *
     * @param nodes one row per doc_id (singletons become their own
     *   cluster); @param pairs (doc_a, doc_b) undirected edges. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
@@ -408,12 +416,20 @@ object Dedup {
     // skew in edges⋈frontier is not AQE-split inside the loop; edge
     // skew is bounded upstream by the pair generators' banding/maxDf
     // caps.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeSaved = sess.conf.get(aqeKey)
-    sess.conf.set(aqeKey, "false")
+    // shuffle.partitions must EQUAL p inside the loop: the per-round
+    // groupBy aggregate plans at shuffle.partitions, and a partition-
+    // COUNT mismatch with the p-partitioned checkpointed frames makes
+    // EnsureRequirements re-exchange edges, frontier AND labels every
+    // round (confirmed empirically with p=1, conf=4) — silently
+    // degrading delta iteration back to full-frame shuffles.
+    val loopConfs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)
+    val saved = loopConfs.map { case (k, _) => k -> sess.conf.get(k) }
+    loopConfs.foreach { case (k, v) => sess.conf.set(k, v) }
     try {
       connectedComponentsLoop(rawEdges, nodes, p, maxIters)
-    } finally sess.conf.set(aqeKey, aqeSaved)
+    } finally saved.foreach { case (k, v) => sess.conf.set(k, v) }
   }
 
   private def connectedComponentsLoop(rawEdges: DataFrame, nodes: DataFrame,
@@ -557,12 +573,17 @@ object Dedup {
   }
 
   /** The production entry point: probe a PRECOMPUTED corpus index —
-    * `postings` = distinct (doc_id, s) rows, `corpusSets` = per-doc
-    * (doc_id, sset, n) — built once per corpus version (corpusIndex
-    * below) and reused across every delta. Persist the postings with
-    * [[graft.core.Layout.writeBucketed]] on the shingle column and the
-    * nightly candidate join reads the corpus side with ZERO exchange:
-    * only the delta's prefix postings shuffle.
+    * `postings` = RANKED (doc_id, s, pos, n) rows (pos = the token's
+    * rank within its doc under the global (corpus df, s) order, n =
+    * the doc's set size; exactly what [[corpusIndex]] emits),
+    * `corpusSets` = per-doc (doc_id, sset, n) — built once per corpus
+    * version and reused across every delta. FORMAT NOTE: the r7 PPJoin
+    * change added pos/n to the index; a pre-r7 two-column (doc_id, s)
+    * index must be rebuilt with corpusIndex before probing. Persist
+    * the postings with [[graft.core.Layout.writeBucketed]] on the
+    * shingle column and the nightly candidate join reads the corpus
+    * side with ZERO exchange: only the delta's prefix postings
+    * shuffle.
     *
     * CONTRACT: delta and corpus doc_ids must be DISJOINT (assign the
     * delta ids from a fresh range, the natural ingest shape). The

@@ -227,8 +227,12 @@ object TextAnalysis {
     * property plain packing has). The trade, stated: offsets reset at
     * shard boundaries, so each shard's final pack may run under
     * budget — bounded waste of < budget tokens per shard, the price of
-    * bounded parallelism. pack_id is globally unique via (shard,
-    * within-shard id). */
+    * bounded parallelism. A pack is identified by the full key
+    * (lang, source, shard, pack_id) — pack_id alone restarts at 0 per
+    * (stratum, shard), exactly as the plain operator's pack_id
+    * restarts per stratum; no arithmetic composition of shard into
+    * pack_id (a fixed stride would silently collide once a shard's
+    * token mass exceeded stride×budget). */
   def packTokenBudgetSharded(docs: DataFrame, budget: Long,
                              shardDocs: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -240,8 +244,7 @@ object TextAnalysis {
         expr(s"doc_id div $shardDocs").as("shard"),
         size(tokens(col("text"))).cast("long").as("ws_tokens"))
       .withColumn("start_off", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id",
-        col("shard") * lit(1000000L) + expr(s"start_off div $budget"))
+      .withColumn("pack_id", expr(s"start_off div $budget"))
   }
 
   def packTokenBudgetShardedQuery(spark: SparkSession, dir: String): DataFrame =
@@ -512,7 +515,7 @@ object TextAnalysis {
       (packSelectSql(512, "documents") + "\nORDER BY doc_id"),
     "pack_token_budget_sharded" ->
       """SELECT doc_id, lang, source, shard, ws_tokens, start_off,
-        | CAST(shard * 1000000 + (start_off // 512) AS BIGINT) AS pack_id
+        | CAST(start_off // 512 AS BIGINT) AS pack_id
         |FROM (
         | SELECT doc_id, lang, source,
         |  CAST(doc_id // 100 AS BIGINT) AS shard,

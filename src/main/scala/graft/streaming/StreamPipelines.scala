@@ -153,7 +153,12 @@ object StreamPipelines {
                              windowLen: String = "1 day"): DataFrame = {
     import graft.functions.TextFunctions._
     import graft.operators.Dedup
-    val (postings, corpusSets) = Dedup.corpusIndex(corpus, k)
+    // NOT corpusIndex: the stream's unpruned candidate join needs only
+    // raw (doc_id, s) postings, and the ranked index would drag its
+    // corpus-wide df aggregate + join into the static side of EVERY
+    // micro-batch for columns the stream immediately projects away.
+    val corpusSets = Dedup.docShingleSets(corpus, k)
+    val postings = corpusSets.select(col("doc_id"), explode(col("sset")).as("s"))
     val csz = corpusSets.select(col("doc_id").as("corpus_id"),
       col("n").as("cn"))
 

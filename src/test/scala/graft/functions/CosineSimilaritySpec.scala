@@ -25,15 +25,16 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff === 0L)
   }
 
-  test("null array and ragged lengths propagate null; never a truncated cosine") {
+  test("null array, ragged lengths, and null ELEMENTS propagate null; never a truncated cosine") {
     val df = Seq(
-      (Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))),
-      (None, Some(Seq(1.0, 0.0))),
-      (Some(Seq(1.0, 0.0, 5.0)), Some(Seq(1.0, 0.0)))) // ragged
+      (Some(Seq[java.lang.Double](1.0, 0.0)), Some(Seq[java.lang.Double](1.0, 0.0))),
+      (None, Some(Seq[java.lang.Double](1.0, 0.0))),
+      (Some(Seq[java.lang.Double](1.0, 0.0, 5.0)), Some(Seq[java.lang.Double](1.0, 0.0))), // ragged
+      (Some(Seq[java.lang.Double](1.0, null)), Some(Seq[java.lang.Double](1.0, 0.0)))) // null element
       .toDF("a", "b")
     val out = df.select(CosineSimilarity(col("a"), col("b")).as("c"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(out.toSeq === Seq(Some(1.0), None, None))
+    assert(out.toSeq === Seq(Some(1.0), None, None, None))
   }
 
   test("ragged lengths null the result even on NON-nullable inputs " +

@@ -42,18 +42,19 @@ class HyperplaneBucketSpec extends SparkSpec {
     assert(distinct > 1L)
   }
 
-  test("null array and dimension mismatch yield null, never bucket 0") {
+  test("null array, dimension mismatch, and null ELEMENTS yield null, never bucket 0") {
     val planes = Seq(Seq(1.0, -1.0))
     val df = Seq(
-      (0, Some(Seq(2.0, 1.0))),   // dot 1 > 0 → bit 0 set
-      (1, Some(Seq(1.0, 2.0))),   // dot -1 → bucket 0
-      (2, None),                  // null array
-      (3, Some(Seq(1.0, 2.0, 3.0)))) // dim mismatch
+      (0, Some(Seq[java.lang.Double](2.0, 1.0))),  // dot 1 > 0 → bit 0 set
+      (1, Some(Seq[java.lang.Double](1.0, 2.0))),  // dot -1 → bucket 0
+      (2, None),                                   // null array
+      (3, Some(Seq[java.lang.Double](1.0, 2.0, 3.0))), // dim mismatch
+      (4, Some(Seq[java.lang.Double](1.0, null)))) // null element
       .toDF("id", "e")
     val out = df.orderBy("id")
       .select(HyperplaneBucket(col("e"), planes).as("b")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-    assert(out.toSeq === Seq(Some(1), Some(0), None, None))
+    assert(out.toSeq === Seq(Some(1), Some(0), None, None, None))
   }
 
   test("mismatch nulls the result on NON-nullable input (nullable must be true)") {

@@ -62,4 +62,31 @@ class BatchStreamParitySpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("chunkTokens: stateless map-only transform streams in APPEND mode unchanged") {
+    import graft.operators.TextAnalysis
+    // no aggregation, no watermark, no state — the chunker must run on
+    // an unbounded stream as a pure append transform, the property that
+    // lets the context-prep stage sit directly on the ingest stream
+    val batch = TextAnalysis.chunkTokens(
+        Tables.documents(spark, dir), chunkTokens = 32, stride = 8)
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_chunk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+
+    val q = Sinks.memory(
+      TextAnalysis.chunkTokens(stream, chunkTokens = 32, stride = 8),
+      "chunk_parity", "append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_parity").collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
