@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.functions.{CosineSimilarity, HyperplaneBucket}
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so pure-SQL users get them too:
@@ -30,6 +32,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"cosine_similarity expects 2 arguments, got ${children.length}")
         CosineSimilarity(children(0), children(1))
+      }))
+
+    // hyperplane_bucket(e, planes): the plane matrix argument must be a
+    // FOLDABLE array<array<double>> literal — it is the model constant
+    // the expression compiles into its codegen'd loop, not per-row data.
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(
+        classOf[HyperplaneBucket].getName, null, "hyperplane_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"hyperplane_bucket expects 2 arguments, got ${children.length}")
+        val planesExpr = children(1)
+        require(planesExpr.foldable,
+          "hyperplane_bucket's plane matrix must be a foldable literal " +
+            "(it becomes a compile-time constant of the codegen'd loop)")
+        val arr = planesExpr.eval().asInstanceOf[ArrayData]
+        val planes = (0 until arr.numElements()).map { p =>
+          val row = arr.getArray(p)
+          (0 until row.numElements()).map(row.getDouble).toSeq
+        }
+        HyperplaneBucket(children(0), planes)
       }))
   }
 }

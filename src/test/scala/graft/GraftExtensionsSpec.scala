@@ -23,6 +23,20 @@ class GraftExtensionsSpec extends SparkSpec {
           |""".stripMargin).collect().head
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 0.0)
+      // hyperplane_bucket with a literal plane matrix: plane 0 = +x
+      // (dot>0 → bit 0), plane 1 = -x (dot<0 → bit clear) → bucket 1
+      val b = extended.sql(
+        """SELECT hyperplane_bucket(array(2.0D, 1.0D),
+          |         array(array(1.0D, 0.0D), array(-1.0D, 0.0D))) AS b
+          |""".stripMargin).collect().head
+      assert(b.getInt(0) === 1)
+      // a non-foldable matrix must be rejected eagerly
+      val err = intercept[Exception] {
+        extended.sql(
+          """SELECT hyperplane_bucket(e, array(e)) FROM
+            | (SELECT array(1.0D) AS e)""".stripMargin).collect()
+      }
+      assert(err.getMessage.contains("foldable"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
