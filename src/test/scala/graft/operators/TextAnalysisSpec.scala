@@ -151,6 +151,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.find(r => r._1 == 2L && r._3 == 1).get._2 === "filler")
   }
 
+  test("capPerSource: over-cap sources keep exactly maxDocs lowest ids; small sources skip ranking") {
+    val d = sourcedDocs(
+      ((0L until 10L).map(i => (i, "t", "en", "big")) ++
+        Seq((100L, "t", "en", "small"), (101L, "t", "en", "small"))): _*)
+    val out = TextAnalysis.capPerSource(d, maxDocs = 4)
+      .select("doc_id", "source", "keep").as[(Long, String, Boolean)]
+      .collect().toSet
+    // every doc present exactly once, big source keeps ids 0-3 only
+    assert(out.size === 12)
+    assert(out.filter(r => r._2 == "big" && r._3).map(_._1) === Set(0L, 1L, 2L, 3L))
+    assert(out.filter(r => r._2 == "small").forall(_._3))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.capPerSource(d, maxDocs = 0)
+    }
+  }
+
   test("stratifiedSample: deterministic across runs, rate 0 for unlisted strata, monotone in rate") {
     val d = sourcedDocs((0L until 100L).map(i =>
       (i, "text", if (i % 2 == 0) "en" else "fr", "s")): _*)
