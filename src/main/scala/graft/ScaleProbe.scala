@@ -81,7 +81,13 @@ object ScaleProbe {
       // delta = every 5th doc of every copy; the corpus inverted index
       // grows linearly, the delta prefix with it
       "incremental_dedup"   -> (operators.Dedup.incrementalDedupQuery _),
-      "corpus_prep"         -> (operators.CorpusPrep.corpusPrepQuery _))
+      "corpus_prep"         -> (operators.CorpusPrep.corpusPrepQuery _),
+      // r7 additions — all expected linear (map-only or bounded windows)
+      "chunk_tokens"        -> (operators.TextAnalysis.chunkTokensQuery _),
+      "keyword_extract"     -> (operators.TextAnalysis.keywordExtractQuery _),
+      "cap_per_source"      -> (operators.TextAnalysis.capPerSourceQuery _),
+      "repetition_stats"    -> (operators.TextAnalysis.repetitionStatsQuery _),
+      "pack_global"         -> (operators.TextAnalysis.packTokenBudgetGlobalQuery _))
 
     factors.foreach { f =>
       val dir = replicate(spark, f)

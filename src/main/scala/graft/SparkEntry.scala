@@ -64,6 +64,7 @@ object SparkEntry {
     "chunk_tokens"           -> (TextAnalysis.chunkTokensQuery _),
     "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
     "cap_per_source"         -> (TextAnalysis.capPerSourceQuery _),
+    "repetition_stats"       -> (TextAnalysis.repetitionStatsQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     // LLM-data-pipeline: near-dup detection

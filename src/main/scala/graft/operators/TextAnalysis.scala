@@ -360,6 +360,33 @@ object TextAnalysis {
     keywordExtract(Tables.documents(spark, dir), k = 3)
       .orderBy(col("doc_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- repetition
+
+  /** Internal-repetition quality signals (the Gopher-rule family): the
+    * fraction of duplicated words / bigrams / trigrams WITHIN each
+    * document — high values mark boilerplate loops, keyboard mash, and
+    * template spam that per-corpus dedup cannot see (the doc is unique;
+    * its content is not).
+    *
+    * dup_frac(k) = 1 − distinct_kgrams / total_kgrams (0 when the doc
+    * has no k-grams). Entirely map-only: the token array and shingle
+    * arrays are in-row collection ops, so the operator adds ZERO
+    * shuffles to a curation scan at any corpus size. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def dupFrac(all: Column): Column =
+      when(size(all) > 0,
+        round(lit(1.0) - size(array_distinct(all)).cast("double") / size(all), 4))
+        .otherwise(lit(0.0))
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+      dupFrac(toks).as("dup_word_frac"),
+      dupFrac(wordShingles(toks, 2)).as("dup_2gram_frac"),
+      dupFrac(wordShingles(toks, 3)).as("dup_3gram_frac"))
+  }
+
+  def repetitionStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- caps
 
   /** Per-source document cap — the standard anti-domination rule of a
@@ -584,6 +611,27 @@ object TextAnalysis {
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |       FROM documents))
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |grams AS (
+        | SELECT doc_id, w AS g1,
+        |  CASE WHEN len(w) >= 2
+        |   THEN [w[i]||' '||w[i+1] FOR i IN range(1, len(w))] ELSE [] END AS g2,
+        |  CASE WHEN len(w) >= 3
+        |   THEN [w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]
+        |   ELSE [] END AS g3
+        | FROM words)
+        |SELECT doc_id,
+        | CASE WHEN len(g1) > 0
+        |  THEN round(1.0 - len(list_distinct(g1))::DOUBLE / len(g1), 4)
+        |  ELSE 0.0 END AS dup_word_frac,
+        | CASE WHEN len(g2) > 0
+        |  THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+        |  ELSE 0.0 END AS dup_2gram_frac,
+        | CASE WHEN len(g3) > 0
+        |  THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+        |  ELSE 0.0 END AS dup_3gram_frac
+        |FROM grams ORDER BY doc_id""".stripMargin,
     "cap_per_source" ->
       """SELECT doc_id, source,
         | (row_number() OVER (PARTITION BY source ORDER BY doc_id)) <= 30

@@ -151,6 +151,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.find(r => r._1 == 2L && r._3 == 1).get._2 === "filler")
   }
 
+  test("repetitionStats: duplicate fractions per k-gram order; short docs report 0") {
+    val out = TextAnalysis.repetitionStats(docs(
+      (1L, "a b a b a b", "en"),   // words: 6 total 2 distinct; 2grams: 5/2; 3grams: 4/2
+      (2L, "x y z w", "en"),       // all unique
+      (3L, "solo", "en")))         // no 2/3-grams
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((0.6667, 0.6, 0.5))) // rounded to 4 places
+    assert(out(2L) === ((0.0, 0.0, 0.0)))
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+  }
+
   test("capPerSource: over-cap sources keep exactly maxDocs lowest ids; small sources skip ranking") {
     val d = sourcedDocs(
       ((0L until 10L).map(i => (i, "t", "en", "big")) ++
