@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types
 
 import graft.functions.{CosineSimilarity, HyperplaneBucket}
 
@@ -48,9 +49,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(planesExpr.foldable,
           "hyperplane_bucket's plane matrix must be a foldable literal " +
             "(it becomes a compile-time constant of the codegen'd loop)")
-        val arr = planesExpr.eval().asInstanceOf[ArrayData]
+        planesExpr.dataType match {
+          case types.ArrayType(types.ArrayType(types.DoubleType, _), _) =>
+          case t => throw new IllegalArgumentException(
+            s"hyperplane_bucket's plane matrix must be array<array<double>>, " +
+              s"got ${t.sql}")
+        }
+        val evaled = planesExpr.eval()
+        require(evaled != null, "hyperplane_bucket's plane matrix must not be null")
+        val arr = evaled.asInstanceOf[ArrayData]
         val planes = (0 until arr.numElements()).map { p =>
           val row = arr.getArray(p)
+          require(row != null,
+            s"hyperplane_bucket's plane matrix must not contain null rows (row $p)")
           (0 until row.numElements()).map(row.getDouble).toSeq
         }
         HyperplaneBucket(children(0), planes)

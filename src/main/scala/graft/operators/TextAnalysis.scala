@@ -203,15 +203,12 @@ object TextAnalysis {
     * broadcast prefix offsets) instead of a window. The running sum is
     * rows-framed (no range lookback), and pack_id is integer division
     * — no fp drift at any offset magnitude. */
-  def packTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    val w = W.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("lang"), col("source"),
-        size(tokens(col("text"))).cast("long").as("ws_tokens"))
-      .withColumn("start_off", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"start_off div $budget"))
-  }
+  def packTokenBudget(docs: DataFrame, budget: Long): DataFrame =
+    // the one-giant-shard degenerate case of the sharded form (shard =
+    // doc_id div MaxValue = 0 everywhere, so the window keys and
+    // offsets are identical — the equivalence the sharded spec pins);
+    // ONE copy of the packing pipeline to keep in sync, not two
+    packTokenBudgetSharded(docs, budget, Long.MaxValue).drop("shard")
 
   def packTokenBudgetQuery(spark: SparkSession, dir: String): DataFrame =
     packTokenBudget(Tables.documents(spark, dir), budget = 512)
@@ -392,8 +389,9 @@ object TextAnalysis {
   /** Per-source document cap — the standard anti-domination rule of a
     * curation mixture (no single domain/crawl-source may contribute
     * more than maxDocs documents): keep the first maxDocs docs per
-    * source in doc_id order, emit the in-source rank and keep flag for
-    * every doc so the decision is auditable.
+    * source in doc_id order, emitting a keep flag for EVERY doc (rows
+    * are never dropped — a NULL source forms its own capped group,
+    * which is why the count join-back is null-safe).
     *
     * Scale shape: ONE window partitioned by source — in a real corpus
     * source is the domain/crawl shard (high cardinality), so
@@ -407,11 +405,17 @@ object TextAnalysis {
   def capPerSource(docs: DataFrame, maxDocs: Int): DataFrame = {
     require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
     val base = docs.select(col("doc_id"), col("source"))
-    val srcCounts = base.groupBy("source").agg(count(lit(1)).as("src_docs"))
-    val small = base.join(srcCounts.filter(col("src_docs") <= maxDocs), "source")
+    val srcCounts = base.groupBy("source")
+      .agg(count(lit(1)).as("src_docs"))
+      .select(col("source").as("cs"), col("src_docs"))
+    // null-safe key: groupBy emits a NULL-source group, and a plain
+    // equi-join would silently DROP every null-source row here
+    val joined = base.join(srcCounts, col("source") <=> col("cs"))
+      .select(col("doc_id"), col("source"), col("src_docs"))
+    val small = joined.filter(col("src_docs") <= maxDocs)
       .select(col("doc_id"), col("source"), lit(true).as("keep"))
     val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
-    val big = base.join(srcCounts.filter(col("src_docs") > maxDocs), "source")
+    val big = joined.filter(col("src_docs") > maxDocs)
       .withColumn("rnk", row_number().over(w))
       .select(col("doc_id"), col("source"), (col("rnk") <= maxDocs).as("keep"))
     small.unionByName(big)

@@ -177,6 +177,13 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.capPerSource(d, maxDocs = 0)
     }
+    // NULL source: its own capped group, rows never dropped
+    val withNull = d.unionByName(
+      Seq((200L, "t", "en")).toDF("doc_id", "text", "lang")
+        .withColumn("source", org.apache.spark.sql.functions.lit(null: String)))
+    val nullOut = TextAnalysis.capPerSource(withNull, maxDocs = 4)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(nullOut.size === 13 && nullOut(200L))
   }
 
   test("stratifiedSample: deterministic across runs, rate 0 for unlisted strata, monotone in rate") {
