@@ -36,6 +36,7 @@ object SparkEntry {
     "rollup_revenue"         -> (Relational.rollupRevenue _),
     "cube_segment_revenue"   -> (Relational.cubeSegmentRevenue _),
     "pivot_segment_revenue"  -> (Relational.pivotSegmentRevenue _),
+    "unpivot_revenue"        -> (Relational.unpivotSegmentRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
@@ -65,6 +66,8 @@ object SparkEntry {
     "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
     "cap_per_source"         -> (TextAnalysis.capPerSourceQuery _),
     "repetition_stats"       -> (TextAnalysis.repetitionStatsQuery _),
+    "blocklist_redact"       -> (TextAnalysis.blocklistRedactQuery _),
+    "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     // LLM-data-pipeline: near-dup detection
@@ -75,12 +78,14 @@ object SparkEntry {
     "ngram_stats"            -> (Dedup.ngramStatsQuery _),
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
+    "segment_dedup"          -> (Dedup.segmentDedupQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
+    "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),

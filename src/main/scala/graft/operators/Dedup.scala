@@ -709,6 +709,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- segments
+
+  /** Cross-document repeated-SEGMENT removal — the CCNet/RefinedWeb
+    * "line dedup" rule re-expressed over token windows (this corpus is
+    * single-line, so the segmentation unit is a fixed token window
+    * rather than a newline split; the pipeline shape is identical):
+    * cut each doc into consecutive `segTokens`-token segments, count
+    * each segment's document frequency corpus-wide, and drop segments
+    * that appear in >= dupDf DISTINCT documents (boilerplate headers,
+    * navigation chrome, license blocks — content document-level dedup
+    * cannot see because the surrounding text differs). Emits every doc
+    * with its kept-segment text reassembled in order plus audit
+    * counts; a doc whose every segment is boilerplate survives with
+    * empty cleaned_text (the caller decides whether to drop it).
+    *
+    * Scale shape: segmentation is a map-only explode; the df count
+    * groups by md5(segment) — a fixed-width key, and the (doc, hash)
+    * distinct pass combines map-side — then joins back on the same
+    * hash (never a window over the segment key: segment frequency is
+    * power-law and a hot segment would serialize a window partition);
+    * reassembly is one groupBy(doc_id) whose collect_list is bounded
+    * by ceil(doc_tokens/segTokens) — per-DOC state, never corpus-
+    * scale. The df branch re-scans the corpus rather than caching the
+    * exploded segment frame (map-only segmentation is cheaper to
+    * recompute than a corpus-sized intermediate is to materialize);
+    * the join-back is AQE-planned — broadcast when the distinct-
+    * segment frame measures small, shuffled on the fixed-width hash
+    * when it doesn't (at 100 TB it won't).
+    *
+    * Duplicate segments WITHIN one doc count df=1 (document frequency,
+    * not occurrence count) — in-doc repetition is repetitionStats'
+    * signal, not this rule's. */
+  def segmentDedup(docs: DataFrame, segTokens: Int, dupDf: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    require(dupDf >= 2, s"dupDf must be >= 2 (df 1 = unique), got $dupDf")
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $segTokens"))).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("seg_idx") * segTokens + 1).cast("int"), lit(segTokens))).as("seg"))
+      .withColumn("h", md5(col("seg")))
+    val dfCounts = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    segs.join(dfCounts, "h")
+      .withColumn("keep", col("df") < dupDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(struct(col("seg_idx").as("i"),
+            when(col("keep"), col("seg")).as("s")))), x => x.getField("s").isNotNull),
+          x => x.getField("s"))).as("cleaned_text"))
+  }
+
+  def segmentDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documents(spark, dir), segTokens = 8, dupDf = 2)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -820,5 +882,25 @@ object Dedup {
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY doc_id""".stripMargin),
+    "segment_dedup" ->
+      """WITH segs AS (
+        | SELECT doc_id, CAST(ci AS BIGINT) AS seg_idx,
+        |  array_to_string(list_slice(toks, ci*8 + 1, ci*8 + 8), ' ') AS seg
+        | FROM (
+        |  SELECT doc_id, toks, unnest(range(0, (n - 1) // 8 + 1)) AS ci
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |        FROM documents))),
+        |dfx AS (
+        | SELECT h, CAST(count(*) AS BIGINT) AS df
+        | FROM (SELECT DISTINCT doc_id, md5(seg) AS h FROM segs)
+        | GROUP BY h)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_segs,
+        | CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | COALESCE(string_agg(CASE WHEN df < 2 THEN seg END, ' '
+        |   ORDER BY seg_idx), '') AS cleaned_text
+        |FROM segs JOIN dfx ON md5(seg) = h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -247,6 +247,20 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** The inverse reshape: melt the wide pivot frame back to long
+    * (nation, segment, revenue) rows via Dataset.unpivot — the
+    * wide→long half of the reshape pair (reports arrive wide; the
+    * engine's joins/aggregates want long). Map-only over the already-
+    * aggregated 25-row frame: unpivot is a generate, never a shuffle,
+    * so the pair pivot+unpivot costs exactly the pivot's aggregate. */
+  def unpivotSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    pivotSegmentRevenue(spark, dir)
+      .unpivot(Array(col("n_name")), segments.map(col).toArray,
+        "segment", "revenue")
+      .orderBy(col("n_name"), col("segment"))
+  }
+
   val oracles: Map[String, String] = Map(
     "range_join_bins" ->
       """SELECT promo_id, count(*) AS n_events
@@ -276,6 +290,21 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, c_mktsegment)
         |ORDER BY region, segment""".stripMargin,
+    "unpivot_revenue" ->
+      """WITH p AS (
+        | SELECT n_name, c_mktsegment AS segment,
+        |  coalesce(round(sum(o_totalprice), 2), 0) AS revenue
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name, c_mktsegment),
+        |grid AS (
+        | SELECT n.n_name, s.segment
+        | FROM (SELECT DISTINCT n_name FROM p) n
+        | CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'),
+        |             ('HOUSEHOLD'), ('MACHINERY')) s(segment))
+        |SELECT g.n_name, g.segment, coalesce(p.revenue, 0) AS revenue
+        |FROM grid g LEFT JOIN p ON g.n_name = p.n_name AND g.segment = p.segment
+        |ORDER BY g.n_name, g.segment""".stripMargin,
     "pivot_segment_revenue" ->
       """SELECT n_name,
         | coalesce(round(sum(o_totalprice) FILTER (c_mktsegment = 'AUTOMOBILE'), 2), 0) AS "AUTOMOBILE",

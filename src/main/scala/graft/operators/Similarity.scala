@@ -350,6 +350,41 @@ object Similarity {
     annIvfTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 3)
       .orderBy(col("query_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- quantize
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth
+    * lever for an at-scale ANN corpus: q_i = round(x_i * 127 /
+    * max|x|), half away from zero, so a float32 embedding column
+    * shrinks 4x (and an int8 dot product is SIMD-friendly at serving
+    * time). Emits the quantized vector as a csv string plus its
+    * element sum (a checksum both engines compute in exact integer
+    * arithmetic) and the rounded scale. An all-zero vector quantizes
+    * to zeros (scale 0 by convention).
+    *
+    * Rounding is written as sign(x) * floor(|x|*127/max + 0.5) — an
+    * explicit IEEE expression both engines evaluate bit-identically
+    * (library round() half-even/half-up conventions differ across
+    * engines; floor does not). Map-only, zero shuffles; the transform
+    * lambdas here are a one-off storage pass, not the per-query ANN
+    * hot path (which stays lambda-free via native expressions). */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    vectors(emb)
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .select(col("vec_id"), col("maxabs"),
+        transform(col("e"), x =>
+          when(col("maxabs") === 0.0d, lit(0))
+            .otherwise((signum(x) *
+              floor(abs(x) * lit(127.0d) / col("maxabs") + lit(0.5d)))
+              .cast("int"))).as("q"))
+      .select(col("vec_id"),
+        round(col("maxabs"), 6).as("maxabs_r"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_sum"),
+        concat_ws(",", col("q")).as("q_csv"))
+
+  def quantizeInt8Query(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- oracles
 
   private val vectorCte =
@@ -442,6 +477,19 @@ object Similarity {
        | FROM scored) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize_int8" ->
+      """SELECT vec_id, round(maxabs, 6) AS maxabs_r,
+        | CAST(list_sum(q) AS BIGINT) AS q_sum,
+        | array_to_string(q, ',') AS q_csv
+        |FROM (
+        | SELECT vec_id, maxabs,
+        |  list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+        |    ELSE CAST(sign(x) * floor(abs(x) * 127.0 / maxabs + 0.5)
+        |              AS INTEGER) END) AS q
+        | FROM (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)))
+        |ORDER BY vec_id""".stripMargin,
     "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
     "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4),

@@ -384,6 +384,86 @@ object TextAnalysis {
   def repetitionStatsQuery(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- blocklist
+
+  /** Demo blocklist for the query entry; a real deployment loads a
+    * domain list (C4 used the "bad words" list) — the operator takes
+    * the terms as a parameter. */
+  private[graft] val blockTerms = Seq("spark", "slow", "big")
+
+  /** Term-blocklist filter + redaction — the C4-style banned-term rule
+    * every public-web curation pipeline runs: per-doc count and ratio
+    * of blocklisted tokens, a keep flag (C4 drops on ANY hit), and the
+    * redacted text (hits masked with `***`) for pipelines that redact
+    * instead of drop.
+    *
+    * Scale shape: entirely map-only — the blocklist compiles into an
+    * `isin` literal set inside whole-stage codegen (for a list too big
+    * to inline, the same operator becomes a broadcast left_semi join
+    * on the exploded token — the decontaminate shape); ZERO shuffles
+    * at any corpus size. */
+  def blocklistRedact(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val toks = tokens(col("text"))
+    val nHits = size(filter(toks, t => t.isin(terms: _*)))
+    docs.select(
+      col("doc_id"),
+      nHits.as("n_blocked"),
+      round(nHits.cast("double") / size(toks), 4).as("blocked_ratio"),
+      (nHits === 0).as("keep"),
+      concat_ws(" ", transform(toks,
+        t => when(t.isin(terms: _*), lit("***")).otherwise(t)))
+        .as("redacted_text"))
+  }
+
+  def blocklistRedactQuery(spark: SparkSession, dir: String): DataFrame =
+    blocklistRedact(Tables.documents(spark, dir), blockTerms)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- mixture
+
+  /** Per-language epoch weights for the query entry: >1 upsamples
+    * (full copies + a deterministic fractional remainder), <1
+    * downsamples (the fractional rule alone), 1.0 passes through. */
+  private[graft] val mixtureWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.7, "de" -> 1.5, "es" -> 1.0, "fr" -> 2.5, "zh" -> 3.0)
+
+  /** Mixture construction by deterministic epoch replication — the
+    * up/down-weighting step that turns a curated corpus into a
+    * training mixture: each doc is emitted floor(w) times, plus one
+    * more iff its md5 bucket falls under the fractional part (the
+    * SAME bucket rule as stratifiedSample, so a doc's fate is a pure
+    * function of (doc_id, lang) — reproducible across runs, engines,
+    * and cluster sizes; weights < 1 degenerate to stratified
+    * downsampling, the two rules provably one mechanism). Languages
+    * absent from the weight list get weight 0 (dropped).
+    *
+    * Scale shape: map-only — the copy fan-out is an explode over a
+    * per-row numeric range (no shuffle, no RNG state); output volume
+    * is sum(w_l * n_l) rows, the training-mixture size itself. */
+  def upsampleMixture(docs: DataFrame,
+                      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    val base = weights.foldLeft(lit(0L)) { case (acc, (lang, w)) =>
+      when(col("lang") === lang, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracThresh = weights.foldLeft(lit(0L)) { case (acc, (lang, w)) =>
+      when(col("lang") === lang,
+        lit(((w - math.floor(w)) * 4294967296L).toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), sampleBucket.as("bucket"))
+      .withColumn("n_copies",
+        base + when(col("bucket") < fracThresh, lit(1L)).otherwise(lit(0L)))
+      // sequence(1, 0) counts DOWNWARD in Spark — filter before exploding
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
+  def upsampleMixtureQuery(spark: SparkSession, dir: String): DataFrame =
+    upsampleMixture(Tables.documents(spark, dir), mixtureWeights)
+      .orderBy(col("doc_id"), col("copy"))
+
   // ---------------------------------------------------------------- caps
 
   /** Per-source document cap — the standard anti-domination rule of a
@@ -663,5 +743,36 @@ object TextAnalysis {
          | FROM documents)
          |WHERE bucket < $sampleCaseSql
          |ORDER BY doc_id""".stripMargin,
+    "blocklist_redact" -> {
+      val inL = inList(blockTerms)
+      s"""SELECT doc_id,
+         | len(list_filter(w, t -> t IN $inL)) AS n_blocked,
+         | round(CAST(len(list_filter(w, t -> t IN $inL)) AS DOUBLE)
+         |   / len(w), 4) AS blocked_ratio,
+         | len(list_filter(w, t -> t IN $inL)) = 0 AS keep,
+         | array_to_string(list_transform(w,
+         |   t -> CASE WHEN t IN $inL THEN '***' ELSE t END), ' ')
+         |  AS redacted_text
+         |FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "upsample_mixture" -> {
+      val baseCase = "CASE lang " + mixtureWeights.map { case (lang, w) =>
+        s"WHEN '$lang' THEN ${math.floor(w).toLong}"
+      }.mkString(" ") + " ELSE 0 END"
+      val fracCase = "CASE lang " + mixtureWeights.map { case (lang, w) =>
+        s"WHEN '$lang' THEN ${((w - math.floor(w)) * 4294967296L).toLong}"
+      }.mkString(" ") + " ELSE 0 END"
+      s"""SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+         | CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+         |FROM (
+         | SELECT doc_id, lang,
+         |  ($baseCase) + CASE WHEN bucket < ($fracCase) THEN 1 ELSE 0 END
+         |   AS n_copies
+         | FROM (SELECT doc_id, lang, $sampleBucketSql AS bucket
+         |       FROM documents))
+         |WHERE n_copies >= 1
+         |ORDER BY doc_id, copy""".stripMargin
+    },
   )
 }

@@ -182,4 +182,31 @@ class DedupSpec extends SparkSpec {
     // string order
     assert(top === Seq("a b c" -> 2L, "x y z" -> 2L))
   }
+
+  test("segmentDedup: cross-doc segments removed, in-doc dups kept (df=1), tail segments intact") {
+    val d = docs(
+      1L -> "a b c d e f g h",         // segs: 'a b c d' (shared), 'e f g h'
+      2L -> "a b c d x y z w",         // segs: 'a b c d' (shared), 'x y z w'
+      3L -> "a b c d",                 // ONLY the shared segment → emptied
+      4L -> "p q r s p q r s",         // same segment twice IN one doc: df=1 → kept
+      5L -> "t u v w x")               // short tail 'x' is its own segment
+    val out = Dedup.segmentDedup(d, segTokens = 4, dupDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 1L, "e f g h")))
+    assert(out(2L) === ((2L, 1L, "x y z w")))
+    assert(out(3L) === ((1L, 0L, "")))  // doc survives with empty text
+    assert(out(4L) === ((2L, 2L, "p q r s p q r s")))
+    assert(out(5L) === ((2L, 2L, "t u v w x")))
+  }
+
+  test("segmentDedup: dupDf=3 keeps a two-doc segment; reassembly preserves segment order") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d x y z w")
+    val out = Dedup.segmentDedup(d, segTokens = 4, dupDf = 3)
+      .select("doc_id", "cleaned_text").as[(Long, String)].collect().toMap
+    // df('a b c d') = 2 < 3 → kept; cleaned text reassembles in seg order
+    assert(out === Map(1L -> "a b c d e f g h", 2L -> "a b c d x y z w"))
+  }
 }

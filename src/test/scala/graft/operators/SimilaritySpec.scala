@@ -179,4 +179,40 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(out.nonEmpty && out.subsetOf(Set(1L, 2L, 3L)))
   }
+
+  test("quantizeInt8: half-away-from-zero rounding, symmetric range, zero-vector convention") {
+    val out = Similarity.quantizeInt8(emb(
+      1L -> Seq(1f, -0.5f, 0.25f, 0f),
+      2L -> Seq(0f, 0f, 0f, 0f),       // all-zero: scale 0, q all 0
+      3L -> Seq(-2f, 1f, 0f, 0f)))     // negative max|x|: q hits -127
+      .select("vec_id", "maxabs_r", "q_sum", "q_csv")
+      .as[(Long, Double, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // |x|*127/max + 0.5 floored, sign reapplied: -0.5 → -64 (not -63)
+    assert(out(1L) === ((1.0, 127L - 64L + 32L, "127,-64,32,0")))
+    assert(out(2L) === ((0.0, 0L, "0,0,0,0")))
+    assert(out(3L) === ((2.0, -127L + 64L, "-127,64,0,0")))
+  }
+
+  test("quantizeInt8: dequantized values stay within half a step of the input") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.quantizeInt8(e)
+      .join(Similarity.vectors(e), "vec_id")
+      .select("vec_id", "maxabs_r", "q_csv", "e")
+      .as[(Long, Double, String, Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, csv, e0) =>
+      val q = csv.split(",").map(_.toInt)
+      assert(q.length === e0.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      val maxabs = if (e0.isEmpty) 0.0 else e0.map(math.abs).max
+      if (maxabs > 0) {
+        val step = maxabs / 127.0
+        q.zip(e0).foreach { case (qi, x) =>
+          assert(math.abs(qi * step - x) <= step / 2 + 1e-9,
+            s"dequant error ${math.abs(qi * step - x)} > ${step / 2}")
+        }
+      }
+    }
+  }
 }

@@ -200,4 +200,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.size === 50) // rate 1.0 keeps every en doc
     assert(half.subsetOf(all)) // raising the rate only ADDS docs
   }
+
+  test("blocklistRedact: hit counts, C4 keep rule, masked text; clean docs pass through") {
+    val out = TextAnalysis.blocklistRedact(docs(
+      (1L, "good words only here now", "en"),
+      (2L, "bad words and bad stuff", "en")), Seq("bad", "stuff"))
+      .select("doc_id", "n_blocked", "keep", "redacted_text")
+      .as[(Long, Int, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((0, true, "good words only here now")))
+    assert(out(2L) === ((3, false, "*** words and *** ***")))
+  }
+
+  test("upsampleMixture: integer weights replicate exactly, weight 1 passes through, unlisted langs drop") {
+    val d = sourcedDocs((0L until 60L).map(i =>
+      (i, "t", Seq("en", "es", "zh")(((i % 3).toInt)), "s")): _*)
+    val out = TextAnalysis.upsampleMixture(d, Seq("en" -> 3.0, "es" -> 1.0))
+      .select("doc_id", "lang", "copy").as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // en → exactly 3 copies each, es → exactly 1, zh unlisted → dropped
+    assert(out.filter(_._2 == "en").groupBy(_._1).forall(_._2.length == 3))
+    assert(out.filter(_._2 == "es").groupBy(_._1).forall(_._2.length == 1))
+    assert(!out.exists(_._2 == "zh"))
+    // copy indices are 1..n
+    assert(out.filter(r => r._2 == "en" && r._1 == 0L).map(_._3).sorted
+      === Seq(1L, 2L, 3L))
+    assert(byDoc.keySet.forall(_ % 3 != 2))
+  }
+
+  test("upsampleMixture: fractional weights are deterministic and bounded by floor/ceil") {
+    val d = sourcedDocs((0L until 100L).map(i => (i, "t", "en", "s")): _*)
+    val run1 = TextAnalysis.upsampleMixture(d, Seq("en" -> 1.5))
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    val run2 = TextAnalysis.upsampleMixture(d, Seq("en" -> 1.5))
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    assert(run1 === run2) // md5 bucket, not RNG: bit-reproducible
+    val counts = run1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts.size === 100) // floor(1.5) >= 1 → every doc survives
+    assert(counts.values.forall(c => c == 1 || c == 2))
+    assert(counts.values.sum > 100 && counts.values.sum < 200) // ~150
+    // a sub-1.0 weight degenerates to stratified downsampling
+    val down = TextAnalysis.upsampleMixture(d, Seq("en" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(down.size > 0 && down.size < 100)
+    assert(down.forall(id => counts(id) == 2)) // same bucket rule: frac keepers agree
+  }
 }
