@@ -87,7 +87,15 @@ object ScaleProbe {
       "keyword_extract"     -> (operators.TextAnalysis.keywordExtractQuery _),
       "cap_per_source"      -> (operators.TextAnalysis.capPerSourceQuery _),
       "repetition_stats"    -> (operators.TextAnalysis.repetitionStatsQuery _),
-      "pack_global"         -> (operators.TextAnalysis.packTokenBudgetGlobalQuery _))
+      "pack_global"         -> (operators.TextAnalysis.packTokenBudgetGlobalQuery _),
+      // r7b additions — segment_dedup is the one with shuffles (df
+      // aggregate + join-back); replicate() prefixes every token with
+      // a copy tag, so segments never collide ACROSS copies and the
+      // distinct-segment frame grows linearly — the worst case for the
+      // join-back side. The rest are map-only and expected linear.
+      "segment_dedup"       -> (operators.Dedup.segmentDedupQuery _),
+      "blocklist_redact"    -> (operators.TextAnalysis.blocklistRedactQuery _),
+      "upsample_mixture"    -> (operators.TextAnalysis.upsampleMixtureQuery _))
 
     factors.foreach { f =>
       val dir = replicate(spark, f)

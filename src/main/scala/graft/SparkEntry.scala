@@ -37,6 +37,7 @@ object SparkEntry {
     "cube_segment_revenue"   -> (Relational.cubeSegmentRevenue _),
     "pivot_segment_revenue"  -> (Relational.pivotSegmentRevenue _),
     "unpivot_revenue"        -> (Relational.unpivotSegmentRevenue _),
+    "q17_small_qty_revenue"  -> (Relational.q17SmallQtyRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),

@@ -247,6 +247,32 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q17 shape — a CORRELATED SCALAR SUBQUERY through the SQL
+    * surface: lineitems whose quantity is below 20% of their part's
+    * average quantity (the small-order detection pattern). The point
+    * is the planner path: Catalyst DECORRELATES the subquery into a
+    * per-part aggregate joined back (one scan of lineitem per side,
+    * never a per-row re-execution) — the rewrite a naive engine
+    * misses, which turns an O(n) predicate into O(n·parts). The
+    * predicate is deterministic cross-engine: quantities are integral
+    * doubles, so the per-part sum is EXACT in any accumulation order
+    * and avg is one IEEE division.
+    *
+    * Scale shape: both sides shuffle on l_partkey (the aggregate is
+    * map-side combined); AQE broadcasts the per-part averages when
+    * they measure small. The brand filter pushes into the part scan. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   /** The inverse reshape: melt the wide pivot frame back to long
     * (nation, segment, revenue) rows via Dataset.unpivot — the
     * wide→long half of the reshape pair (reports arrive wide; the
@@ -290,6 +316,13 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, c_mktsegment)
         |ORDER BY region, segment""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "unpivot_revenue" ->
       """WITH p AS (
         | SELECT n_name, c_mktsegment AS segment,

@@ -89,4 +89,38 @@ class BatchStreamParitySpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("blocklistRedact + upsampleMixture: stateless curation rules stream in APPEND mode unchanged") {
+    import graft.operators.TextAnalysis
+    // both ops are pure per-row column math (blocklist isin + md5
+    // bucket explode) — they must run on the ingest stream with NO
+    // state store at all, so redaction and mixture construction can
+    // sit directly on the ingest path
+    val docs = Tables.documents(spark, dir)
+    val batchRedact = TextAnalysis.blocklistRedact(docs, TextAnalysis.blockTerms)
+      .collect().map(_.toSeq).toSet
+    val batchMix = TextAnalysis.upsampleMixture(docs, TextAnalysis.mixtureWeights)
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_blockmix")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+
+    val qR = Sinks.memory(
+      TextAnalysis.blocklistRedact(stream, TextAnalysis.blockTerms),
+      "redact_parity", "append").start()
+    val qM = Sinks.memory(
+      TextAnalysis.upsampleMixture(stream, TextAnalysis.mixtureWeights),
+      "mixture_parity", "append").start()
+    try {
+      qR.processAllAvailable()
+      qM.processAllAvailable()
+      assert(spark.table("redact_parity").collect().map(_.toSeq).toSet === batchRedact)
+      assert(spark.table("mixture_parity").collect().map(_.toSeq).toSet === batchMix)
+      assert(batchRedact.nonEmpty && batchMix.nonEmpty)
+    } finally { qR.stop(); qM.stop() }
+  }
 }
