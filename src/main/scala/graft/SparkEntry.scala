@@ -63,6 +63,7 @@ object SparkEntry {
     "pack_token_budget"      -> (TextAnalysis.packTokenBudgetQuery _),
     "pack_token_budget_sharded" -> (TextAnalysis.packTokenBudgetShardedQuery _),
     "pack_token_budget_global" -> (TextAnalysis.packTokenBudgetGlobalQuery _),
+    "pack_materialize"       -> (TextAnalysis.materializePacksQuery _),
     "chunk_tokens"           -> (TextAnalysis.chunkTokensQuery _),
     "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
     "cap_per_source"         -> (TextAnalysis.capPerSourceQuery _),

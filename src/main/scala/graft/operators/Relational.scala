@@ -154,6 +154,28 @@ object Relational {
         element_at(col("q"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** The 100 TB percentile path: `percentile_approx` — a single-pass,
+    * MERGEABLE quantile sketch (partials combine map-side and across
+    * partitions, memory bounded by `accuracy`, never by group size),
+    * vs exact percentile's per-group full sort. Not oracle-checked
+    * (sketch internals differ engine-to-engine by design); the spec
+    * pins it to the exact operator within rank-error tolerance on the
+    * real events table. Use THIS form when a group's values do not
+    * comfortably sort in one task; the exact form is the correctness
+    * oracle at test scale. */
+  def valuePercentilesApprox(events: DataFrame,
+                             accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.5, 0.9, 0.95, 0.99), $accuracy)")
+        .as("q"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p90"),
+        element_at(col("q"), 3).as("p95"),
+        element_at(col("q"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Point-in-interval RANGE join with NO equi-key, executed as
     * Layout.binnedRangeJoin's bin equi-join (Spark's native plan for a
     * pure inequality predicate is BroadcastNestedLoopJoin — a

@@ -292,6 +292,39 @@ object TextAnalysis {
     packTokenBudgetGlobal(Tables.documents(spark, dir), budget = 512,
       rangeDocs = 100).orderBy(col("doc_id"))
 
+  /** Pack MATERIALIZATION — the step after assignment: each pack's
+    * member documents concatenated in stream order with an EOS
+    * separator, plus audit counts — the physical training shard a
+    * pretraining loader memory-maps. Split from packTokenBudget
+    * deliberately: assignment shuffles only metadata columns and is
+    * what dedup/sampling recompute against; materialization is the
+    * one pass that must move the text itself.
+    *
+    * Scale shape: the assignment join is on doc_id (1:1, text moves
+    * ONCE into its pack group); the groupBy collect_list is bounded
+    * per pack by ~budget tokens + one doc overflow — pack granularity
+    * is chosen precisely so a pack fits in memory, so the reassembly
+    * aggregate is bounded by construction, never corpus-scale. */
+  def materializePacks(docs: DataFrame, budget: Long,
+                       eos: String = "<|eos|>"): DataFrame = {
+    val assign = packTokenBudget(docs, budget)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("ws_tokens"), col("pack_id"))
+    assign.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("lang"), col("source"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"),
+        concat_ws(eos, transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("text").as("t")))),
+          x => x.getField("t"))).as("pack_text"))
+  }
+
+  def materializePacksQuery(spark: SparkSession, dir: String): DataFrame =
+    materializePacks(Tables.documents(spark, dir), budget = 512)
+      .orderBy(col("lang"), col("source"), col("pack_id"))
+
   // ---------------------------------------------------------------- chunking
 
   /** Overlapping token-window chunking — the context-window prep step
@@ -658,6 +691,15 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
     "pack_token_budget" ->
       (packSelectSql(512, "documents") + "\nORDER BY doc_id"),
+    "pack_materialize" ->
+      s"""WITH packed AS (${packSelectSql(512, "documents")})
+         |SELECT p.lang, p.source, p.pack_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(p.ws_tokens) AS BIGINT) AS n_tokens,
+         | string_agg(d.text, '<|eos|>' ORDER BY p.doc_id) AS pack_text
+         |FROM packed p JOIN documents d ON p.doc_id = d.doc_id
+         |GROUP BY p.lang, p.source, p.pack_id
+         |ORDER BY p.lang, p.source, p.pack_id""".stripMargin,
     "pack_token_budget_sharded" ->
       """SELECT doc_id, lang, source, shard, ws_tokens, start_off,
         | CAST(start_off // 512 AS BIGINT) AS pack_id

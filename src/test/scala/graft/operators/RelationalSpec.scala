@@ -25,4 +25,26 @@ class RelationalSpec extends SparkSpec {
     assert(roundTrip.columns.toSeq === wide.columns.toSeq)
     assert(roundTrip.collect().toSeq === wide.orderBy("n_name").collect().toSeq)
   }
+
+  test("valuePercentilesApprox: sketch quantiles land within rank tolerance of exact") {
+    import graft.core.Tables
+    val events = Tables.events(spark, dir)
+    val values = events.select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = Relational.valuePercentilesApprox(events)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.nonEmpty)
+    val qs = Seq(0.5, 0.9, 0.95, 0.99)
+    approx.foreach { case (et, ps) =>
+      val sorted = values(et)
+      qs.zip(ps).foreach { case (q, p) =>
+        // rank of the sketch's answer must sit within 2% of the target
+        val rank = sorted.count(_ <= p).toDouble / sorted.length
+        assert(math.abs(rank - q) <= 0.02,
+          s"$et q=$q: approx=$p has rank $rank")
+      }
+    }
+  }
 }

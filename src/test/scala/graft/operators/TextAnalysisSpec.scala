@@ -201,6 +201,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(half.subsetOf(all)) // raising the rate only ADDS docs
   }
 
+  test("materializePacks: stream-order concatenation with EOS, counts per pack, budget boundaries") {
+    // tokens 3, 4, 5 in one (en, s1) stream; offsets 0, 3, 7; budget 5
+    // → docs 1+2 in pack 0, doc 3 in pack 1
+    val out = TextAnalysis.materializePacks(sourcedDocs(
+      (1L, "a b c", "en", "s1"),
+      (2L, "d e f g", "en", "s1"),
+      (3L, "h i j k l", "en", "s1")), budget = 5)
+      .select("pack_id", "n_docs", "n_tokens", "pack_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) === ((2L, 7L, "a b c<|eos|>d e f g")))
+    assert(out(1L) === ((1L, 5L, "h i j k l")))
+  }
+
   test("blocklistRedact: hit counts, C4 keep rule, masked text; clean docs pass through") {
     val out = TextAnalysis.blocklistRedact(docs(
       (1L, "good words only here now", "en"),
