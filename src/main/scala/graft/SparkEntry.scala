@@ -69,6 +69,7 @@ object SparkEntry {
     "cap_per_source"         -> (TextAnalysis.capPerSourceQuery _),
     "repetition_stats"       -> (TextAnalysis.repetitionStatsQuery _),
     "blocklist_redact"       -> (TextAnalysis.blocklistRedactQuery _),
+    "pii_redact"             -> (TextAnalysis.piiRedactQuery _),
     "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),

@@ -453,6 +453,44 @@ object TextAnalysis {
     blocklistRedact(Tables.documents(spark, dir), blockTerms)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- pii
+
+  /** PII patterns — deliberately in the regex dialect subset Java and
+    * RE2 (DuckDB) evaluate identically: character classes, bounded
+    * repetition, ASCII \b word boundaries; no backrefs, no lookaround
+    * (RE2 has neither). */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement) — applied IN ORDER: email first (it
+    // contains dots/digits the later rules would mangle), then dotted
+    // IPv4, then long digit runs (account/card-number shaped)
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("idnum", "\\b\\d{9,}\\b", "[IDNUM]"))
+
+  /** PII detection + redaction — the privacy-scrub pass a public-web
+    * corpus runs before training: per-doc counts of email / IPv4 /
+    * long-digit-run matches, a has_pii flag, and the redacted text
+    * with each match replaced by a typed sentinel. Entirely map-only
+    * regex column ops (codegen'd, zero shuffles); rules apply in a
+    * fixed order so overlapping matches resolve identically in any
+    * engine. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    docs.select(col("doc_id") +: counts :+
+      redacted.as("redacted_text"): _*)
+      .withColumn("has_pii",
+        piiPatterns.map { case (n, _, _) => col(s"n_$n") > 0 }
+          .reduce(_ || _))
+  }
+
+  def piiRedactQuery(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- mixture
 
   /** Per-language epoch weights for the query entry: >1 upsamples
@@ -785,6 +823,25 @@ object TextAnalysis {
          | FROM documents)
          |WHERE bucket < $sampleCaseSql
          |ORDER BY doc_id""".stripMargin,
+    "pii_redact" -> {
+      val counts = piiPatterns.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+      }.mkString(",\n ")
+      val redacted = piiPatterns.foldLeft("text") {
+        case (acc, (_, pat, repl)) =>
+          s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      val hasPii = piiPatterns.map { case (n, _, _) => s"n_$n > 0" }
+        .mkString(" OR ")
+      s"""SELECT doc_id, n_email, n_ip, n_idnum, redacted_text,
+         | $hasPii AS has_pii
+         |FROM (
+         | SELECT doc_id,
+         | $counts,
+         | $redacted AS redacted_text
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
     "blocklist_redact" -> {
       val inL = inList(blockTerms)
       s"""SELECT doc_id,

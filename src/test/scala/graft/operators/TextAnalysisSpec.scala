@@ -226,6 +226,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((3, false, "*** words and *** ***")))
   }
 
+  test("piiRedact: detects and masks emails, IPs, long digit runs; order-stable on mixed text") {
+    val out = TextAnalysis.piiRedact(docs(
+      (1L, "contact bob@example.com or 10.0.0.1 ref 123456789", "en"),
+      (2L, "clean text with short 123 number", "en"),
+      (3L, "two mails a@b.io c@d.org and ip 192.168.1.255", "en")))
+      .select("doc_id", "n_email", "n_ip", "n_idnum", "has_pii", "redacted_text")
+      .as[(Long, Int, Int, Int, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) === ((1, 1, 1, true,
+      "contact [EMAIL] or [IP] ref [IDNUM]")))
+    assert(out(2L) === ((0, 0, 0, false, "clean text with short 123 number")))
+    assert(out(3L) === ((2, 1, 0, true, "two mails [EMAIL] [EMAIL] and ip [IP]")))
+  }
+
   test("upsampleMixture: integer weights replicate exactly, weight 1 passes through, unlisted langs drop") {
     val d = sourcedDocs((0L until 60L).map(i =>
       (i, "t", Seq("en", "es", "zh")(((i % 3).toInt)), "s")): _*)
