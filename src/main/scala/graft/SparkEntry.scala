@@ -78,6 +78,8 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> (Dedup.minhashLshQuery _),
     "dedup_simhash"          -> (Dedup.simhashQuery _),
     "dedup_clusters"         -> (Dedup.dedupClustersQuery _),
+    "dedup_canonical_quality" -> (Dedup.dedupClustersByQualityQuery _),
+    "corpus_diff"            -> (Dedup.corpusDiffQuery _),
     "ngram_stats"            -> (Dedup.ngramStatsQuery _),
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),

@@ -518,6 +518,72 @@ object Dedup {
     dedupClusters(Tables.documents(spark, dir), k = 3, tau = 0.7)
       .orderBy(col("doc_id"))
 
+  /** Cluster canonical selection by QUALITY instead of min id — the
+    * curation policy choice dedupClusters leaves open: within each
+    * near-dup cluster keep the doc with the most whitespace tokens
+    * (near-dup clusters typically mix truncated/boilerplate-wrapped
+    * variants of one document; the longest member carries the most
+    * content), ties on min doc_id. rep_id (min id) stays as the STABLE
+    * cluster identity — the keep choice is policy, the label is not.
+    *
+    * Scale shape: one extra per-cluster aggregate over the cluster
+    * frame (map-side combined max of a (tokens, -id) struct — an
+    * argmax without a window, so a mega-cluster never serializes a
+    * sort) broadcast-joined back by AQE when small. */
+  def dedupClustersByQuality(docs: DataFrame, k: Int,
+                             tau: Double): DataFrame = {
+    val clusters = dedupClusters(docs, k, tau)
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"))
+    val scored = clusters.join(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens")),
+      "doc_id")
+    val best = scored.groupBy("rep_id")
+      .agg(max(struct(col("ws_tokens"),
+        (lit(0L) - col("doc_id")).as("nid"))).as("m"))
+      .select(col("rep_id"), (lit(0L) - col("m.nid")).as("keep_id"))
+    scored.join(best, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        col("ws_tokens"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+  }
+
+  def dedupClustersByQualityQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersByQuality(Tables.documents(spark, dir), k = 3, tau = 0.7)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- versioning
+
+  /** Corpus VERSION diff — the ops tool for corpus releases: full
+    * outer join of two corpus versions on doc_id, each doc classified
+    * added / removed / changed / unchanged by md5 fingerprint compare
+    * (never the full text: the join carries two 32-byte hashes per
+    * row, so diffing two 100 TB versions moves id + hash columns
+    * only — parquet scans prune text away entirely). One shuffle per
+    * side on doc_id. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Query form: v1 drops every 7th doc (v2 "added" them), v2 drops
+    * every 5th (they were "removed") and rewrites every 3rd. */
+  def corpusDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    corpusDiff(v1, v2).orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- ngram stats
 
   /** Corpus n-gram statistics: top-N shingles by document frequency
@@ -590,11 +656,25 @@ object Dedup {
     * exact verifier resolves each pair side against the union of both
     * per-doc set frames, so a doc_id present on both sides would fan
     * the verification join out to wrong-set comparisons and duplicate
-    * output rows. Not validated at runtime — a distributed
-    * disjointness check would cost a full join per delta. */
+    * output rows. Pass validateDisjoint = true to enforce the contract
+    * at runtime: one EAGER broadcast semi-join of the delta's pruned
+    * id column against the corpus sets' id column — delta-sized
+    * build side, map-only probe, no corpus shuffle. Off by default
+    * because the check costs a corpus id-column scan per delta and
+    * the contract holds by construction in the fresh-id ingest shape;
+    * turn it on in staging or when ids come from an external system. */
   def incrementalDedupWithIndex(delta: DataFrame, postings: DataFrame,
                                 corpusSets: DataFrame,
-                                k: Int, tau: Double): DataFrame = {
+                                k: Int, tau: Double,
+                                validateDisjoint: Boolean = false): DataFrame = {
+    if (validateDisjoint) {
+      val clash = corpusSets.select("doc_id")
+        .join(broadcast(delta.select("doc_id").distinct()), "doc_id")
+        .take(1)
+      require(clash.isEmpty,
+        s"delta/corpus doc_id disjointness violated (e.g. id ${clash.headOption.map(_.get(0)).orNull}) — " +
+          "assign delta ids from a fresh range")
+    }
     val dSets = docShingleSets(delta, k)
     val dSh = dSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
 
@@ -882,6 +962,39 @@ object Dedup {
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY doc_id""".stripMargin),
+    "dedup_canonical_quality" -> ("WITH RECURSIVE " + shingleCteFrom("documents") +
+      componentsCteSql(0.7, "documents") +
+      """,sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens
+        | FROM documents),
+        |best AS (
+        | SELECT rep_id, doc_id AS keep_id FROM (
+        |  SELECT c.rep_id, c.doc_id,
+        |   row_number() OVER (PARTITION BY c.rep_id
+        |     ORDER BY t.ws_tokens DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN toks t USING (doc_id))
+        | WHERE rn = 1)
+        |SELECT c.doc_id, c.rep_id,
+        | CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+        | t.ws_tokens, best.keep_id,
+        | c.doc_id = best.keep_id AS is_canonical
+        |FROM comp c JOIN sz USING (rep_id) JOIN toks t USING (doc_id)
+        | JOIN best ON c.rep_id = best.rep_id
+        |ORDER BY c.doc_id""".stripMargin),
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h2
+        | FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        | CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |      WHEN v2.doc_id IS NULL THEN 'removed'
+        |      WHEN h1 <> h2 THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "segment_dedup" ->
       """WITH segs AS (
         | SELECT doc_id, CAST(ci AS BIGINT) AS seg_idx,

@@ -183,6 +183,52 @@ class DedupSpec extends SparkSpec {
     assert(top === Seq("a b c" -> 2L, "x y z" -> 2L))
   }
 
+  test("incrementalDedupWithIndex: validateDisjoint rejects overlapping ids, passes disjoint ones") {
+    val corpus = docs(1L -> "a b c d e", 2L -> "x y z w v")
+    val (postings, cSets) = Dedup.corpusIndex(corpus, k = 3)
+    // overlapping id 2 → eager contract failure
+    val overlapping = docs(2L -> "a b c d f")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupWithIndex(overlapping, postings, cSets,
+        k = 3, tau = 0.5, validateDisjoint = true)
+    }
+    assert(ex.getMessage.contains("disjointness"))
+    // disjoint ids → validation passes and output matches the unchecked path
+    val delta = docs(10L -> "a b c d f")
+    val checked = Dedup.incrementalDedupWithIndex(delta, postings, cSets,
+        k = 3, tau = 0.5, validateDisjoint = true)
+      .collect().map(_.toSeq).toSet
+    val unchecked = Dedup.incrementalDedupWithIndex(delta, postings, cSets,
+        k = 3, tau = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(checked === unchecked && checked.nonEmpty)
+  }
+
+  test("dedupClustersByQuality: longest member wins, min-id tiebreak, rep_id stays min id") {
+    val d = docs(
+      1L -> "a b c d e f",          // cluster {1,2,3}: near-dups
+      2L -> "a b c d e f g h",      // longest → canonical
+      3L -> "a b c d e f",          // same length as 1 → id 1 wins the tie over 3
+      9L -> "x y z w v u")          // singleton: canonical by default
+    val out = Dedup.dedupClustersByQuality(d, k = 3, tau = 0.5)
+      .select("doc_id", "rep_id", "keep_id", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((1L, 2L, false)))
+    assert(out(2L) === ((1L, 2L, true))) // NOT the min id — the longest
+    assert(out(3L) === ((1L, 2L, false)))
+    assert(out(9L) === ((9L, 9L, true)))
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged classification on hash compare") {
+    val v1 = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val v2 = docs(2L -> "beta", 3L -> "gamma CHANGED", 4L -> "delta")
+    val out = Dedup.corpusDiff(v1, v2)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("segmentDedup: cross-doc segments removed, in-doc dups kept (df=1), tail segments intact") {
     val d = docs(
       1L -> "a b c d e f g h",         // segs: 'a b c d' (shared), 'e f g h'
