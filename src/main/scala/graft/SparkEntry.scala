@@ -52,6 +52,7 @@ object SparkEntry {
     "sliding_window"         -> (Windows.slidingQuery _),
     "session_window_agg"     -> (Windows.sessionizedQuery _),
     "stateful_running_count" -> (Windows.statefulRunningCountQuery _),
+    "event_gap_quartiles"    -> (Windows.eventGapQuartilesQuery _),
     "wordcount"              -> (Windows.wordCountQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),

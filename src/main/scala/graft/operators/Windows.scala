@@ -100,6 +100,26 @@ object Windows {
   def statefulRunningCountQuery(spark: SparkSession, dir: String): DataFrame =
     statefulRunningCount(Tables.events(spark, dir)).orderBy(col("event_id"))
 
+  /** The remaining analytic-function family — lag + ntile in one
+    * per-key pass: each event's microsecond gap to the SAME user's
+    * previous event (inter-arrival time, the input to rate-limit /
+    * anomaly rules; null for a user's first event) and its ntile(4)
+    * position quartile within the user's history. Both functions share
+    * ONE window spec, so Catalyst evaluates them in a single Window
+    * operator — one shuffle, one sort, two outputs. */
+  def eventGapQuartiles(events: DataFrame): DataFrame = {
+    val w = W.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+      .select(col("event_id"), col("user_id"),
+        (col("tus") - lag(col("tus"), 1).over(w)).as("gap_us"),
+        ntile(4).over(w).as("qtile"))
+  }
+
+  def eventGapQuartilesQuery(spark: SparkSession, dir: String): DataFrame =
+    eventGapQuartiles(Tables.events(spark, dir)).orderBy(col("event_id"))
+
   /** Wordcount over a text column — Basic.scala:24-25's
     * flatMap(split).groupBy.count in declarative form. */
   def wordCount(docs: DataFrame): DataFrame =
@@ -154,5 +174,12 @@ object Windows {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "event_gap_quartiles" ->
+      """SELECT event_id, user_id,
+        | tus - lag(tus) OVER w AS gap_us,
+        | ntile(4) OVER w AS qtile
+        |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY event_id""".stripMargin,
   )
 }
