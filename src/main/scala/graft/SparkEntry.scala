@@ -38,6 +38,10 @@ object SparkEntry {
     "pivot_segment_revenue"  -> (Relational.pivotSegmentRevenue _),
     "unpivot_revenue"        -> (Relational.unpivotSegmentRevenue _),
     "q17_small_qty_revenue"  -> (Relational.q17SmallQtyRevenue _),
+    "q4_order_priority"      -> (Relational.q4OrderPriority _),
+    "q13_customer_distribution" -> (Relational.q13CustomerDistribution _),
+    "q18_large_orders"       -> (Relational.q18LargeOrders _),
+    "q22_global_sales"       -> (Relational.q22GlobalSales _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
@@ -69,6 +73,7 @@ object SparkEntry {
     "keyword_extract"        -> (TextAnalysis.keywordExtractQuery _),
     "cap_per_source"         -> (TextAnalysis.capPerSourceQuery _),
     "repetition_stats"       -> (TextAnalysis.repetitionStatsQuery _),
+    "source_stats"           -> (TextAnalysis.sourceStatsQuery _),
     "blocklist_redact"       -> (TextAnalysis.blocklistRedactQuery _),
     "pii_redact"             -> (TextAnalysis.piiRedactQuery _),
     "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),

@@ -17,12 +17,14 @@ import graft.functions.TextFunctions._
   * sort_array are native collection ops), never an explode+distinct
   * shuffle — exact verification reads that projection directly, and
   * every explode feeding an aggregate starts from pre-deduped arrays.
-  * The signature/fingerprint folds themselves stay as groupBy
-  * aggregates over the exploded sets, NOT in-row higher-order-function
-  * folds: HOF lambdas evaluate interpreted (~10x slower per element
-  * than the codegen'd min/sum aggregates, measured ~12us/element for
-  * nested lambdas), so one map-side-combined exchange of signature
-  * rows is cheaper than "zero shuffles" at every scale.
+  * The minhash/simhash signature folds are IN-ROW too (r7): native
+  * Catalyst expressions (MinHashSig, SimHash60) run the per-doc fold
+  * as a primitive loop inside the scan stage, so those paths reach
+  * their banding joins with ZERO shuffles. (Interpreted
+  * higher-order-function folds were never an option — ~12 µs/element
+  * of lambda interpretation, ~10x slower than a codegen'd aggregate;
+  * the native expression is the third path the r5 dichotomy between
+  * "HOF fold" and "groupBy aggregate" predates.)
   *
   * All three share word-trigram shingling. With this corpus's 31-word
   * vocabulary, bigrams have document frequency in the hundreds (the
@@ -205,23 +207,27 @@ object Dedup {
   /** MinHash(64) signatures + LSH banding (16 bands x 4 rows) →
     * candidate pairs → exact-Jaccard verification of candidates ONLY.
     *
-    * The signature is computed WITHOUT row explosion of seeds: 64 min()
-    * aggregates over the exploded shingle set (ONE shuffle, map-side
-    * combined — the codegen'd aggregate is ~10x faster per element
-    * than any interpreted higher-order-function fold, which is why the
-    * signature is NOT built in-row despite the doc-per-row layout).
-    * And WITHOUT 64 md5 calls per shingle: ONE md5 yields two
-    * independent 32-bit words and hash_i = (h1 + i*h2) mod 2^32
+    * The signature is MAP-ONLY (added r7): the documents table has one
+    * row per doc, so the 64-slot signature is a per-row fold over the
+    * doc's pre-deduped shingle array — computed by the native
+    * `MinHashSig` expression (graft.functions.MinHashSig) inside the
+    * scan stage. LSH banding therefore starts with ZERO shuffles at
+    * any corpus size; the banding equi-join is the first (and only)
+    * exchange on the candidate path, pinned by PlanPropertiesSpec.
+    * (The r5 form ran 64 min() aggregates over the exploded sets —
+    * map-side combined, but still a full-corpus exchange of 64-column
+    * signature rows; an interpreted higher-order-function fold was
+    * never an option at ~12 µs/element of lambda interpretation. The
+    * native expression is the third path: in-row AND codegen'd.)
+    *
+    * Hashing is unchanged bit for bit (MinHashSigSpec pins parity with
+    * the aggregate form): ONE md5 per shingle yields two independent
+    * 32-bit words and hash_i = (h1 + i*h2) mod 2^32
     * (Kirsch–Mitzenmacher double hashing). The mod keeps every derived
     * hash fully mixed across the 32-bit domain — adding a small i*h2
     * to a WIDER h1 without wrapping would leave the global min-h1
     * shingle winning every slot, degenerating the signature (observed:
     * recall dropped to 24/25 before the mod).
-    *
-    * The aggregate carries ONLY the 64 minima (per-doc shingle sets
-    * for verification come from the map-only docShingleSets, not a
-    * collect_set through the shuffle), so the signature frame is
-    * consumed exactly once by banding and nothing needs persist().
     *
     * At Jaccard >= 0.8 a 16x4 banding collides with probability
     * 1-(1-0.8^4)^16 ≈ 0.9997 per pair (and > 1-1e-7 at the >= 0.9
@@ -240,18 +246,12 @@ object Dedup {
     val rowsPerBand = numHashes / bandsN
 
     val docSets = docShingleSets(docs, 3)
-    val hashed = docSets
-      .select(col("doc_id"), explode(col("sset")).as("s"))
-      .withColumn("m", md5(col("s"))) // ONE md5 per (doc, shingle)
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
-    val sigCols = (0 until numHashes)
-      .map(i => min((col("h1") + lit(i.toLong) * col("h2")) % lit(4294967296L)).as(s"m$i"))
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = docSets.select(col("doc_id"),
+      graft.functions.MinHashSig(col("sset"), numHashes).as("sig"))
 
     val bandStructs = array((0 until bandsN).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1))
       struct(lit(bnd).as("band"), md5(concat_ws("#", parts: _*)).as("bh"))
     }: _*)
     val bands = sig
@@ -276,10 +276,11 @@ object Dedup {
   /** 60-bit SimHash near-dup pairs at Hamming distance <= 3.
     *
     * Fingerprint: per-bit majority vote over the shingle set's 60-bit
-    * md5 hashes, computed as 60 conditional-sum aggregates in ONE
-    * groupBy (no 60x bit-position explosion through the shuffle; the
-    * codegen'd aggregate beats an in-row interpreted fold by ~10x
-    * per element, same reasoning as the minhash signature).
+    * md5 hashes, computed IN-ROW by the native `SimHash60` expression
+    * (graft.functions.SimHash60) — MAP-ONLY, so pigeonhole banding
+    * starts with zero shuffles at any corpus size (added r7; the r5
+    * form ran 60 conditional-sum aggregates through a full-corpus
+    * groupBy exchange — SimHash60Spec pins bit-parity with it).
     *
     * Pairing: pigeonhole banding — split the fingerprint into 4 pieces
     * of 15 bits; Hamming <= 3 over 60 bits forces at least one piece
@@ -292,18 +293,8 @@ object Dedup {
     val pieces = 4
     val pieceBits = bitsN / pieces
 
-    val h = shingleSet(docs, 3)
-      .select(col("doc_id"), hash60(col("s")).as("hv"))
-    val bitSums = (0 until bitsN).map { b =>
-      sum(when(shiftright(col("hv"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"c$b")
-    }
-    val fp = h.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until bitsN).map(b =>
-          when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+    val fp = docShingleSets(docs, 3).select(col("doc_id"),
+      graft.functions.SimHash60(col("sset")).as("fp"))
 
     val pieceStructs = array((0 until pieces).map { i =>
       struct(lit(i).as("pi"),

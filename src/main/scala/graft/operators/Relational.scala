@@ -309,7 +309,165 @@ object Relational {
       .orderBy(col("n_name"), col("segment"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a six-month
+    * window with at least one LATE line item (shipped > 60 days after
+    * the order date), counted per priority. (The driver's synthetic
+    * lineitem has no commitdate/receiptdate, so "late" is defined
+    * against the order date — same EXISTS-with-non-equi-predicate
+    * plan shape as the real Q4.)
+    *
+    * Scale shape: EXISTS compiles to a left_semi join — the non-equi
+    * lateness predicate rides on the o_orderkey equi-join, the semi
+    * join short-circuits per matching key (lineitem is never
+    * aggregated or deduplicated), and the date window pushes into the
+    * orders parquet scan. One shuffle per side. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 shape (customer distribution): how many customers
+    * placed k orders, for every k — including k = 0, which is why the
+    * status filter must live in the JOIN condition (a WHERE would
+    * silently drop the zero-order customers, the row Q13 exists to
+    * count). The 'P' status stands in for the comment NOT-LIKE filter.
+    *
+    * Scale shape: the left_outer join keys on c_custkey and the first
+    * aggregate groups on the SAME key, so the count reuses the join's
+    * partitioning — one exchange per input, none between join and
+    * aggregate. The second aggregate runs over a customer-cardinality
+    * frame map-side-combined down to ~max(k) rows. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "P")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total line
+    * quantity exceeds the threshold, with their customer — top 100 by
+    * order value.
+    *
+    * Scale shape: the HAVING threshold is applied to the lineitem
+    * aggregate BEFORE any join, so the join input shrinks to the ~1%
+    * qualifying orders (AQE broadcasts it when it measures small) —
+    * the naive join-then-filter shape would drag every lineitem row
+    * through both joins first. Quantities are small integers stored
+    * as doubles, so the per-order sum is exact in any accumulation
+    * order. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    bigOrders.join(ord, col("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): DORMANT customers —
+    * above-average account balance, no order since 1999 — counted and
+    * totaled per nation. (The synthetic orders table leaves almost no
+    * customer with zero orders ever, so the anti-join predicate is
+    * recency-scoped; the date filter pushes into the orders scan —
+    * partition-prunable on a date-partitioned 100 TB table.)
+    *
+    * The "above average" threshold is evaluated in EXACT integer
+    * arithmetic: balances are 2-decimal values, so cents are exact
+    * longs and `cents·n_pos > total_cents` is the same predicate as
+    * `balance > avg` with NO floating-point summation anywhere — a
+    * double avg would depend on partition merge order (nondeterministic
+    * across runs, let alone engines). Long overflow needs cents·n_pos
+    * ≥ 2^63: ~1e6 cents × ~1e9 positive-balance customers = 1e15,
+    * three orders of magnitude of headroom over a 100 TB customer
+    * table.
+    *
+    * Scale shape: the threshold is a scalar aggregate (partial sums
+    * reduced to ONE row, broadcast back — bytes, not rows); the
+    * no-orders test is a left_anti against the projected o_custkey
+    * column; nation is a constant-size broadcast. Customer is scanned
+    * twice (threshold + probe) — inherent to the query's semantics. */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long"))
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("cents")).as("tot_cents"), count(lit(1)).as("n_pos"))
+    val ordKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("cents") * col("n_pos") > col("tot_cents"))
+      .join(ordKeys, col("c_custkey") === ordKeys("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 250.0) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q22_global_sales" ->
+      """WITH pos AS (
+        |  SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |thr AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+        |         count(*) AS n_pos FROM pos)
+        |SELECT n_name, count(*) AS numcust,
+        | round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey, thr
+        |WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > tot_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "range_join_bins" ->
       """SELECT promo_id, count(*) AS n_events
         |FROM (SELECT event_id, epoch_ns(ts)//1000000000 AS ets FROM events) e

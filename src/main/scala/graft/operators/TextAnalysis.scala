@@ -643,7 +643,44 @@ object TextAnalysis {
        |   AS start_off
        | FROM $from)""".stripMargin
 
+  /** Per-source mixture audit — the table a pipeline owner reads
+    * before setting mixture weights / per-source caps: document and
+    * token counts, language spread, exact-duplicate count, and corpus
+    * share per source.
+    *
+    * Scale shape: ONE corpus scan into one groupBy(source). The two
+    * DISTINCT aggregates (langs, text hashes) make Catalyst plan an
+    * Expand (3 projections of the thin pre-projected frame — source,
+    * lang, md5, token count; the text column itself dies at the scan).
+    * Exact per-source dup counting inherently moves one md5 per doc;
+    * 32 bytes/doc is the floor for that statistic. The corpus total
+    * is a scalar aggregate broadcast back — bytes, not rows. */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    val tot = docs.agg(count(lit(1)).as("corpus_docs"))
+    docs.select(col("source"), col("lang"), md5(col("text")).as("h"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("ws_tokens")).as("tot_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("corpus_share", round(col("n_docs") / col("corpus_docs"), 6))
+      .drop("corpus_docs")
+      .orderBy(col("source"))
+  }
+
+  def sourceStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    sourceStats(Tables.documents(spark, dir))
+
   val oracles: Map[String, String] = Map(
+    "source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
+        | count(*) - count(DISTINCT md5(text)) AS exact_dup_docs,
+        | round(count(*) / (SELECT count(*) FROM documents), 6) AS corpus_share
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, keep_id, doc_id <> keep_id AS is_dup FROM (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id

@@ -16,7 +16,10 @@ class PlanPropertiesSpec extends SparkSpec {
   private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk",
     // scalar corpus-count frame (exactly ONE row) broadcast onto the
     // shingle-df aggregate for the df_ratio column
-    "ngram_stats")
+    "ngram_stats",
+    // scalar aggregate frames (exactly ONE row by construction — a
+    // global count / threshold), broadcast back onto the probe side
+    "source_stats", "q22_global_sales")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

@@ -273,4 +273,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(down.size > 0 && down.size < 100)
     assert(down.forall(id => counts(id) == 2)) // same bucket rule: frac keepers agree
   }
+
+  test("sourceStats: dup counting, language spread, token totals, corpus share") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s1"),    // exact dup within s1
+      (3L, "d e", "fr", "s1"),
+      (4L, "x y z w", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.sourceStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out("s1") === ((3L, 2L, 8L, 1L, 0.75)))
+    assert(out("s2") === ((1L, 1L, 4L, 0L, 0.25)))
+  }
 }
