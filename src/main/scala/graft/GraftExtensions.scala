@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket}
+import graft.functions.{CosineSimilarity, HyperplaneBucket, MinHashSig, SimHash60}
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so pure-SQL users get them too:
@@ -65,6 +65,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (0 until row.numElements()).map(row.getDouble).toSeq
         }
         HyperplaneBucket(children(0), planes)
+      }))
+
+    // minhash_sig(sset, numHashes): the signature width must be a
+    // foldable int literal — it fixes the expression's output arity,
+    // not per-row data.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, null, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"minhash_sig expects 2 arguments, got ${children.length}")
+        val widthExpr = children(1)
+        require(widthExpr.foldable && widthExpr.dataType == types.IntegerType,
+          "minhash_sig's width must be a foldable int literal")
+        val evaled = widthExpr.eval()
+        require(evaled != null, "minhash_sig's width must not be null")
+        MinHashSig(children(0), evaled.asInstanceOf[Int])
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, null, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash60 expects 1 argument, got ${children.length}")
+        SimHash60(children(0))
       }))
   }
 }

@@ -37,6 +37,20 @@ class GraftExtensionsSpec extends SparkSpec {
             | (SELECT array(1.0D) AS e)""".stripMargin).collect()
       }
       assert(err.getMessage.contains("foldable"))
+      // minhash_sig: width must be a foldable int; signature arity = width
+      val m = extended.sql(
+        "SELECT minhash_sig(array('a', 'b'), 8) AS sig").collect().head
+      assert(m.getSeq[Long](0).size === 8)
+      val merr = intercept[Exception] {
+        extended.sql(
+          "SELECT minhash_sig(s, CAST(n AS INT)) FROM (SELECT array('a') s, 4 n)"
+        ).collect()
+      }
+      assert(merr.getMessage.contains("foldable"))
+      // simhash60: in [0, 2^60)
+      val sh = extended.sql(
+        "SELECT simhash60(array('a', 'b', 'c')) AS fp").collect().head
+      assert(sh.getLong(0) >= 0L && sh.getLong(0) < (1L << 60))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

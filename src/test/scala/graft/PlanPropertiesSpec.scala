@@ -35,6 +35,27 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("minhash signature and simhash fingerprint stages are map-only (zero exchanges)") {
+    // The in-row native expressions replaced full-corpus groupBy
+    // exchanges (r7) — the signature/fingerprint frames must plan as
+    // pure projections over the scan: any Exchange here is the
+    // regression this spec exists to catch.
+    import org.apache.spark.sql.functions.col
+    // raw read, NOT Tables.documents — the loader's single-file fan-out
+    // repartition is an intentional ingest exchange, not part of the
+    // signature computation under test
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = operators.Dedup.docShingleSets(docs, 3)
+      .select(col("doc_id"), functions.MinHashSig(col("sset"), 64).as("sig"))
+    val fp = operators.Dedup.docShingleSets(docs, 3)
+      .select(col("doc_id"), functions.SimHash60(col("sset")).as("fp"))
+    Seq("minhash" -> sig, "simhash" -> fp).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name signature stage must be map-only, planned:\n$plan")
+    }
+  }
+
   test("dedup_ngram_jaccard computes df as an aggregate, not a shingle window") {
     // A Window partitioned by the shingle key puts every posting for a
     // hot shingle into ONE reducer partition (AQE cannot split skewed
