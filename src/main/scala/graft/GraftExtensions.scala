@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket, MinHashSig, SimHash60}
+import graft.functions.{CosineSimilarity, HyperplaneBucket, Int8Quantize, MinHashSig, SimHash60}
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so pure-SQL users get them too:
@@ -91,6 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"simhash60 expects 1 argument, got ${children.length}")
         SimHash60(children(0))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, null, "int8_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"int8_quantize expects 1 argument, got ${children.length}")
+        Int8Quantize(children(0))
       }))
   }
 }

@@ -59,7 +59,12 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
+    // integer args = replication factors; name args = probe filter
+    // (when a filter is given, only those query probes run and the
+    // special probes — ann/cc/ppjoin/bucket/skew — are skipped)
+    val (factorArgs, nameFilter) = args.partition(_.forall(_.isDigit))
+    val factors = if (factorArgs.nonEmpty) factorArgs.map(_.toInt).toSeq
+                  else Seq(1, 4, 16)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -97,21 +102,32 @@ object ScaleProbe {
       "blocklist_redact"    -> (operators.TextAnalysis.blocklistRedactQuery _),
       "upsample_mixture"    -> (operators.TextAnalysis.upsampleMixtureQuery _))
 
+    val unknownNames = nameFilter.filterNot(n => probes.exists(_._1 == n))
+    require(unknownNames.isEmpty,
+      s"unknown probes: ${unknownNames.mkString(", ")} — " +
+        s"known: ${probes.map(_._1).mkString(", ")}")
+    val selected =
+      if (nameFilter.isEmpty) probes
+      else probes.filter { case (n, _) => nameFilter.contains(n) }
     factors.foreach { f =>
       val dir = replicate(spark, f)
-      probes.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] factor=$f%-3d $name%-22s ${sec}%8.2fs rows=$rows")
       }
-      annProbe(spark, f, dir)
-      ccProbe(spark, f, dir)
-      ppjoinProbe(spark, f, dir)
+      if (nameFilter.isEmpty) {
+        annProbe(spark, f, dir)
+        ccProbe(spark, f, dir)
+        ppjoinProbe(spark, f, dir)
+      }
     }
-    bucketBench(spark)
-    skewProbe(spark)
-    corpusPrepSkewProbe(spark)
+    if (nameFilter.isEmpty) {
+      bucketBench(spark)
+      skewProbe(spark)
+      corpusPrepSkewProbe(spark)
+    }
     spark.stop()
   }
 

@@ -42,6 +42,8 @@ object SparkEntry {
     "q13_customer_distribution" -> (Relational.q13CustomerDistribution _),
     "q18_large_orders"       -> (Relational.q18LargeOrders _),
     "q22_global_sales"       -> (Relational.q22GlobalSales _),
+    "q7_nation_trade"        -> (Relational.q7NationTrade _),
+    "grouping_sets_revenue"  -> (Relational.groupingSetsRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
@@ -57,6 +59,7 @@ object SparkEntry {
     "session_window_agg"     -> (Windows.sessionizedQuery _),
     "stateful_running_count" -> (Windows.statefulRunningCountQuery _),
     "event_gap_quartiles"    -> (Windows.eventGapQuartilesQuery _),
+    "trailing_hour_stats"    -> (Windows.trailingHourStatsQuery _),
     "wordcount"              -> (Windows.wordCountQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
@@ -97,6 +100,7 @@ object SparkEntry {
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
+    "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),

@@ -425,7 +425,87 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): revenue between two trading
+    * nations, by direction and ship year.
+    *
+    * Scale shape: the nation filter is applied to supplier and
+    * customer BEFORE they touch the fact tables — each dim join then
+    * passes only ~2/25 of fact rows (the joins act as semi-filters),
+    * and the direction pair filter (an OR over two name pairs) runs on
+    * the already-reduced frame. Nation is a constant-size broadcast;
+    * supplier/customer scale with SF so AQE decides their strategy.
+    * Year extraction is a cast-to-long so both engines emit BIGINT. */
+  def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** GROUPING SETS — the general form the ROLLUP/CUBE specializations
+    * compile to: an explicit margin list ((nation, segment), (nation),
+    * (segment)) WITHOUT the grand total, a shape neither ROLLUP (no
+    * segment-only margin) nor CUBE (forces the () cell) expresses.
+    * Through the SQL surface; Catalyst lowers to ONE Expand over the
+    * joined frame — three margins, one scan, one shuffle. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q7_nation_trade" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM (
+        | SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |        l_extendedprice, l_discount
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        | WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "grouping_sets_revenue" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+        |ORDER BY nation, segment""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -385,6 +385,41 @@ object Similarity {
   def quantizeInt8Query(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
+  /** Brute-force cosine top-k over the int8-QUANTIZED corpus — the
+    * serving path that reads a 4x-smaller vector column (the dominant
+    * I/O cost of a 100 TB ANN scan) and accepts quantization noise in
+    * the ranking.
+    *
+    * Exactness contract that makes this oracle-checkable: quantized
+    * components are small integers (|q| <= 127), so dot products and
+    * squared norms of 64-dim vectors stay <= 64·127² ≈ 1.03e6 —
+    * EXACTLY representable in double in any accumulation order. The
+    * score is exact integer arithmetic finished by two correctly-
+    * rounded IEEE sqrts and one division: bit-replicable cross-engine
+    * with no summation-order caveat (unlike the float-input paths,
+    * which pin a left-to-right fold order instead).
+    *
+    * Scale shape: identical to annCosineTopK — bounded query side
+    * broadcast, corpus scanned once, the only shuffle is the final
+    * per-query top-k. Quantization runs IN the scan stage via the
+    * native Int8Quantize expression (lambda-free plan, spec-pinned);
+    * the declarative quantizeInt8 above stays the once-per-corpus
+    * storage pass. */
+  def annInt8TopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val qv = vectors(emb).select(col("vec_id"),
+      graft.functions.Int8Quantize(col("e")).as("qe"))
+    val q = qv.filter(col("vec_id") < numQueries).toDF("query_id", "qq")
+    val cand = broadcast(q)
+      .join(qv, col("query_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(CosineSimilarity(col("qq"), col("qe")), 6))
+    topK(cand, k)
+  }
+
+  def annInt8TopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annInt8TopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
   // ---------------------------------------------------------------- oracles
 
   private val vectorCte =
@@ -533,5 +568,35 @@ object Similarity {
         |  FROM v q JOIN v x ON x.vec_id <> q.vec_id
         |  WHERE q.vec_id < 8))
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // the whole quantize→score→rank pipeline replicated in SQL — the
+    // quantized values are exact small integers, so list_sum order is
+    // irrelevant and the score is bit-stable cross-engine
+    "ann_int8_topk" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (
+        | SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+        |qz AS (
+        | SELECT vec_id,
+        |  CASE WHEN ma = 0 THEN list_transform(e, x -> 0.0)
+        |       ELSE list_transform(e,
+        |              x -> sign(x) * floor(abs(x) * 127.0 / ma + 0.5))
+        |  END AS qe
+        | FROM m),
+        |n AS (
+        | SELECT vec_id, qe,
+        |  sqrt(list_sum(list_transform(qe, x -> x * x))) AS nrm FROM qz)
+        |SELECT query_id, neighbor_id, cos, rnk FROM (
+        | SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cos DESC, neighbor_id) AS rnk
+        | FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i]*x.qe[i]))
+        |     / (q.nrm * x.nrm), 6) AS cos
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8))
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }

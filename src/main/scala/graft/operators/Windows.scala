@@ -120,6 +120,41 @@ object Windows {
   def eventGapQuartilesQuery(spark: SparkSession, dir: String): DataFrame =
     eventGapQuartiles(Tables.events(spark, dir)).orderBy(col("event_id"))
 
+  /** RANGE-frame trailing aggregation — the VALUE-bounded window frame
+    * family (tumbling/sliding/session cover aligned, overlapping and
+    * gap-based windows; rows-frames cover positional): per event, the
+    * sum and count of the SAME user's events in the trailing hour,
+    * computed as `RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW` over
+    * epoch seconds — the continuous sliding aggregate that needs NO
+    * slide-interval explode and no self-join.
+    *
+    * Equal-timestamp events are RANGE peers: every engine includes the
+    * full peer group at CURRENT ROW, so ties need no tiebreak column
+    * (unlike the ROWS frames, which order by (ts, event_id)).
+    *
+    * Exactness: values are 2-decimal, so the trailing sum is kept in
+    * integer CENTS — any accumulation strategy (Spark's running
+    * aggregate, DuckDB's segment tree) produces the identical BIGINT.
+    * A double sum here would be engine-dependent in the last ulp.
+    *
+    * Scale shape: one shuffle + one sort per user partition, both
+    * window functions share one spec → a single Window operator; frame
+    * state is bounded by the hour's event volume per user. */
+  def trailingHourStats(events: DataFrame): DataFrame = {
+    val w = W.partitionBy(col("user_id")).orderBy(col("ets"))
+      .rangeBetween(-3599L, W.currentRow)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ets"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("ets"),
+        sum(col("cents")).over(w).as("trail_cents"),
+        count(lit(1)).over(w).as("trail_n"))
+  }
+
+  def trailingHourStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    trailingHourStats(Tables.events(spark, dir)).orderBy(col("event_id"))
+
   /** Wordcount over a text column — Basic.scala:24-25's
     * flatMap(split).groupBy.count in declarative form. */
   def wordCount(docs: DataFrame): DataFrame =
@@ -133,6 +168,15 @@ object Windows {
     wordCount(Tables.documents(spark, dir)).orderBy(col("word"))
 
   val oracles: Map[String, String] = Map(
+    "trailing_hour_stats" ->
+      """SELECT event_id, user_id, ets,
+        | CAST(sum(cents) OVER w AS BIGINT) AS trail_cents,
+        | count(*) OVER w AS trail_n
+        |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS ets,
+        |       CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ets
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "tumbling_window" ->
       """SELECT window_start, window_start + 3600 AS window_end,
         | event_type, n, sum_value,

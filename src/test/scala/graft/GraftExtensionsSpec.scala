@@ -51,6 +51,10 @@ class GraftExtensionsSpec extends SparkSpec {
       val sh = extended.sql(
         "SELECT simhash60(array('a', 'b', 'c')) AS fp").collect().head
       assert(sh.getLong(0) >= 0L && sh.getLong(0) < (1L << 60))
+      // int8_quantize: max-magnitude component maps to ±127
+      val iq = extended.sql(
+        "SELECT int8_quantize(array(0.5D, -1.0D)) AS q").collect().head
+      assert(iq.getSeq[Double](0) === Seq(64.0, -127.0))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

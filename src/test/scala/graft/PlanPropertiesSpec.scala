@@ -14,6 +14,7 @@ class PlanPropertiesSpec extends SparkSpec {
     * one legitimate use. Everything else must candidate-generate via
     * keyed equi-joins. */
   private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk",
+    "ann_int8_topk",
     // scalar corpus-count frame (exactly ONE row) broadcast onto the
     // shingle-df aggregate for the df_ratio column
     "ngram_stats",
@@ -81,7 +82,7 @@ class PlanPropertiesSpec extends SparkSpec {
     // lambda-free, pinned here.
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("ann_lsh_topk", "ann_cosine_topk", "ann_ivf_topk",
-        "embed_cosine_neardup")) {
+        "ann_int8_topk", "embed_cosine_neardup")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("lambdafunction"),
