@@ -43,6 +43,8 @@ object SparkEntry {
     "q18_large_orders"       -> (Relational.q18LargeOrders _),
     "q22_global_sales"       -> (Relational.q22GlobalSales _),
     "q7_nation_trade"        -> (Relational.q7NationTrade _),
+    "q6_forecast_revenue"    -> (Relational.q6Revenue _),
+    "q10_returned_items"     -> (Relational.q10ReturnedItems _),
     "grouping_sets_revenue"  -> (Relational.groupingSetsRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     // reference-derived sensor pipeline

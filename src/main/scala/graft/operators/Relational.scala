@@ -480,7 +480,78 @@ object Relational {
         |ORDER BY nation, segment""".stripMargin)
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure
+    * scan-filter-aggregate — every predicate (ship-year, discount
+    * band, quantity cap) pushes into the parquet scan, the aggregate
+    * is a scalar reduce of map-side partials. The simplest possible
+    * plan, here as the degenerate-case regression anchor: if THIS
+    * query ever plans a shuffle beyond the final single-row reduce,
+    * something upstream broke.
+    *
+    * The discount band compares stored doubles against the same
+    * 2-decimal literals both engines parse to identical bits, so the
+    * predicate is exact cross-engine. */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    * revenue lost to returns in one quarter.
+    *
+    * Scale shape: rank-then-join (same law as topPartsByRevenue) —
+    * revenue depends only on lineitem⋈orders, so the top-20 cut runs
+    * BEFORE customer attributes attach; the dim join is then a
+    * broadcast of 20 rows instead of a customer-wide shuffle. Both
+    * fact filters (returnflag, order-date quarter) push to their
+    * scans. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val top20 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(20)
+    broadcast(top20)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM (SELECT o_custkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      WHERE l_returnflag = 'R'
+        |        AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |        AND o_orderdate < TIMESTAMP '1997-10-01'
+        |      GROUP BY o_custkey
+        |      ORDER BY revenue DESC, o_custkey LIMIT 20)
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey""".stripMargin,
     "q7_nation_trade" ->
       """SELECT supp_nation, cust_nation, l_year,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
