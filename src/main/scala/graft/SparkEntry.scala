@@ -47,6 +47,18 @@ object SparkEntry {
     "q10_returned_items"     -> (Relational.q10ReturnedItems _),
     "grouping_sets_revenue"  -> (Relational.groupingSetsRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
+    // remaining TPC-H shapes (all 22 now covered; see TpchExtra)
+    "q2_min_cost_supplier"   -> (TpchExtra.q2MinCostSupplier _),
+    "q8_market_share"        -> (TpchExtra.q8MarketShare _),
+    "q9_product_profit"      -> (TpchExtra.q9ProductProfit _),
+    "q11_important_parts"    -> (TpchExtra.q11ImportantParts _),
+    "q12_ship_priority"      -> (TpchExtra.q12ShipPriority _),
+    "q14_promo_revenue"      -> (TpchExtra.q14PromoRevenue _),
+    "q15_top_supplier"       -> (TpchExtra.q15TopSupplier _),
+    "q16_supplier_part_counts" -> (TpchExtra.q16SupplierPartCounts _),
+    "q19_disjunctive_revenue" -> (TpchExtra.q19DisjunctiveRevenue _),
+    "q20_promo_suppliers"    -> (TpchExtra.q20PromoSuppliers _),
+    "q21_waiting_suppliers"  -> (TpchExtra.q21WaitingSuppliers _),
     // reference-derived sensor pipeline
     "json_flatten"           -> (SensorPipeline.jsonFlattenQuery _),
     "ts_parse_format"        -> (SensorPipeline.tsParseFormatQuery _),
@@ -65,6 +77,8 @@ object SparkEntry {
     "wordcount"              -> (Windows.wordCountQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
+    "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
+    "temperature_sample"     -> (TextAnalysis.temperatureSampleQuery _),
     "text_quality"           -> (TextAnalysis.textQualityQuery _),
     "lang_id"                -> (TextAnalysis.langIdQuery _),
     "token_count"            -> (TextAnalysis.tokenCountQuery _),
@@ -103,6 +117,7 @@ object SparkEntry {
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
+    "embed_decontam"         -> (Similarity.embedDecontamQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),
@@ -116,7 +131,8 @@ object SparkEntry {
     * as SQL literals) and the multimodal stub (deterministic byte
     * arithmetic) — is oracle-checked. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ SensorPipeline.oracles ++ Windows.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ AsofJoin.oracles ++ CorpusPrep.oracles
+    Relational.oracles ++ TpchExtra.oracles ++ SensorPipeline.oracles ++
+      Windows.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
+      CorpusPrep.oracles
 }

@@ -137,6 +137,42 @@ object Similarity {
     annCosineTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** Embedding-space benchmark decontamination: for every corpus
+    * vector, its maximum cosine against a (model-sized, broadcast)
+    * benchmark embedding set and the count of benchmark vectors within
+    * tau — the SEMANTIC contamination check next to the k-shingle one
+    * (Dedup.decontaminate catches verbatim leakage; paraphrased eval
+    * questions only surface in embedding space).
+    *
+    * Scale shape: identical to annCosineTopK — the benchmark set is
+    * bounded BY CONSTRUCTION (an eval suite is thousands of rows no
+    * matter how big the corpus is), so it broadcasts and the corpus
+    * scans ONCE with no shuffle before the per-vector aggregate, which
+    * reuses the scan's partitioning (map-side combinable: max and
+    * conditional count). Every corpus vector appears in the output
+    * (clean rows carry their max too — the audit a release gate wants).
+    * MAX over doubles is accumulation-order-independent, so the only
+    * rounding is the final display round. */
+  def embedDecontaminate(emb: DataFrame, benchIds: DataFrame => Column,
+                         tau: Double): DataFrame = {
+    val v = vectors(emb)
+    val bench = v.filter(benchIds(v))
+      .select(col("vec_id").as("bench_id"), col("e").as("eb"))
+    val corpus = v.filter(!benchIds(v))
+    corpus.join(broadcast(bench), col("vec_id") =!= col("bench_id"))
+      .withColumn("cos", CosineSimilarity(col("e"), col("eb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        round(max(col("cos")), 6).as("max_cos"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  def embedDecontamQuery(spark: SparkSession, dir: String): DataFrame =
+    embedDecontaminate(Tables.embeddings(spark, dir),
+      v => pmod(v("vec_id"), lit(50)) === 0, tau = 0.60)
+      .orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- LSH ANN
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) is an
@@ -528,6 +564,19 @@ object Similarity {
     "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
     "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4),
+    "embed_decontam" -> (vectorCte +
+      """, b AS (SELECT vec_id AS bench_id, e AS eb, nrm AS nrmb
+        |        FROM v WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, e, nrm FROM v WHERE vec_id % 50 <> 0),
+        |pairs AS (
+        | SELECT c.vec_id,
+        |  list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i]*b.eb[i]))
+        |    / (c.nrm * b.nrmb) AS cos
+        | FROM c, b WHERE c.vec_id <> b.bench_id)
+        |SELECT vec_id, round(max(cos), 6) AS max_cos,
+        |  CAST(sum(CASE WHEN cos >= 0.60 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  sum(CASE WHEN cos >= 0.60 THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM pairs GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     "embed_cosine_neardup" -> (vectorCte +
       """SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -34,6 +34,36 @@ object TextAnalysis {
   def dedupExactQuery(spark: SparkSession, dir: String): DataFrame =
     dedupExact(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** The normalization applied before fuzzy-exact dedup: lowercase,
+    * strip everything but [a-z0-9 ], collapse runs of spaces, trim.
+    * Shared between the operator and its spec; the regex subset
+    * ([^...] classes, ' +') is one Java and RE2 evaluate identically —
+    * the same contract the PII patterns rely on. */
+  private[operators] def normExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalized exact dedup (the "fuzzy-exact" rule most corpus
+    * pipelines run between exact and near-dup passes): docs equal
+    * after case-folding, punctuation stripping and whitespace
+    * collapse are duplicates — catches reformatted copies that hash
+    * differently but need no Jaccard machinery.
+    *
+    * Scale shape: identical to dedupExact — ONE shuffle, keyed on the
+    * 32-byte md5 of the NORMALIZED text (normalization runs map-side
+    * in the scan stage; the shuffle still carries a fixed-width key,
+    * never the text). */
+  def dedupExactNorm(docs: DataFrame): DataFrame = {
+    val w = W.partitionBy(md5(normExpr(col("text"))))
+    docs.select(
+      col("doc_id"),
+      min(col("doc_id")).over(w).as("keep_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  def dedupExactNormQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupExactNorm(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- quality
 
   private val enStop = Seq("the", "a", "of", "and", "to", "is", "in")
@@ -614,6 +644,40 @@ object TextAnalysis {
     stratifiedSample(Tables.documents(spark, dir), sampleRates)
       .orderBy(col("doc_id"))
 
+  /** Temperature-balanced language sampling (the multilingual-mixture
+    * rule): each language is downsampled at rate
+    * sqrt(n_lang / n_largest) — alpha = 0.5 temperature flattening
+    * toward the largest language, the standard fix for head-language
+    * domination. Selection reuses the stratified_sample md5-bucket
+    * rule, so the kept set is bit-reproducible.
+    *
+    * Rates are DERIVED FROM THE DATA (unlike stratifiedSample's
+    * configured rates): one tiny per-language aggregate (map-side
+    * combined to |langs| rows), its max folded in as a scalar, and the
+    * thresholds broadcast back onto a map-side filter — the doc-side
+    * scan never shuffles. Every fp step is bit-deterministic
+    * cross-engine: counts are exact longs, n/n_max is one IEEE divide,
+    * sqrt is IEEE-exact, floor(rate·2^32) is exact below 2^53.
+    *
+    * 100 TB: the aggregate is the same one-pass lang count any mixture
+    * audit runs; the filter side is identical to stratified_sample
+    * (zero-shuffle map filter). */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("n_max"))
+    val thresholds = counts.crossJoin(broadcast(mx))
+      .withColumn("rate", sqrt(col("n_docs").cast("double") / col("n_max")))
+      .withColumn("thr", floor(col("rate") * 4294967296L).cast("long"))
+      .select(col("lang").as("t_lang"), col("n_docs"), col("thr"))
+    docs.select(col("doc_id"), col("lang"), sampleBucket.as("bucket"))
+      .join(broadcast(thresholds), col("lang") === col("t_lang"))
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("thr"))
+  }
+
+  def temperatureSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    temperatureSample(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- oracles
 
   private def inList(words: Seq[String]): String =
@@ -686,6 +750,25 @@ object TextAnalysis {
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_exact_norm" ->
+      """SELECT doc_id, keep_id, doc_id <> keep_id AS is_dup FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |         ' +', ' ', 'g')))) AS keep_id
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |m AS (SELECT max(n_docs) AS n_max FROM c),
+         |t AS (SELECT lang,
+         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE))
+         |             * 4294967296) AS BIGINT) AS thr
+         |  FROM c, m)
+         |SELECT doc_id, d.lang, bucket, thr
+         |FROM (SELECT doc_id, lang, $sampleBucketSql AS bucket FROM documents) d
+         |JOIN t ON d.lang = t.lang
+         |WHERE bucket < thr
+         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio,
          | alpha_ratio, stopword_ratio,

@@ -15,12 +15,17 @@ class PlanPropertiesSpec extends SparkSpec {
     * keyed equi-joins. */
   private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk",
     "ann_int8_topk",
+    // benchmark embedding set — model-sized by construction
+    "embed_decontam",
+    // per-language threshold frame (|langs| rows) + its scalar max
+    "temperature_sample",
     // scalar corpus-count frame (exactly ONE row) broadcast onto the
     // shingle-df aggregate for the df_ratio column
     "ngram_stats",
     // scalar aggregate frames (exactly ONE row by construction — a
     // global count / threshold), broadcast back onto the probe side
-    "source_stats", "q22_global_sales")
+    "source_stats", "q22_global_sales", "q11_important_parts",
+    "q15_top_supplier")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
