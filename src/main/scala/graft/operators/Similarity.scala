@@ -170,7 +170,7 @@ object Similarity {
 
   def embedDecontamQuery(spark: SparkSession, dir: String): DataFrame =
     embedDecontaminate(Tables.embeddings(spark, dir),
-      v => pmod(v("vec_id"), lit(50)) === 0, tau = 0.60)
+      v => pmod(v("vec_id"), lit(50)) === 0, tau = 0.40)
       .orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------- LSH ANN
@@ -574,8 +574,8 @@ object Similarity {
         |    / (c.nrm * b.nrmb) AS cos
         | FROM c, b WHERE c.vec_id <> b.bench_id)
         |SELECT vec_id, round(max(cos), 6) AS max_cos,
-        |  CAST(sum(CASE WHEN cos >= 0.60 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |  sum(CASE WHEN cos >= 0.60 THEN 1 ELSE 0 END) > 0 AS contaminated
+        |  CAST(sum(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  sum(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) > 0 AS contaminated
         |FROM pairs GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     "embed_cosine_neardup" -> (vectorCte +
       """SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (

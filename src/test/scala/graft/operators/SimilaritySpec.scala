@@ -215,4 +215,31 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("embedDecontaminate: flags match a driver-side brute force") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.40
+    val got = Similarity.embedDecontaminate(emb,
+        v => pmod(v("vec_id"), lit(50)) === 0, tau)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = vecs.filter(_._1 % 50 == 0)
+    val want = vecs.filter(_._1 % 50 != 0).map { case (id, e) =>
+      id -> {
+        val hits = bench.values.count(b => cos(e, b) >= tau).toLong
+        (hits, hits > 0)
+      }
+    }
+    assert(got.keySet === want.keySet)  // every corpus vector audited
+    assert(got === want)
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "fixture should contain both contaminated and clean vectors")
+  }
 }

@@ -288,4 +288,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s1") === ((3L, 2L, 8L, 1L, 0.75)))
     assert(out("s2") === ((1L, 1L, 4L, 0L, 0.25)))
   }
+
+  test("dedupExactNorm: reformatted copies collapse; normalization is idempotent") {
+    val out = TextAnalysis.dedupExactNorm(docs(
+      (1L, "Hello,   World!", "en"),
+      (2L, "hello world", "en"),    // same after normalization
+      (3L, "  HELLO... world?? ", "en"),
+      (4L, "hello worlds", "en")))  // different
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+      (4L, 4L, false)))
+    // idempotence: norm(norm(x)) == norm(x) — the rule is a projection,
+    // so running the pass twice can never split or merge classes
+    import org.apache.spark.sql.functions.col
+    val texts = docs((1L, "A  b!C", "en"), (2L, " x   Y?z. ", "en"),
+      (3L, "", "en"), (4L, "...", "en"))
+    val once = texts.select(TextAnalysis.normExpr(col("text")).as("n"))
+    val twice = once.select(TextAnalysis.normExpr(col("n")).as("n"))
+    assert(once.collect().toSeq === twice.collect().toSeq)
+  }
+
+  test("temperatureSample: largest language kept whole, others at sqrt ratio") {
+    val rows = (1L to 400L).map(i => (i, s"doc $i", "en")) ++
+      (401L to 500L).map(i => (i, s"doc $i", "fr"))
+    val out = TextAnalysis.temperatureSample(rows.toDF("doc_id", "text", "lang"))
+      .collect()
+    val byLang = out.groupBy(_.getString(1))
+    // en is the largest language: thr = 2^32, every doc kept
+    assert(byLang("en").length === 400)
+    // fr rate = sqrt(100/400) = 0.5; md5 buckets are ~uniform, so the
+    // kept count concentrates around 50 (binomial, sd ~5)
+    val fr = byLang("fr").length
+    assert(fr > 25 && fr < 75, s"fr kept $fr, expected ~50")
+    // the threshold column is the exact floor(sqrt(n/max)*2^32)
+    val thr = out.filter(_.getString(1) == "fr").head.getLong(3)
+    assert(thr === math.floor(math.sqrt(100.0 / 400.0) * 4294967296L).toLong)
+  }
 }
