@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types
@@ -101,5 +103,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"int8_quantize expects 1 argument, got ${children.length}")
         Int8Quantize(children(0))
       }))
+
+    // Spark ships BloomFilterMightContain / BloomFilterAggregate but
+    // (4.1) registers neither for SQL — they normally appear only via
+    // the InjectRuntimeFilter optimizer rule. BloomJoin's explicit
+    // semi-join reduction needs them callable, so register whichever
+    // is absent from the builtin registry (guarded: a future Spark
+    // that registers them builtin wins, we don't shadow it).
+    if (!FunctionRegistry.builtin.functionExists(
+        new FunctionIdentifier("might_contain"))) {
+      ext.injectFunction((
+        new FunctionIdentifier("might_contain"),
+        new ExpressionInfo(
+          classOf[BloomFilterMightContain].getName, null, "might_contain"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"might_contain expects 2 arguments, got ${children.length}")
+          BloomFilterMightContain(children(0), children(1))
+        }))
+    }
+    if (!FunctionRegistry.builtin.functionExists(
+        new FunctionIdentifier("bloom_filter_agg"))) {
+      ext.injectFunction((
+        new FunctionIdentifier("bloom_filter_agg"),
+        new ExpressionInfo(
+          classOf[BloomFilterAggregate].getName, null, "bloom_filter_agg"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            s"bloom_filter_agg expects 3 arguments, got ${children.length}")
+          new BloomFilterAggregate(children(0), children(1), children(2))
+            .toAggregateExpression()
+        }))
+    }
   }
 }

@@ -67,6 +67,7 @@ object ScaleProbe {
                   else Seq(1, 4, 16)
     val spark = SparkSession.builder()
       .master("local[32]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

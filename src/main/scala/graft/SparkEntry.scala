@@ -47,6 +47,8 @@ object SparkEntry {
     "q10_returned_items"     -> (Relational.q10ReturnedItems _),
     "grouping_sets_revenue"  -> (Relational.groupingSetsRevenue _),
     "range_join_bins"        -> (Relational.rangeJoinBins _),
+    "bloom_semi_join"        -> (BloomJoin.bloomSemiJoinQuery _),
+    "zorder_key"             -> (LayoutOps.zorderKeyQuery _),
     // remaining TPC-H shapes (all 22 now covered; see TpchExtra)
     "q2_min_cost_supplier"   -> (TpchExtra.q2MinCostSupplier _),
     "q8_market_share"        -> (TpchExtra.q8MarketShare _),
@@ -134,5 +136,5 @@ object SparkEntry {
     Relational.oracles ++ TpchExtra.oracles ++ SensorPipeline.oracles ++
       Windows.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
-      CorpusPrep.oracles
+      CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles
 }

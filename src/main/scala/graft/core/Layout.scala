@@ -46,6 +46,49 @@ object Layout {
       .drop("__graft_bin")
   }
 
+  /** Z-order (Morton) key: interleaves the low `bits` bits of each
+    * dimension column — bit i of dimension d lands at position
+    * i*N + d — so rows close in EVERY dimension get close keys.
+    *
+    * Why a layout op: parquet row-group pruning works off per-column
+    * min/max. Sorting 100 TB by ONE column makes that column's ranges
+    * tight and every other column's ranges full-width — a filter on
+    * the second column prunes nothing. Sorting by the Z-key makes each
+    * row group a small hyper-rectangle in ALL interleaved dimensions,
+    * so a conjunctive box filter (user X in a time range; a lat/lon
+    * tile) skips the vast majority of row groups on every dimension at
+    * once. This is the same layout trick Delta/Iceberg expose as
+    * `OPTIMIZE ZORDER BY`, expressed as a pure column expression —
+    * plain shifts/masks, whole-stage codegen, replicable in ANSI SQL
+    * (the DuckDB oracle runs the identical bit formula).
+    *
+    * Inputs must be non-negative and < 2^bits (caller buckets/clamps
+    * first — deterministic bucketing keeps the oracle exact);
+    * bits * dims must fit a long. */
+  def zorderKey(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, "zorderKey needs at least 2 dimension columns")
+    require(bits > 0 && bits * n <= 63, s"bits * dims must be <= 63, got ${bits * n}")
+    val terms = for { i <- 0 until bits; d <- 0 until n } yield
+      shiftleft(shiftright(dims(d).cast("long"), i).bitwiseAND(lit(1L)), i * n + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` Z-ordered on `dims`: range-partition + sort by the
+    * interleaved key, one file per range (each file's row groups are
+    * then tight boxes in every dimension). `files` ≈ cluster write
+    * parallelism at scale; the shuffle is paid once at layout time,
+    * like writeBucketed. */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[Column],
+                    bits: Int, files: Int): Unit = {
+    require(files > 0)
+    val keyed = df.withColumn("__graft_zkey", zorderKey(dims, bits))
+    keyed.repartitionByRange(files, col("__graft_zkey"))
+      .sortWithinPartitions("__graft_zkey")
+      .drop("__graft_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salted equi-join for skewed keys (the manual fallback when AQE's
     * skew-join can't help, e.g. for aggregations-after-join or on
     * engines without AQE).

@@ -11,6 +11,7 @@ object Sessions {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
+      .withExtensions(new graft.GraftExtensions)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
