@@ -49,6 +49,7 @@ object SparkEntry {
     "range_join_bins"        -> (Relational.rangeJoinBins _),
     "bloom_semi_join"        -> (BloomJoin.bloomSemiJoinQuery _),
     "zorder_key"             -> (LayoutOps.zorderKeyQuery _),
+    "fuzzy_name_pairs"       -> (FuzzyJoin.fuzzyNamePairsQuery _),
     // remaining TPC-H shapes (all 22 now covered; see TpchExtra)
     "q2_min_cost_supplier"   -> (TpchExtra.q2MinCostSupplier _),
     "q8_market_share"        -> (TpchExtra.q8MarketShare _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "session_window_agg"     -> (Windows.sessionizedQuery _),
     "stateful_running_count" -> (Windows.statefulRunningCountQuery _),
     "event_gap_quartiles"    -> (Windows.eventGapQuartilesQuery _),
+    "funnel_conversion"      -> (Windows.funnelConversionQuery _),
     "trailing_hour_stats"    -> (Windows.trailingHourStatsQuery _),
     "wordcount"              -> (Windows.wordCountQuery _),
     // LLM-data-pipeline: text analysis
@@ -136,5 +138,6 @@ object SparkEntry {
     Relational.oracles ++ TpchExtra.oracles ++ SensorPipeline.oracles ++
       Windows.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
-      CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles
+      CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
+      FuzzyJoin.oracles
 }

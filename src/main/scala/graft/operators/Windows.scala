@@ -155,6 +155,53 @@ object Windows {
   def trailingHourStatsQuery(spark: SparkSession, dir: String): DataFrame =
     trailingHourStats(Tables.events(spark, dir)).orderBy(col("event_id"))
 
+  /** Ordered-funnel conversion (view → click → purchase): how many
+    * users reached each stage IN ORDER — the sequential-pattern query
+    * every product-analytics stack runs, and a different shape from
+    * every other window op here: each stage's anchor time depends on
+    * the PREVIOUS stage's anchor.
+    *
+    * Plan shape: the three stage anchors are conditional mins over the
+    * SAME unordered per-user window — no ORDER BY, so no sort; the
+    * stage chaining is expression-level (stage N's `when` references
+    * stage N-1's window output). Catalyst runs all three in one Window
+    * operator behind ONE hash exchange on user_id; the funnel then
+    * reduces to a single-row conditional aggregate. No joins, no
+    * self-union — a 100 TB event log pays exactly one shuffle of
+    * (user_id, type, ts). NULL chaining does the stage gating: a user
+    * with no view has t_view = NULL, so `ts > t_view` is NULL and
+    * every later stage stays NULL — strictly-ordered semantics with no
+    * explicit per-stage filters.
+    *
+    * Timestamps compare in microseconds and never reach the output
+    * (cross-engine raw-timestamp hashing is a known trap); the output
+    * is one row of exact BIGINT stage counts. */
+  def funnelConversion(events: DataFrame): DataFrame = {
+    val w = W.partitionBy(col("user_id"))
+    val staged = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("tus") > col("t_view"),
+          col("tus"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("tus") > col("t_click"),
+          col("tus"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t_view")).isNotNull.as("viewed"),
+        max(col("t_click")).isNotNull.as("clicked"),
+        max(col("t_purchase")).isNotNull.as("purchased"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("viewed"), 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("clicked"), 1L).otherwise(0L)).as("n_clicked_after_view"),
+        sum(when(col("purchased"), 1L).otherwise(0L)).as("n_purchased_in_order"))
+  }
+
+  def funnelConversionQuery(spark: SparkSession, dir: String): DataFrame =
+    funnelConversion(Tables.events(spark, dir))
+
   /** Wordcount over a text column — Basic.scala:24-25's
     * flatMap(split).groupBy.count in declarative form. */
   def wordCount(docs: DataFrame): DataFrame =
@@ -225,5 +272,24 @@ object Windows {
         |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         |ORDER BY event_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+        |         OVER (PARTITION BY user_id) AS t_view FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus > t_view
+        |         THEN tus END) OVER (PARTITION BY user_id) AS t_click FROM s2),
+        |s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t_click
+        |         THEN tus END) OVER (PARTITION BY user_id) AS t_purchase FROM s3),
+        |pu AS (SELECT user_id,
+        |        max(t_view) IS NOT NULL AS viewed,
+        |        max(t_click) IS NOT NULL AS clicked,
+        |        max(t_purchase) IS NOT NULL AS purchased
+        |       FROM s4 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        | CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        | CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+        | CAST(sum(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_in_order
+        |FROM pu""".stripMargin,
   )
 }
