@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types
 
 import graft.functions.{CosineSimilarity, HyperplaneBucket, Int8Quantize, MinHashSig, SimHash60}
+import graft.plans.BoundedLevenshteinRule
 
 /** Session extension registering graft's native expressions with the
   * SQL function registry, so pure-SQL users get them too:
@@ -27,6 +28,10 @@ import graft.functions.{CosineSimilarity, HyperplaneBucket, Int8Quantize, MinHas
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Plan rewrite: thresholded unbounded levenshtein → banded 3-arg
+    // form (O(k·len) with early bail-out instead of the O(len²) matrix).
+    ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
+
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(

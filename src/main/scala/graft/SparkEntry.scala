@@ -50,6 +50,7 @@ object SparkEntry {
     "bloom_semi_join"        -> (BloomJoin.bloomSemiJoinQuery _),
     "zorder_key"             -> (LayoutOps.zorderKeyQuery _),
     "fuzzy_name_pairs"       -> (FuzzyJoin.fuzzyNamePairsQuery _),
+    "variant_props_stats"    -> (SemiStructured.variantPropsStats _),
     // remaining TPC-H shapes (all 22 now covered; see TpchExtra)
     "q2_min_cost_supplier"   -> (TpchExtra.q2MinCostSupplier _),
     "q8_market_share"        -> (TpchExtra.q8MarketShare _),
@@ -139,5 +140,5 @@ object SparkEntry {
       Windows.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
       CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
-      FuzzyJoin.oracles
+      FuzzyJoin.oracles ++ SemiStructured.oracles
 }
