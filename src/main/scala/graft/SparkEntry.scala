@@ -80,6 +80,11 @@ object SparkEntry {
     "funnel_conversion"      -> (Windows.funnelConversionQuery _),
     "trailing_hour_stats"    -> (Windows.trailingHourStatsQuery _),
     "wordcount"              -> (Windows.wordCountQuery _),
+    // CDC / time-series maintenance
+    "scd2_intervals"         -> (Cdc.scd2IntervalsQuery _),
+    "merge_upserts"          -> (Cdc.mergeUpsertsQuery _),
+    "gap_fill_daily"         -> (Timeseries.gapFillDailyQuery _),
+    "outlier_events"         -> (Timeseries.outlierEventsQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
@@ -140,5 +145,6 @@ object SparkEntry {
       Windows.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
       CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
-      FuzzyJoin.oracles ++ SemiStructured.oracles
+      FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
+      Timeseries.oracles
 }
