@@ -25,7 +25,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // scalar aggregate frames (exactly ONE row by construction — a
     // global count / threshold), broadcast back onto the probe side
     "source_stats", "q22_global_sales", "q11_important_parts",
-    "q15_top_supplier")
+    "q15_top_supplier",
+    // 1-row (min_day, max_day) bounds frame crossed into the user grid
+    "gap_fill_daily")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
@@ -137,5 +139,53 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(plan.contains("PushedFilters: ["),
         s"$name shows no parquet filter pushdown")
     }
+  }
+
+  test("merge_upserts never shuffles the base snapshot") {
+    // The MERGE contract at 100 TB: touched keys broadcast into a
+    // map-side left_anti on the base scan; a SortMergeJoin (or any
+    // hash exchange of the base) means the whole corpus shuffles for
+    // a nightly-delta-sized change set.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit("upsert"))
+          .otherwise(lit("delete")).as("op"),
+        col("text"))
+    val plan = operators.Cdc.mergeUpserts(docs, delta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast left_anti, planned:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"merge_upserts shuffles the base snapshot:\n$plan")
+  }
+
+  test("outlier_events: the fact scan is filtered in place, never exchanged") {
+    // Per-type stats are a handful of grouped rows broadcast back onto
+    // the fact side; the only hash exchange allowed is the one carrying
+    // those partial aggregates. The fact rows themselves must flow
+    // scan → broadcast join → filter with no shuffle.
+    val df = operators.Timeseries.outlierEvents(
+      graft.core.Tables.events(spark, "/root/testdata/sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the stats frame broadcast back, planned:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"outlier_events shuffles the fact side:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly the stats aggregate's exchange, found $exchanges:\n$plan")
+  }
+
+  test("scd2_intervals is one exchange: the user_id window partitioning") {
+    val df = operators.Cdc.scd2Intervals(
+      graft.core.Tables.events(spark, "/root/testdata/sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllMatchIn(plan).length
+    assert(exchanges == 1 && plan.contains("Window"),
+      s"expected scan -> one hash exchange -> sort -> window, planned:\n$plan")
   }
 }
