@@ -35,7 +35,7 @@ object ScaleProbe {
   }
 
   private def replicate(spark: SparkSession, factor: Int): String = {
-    val out = s"/tmp/graft_scale_f${factor}_v2"
+    val out = s"/tmp/graft_scale_f${factor}_v3"
     if (new java.io.File(s"$out/_done").exists()) return out
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docCopies = (0 until factor).map { c =>
@@ -54,6 +54,20 @@ object ScaleProbe {
         zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
     }.reduce(_ unionByName _)
     embCopies.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events: copy c shifts user_id/event_id — ENTITY count grows with
+    // the factor while per-user history stays constant, the realistic
+    // scale-up for the per-user window family (scd2/gap-fill/funnel).
+    // ts stays a raw nanos LONG end to end (nanosAsLong conf).
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val evCopies = (0 until factor).map { c =>
+      ev.select(
+        (col("event_id") + lit(c.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    evCopies.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     new java.io.File(s"$out/_done").createNewFile()
     out
   }
@@ -68,6 +82,7 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -101,7 +116,18 @@ object ScaleProbe {
       // join-back side. The rest are map-only and expected linear.
       "segment_dedup"       -> (operators.Dedup.segmentDedupQuery _),
       "blocklist_redact"    -> (operators.TextAnalysis.blocklistRedactQuery _),
-      "upsample_mixture"    -> (operators.TextAnalysis.upsampleMixtureQuery _))
+      "upsample_mixture"    -> (operators.TextAnalysis.upsampleMixtureQuery _),
+      // r7d additions over the replicated EVENTS table: user count
+      // grows with the factor, per-user history is constant — windows
+      // partition by user (scd2, funnel), the gap-fill grid is
+      // users×days, outlier/variant are map + tiny aggregate; all
+      // expected linear
+      "scd2_intervals"      -> (operators.Cdc.scd2IntervalsQuery _),
+      "merge_upserts"       -> (operators.Cdc.mergeUpsertsQuery _),
+      "gap_fill_daily"      -> (operators.Timeseries.gapFillDailyQuery _),
+      "outlier_events"      -> (operators.Timeseries.outlierEventsQuery _),
+      "variant_props_stats" -> (operators.SemiStructured.variantPropsStats _),
+      "funnel_conversion"   -> (operators.Windows.funnelConversionQuery _))
 
     val unknownNames = nameFilter.filterNot(n => probes.exists(_._1 == n))
     require(unknownNames.isEmpty,
