@@ -127,7 +127,11 @@ object ScaleProbe {
       "gap_fill_daily"      -> (operators.Timeseries.gapFillDailyQuery _),
       "outlier_events"      -> (operators.Timeseries.outlierEventsQuery _),
       "variant_props_stats" -> (operators.SemiStructured.variantPropsStats _),
-      "funnel_conversion"   -> (operators.Windows.funnelConversionQuery _))
+      "funnel_conversion"   -> (operators.Windows.funnelConversionQuery _),
+      "session_paths"       -> (operators.ProductAnalytics.sessionPathsQuery _),
+      "retention_cohorts"   -> (operators.ProductAnalytics.retentionCohortsQuery _),
+      "value_histogram"     -> (operators.ProductAnalytics.valueHistogramQuery _),
+      "corpus_checksum"     -> (operators.Cdc.corpusChecksumQuery _))
 
     val unknownNames = nameFilter.filterNot(n => probes.exists(_._1 == n))
     require(unknownNames.isEmpty,

@@ -85,6 +85,11 @@ object SparkEntry {
     "merge_upserts"          -> (Cdc.mergeUpsertsQuery _),
     "gap_fill_daily"         -> (Timeseries.gapFillDailyQuery _),
     "outlier_events"         -> (Timeseries.outlierEventsQuery _),
+    "corpus_checksum"        -> (Cdc.corpusChecksumQuery _),
+    // product analytics over the event log
+    "session_paths"          -> (ProductAnalytics.sessionPathsQuery _),
+    "retention_cohorts"      -> (ProductAnalytics.retentionCohortsQuery _),
+    "value_histogram"        -> (ProductAnalytics.valueHistogramQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
@@ -146,5 +151,5 @@ object SparkEntry {
       Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
       CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
       FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
-      Timeseries.oracles
+      Timeseries.oracles ++ ProductAnalytics.oracles
 }

@@ -88,7 +88,36 @@ object Cdc {
     mergeUpserts(docs, delta).orderBy(col("doc_id"))
   }
 
+  /** Order-independent per-source content checksum: Σ hash60(row) over
+    * each source's documents, summed in DECIMAL(38,0) (60-bit terms ×
+    * 10¹² rows ≈ 10³⁰ ≪ 10³⁸ — no overflow, no mod needed until then;
+    * emitted mod 2⁶⁰ to land in a BIGINT). Addition commutes, so ANY
+    * partitioning/merge order yields the same digest — the property
+    * that lets two 100 TB replicas (or a base and its merge_upserts
+    * output) be compared with one cheap scan each and NO join, the
+    * complement of row-level corpus_diff. concat_ws('|', …) serializes
+    * a row identically in both engines (nulls skipped). */
+  def corpusChecksum(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rowHash = graft.functions.TextFunctions.hash60(
+      concat_ws("|", col("doc_id"), col("text"), col("lang"), col("source")))
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      (sum(rowHash.cast(DecimalType(38, 0))) % lit(1152921504606846976L))
+        .cast("long").as("checksum60"))
+  }
+
+  def corpusChecksumQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusChecksum(Tables.documents(spark, dir)).orderBy(col("source"))
+
   val oracles: Map[String, String] = Map(
+    "corpus_checksum" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(concat('0x', substr(md5(
+        |        concat_ws('|', doc_id, text, lang, source)
+        |      ), 1, 15)) AS BIGINT))
+        |    % 1152921504606846976 AS BIGINT) AS checksum60
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "scd2_intervals" ->
       """SELECT user_id, event_id, cents,
         |  tus AS valid_from_us,
