@@ -71,6 +71,7 @@ object SparkEntry {
     "to_json_struct"         -> (SensorPipeline.toJsonStructQuery _),
     "typed_filter_map"       -> (SensorPipeline.typedFilterMapQuery _),
     "asof_join"              -> (AsofJoin.asofLatestOrderQuery _),
+    "asof_join_forward"      -> (AsofJoin.asofNextOrderQuery _),
     // windows / state
     "tumbling_window"        -> (Windows.tumblingQuery _),
     "sliding_window"         -> (Windows.slidingQuery _),

@@ -32,9 +32,17 @@ object AsofJoin {
     *              The two ts columns must share one orderable type —
     *              they are compared AS-IS, at full precision (a cast
     *              to seconds here would silently leak sub-second
-    *              FUTURE updates into a point-in-time join). */
+    *              FUTURE updates into a point-in-time join).
+    * @param forward false (default): greatest right.ts <= left.ts —
+    *              state as it WAS (backward as-of). true: smallest
+    *              right.ts >= left.ts — the next scheduled change
+    *              (forward as-of: "what happens to this entity next"),
+    *              same single-exchange union–sort–carry with the sort
+    *              direction flipped; at equal ts the right row is
+    *              visible to the left row in BOTH directions. */
   def asof(left: DataFrame, leftKey: String, leftTs: String,
-           right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+           right: DataFrame, rightKey: String, rightTs: String,
+           forward: Boolean = false): DataFrame = {
     require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
       s"asof ts types must match: ${left.schema(leftTs).dataType} vs " +
         s"${right.schema(rightTs).dataType} (cast explicitly, at full precision)")
@@ -66,8 +74,11 @@ object AsofJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // updates (side 0) sort before events (side 1) at equal ts, so a
-    // same-timestamp update IS visible to the event (ASOF >= semantics)
-    val w = W.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
+    // same-timestamp update IS visible to the event (ASOF >=/<=
+    // semantics); forward flips only the ts direction — the carry then
+    // runs from the future toward each event
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
+    val w = W.partitionBy(col("__key")).orderBy(tsOrd, col("__side"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
@@ -98,7 +109,41 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of: each event enriched with the customer's NEXT order
+    * at or after event time — the "time to next action" shape (churn /
+    * conversion-lag analytics), verified against DuckDB's native ASOF
+    * with the comparator flipped. */
+  def asofNextOrderQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ets"))
+    val dedup = W.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(spark, dir)
+      .withColumn("__rn", row_number().over(dedup))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("ots"),
+        col("o_orderkey"), col("o_totalprice"))
+    asof(events, "user_id", "ets", orders, "o_custkey", "ots", forward = true)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "asof_join_forward" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey,
+        | round(o.o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS ets
+        |      FROM events) e
+        |ASOF LEFT JOIN (
+        | SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS ots,
+        |  o_orderkey, o_totalprice
+        | FROM orders
+        | QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) = 1)
+        | o ON e.user_id = o.o_custkey AND e.ets <= o.ots
+        |ORDER BY e.event_id""".stripMargin,
     "asof_join" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey,
         | round(o.o_totalprice, 2) AS o_totalprice

@@ -63,7 +63,15 @@ object Cdc {
     * delta ever outgrows the driver. Output carries md5(text), not
     * text, so the result frame moves 32-byte digests (the same trick
     * as corpus_diff). */
-  def mergeUpserts(base: DataFrame, delta: DataFrame): DataFrame = {
+  def mergeUpserts(base: DataFrame, delta: DataFrame): DataFrame =
+    applyDelta(base, delta)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("src"))
+
+  /** The text-carrying form of [[mergeUpserts]] — the snapshot a
+    * nightly pipeline actually persists (and re-feeds as next night's
+    * base; MergeStreamRehearsalSpec chains two streamed deltas this
+    * way). Same plan: base is never shuffled. */
+  def applyDelta(base: DataFrame, delta: DataFrame): DataFrame = {
     val touched = delta.select(col("doc_id"))
     val kept = base
       .join(broadcast(touched), Seq("doc_id"), "left_anti")
@@ -72,7 +80,6 @@ object Cdc {
       .filter(col("op") === "upsert")
       .select(col("doc_id"), col("text"), lit("delta").as("src"))
     kept.unionByName(applied)
-      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("src"))
   }
 
   /** Deterministic synthetic delta for the query entry: doc_id % 10 == 0
