@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall seconds.
+/** Benchmark main: JSON lines with per-query wall seconds — a full
+  * detail line (also persisted to target/bench_last.json), then a
+  * compact summary as the LAST line sized to survive the driver's
+  * log-tail capture.
   *
   * Materialization is a `noop`-format write, not `.count()` — count lets
   * Catalyst prune unreferenced projections (a UDF or to_json column would
@@ -136,22 +139,29 @@ object Bench {
         val baseTotal = known.map(baseMap).sum
         val curTotal = known.map(bestMap).sum
         val totalRatio = if (baseTotal > 0) (curTotal / baseTotal * 100).round / 100.0 else -1.0
-        s""","vs_baseline":{"ratios":$ratioJson,"regressions":${list(_ > 1.5)},""" +
+        (s""","vs_baseline":{"ratios":$ratioJson,"regressions":${list(_ > 1.5)},""" +
           s""""improvements":${list(_ < 0.67)},"new_queries":$newQs,""" +
-          s""""baseline_total":${(baseTotal * 1000).round / 1000.0},"total_ratio":$totalRatio}"""
-      }.getOrElse("")
+          s""""baseline_total":${(baseTotal * 1000).round / 1000.0},"total_ratio":$totalRatio}""",
+         s""","vs_baseline":{"regressions":${list(_ > 1.5)},""" +
+          s""""improvement_count":${ratios.count(_._2 < 0.67)},""" +
+          s""""new_query_count":${names.count(n => !baseMap.contains(n))},""" +
+          s""""baseline_total":${(baseTotal * 1000).round / 1000.0},"total_ratio":$totalRatio}""")
+      }.getOrElse(("", ""))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] baseline compare skipped: ${e.getMessage}"); ""
+      System.err.println(s"[bench] baseline compare skipped: ${e.getMessage}"); ("", "")
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed$scaling$vsBaseline,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: log-capture windows have truncated the
-    // stdout line two rounds running, losing per-query timings.
+    // Full detail (runs, scaling, per-query ratios) → file + FIRST stdout
+    // line; a COMPACT summary is the LAST line. The driver's log-tail
+    // capture has truncated the long line three rounds running (r7:
+    // parsed=null) — the tail-most line must always fit.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed$scaling${vsBaseline._1},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench_last.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed${vsBaseline._2},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

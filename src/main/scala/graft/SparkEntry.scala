@@ -51,6 +51,9 @@ object SparkEntry {
     "zorder_key"             -> (LayoutOps.zorderKeyQuery _),
     "fuzzy_name_pairs"       -> (FuzzyJoin.fuzzyNamePairsQuery _),
     "variant_props_stats"    -> (SemiStructured.variantPropsStats _),
+    "variant_shape_stats"    -> (SemiStructured.variantShapeStats _),
+    "variant_explode_items"  -> (SemiStructured.variantExplodeItems _),
+    "variant_open_fields"    -> (SemiStructured.variantOpenFields _),
     // remaining TPC-H shapes (all 22 now covered; see TpchExtra)
     "q2_min_cost_supplier"   -> (TpchExtra.q2MinCostSupplier _),
     "q8_market_share"        -> (TpchExtra.q8MarketShare _),
