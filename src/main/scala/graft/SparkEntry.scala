@@ -137,6 +137,7 @@ object SparkEntry {
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
     "embed_decontam"         -> (Similarity.embedDecontamQuery _),
+    "embed_decontam_lsh"     -> (Similarity.embedDecontamLshQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)
     "multimodal_meta"        -> (Multimodal.multimodalMetaQuery _),
     "multimodal_resize"      -> (Multimodal.multimodalResizeQuery _),

@@ -173,6 +173,65 @@ object Similarity {
       v => pmod(v("vec_id"), lit(50)) === 0, tau = 0.40)
       .orderBy(col("vec_id"))
 
+  /** LSH-banded decontamination — the scale path next to the exact
+    * embedDecontaminate BNLJ, for when the benchmark set outgrows
+    * "model-sized": `numBands` independent hyperplane codes of
+    * `planesPerBand` bits each; corpus and benchmark rows meet through
+    * a broadcast HASH join on (band, bucket) equality, exact cosine
+    * verifies only the collisions, and the per-doc aggregate counts
+    * DISTINCT benchmark hits (a pair colliding in several bands scores
+    * more than once but is counted once — max is duplicate-immune).
+    *
+    * Scale shape: candidates per corpus row ≈ B·|bench|/2^P instead of
+    * |bench| — the banded-join bound every other near-dup operator in
+    * this library uses, and O(n·B) in corpus size with NO nested loop.
+    * Recall is the standard banding curve (1-(1-p^P)^B, p = 1-θ/π),
+    * monotone in numBands — tune bands up / planes down for lower
+    * thresholds. Misses are pairs colliding in no band; the DuckDB
+    * oracle replicates the banding bit-for-bit (dots, buckets, then
+    * verify), so the PIPELINE is checked exactly even though the
+    * operator is approximate vs embedDecontaminate.
+    *
+    * Output = corpus docs with at least one CANDIDATE (audit rows:
+    * near-misses carry contaminated=false with their max_cos). */
+  def embedDecontaminateLsh(emb: DataFrame, benchIds: DataFrame => Column,
+                            tau: Double, numBands: Int = 6,
+                            planesPerBand: Int = 4,
+                            dim: Int = 64): DataFrame = {
+    require(numBands >= 1 && planesPerBand >= 1)
+    val planes = planeMatrix(numBands * planesPerBand, dim)
+    // (id, e, band, bucket) — one HyperplaneBucket per band (native
+    // codegen'd, in-scan), then the B codes explode into rows so the
+    // collision join is a plain equi-join on (band, bucket)
+    def banded(df: DataFrame, id: String, e: String): DataFrame = {
+      val withCodes = (0 until numBands).foldLeft(df) { (d, b) =>
+        d.withColumn(s"bk$b", HyperplaneBucket(col(e),
+          planes.slice(b * planesPerBand, (b + 1) * planesPerBand)))
+      }
+      withCodes.select(col(id), col(e),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"), col(s"bk$b").as("bucket"))): _*)).as("bb"))
+        .select(col(id), col(e),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val v = vectors(emb)
+    val bench = banded(v.filter(benchIds(v))
+      .select(col("vec_id").as("bench_id"), col("e").as("eb")), "bench_id", "eb")
+    val corpus = banded(v.filter(!benchIds(v)), "vec_id", "e")
+    corpus.join(broadcast(bench), Seq("band", "bucket"))
+      .withColumn("cos", CosineSimilarity(col("e"), col("eb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        round(max(col("cos")), 6).as("max_cos"),
+        count_distinct(when(col("cos") >= tau, col("bench_id"))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  def embedDecontamLshQuery(spark: SparkSession, dir: String): DataFrame =
+    embedDecontaminateLsh(Tables.embeddings(spark, dir),
+      v => pmod(v("vec_id"), lit(50)) === 0, tau = 0.40)
+      .orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- LSH ANN
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) is an
@@ -547,7 +606,51 @@ object Similarity {
        |                              ORDER BY cos DESC, neighbor_id) AS rnk
        | FROM scored) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** Full oracle for the banded decontam path: planes as SQL literals,
+    * band/bucket assignment, DISTINCT collision pairs, exact verify —
+    * the same pipeline the Spark plan runs, so the banding itself is
+    * checked bit-for-bit (sign of a sequential-fold dot product is
+    * engine-stable; see TextFunctions.dot). */
+  private def embedDecontamLshOracle(tau: Double, numBands: Int,
+                                     planesPerBand: Int): String = {
+    val planes = planeMatrix(numBands * planesPerBand, 64)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}])"
+    }.mkString(",\n   ")
+    s"""WITH planes(pi, pvec) AS (VALUES
+       |   $planeRows),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       | SELECT v.vec_id, p.pi,
+       |  list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * p.pvec[i])) AS d
+       | FROM v, planes p),
+       |buckets AS (
+       | SELECT vec_id, CAST(pi // $planesPerBand AS INTEGER) AS band,
+       |  CAST(sum(CASE WHEN d > 0 THEN (1 << (pi % $planesPerBand)) ELSE 0 END)
+       |   AS INTEGER) AS bucket
+       | FROM dots GROUP BY 1, 2),
+       |cand AS (
+       | SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+       | FROM buckets c JOIN buckets b ON c.band = b.band AND c.bucket = b.bucket
+       | WHERE c.vec_id % 50 <> 0 AND b.vec_id % 50 = 0),
+       |scored AS (
+       | SELECT c.vec_id, c.bench_id,
+       |  list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
+       |   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+       |      * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+       | FROM cand c JOIN v a ON c.vec_id = a.vec_id
+       |  JOIN v b ON c.bench_id = b.vec_id)
+       |SELECT vec_id, round(max(cos), 6) AS max_cos,
+       |  CAST(count(DISTINCT CASE WHEN cos >= $tau THEN bench_id END) AS BIGINT)
+       |    AS n_hits,
+       |  count(DISTINCT CASE WHEN cos >= $tau THEN bench_id END) > 0
+       |    AS contaminated
+       |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_decontam_lsh" -> embedDecontamLshOracle(tau = 0.40,
+      numBands = 6, planesPerBand = 4),
     "embed_quantize_int8" ->
       """SELECT vec_id, round(maxabs, 6) AS maxabs_r,
         | CAST(list_sum(q) AS BIGINT) AS q_sum,

@@ -89,7 +89,7 @@ class PlanPropertiesSpec extends SparkSpec {
     // lambda-free, pinned here.
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("ann_lsh_topk", "ann_cosine_topk", "ann_ivf_topk",
-        "ann_int8_topk", "embed_cosine_neardup")) {
+        "ann_int8_topk", "embed_cosine_neardup", "embed_decontam_lsh")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("lambdafunction"),

@@ -242,4 +242,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(_._2) && got.values.exists(!_._2),
       "fixture should contain both contaminated and clean vectors")
   }
+
+  test("embedDecontaminateLsh: a sound, useful subset of the exact pass") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.40
+    def bench(v: org.apache.spark.sql.DataFrame) =
+      pmod(v("vec_id"), lit(50)) === 0
+    val exact = Similarity.embedDecontaminate(emb, bench, tau)
+      .filter(col("contaminated")).select("vec_id")
+      .as[Long].collect().toSet
+    val lsh = Similarity.embedDecontaminateLsh(emb, bench, tau)
+    val flagged = lsh.filter(col("contaminated")).select("vec_id")
+      .as[Long].collect().toSet
+    // Soundness: exact verify inside buckets — the LSH pass can MISS a
+    // contaminated doc (banding recall < 1; the fixture's hits sit just
+    // above tau where per-doc recall is ~0.66, so presence here is NOT
+    // asserted) but never invent one.
+    assert(flagged.subsetOf(exact),
+      s"LSH flagged non-contaminated docs: ${(flagged -- exact).take(5)}")
+    // Guaranteed-recall case: a corpus vector PARALLEL to a benchmark
+    // vector has identical hyperplane signs, so it collides in EVERY
+    // band — banding can never miss it, deterministically.
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val synth = Seq(
+      0L  -> base.toSeq,                       // bench (0 % 50 == 0)
+      51L -> base.map(_ * 2f).toSeq,           // parallel dup -> must flag
+      52L -> Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat).toSeq
+    ).toDF("vec_id", "embedding")
+    val sFlagged = Similarity.embedDecontaminateLsh(synth, bench, tau)
+      .filter(col("contaminated")).select("vec_id").as[Long].collect().toSet
+    assert(sFlagged.contains(51L), "parallel duplicate must be flagged")
+    // max_cos on audited rows is a true cosine (within rounding), and
+    // n_hits counts DISTINCT benchmark ids (duplicate band collisions
+    // collapse): every audited row's n_hits is bounded by the bench size.
+    val nBench = emb.filter(pmod(col("vec_id"), lit(50)) === 0).count()
+    val maxHits = lsh.agg(org.apache.spark.sql.functions.max("n_hits"))
+      .as[Long].collect().head
+    assert(maxHits <= nBench)
+  }
 }
