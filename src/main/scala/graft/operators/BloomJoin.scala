@@ -47,6 +47,11 @@ import graft.core.Tables
   */
 object BloomJoin {
 
+  /** Temp-view names are session-global state: a per-invocation serial
+    * keeps two concurrent/nested bloom joins on the same key names from
+    * clobbering each other's views. */
+  private val viewSerial = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Revenue by nation for suppliers in one region, with the lineitem
     * scan pre-filtered by a Bloom filter over the qualifying supplier
     * keys. `bitsPerKey` = 8 ⇒ ~2% false-positive rate — false
@@ -57,8 +62,9 @@ object BloomJoin {
                     estKeys: Long = 10000L, bitsPerKey: Int = 8): DataFrame = {
     require(estKeys > 0 && bitsPerKey > 0)
     val spark = fact.sparkSession
-    val dv = s"graft_bloom_dim_$dimKey"
-    val fv = s"graft_bloom_fact_$factKey"
+    val serial = viewSerial.incrementAndGet()
+    val dv = s"graft_bloom_dim_${dimKey}_$serial"
+    val fv = s"graft_bloom_fact_${factKey}_$serial"
     dim.createOrReplaceTempView(dv)
     fact.createOrReplaceTempView(fv)
     val pruned = spark.sql(
@@ -70,7 +76,11 @@ object BloomJoin {
          |   FROM $dv),
          |  xxhash64($factKey))""".stripMargin)
     // exact verification join: removes bloom false positives, attaches
-    // the dim attributes — output ≡ plain fact⋈dim
+    // the dim attributes — output ≡ plain fact⋈dim. The views are only
+    // needed while the SQL above resolves; drop them so repeated calls
+    // don't accumulate catalog entries.
+    spark.catalog.dropTempView(dv)
+    spark.catalog.dropTempView(fv)
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 

@@ -25,10 +25,10 @@ object Windows {
 
   /** 1-hour tumbling window per event_type (TumblingWindow.scala mirror,
     * sums + count + avg). avg is computed in integer cents with
-    * half-up integer division: small windows of 2-decimal values land
-    * avg exactly on .005 boundaries, where Spark (decimal-string
-    * HALF_UP) and DuckDB (binary fp) round() disagree — integer math is
-    * bit-identical across engines. */
+    * half-away-from-zero integer division: small windows of 2-decimal
+    * values land avg exactly on .005 boundaries, where Spark
+    * (decimal-string HALF_UP) and DuckDB (binary fp) round() disagree —
+    * integer math is bit-identical across engines. */
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -40,7 +40,14 @@ object Windows {
         unix_timestamp(col("window.start")).as("window_start"),
         unix_timestamp(col("window.end")).as("window_end"),
         col("event_type"), col("n"), col("sum_value"),
-        (expr("(cents*2 + n) DIV (n*2)").cast("double") / 100.0).as("avg_value"))
+        // sign-aware half-away-from-zero: both branches divide
+        // non-negative operands, where Spark's truncating DIV and
+        // DuckDB's flooring // agree bit-for-bit (they diverge by 1 on
+        // negative numerators, and the +n half-bias itself assumes a
+        // non-negative sum)
+        (expr("CASE WHEN cents >= 0 THEN (cents*2 + n) DIV (n*2) " +
+          "ELSE -((-cents*2 + n) DIV (n*2)) END")
+          .cast("double") / 100.0).as("avg_value"))
 
   def tumblingQuery(spark: SparkSession, dir: String): DataFrame =
     tumbling(Tables.events(spark, dir))
@@ -227,7 +234,8 @@ object Windows {
     "tumbling_window" ->
       """SELECT window_start, window_start + 3600 AS window_end,
         | event_type, n, sum_value,
-        | ((cents*2 + n) // (n*2)) / 100.0 AS avg_value
+        | (CASE WHEN cents >= 0 THEN (cents*2 + n) // (n*2)
+        |       ELSE -((-cents*2 + n) // (n*2)) END) / 100.0 AS avg_value
         |FROM (
         |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
         |   event_type, count(*) AS n, round(sum(value),2) AS sum_value,

@@ -80,12 +80,15 @@ object BoundedLevenshteinRule extends Rule[LogicalPlan] {
     def unapply(e: Expression): Option[Cmp] = e match {
       case LessThanOrEqual(Lev(l), IntLit(k)) => Some(Le(l, k))
       case GreaterThanOrEqual(IntLit(k), Lev(l)) => Some(Le(l, k))
-      case LessThan(Lev(l), IntLit(k)) => Some(Le(l, k - 1))
-      case GreaterThan(IntLit(k), Lev(l)) => Some(Le(l, k - 1))
+      // the strict forms shift the bound by one: skip the match at the
+      // int extremes, where ±1 would wrap and flip an always-false
+      // predicate to always-true (leaving the node untouched is sound)
+      case LessThan(Lev(l), IntLit(k)) if k != Int.MinValue => Some(Le(l, k - 1))
+      case GreaterThan(IntLit(k), Lev(l)) if k != Int.MinValue => Some(Le(l, k - 1))
       case GreaterThanOrEqual(Lev(l), IntLit(j)) => Some(Ge(l, j))
       case LessThanOrEqual(IntLit(j), Lev(l)) => Some(Ge(l, j))
-      case GreaterThan(Lev(l), IntLit(j)) => Some(Ge(l, j + 1))
-      case LessThan(IntLit(j), Lev(l)) => Some(Ge(l, j + 1))
+      case GreaterThan(Lev(l), IntLit(j)) if j != Int.MaxValue => Some(Ge(l, j + 1))
+      case LessThan(IntLit(j), Lev(l)) if j != Int.MaxValue => Some(Ge(l, j + 1))
       case _ => None
     }
   }

@@ -54,7 +54,10 @@ object FunnelStream {
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  timerValues: TimerValues): Iterator[StageHit] = {
-      rows.foreach(e => pending.appendValue((e.ts.getTime, e.event_type)))
+      // buffer MICROS (batch parity: funnelConversion compares
+      // unix_micros — ms buffering would tie sub-ms-distinct events,
+      // and the strict `>` gates below would drop real stages)
+      rows.foreach(e => pending.appendValue((EventTime.micros(e.ts), e.event_type)))
       // fire once the watermark moves past the earliest buffered event;
       // re-registered on every batch/firing while anything is pending
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
@@ -65,7 +68,7 @@ object FunnelStream {
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[StageHit] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       val all = pending.get().toArray
-      val (ripe, rest) = all.partition(_._1 <= wm)
+      val (ripe, rest) = all.partition(p => EventTime.wmMillis(p._1) <= wm)
       if (rest.isEmpty) pending.clear()
       else { pending.clear(); rest.foreach(pending.appendValue); getHandle.registerTimer(wm + 1) }
       if (ripe.isEmpty) return Iterator.empty
@@ -75,18 +78,18 @@ object FunnelStream {
       var p = if (tPurchase.exists()) tPurchase.get() else Long.MinValue
       var hits = List.empty[StageHit]
       // ordered replay: ties break by stage order (view before click
-      // before purchase at the same ms), matching the batch operator's
+      // before purchase at the same microsecond), matching the batch operator's
       // STRICT `>` comparisons — an equal-timestamp click never counts
       val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
       ripe.filter(e => rank.contains(e._2))
         .sortBy(e => (e._1, rank(e._2))).foreach { case (t, tpe) =>
           tpe match {
             case "view" if v == Long.MinValue =>
-              v = t; hits ::= StageHit(key, "view", t * 1000)
+              v = t; hits ::= StageHit(key, "view", t)
             case "click" if c == Long.MinValue && v != Long.MinValue && t > v =>
-              c = t; hits ::= StageHit(key, "click", t * 1000)
+              c = t; hits ::= StageHit(key, "click", t)
             case "purchase" if p == Long.MinValue && c != Long.MinValue && t > c =>
-              p = t; hits ::= StageHit(key, "purchase", t * 1000)
+              p = t; hits ::= StageHit(key, "purchase", t)
             case _ => // stage already anchored or out of order: no-op
           }
         }

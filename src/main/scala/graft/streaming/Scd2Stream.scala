@@ -37,7 +37,10 @@ object Scd2Stream {
   case class ClosedInterval(user_id: Long, event_id: Long, cents: Long,
                             valid_from_us: Long, valid_to_us: Long)
 
-  /** (tus_ms, event_id, cents) — ms because watermarks are ms. */
+  /** (tus, event_id, cents) — event time in MICROS (batch parity:
+    * scd2Intervals compares unix_micros; ms buffering would collapse
+    * sub-ms-distinct events into ties). Ripeness checks floor the
+    * micros back onto the watermark's ms grid. */
   private type Pend = (Long, Long, Long)
 
   class Scd2Processor extends StatefulProcessor[Long, Change, ClosedInterval] {
@@ -54,8 +57,8 @@ object Scd2Stream {
     override def handleInputRows(key: Long, rows: Iterator[Change],
                                  timerValues: TimerValues): Iterator[ClosedInterval] = {
       rows.foreach { c =>
-        pending.appendValue((c.ts.getTime, c.event_id,
-          math.round(c.value * 100)))
+        pending.appendValue((EventTime.micros(c.ts), c.event_id,
+          EventTime.centsHalfUp(c.value)))
       }
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
       Iterator.empty
@@ -65,16 +68,16 @@ object Scd2Stream {
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedInterval] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       val all = pending.get().toArray
-      val (ripe, rest) = all.partition(_._1 <= wm)
+      val (ripe, rest) = all.partition(p => EventTime.wmMillis(p._1) <= wm)
       if (rest.isEmpty) pending.clear()
       else { pending.clear(); rest.foreach(pending.appendValue); getHandle.registerTimer(wm + 1) }
       if (ripe.isEmpty) return Iterator.empty
 
       var cur = if (open.exists()) Some(open.get()) else None
       var out = List.empty[ClosedInterval]
-      ripe.sortBy(p => (p._1, p._2)).foreach { case next @ (tms, _, _) =>
-        cur.foreach { case (otms, oid, ocents) =>
-          out ::= ClosedInterval(key, oid, ocents, otms * 1000, tms * 1000)
+      ripe.sortBy(p => (p._1, p._2)).foreach { case next @ (tus, _, _) =>
+        cur.foreach { case (otus, oid, ocents) =>
+          out ::= ClosedInterval(key, oid, ocents, otus, tus)
         }
         cur = Some(next)
       }

@@ -15,6 +15,26 @@ class WindowsSpec extends SparkSpec {
   private def ev(id: Long, user: Long, epochSec: Long, value: Double) =
     (id, user, new Timestamp(epochSec * 1000L), value)
 
+  test("tumbling avg: half-away-from-zero holds for negative sums") {
+    // the cents-trick average must stay exact when a window's sum is
+    // negative: truncating DIV and flooring // diverge by 1 there
+    // unless the division is kept sign-aware over non-negative operands
+    val events = Seq(
+      // one window, sum = -0.03 over 2 rows -> avg -0.015, half away
+      // from zero -> -0.02
+      (1L, new Timestamp(0L), 1L, "a", -0.01, "{}"),
+      (2L, new Timestamp(1000L), 1L, "a", -0.02, "{}"),
+      // one window, sum = 0.03 over 2 rows -> avg 0.015 -> 0.02
+      (3L, new Timestamp(0L), 1L, "b", 0.01, "{}"),
+      (4L, new Timestamp(1000L), 1L, "b", 0.02, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Windows.tumbling(events)
+      .select("event_type", "avg_value").as[(String, Double)]
+      .collect().toMap
+    assert(got("a") === -0.02)
+    assert(got("b") === 0.02)
+  }
+
   test("trailingHourStats: frame bounds, peer inclusion, per-user isolation") {
     val events = Seq(
       // user 1: t=0, t=3599 (inside the trailing hour of each other's

@@ -102,4 +102,17 @@ class BoundedLevenshteinRuleSpec extends SparkSpec {
       "SELECT count(*) AS n FROM lev_pairs WHERE levenshtein(a, b) <= -1")
     assert(q.collect().head.getLong(0) === 0L)
   }
+
+  test("strict bounds at the int extremes do not wrap") {
+    // `lev < Int.MinValue` is always false; a naive k-1 canonicalization
+    // wraps to Int.MaxValue and rewrites it to the always-TRUE
+    // `lev3(MaxValue) >= 0`. Same for `lev > Int.MaxValue` via j+1.
+    pairsView()
+    val lo = spark.sql(
+      s"SELECT count(*) AS n FROM lev_pairs WHERE levenshtein(a, b) < ${Int.MinValue}")
+    assert(lo.collect().head.getLong(0) === 0L)
+    val hi = spark.sql(
+      s"SELECT count(*) AS n FROM lev_pairs WHERE levenshtein(a, b) > ${Int.MaxValue}")
+    assert(hi.collect().head.getLong(0) === 0L)
+  }
 }

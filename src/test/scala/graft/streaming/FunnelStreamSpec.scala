@@ -87,4 +87,43 @@ class FunnelStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("sub-millisecond event spacing survives the buffer (micros, not ms)") {
+    // view and click 500µs apart: ms-truncated buffering ties them and
+    // the strict `>` gate drops the click; the batch operator
+    // (unix_micros) counts it — the parity this pins
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamingConfs.applyRocksDb(spark)
+    try {
+      def at(sec: Long, micros: Int): Timestamp = {
+        val t = new Timestamp(sec * 1000)
+        t.setNanos(micros * 1000)
+        t
+      }
+      val view = Ev(1, "view", at(10, 0))
+      val click = Ev(1, "click", at(10, 500)) // same ms, +500µs
+      val ms = MemoryStream[Ev]
+      val hits = FunnelStream.stageHits(
+        ms.toDS().withWatermark("ts", "1000 seconds"))
+      val q = Sinks.memory(hits.toDF(), "funnel_subms_sink", "append").start()
+      try {
+        ms.addData(view, click)
+        q.processAllAvailable()
+        ms.addData(Ev(99, "error", at(5000, 0)))
+        q.processAllAvailable()
+        ms.addData(Ev(99, "error", at(6000, 0)))
+        q.processAllAvailable()
+        val got = spark.table("funnel_subms_sink")
+          .as[FunnelStream.StageHit].collect()
+          .filter(_.user_id == 1L).map(h => h.stage -> h.tus).toMap
+        assert(got === Map("view" -> 10000000L, "click" -> 10000500L))
+      } finally q.stop()
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
