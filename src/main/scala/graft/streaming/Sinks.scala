@@ -53,6 +53,57 @@ object Sinks {
     def clear(): Unit = synchronized { buf.clear() }
   }
 
+  /** Keyed upsert sink — the Cassandra sink's semantics rehearsed
+    * against an in-memory table (StreamingWithCasssandra.scala:31-40:
+    * a per-row INSERT by primary key, which in Cassandra IS an
+    * upsert/last-write-wins). What the rehearsal keeps from the real
+    * connector recipe:
+    *
+    *  - rows buffer during process() and commit ATOMICALLY in close()
+    *    — a task that dies mid-partition leaves the table untouched,
+    *    so Spark's task retry re-runs a clean partition;
+    *  - open() declines a (partitionId, epochId) that already
+    *    committed, the dedup bookkeeping that turns at-least-once
+    *    delivery into effectively-once writes;
+    *  - even WITHOUT that bookkeeping, replaying an epoch is a no-op
+    *    on table content because upsert-by-key is idempotent — the
+    *    property the whole pattern leans on (spec-asserted).
+    */
+  class UpsertForeachWriter(keyIdx: Int = 0) extends ForeachWriter[Row] {
+    private var pending: mutable.ArrayBuffer[(Any, Seq[Any])] = _
+    private var pid: Long = 0L
+    private var eid: Long = 0L
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      pid = partitionId; eid = epochId
+      val fresh = !UpsertForeachWriter.alreadyCommitted(partitionId, epochId)
+      if (fresh) pending = mutable.ArrayBuffer.empty
+      fresh
+    }
+    override def process(row: Row): Unit =
+      pending += ((row.get(keyIdx), row.toSeq))
+    override def close(errorOrNull: Throwable): Unit =
+      if (errorOrNull == null && pending != null)
+        UpsertForeachWriter.commit(pid, eid, pending.toSeq)
+  }
+
+  object UpsertForeachWriter {
+    // global for the same reason as CollectingForeachWriter: writer
+    // instances serialize to tasks; local-mode tests only
+    private val table = mutable.LinkedHashMap.empty[Any, Seq[Any]]
+    private val epochs = mutable.Set.empty[(Long, Long)]
+    private var applied = 0L
+    private[Sinks] def alreadyCommitted(pid: Long, eid: Long): Boolean =
+      synchronized(epochs.contains((pid, eid)))
+    def commit(pid: Long, eid: Long, rows: Seq[(Any, Seq[Any])]): Unit =
+      synchronized {
+        epochs += ((pid, eid))
+        rows.foreach { case (k, r) => table(k) = r; applied += 1 }
+      }
+    def rows: Map[Any, Seq[Any]] = synchronized(table.toMap)
+    def appliedCount: Long = synchronized(applied)
+    def clear(): Unit = synchronized { table.clear(); epochs.clear(); applied = 0L }
+  }
+
   /** Fan-out to several sinks from one query — the reference's
     * SlidingWindow.scala fans the same aggregate to console AND kafka by
     * running two queries (two full computations of the stream).

@@ -60,4 +60,41 @@ class SinksSpec extends SparkSpec {
     assert(k === "1")
     assert(v === """{"event_id":1,"event_type":"click","value":2.5}""")
   }
+
+  test("upsert foreach sink: last-write-wins by key, idempotent epoch replay") {
+    // the Cassandra-sink rehearsal (StreamingWithCasssandra.scala:31-40:
+    // INSERT by primary key == upsert) against the in-memory table
+    implicit val sqlCtx = spark.sqlContext
+    Sinks.UpsertForeachWriter.clear()
+    val ms = MemoryStream[(Long, String)]
+    // coalesce(1): within-batch apply order for a repeated key is
+    // partition-sequential, deterministic only on one partition
+    val q = ms.toDF().toDF("id", "v").coalesce(1).writeStream
+      .foreach(new Sinks.UpsertForeachWriter(keyIdx = 0)).start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((1L, "c"), (3L, "d")) // epoch 2 overwrites key 1
+      q.processAllAvailable()
+      val table = Sinks.UpsertForeachWriter.rows
+      assert(table.map { case (k, r) => k -> r(1) }
+        === Map(1L -> "c", 2L -> "b", 3L -> "d"))
+      val appliedBefore = Sinks.UpsertForeachWriter.appliedCount
+      assert(appliedBefore === 4L)
+
+      // replayed task, same (partition, epoch): open() declines it
+      val w = new Sinks.UpsertForeachWriter(0)
+      assert(!w.open(0L, 0L), "already-committed epoch must be declined")
+      assert(w.open(0L, 99L), "a fresh epoch must be accepted")
+
+      // even a FORCED replay (bookkeeping bypassed — the at-least-once
+      // path) is content-idempotent: upsert-by-key re-applies the same
+      // values
+      Sinks.UpsertForeachWriter.commit(0L, 1L,
+        Seq((1L, Seq(1L, "c")), (3L, Seq(3L, "d"))))
+      assert(Sinks.UpsertForeachWriter.rows.map { case (k, r) => k -> r(1) }
+        === Map(1L -> "c", 2L -> "b", 3L -> "d"))
+      assert(Sinks.UpsertForeachWriter.appliedCount === appliedBefore + 2)
+    } finally q.stop()
+  }
 }
