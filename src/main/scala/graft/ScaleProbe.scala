@@ -133,14 +133,19 @@ object ScaleProbe {
       "value_histogram"     -> (operators.ProductAnalytics.valueHistogramQuery _),
       "corpus_checksum"     -> (operators.Cdc.corpusChecksumQuery _))
 
-    val unknownNames = nameFilter.filterNot(n => probes.exists(_._1 == n))
+    // special (non-query) probes are filterable by name too
+    val specials: Map[String, () => Unit] = Map(
+      "cc_skew" -> (() => ccSkewProbe(spark)))
+    val unknownNames = nameFilter
+      .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
       s"unknown probes: ${unknownNames.mkString(", ")} — " +
-        s"known: ${probes.map(_._1).mkString(", ")}")
+        s"known: ${(probes.map(_._1) ++ specials.keys).mkString(", ")}")
     val selected =
       if (nameFilter.isEmpty) probes
       else probes.filter { case (n, _) => nameFilter.contains(n) }
-    factors.foreach { f =>
+    nameFilter.filter(specials.contains).foreach(n => specials(n)())
+    factors.filter(_ => selected.nonEmpty).foreach { f =>
       val dir = replicate(spark, f)
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -158,8 +163,62 @@ object ScaleProbe {
       bucketBench(spark)
       skewProbe(spark)
       corpusPrepSkewProbe(spark)
+      ccSkewProbe(spark)
     }
     spark.stop()
+  }
+
+  /** Hub-skew audit for the connectedComponents loop (the standing
+    * residual: with AQE off inside the fixpoint loop, a skewed
+    * edges⋈frontier join is never runtime-split). Two graphs with
+    * IDENTICAL node/edge counts: `uniform` scatters edges; `hub25`
+    * pins 25% of all edges to one vertex, so after the undirected
+    * union the hub's directed edges land in ONE src-hash partition —
+    * the worst case the real pair generators are supposed to bound
+    * away (banding caps bucket width, ngram candidates cap df).
+    * Reported per graph: wall, rounds, frontier sizes, and the
+    * max/median TASK duration across the whole run — the straggler
+    * statistic wall clock alone hides on an otherwise-idle box. */
+  private def ccSkewProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // Star-of-8 components (edge i: group leader ↔ member) keep the
+    // diameter at 2 so round count is identical across graphs and the
+    // ONLY varied quantity is degree skew; hub50 reroutes half of all
+    // edges to vertex 0 (a 2M-spoke hub), putting ~2M extra directed
+    // rows into ONE src-hash partition of the loop. (Sized to the 8g
+    // probe heap: round-1 frontier hash relations are n/p entries per
+    // task — 16M nodes exhausted the execution pool.)
+    val n = 4000000L // nodes == undirected edges; union -> 8M directed
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val uniform = spark.range(n).select(
+      (col("id") - pmod(col("id"), lit(8L))).as("doc_a"),
+      col("id").as("doc_b"))
+    val hub = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(col("id") - pmod(col("id"), lit(8L))).as("doc_a"),
+      col("id").as("doc_b"))
+    for ((name, pairs) <- Seq("uniform" -> uniform, "hub50" -> hub)) {
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          durations.add(te.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val (out, frontiers) = operators.Dedup.connectedComponentsWithStats(
+        nodes, pairs)
+      val rows = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      val ds = durations.toArray(Array.empty[java.lang.Long])
+        .map(_.toLong).sorted
+      val (maxT, medT) =
+        if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.length / 2))
+      println(f"[scale-cc-skew] $name%-8s ${sec}%7.2fs rows=$rows " +
+        f"rounds=${frontiers.size} task_max=${maxT}ms task_med=${medT}ms " +
+        f"skew=${if (medT > 0) maxT.toDouble / medT else 0.0}%.1fx " +
+        f"frontiers=${frontiers.take(8).mkString("[", ",", "]")}")
+    }
   }
 
   /** ANN bucket-occupancy audit: per-query CANDIDATE volume (not just
