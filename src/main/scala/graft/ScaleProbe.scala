@@ -135,7 +135,8 @@ object ScaleProbe {
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
-      "cc_skew" -> (() => ccSkewProbe(spark)))
+      "cc_skew" -> (() => ccSkewProbe(spark)),
+      "decontam" -> (() => decontamProbe(spark, 4)))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -166,6 +167,53 @@ object ScaleProbe {
       ccSkewProbe(spark)
     }
     spark.stop()
+  }
+
+  /** Exact vs banded decontamination on the replicated corpus: same
+    * benchmark set (vec_id % 50 == 0, grows with the factor), wall for
+    * the by-contract BNLJ exact pass vs the (band, bucket) hash-join
+    * scale path, flagged-set recall, and the audited-row count (corpus
+    * docs with ≥1 collision — the fraction of the corpus the banding
+    * actually scores). Replicated copies sign-flip embeddings, so
+    * within-copy contamination structure is preserved while cross-copy
+    * cosines scatter toward 0 — both flagged sets must grow linearly. */
+  private def decontamProbe(spark: SparkSession, f: Int): Unit = {
+    val dir = replicate(spark, f)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def benchIds(v: DataFrame): Column = pmod(v("vec_id"), lit(50)) === 0
+    val nCorpus = emb.filter(!benchIds(emb)).count()
+    val nBench = emb.filter(benchIds(emb)).count()
+    val t0 = System.nanoTime()
+    val exact = operators.Similarity.embedDecontaminate(emb, benchIds, 0.40)
+      .select("vec_id", "max_cos", "contaminated").collect()
+    val tExact = (System.nanoTime() - t0) / 1e9
+    val exactCos = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactSet = exact.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val t1 = System.nanoTime()
+    val lsh = operators.Similarity
+      .embedDecontaminateLsh(emb, benchIds, 0.40)
+      .select("vec_id", "contaminated")
+      .collect()
+    val tLsh = (System.nanoTime() - t1) / 1e9
+    val flagged = lsh.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    // recall by strength of the contamination: the banding curve rises
+    // steeply with cosine, so the τ-edge pairs dominate the misses while
+    // strong hits (the ones that matter for decontamination) survive
+    def recallAbove(c: Double): (Int, Double) = {
+      val strong = exactSet.filter(id => exactCos(id) >= c)
+      (strong.size,
+        if (strong.isEmpty) 1.0
+        else flagged.intersect(strong).size.toDouble / strong.size)
+    }
+    val (nAll, rAll) = recallAbove(0.0)
+    val (n50, r50) = recallAbove(0.50)
+    val (n60, r60) = recallAbove(0.60)
+    println(f"[scale-decontam] factor=$f%-3d corpus=$nCorpus bench=$nBench " +
+      f"exact_wall=${tExact}%.2fs lsh_wall=${tLsh}%.2fs " +
+      f"exact_flagged=$nAll lsh_flagged=${flagged.size} " +
+      f"recall=${rAll}%.2f recall@.5(n=$n50)=${r50}%.2f " +
+      f"recall@.6(n=$n60)=${r60}%.2f audited=${lsh.length} " +
+      f"audit_frac=${lsh.length.toDouble / math.max(nCorpus, 1)}%.3f")
   }
 
   /** Hub-skew audit for the connectedComponents loop (the standing
