@@ -161,7 +161,10 @@ object Bench {
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed${vsBaseline._2},"sf":"$sfDir"}""")
+    // compact line: NO per-query map (it is in the detail line and the
+    // file) — totals + baseline summary only, so the line stays O(1)
+    // in query count and can never outgrow the tail capture again
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"reps":$reps,"failed":$failed${vsBaseline._2},"sf":"$sfDir","detail":"target/bench_last.json"}""")
     spark.stop()
   }
 }

@@ -136,7 +136,7 @@ object ScaleProbe {
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
       "cc_skew" -> (() => ccSkewProbe(spark)),
-      "decontam" -> (() => decontamProbe(spark, 4)))
+      "decontam" -> (() => factors.foreach(f => decontamProbe(spark, f))))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -219,20 +219,21 @@ object ScaleProbe {
   /** Hub-skew audit for the connectedComponents loop (the standing
     * residual: with AQE off inside the fixpoint loop, a skewed
     * edges⋈frontier join is never runtime-split). Two graphs with
-    * IDENTICAL node/edge counts: `uniform` scatters edges; `hub25`
-    * pins 25% of all edges to one vertex, so after the undirected
-    * union the hub's directed edges land in ONE src-hash partition —
-    * the worst case the real pair generators are supposed to bound
-    * away (banding caps bucket width, ngram candidates cap df).
-    * Reported per graph: wall, rounds, frontier sizes, and the
-    * max/median TASK duration across the whole run — the straggler
-    * statistic wall clock alone hides on an otherwise-idle box. */
+    * IDENTICAL node/edge counts: `uniform` is 500k star-of-8
+    * components; `hub50` reroutes HALF of all edges to vertex 0, so
+    * after the undirected union the hub's directed edges land in ONE
+    * src-hash partition — the worst case the real pair generators are
+    * supposed to bound away (banding caps bucket width, ngram
+    * candidates cap df). Rerouting also merges the touched groups into
+    * one giant component whose odd members sit 2 hops from the minimum
+    * label, so hub50 runs ONE extra propagation round with a ~2M-row
+    * round-2 frontier — wall comparisons carry that structural delta;
+    * the per-TASK max/median ratio is the skew-specific statistic
+    * (reported per graph alongside wall, rounds, frontier sizes). */
   private def ccSkewProbe(spark: SparkSession): Unit = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    // Star-of-8 components (edge i: group leader ↔ member) keep the
-    // diameter at 2 so round count is identical across graphs and the
-    // ONLY varied quantity is degree skew; hub50 reroutes half of all
-    // edges to vertex 0 (a 2M-spoke hub), putting ~2M extra directed
+    // Star-of-8 edges (group leader ↔ member); hub50 reroutes half of
+    // them to vertex 0 (a 2M-spoke hub), putting ~2M extra directed
     // rows into ONE src-hash partition of the loop. (Sized to the 8g
     // probe heap: round-1 frontier hash relations are n/p entries per
     // task — 16M nodes exhausted the execution pool.)

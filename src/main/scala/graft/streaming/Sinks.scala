@@ -76,7 +76,9 @@ object Sinks {
     override def open(partitionId: Long, epochId: Long): Boolean = {
       pid = partitionId; eid = epochId
       val fresh = !UpsertForeachWriter.alreadyCommitted(partitionId, epochId)
-      if (fresh) pending = mutable.ArrayBuffer.empty
+      // null (not keep) on decline: a reused instance would otherwise
+      // re-commit the PREVIOUS epoch's buffer from close()
+      pending = if (fresh) mutable.ArrayBuffer.empty else null
       fresh
     }
     override def process(row: Row): Unit =
