@@ -89,11 +89,13 @@ object SparkEntry {
     "merge_upserts"          -> (Cdc.mergeUpsertsQuery _),
     "gap_fill_daily"         -> (Timeseries.gapFillDailyQuery _),
     "outlier_events"         -> (Timeseries.outlierEventsQuery _),
+    "resample_ohlc"          -> (Timeseries.resampleOhlcQuery _),
     "corpus_checksum"        -> (Cdc.corpusChecksumQuery _),
     // product analytics over the event log
     "session_paths"          -> (ProductAnalytics.sessionPathsQuery _),
     "retention_cohorts"      -> (ProductAnalytics.retentionCohortsQuery _),
     "value_histogram"        -> (ProductAnalytics.valueHistogramQuery _),
+    "attribution_first_last" -> (ProductAnalytics.attributionFirstLastQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
@@ -119,6 +121,7 @@ object SparkEntry {
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
+    "dedup_containment"      -> (Dedup.containmentQuery _),
     "dedup_minhash_lsh"      -> (Dedup.minhashLshQuery _),
     "dedup_simhash"          -> (Dedup.simhashQuery _),
     "dedup_clusters"         -> (Dedup.dedupClustersQuery _),

@@ -204,6 +204,56 @@ object Dedup {
     ngramJaccardPairs(Tables.documents(spark, dir), k = 3, tau = 0.7)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Shingle CONTAINMENT pairs: C(A→B) = |S_A ∩ S_B| / |S_A| ≥ tau,
+    * with A the smaller-set side (ties on id). Catches the duplication
+    * shape Jaccard structurally misses: a short doc quoted verbatim
+    * inside a much longer one has J ≈ na/nb (killed by the size
+    * filter) but containment ≈ 1 — the boilerplate/quotation/
+    * wrapped-article case a curation pipeline wants surfaced.
+    *
+    * Scale shape: same inverted-index discipline as the Jaccard path —
+    * the contained side joins only its PREFIX (na − floor(tau·na) + 1
+    * lowest-df shingles: if all of them miss B, the overlap cannot
+    * reach ceil(tau·na)), the probe side streams full postings, maxDf
+    * caps hot shingles, and exact set intersection verifies survivors.
+    * The size filter is intentionally ABSENT (asymmetry is the point);
+    * the prefix shrinks with tau on the side that defines the bound. */
+  def containmentPairs(docs: DataFrame, k: Int, tau: Double,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    val docSets = docShingleSets(docs, k)
+    val sh = docSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
+    val dfBySh = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val kept =
+      if (maxDf < Long.MaxValue) dfBySh.filter(col("df") <= maxDf) else dfBySh
+    val ranked = sh.join(kept, "s").withColumn("pos",
+      row_number().over(W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    // floor (not ceil) keeps the prefix over-admitting under float
+    // rounding of tau*n — verification is exact, so output is unchanged
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
+    val a = prefix.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+      col("n").as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+      col("n").as("nb"))
+    val cand = a.join(b, col("sa") === col("sb") &&
+        (col("na") < col("nb") ||
+          (col("na") === col("nb") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(docSets.toDF("ia", "set_a", "na"), col("doc_a") === col("ia"))
+      .join(docSets.toDF("ib", "set_b", "nb"), col("doc_b") === col("ib"))
+      .withColumn("c",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("containment", col("c") / col("na"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a").as("doc_small"), col("doc_b").as("doc_big"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), k = 3, tau = 0.8)
+      .orderBy(col("doc_small"), col("doc_big"))
+
   /** MinHash(64) signatures + LSH banding (16 bands x 4 rows) →
     * candidate pairs → exact-Jaccard verification of candidates ONLY.
     *
@@ -888,6 +938,21 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> (shingleCte + jaccardOracle(0.7)),
+    // exhaustive containment ground truth: passes iff the prefix
+    // filter's candidate recall is 100%
+    "dedup_containment" -> (shingleCte +
+      """,ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |   count(*) AS c
+        |  FROM sh3 x JOIN sh3 y ON x.s = y.s AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT o.doc_a AS doc_small, o.doc_b AS doc_big,
+        |  round(CAST(o.c AS DOUBLE) / sa.n, 4) AS containment
+        |FROM ov o
+        |JOIN sz3 sa ON o.doc_a = sa.doc_id
+        |JOIN sz3 sb ON o.doc_b = sb.doc_id
+        |WHERE (sa.n < sb.n OR (sa.n = sb.n AND o.doc_a < o.doc_b))
+        |  AND CAST(o.c AS DOUBLE) / sa.n >= 0.8
+        |ORDER BY doc_small, doc_big""".stripMargin),
     // exhaustive ground truth: passes iff LSH candidate recall is 100%
     "dedup_minhash_lsh" -> (shingleCte + jaccardOracle(0.8)),
     "dedup_simhash" -> (shingleCte +

@@ -93,7 +93,63 @@ object ProductAnalytics {
     valueHistogram(Tables.events(spark, dir))
       .orderBy(col("event_type"), col("bin"))
 
+  /** First-touch / last-touch attribution: each user's entry and exit
+    * event types (by the (event-time µs, event_id) total order) keyed
+    * against their purchase revenue, aggregated to the
+    * (first_touch, last_touch) matrix marketing reads.
+    *
+    * The per-user reduction is ONE map-side-combined aggregate —
+    * min_by/max_by over the (tus, event_id) struct key carry a single
+    * running champion per user through the partial/final stages, so
+    * first/last never needs a window sort over raw events; the second
+    * aggregate is |touch-types|² cells. Revenue stays in exact
+    * integer cents. */
+  def attributionFirstLast(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), cents,
+      unix_micros(col("ts")).as("tus"), col("event_id"))
+    val perUser = ev.groupBy(col("user_id")).agg(
+      min_by(col("event_type"), struct(col("tus"), col("event_id")))
+        .as("first_touch"),
+      max_by(col("event_type"), struct(col("tus"), col("event_id")))
+        .as("last_touch"),
+      sum(when(col("event_type") === "purchase", col("cents"))
+        .otherwise(0L)).as("purchase_cents"))
+    perUser.groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("purchase_cents")).as("revenue_cents"))
+  }
+
+  def attributionFirstLastQuery(spark: SparkSession, dir: String): DataFrame =
+    attributionFirstLast(Tables.events(spark, dir))
+      .orderBy(col("first_touch"), col("last_touch"))
+
   val oracles: Map[String, String] = Map(
+    "attribution_first_last" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value*100, 0) AS BIGINT) AS cents,
+        |    epoch_ns(ts)//1000 AS tus, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+        |             ELSE 0 END) AS BIGINT) AS purchase_cents
+        |  FROM r GROUP BY user_id)
+        |SELECT first_touch, last_touch,
+        |  count(*) AS n_users,
+        |  CAST(sum(purchase_cents) AS BIGINT) AS revenue_cents
+        |FROM u GROUP BY 1, 2
+        |ORDER BY first_touch, last_touch""".stripMargin,
     "session_paths" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -97,7 +97,67 @@ object Timeseries {
     outlierEvents(Tables.events(spark, dir))
       .orderBy(col("event_type"), col("event_id"))
 
+  /** OHLC bar resampling: per (event_type, hour) the opening/closing
+    * value (first/last event by (event-time µs, event_id) — the unique
+    * total order every time-series operator here uses) plus high/low
+    * and the bar's event count — the candlestick/feature-bar shape.
+    *
+    * Scale: ONE map-side-combined aggregate over the fact scan.
+    * open/close are `min_by`/`max_by` of cents over the (tus,
+    * event_id) struct key — each partial task carries a single
+    * running champion per group, so first/last NEVER needs a sorted
+    * window over raw events (the windowed formulation puts every
+    * event of the hottest (type, hour) cell in one unsplittable
+    * task). Exact integer cents throughout. */
+  def resampleOhlc(events: DataFrame): DataFrame = {
+    // integer DIV, not floor(double /): an hour-boundary tus divided in
+    // double can land an ulp off; timestamps here are non-negative so
+    // truncation == floor and both engines stay exact
+    val ev = events
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("window_start", expr("tus DIV 3600000000 * 3600"))
+    ev.groupBy(col("window_start"), col("event_type"))
+      .agg(
+        min_by(col("cents"), struct(col("tus"), col("event_id")))
+          .as("open_cents"),
+        max_by(col("cents"), struct(col("tus"), col("event_id")))
+          .as("close_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  def resampleOhlcQuery(spark: SparkSession, dir: String): DataFrame =
+    resampleOhlc(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
   val oracles: Map[String, String] = Map(
+    "resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts)//1000 // 3600000000) * 3600 AS window_start,
+        |    epoch_ns(ts)//1000 AS tus, event_id,
+        |    CAST(round(value*100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY window_start, event_type
+        |                       ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY window_start, event_type
+        |                       ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT window_start, event_type,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  count(*) AS n
+        |FROM r
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "gap_fill_daily" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus,
