@@ -91,6 +91,10 @@ object ScaleProbe {
 
     val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_ngram_jaccard" -> (operators.Dedup.ngramJaccardQuery _),
+      // r8: prefix×full-postings join (no size filter by design) — the
+      // candidate frame grows with shared-shingle pairs; copies are
+      // shingle-disjoint so linear growth is the pass bar
+      "dedup_containment"   -> (operators.Dedup.containmentQuery _),
       "dedup_minhash_lsh"   -> (operators.Dedup.minhashLshQuery _),
       "dedup_simhash"       -> (operators.Dedup.simhashQuery _),
       "embed_cosine_neardup" -> (operators.Similarity.cosineNearDupQuery _),
