@@ -138,6 +138,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: containment prefix filter never drops a qualifying pair") {
+    val rnd = new Random(431)
+    for (round <- 1 to 3) {
+      // random docs over a small vocab plus PLANTED containments: a
+      // short doc whose text is a verbatim substring of a long one —
+      // the asymmetric shape Jaccard's size filter rejects
+      val vocab = Vector.tabulate(12)(i => s"w$i")
+      def toks(len: Int) = List.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      val longs = (0 until 8).map(i => (i.toLong, toks(14 + rnd.nextInt(8))))
+      val contained = longs.take(3).zipWithIndex.map { case ((_, t), j) =>
+        val start = rnd.nextInt(3)
+        (100L + j, t.slice(start, start + 6 + rnd.nextInt(4)))
+      }
+      val docs = (longs ++ contained)
+        .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      for (tau <- Seq(0.6, 0.8, 0.9)) {
+        val sets = Dedup.docShingleSets(docs, 3)
+          .select("doc_id", "sset").as[(Long, Seq[String])]
+          .collect().toMap.view.mapValues(_.toSet).toMap
+        val want = (for {
+          a <- sets.keys; b <- sets.keys
+          if a != b
+          na = sets(a).size; nb = sets(b).size
+          if na < nb || (na == nb && a < b) // a is the contained side
+          c = sets(a).intersect(sets(b)).size
+          if c.toDouble / na >= tau
+        } yield (a, b)).toSet
+        val got = Dedup.containmentPairs(docs, k = 3, tau = tau)
+          .select("doc_small", "doc_big").as[(Long, Long)].collect().toSet
+        assert(got === want,
+          s"round=$round tau=$tau: containment output != exhaustive truth")
+      }
+    }
+  }
+
   test("property: connectedComponents matches a driver-side union-find on random graphs") {
     val rnd = new Random(424)
     for (_ <- 1 to 3) {

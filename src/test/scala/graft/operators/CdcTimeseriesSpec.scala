@@ -107,4 +107,40 @@ class CdcTimeseriesSpec extends SparkSpec {
       .map(_._2.toLong).toSet
     assert(want.nonEmpty && got === want)
   }
+
+  test("ohlc: open/close follow the (time, event_id) order, not arrival order") {
+    import spark.implicits._
+    // one (type, hour) bar, rows DELIBERATELY out of order; ids at the
+    // same second pin the event_id tie-break
+    val bar = events(Seq(
+      (5L, "2024-01-01 10:40:00", 1L, "click", 3.00),   // close (latest ts)
+      (2L, "2024-01-01 10:00:00", 1L, "click", 7.00),   // same ts as id 1
+      (1L, "2024-01-01 10:00:00", 1L, "click", 5.00),   // open (ts tie, min id)
+      (3L, "2024-01-01 10:20:00", 1L, "click", 9.99),   // high
+      (4L, "2024-01-01 10:30:00", 1L, "click", 0.50)))  // low
+    val row = Timeseries.resampleOhlc(bar)
+      .select("open_cents", "close_cents", "high_cents", "low_cents", "n")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row === ((500L, 300L, 999L, 50L, 5L)))
+  }
+
+  test("attribution: first/last touch by event time, purchase cents attributed") {
+    import spark.implicits._
+    val ev = events(Seq(
+      // user 1: view -> purchase -> click (entry view, exit click)
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.00),
+      (2L, "2024-01-01 11:00:00", 1L, "purchase", 20.00),
+      (3L, "2024-01-01 12:00:00", 1L, "click", 1.00),
+      // user 2: same entry/exit cell, no purchase
+      (4L, "2024-01-02 09:00:00", 2L, "view", 1.00),
+      (5L, "2024-01-02 10:00:00", 2L, "click", 1.00),
+      // user 3: single event -> first == last
+      (6L, "2024-01-03 09:00:00", 3L, "purchase", 5.50)))
+    val got = ProductAnalytics.attributionFirstLast(ev)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("view", "click") -> ((2L, 2000L)),
+      ("purchase", "purchase") -> ((1L, 550L))))
+  }
 }
