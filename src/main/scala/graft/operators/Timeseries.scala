@@ -120,15 +120,22 @@ object Timeseries {
         round(col("value") * 100, 0).cast("long").as("cents"))
       .withColumn("window_start", expr("tus DIV 3600000000 * 3600"))
     ev.groupBy(col("window_start"), col("event_type"))
-      .agg(
-        min_by(col("cents"), struct(col("tus"), col("event_id")))
-          .as("open_cents"),
-        max_by(col("cents"), struct(col("tus"), col("event_id")))
-          .as("close_cents"),
-        max(col("cents")).as("high_cents"),
-        min(col("cents")).as("low_cents"),
-        count(lit(1)).as("n"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
   }
+
+  /** The OHLC aggregate expressions over a (tus, event_id, cents)
+    * frame — ONE definition shared by the batch operator above and
+    * `streaming.StreamPipelines.ohlcStream`, so the spec-pinned
+    * batch≡stream parity cannot drift (same rule as the shared
+    * curation expressions). */
+  private[graft] def ohlcAggs: Seq[Column] = Seq(
+    min_by(col("cents"), struct(col("tus"), col("event_id")))
+      .as("open_cents"),
+    max_by(col("cents"), struct(col("tus"), col("event_id")))
+      .as("close_cents"),
+    max(col("cents")).as("high_cents"),
+    min(col("cents")).as("low_cents"),
+    count(lit(1)).as("n"))
 
   def resampleOhlcQuery(spark: SparkSession, dir: String): DataFrame =
     resampleOhlc(Tables.events(spark, dir))

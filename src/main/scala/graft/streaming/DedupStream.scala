@@ -30,8 +30,9 @@ object DedupStream {
     * @param delay watermark delay, e.g. "10 minutes" — the dedup
     *   horizon AND the late-arrival bound */
   def withinWatermark(docs: DataFrame, delay: String): DataFrame =
-    docs
-      .withColumn("content_hash", md5(col("text")))
-      .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark("content_hash")
+    // the bounded-state recipe itself lives in ONE place
+    // (StreamPipelines.dedupStream); this adds only the content key
+    StreamPipelines.dedupStream(
+      docs.withColumn("content_hash", md5(col("text"))),
+      Seq("content_hash"), delay)
 }

@@ -59,6 +59,29 @@ object StreamPipelines {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming OHLC bars — the windowed-stream form of
+    * `operators.Timeseries.resampleOhlc`: the same map-side-combined
+    * min_by/max_by struct champions run INSIDE the streaming aggregate
+    * (open/close need no sorted buffer of the bar's events — state per
+    * (window, type) is two champions + two extrema + a count, constant
+    * in bar size), and append mode emits each bar exactly once when the
+    * watermark closes its hour. Batch/stream parity is spec-pinned
+    * (OhlcStreamSpec) under shuffled multi-batch arrival. */
+  def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val aggs = graft.operators.Timeseries.ohlcAggs // shared — no drift
+    events
+      .withWatermark("ts", watermark)
+      .select(
+        col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("open_cents"), col("close_cents"),
+        col("high_cents"), col("low_cents"), col("n"))
+  }
+
   /** The curation pass as a STREAM over arriving documents: the same
     * per-doc feature expressions as the batch TextAnalysis
     * .curationSummary (shared qualityKeepExpr/predLangExpr — no
@@ -73,34 +96,6 @@ object StreamPipelines {
     * dropDuplicatesWithinWatermark (see dedupStream) to bound state;
     * the unbounded form here matches the batch semantics of a finite
     * corpus. */
-  /** Streaming OHLC bars — the windowed-stream form of
-    * `operators.Timeseries.resampleOhlc`: the same map-side-combined
-    * min_by/max_by struct champions run INSIDE the streaming aggregate
-    * (open/close need no sorted buffer of the bar's events — state per
-    * (window, type) is two champions + two extrema + a count, constant
-    * in bar size), and append mode emits each bar exactly once when the
-    * watermark closes its hour. Batch/stream parity is spec-pinned
-    * (OhlcStreamSpec) under shuffled multi-batch arrival. */
-  def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .select(
-        col("ts"), col("event_type"),
-        unix_micros(col("ts")).as("tus"), col("event_id"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        min_by(col("cents"), struct(col("tus"), col("event_id")))
-          .as("open_cents"),
-        max_by(col("cents"), struct(col("tus"), col("event_id")))
-          .as("close_cents"),
-        max(col("cents")).as("high_cents"),
-        min(col("cents")).as("low_cents"),
-        count(lit(1)).as("n"))
-      .select(unix_timestamp(col("window.start")).as("window_start"),
-        col("event_type"), col("open_cents"), col("close_cents"),
-        col("high_cents"), col("low_cents"), col("n"))
-
   def curationStream(docs: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis
     docs.select(
