@@ -131,6 +131,13 @@ object ScaleProbe {
       "gap_fill_daily"      -> (operators.Timeseries.gapFillDailyQuery _),
       "outlier_events"      -> (operators.Timeseries.outlierEventsQuery _),
       "variant_props_stats" -> (operators.SemiStructured.variantPropsStats _),
+      // r8 additions — map + tiny aggregate (variant family, ohlc,
+      // attribution); all expected linear
+      "variant_shape_stats" -> (operators.SemiStructured.variantShapeStats _),
+      "variant_explode_items" -> (operators.SemiStructured.variantExplodeItems _),
+      "variant_open_fields" -> (operators.SemiStructured.variantOpenFields _),
+      "resample_ohlc"       -> (operators.Timeseries.resampleOhlcQuery _),
+      "attribution_first_last" -> (operators.ProductAnalytics.attributionFirstLastQuery _),
       "funnel_conversion"   -> (operators.Windows.funnelConversionQuery _),
       "session_paths"       -> (operators.ProductAnalytics.sessionPathsQuery _),
       "retention_cohorts"   -> (operators.ProductAnalytics.retentionCohortsQuery _),
