@@ -60,4 +60,42 @@ class SketchesSpec extends SparkSpec {
     val perDay = Sketches.mergeEstimate(all, Seq("day"))
     assert(perDay.count() === 3)
   }
+
+  test("count-min heavy hitters: one-sided error, merge == whole-corpus, hot keys found") {
+    // zipf-ish: token t<k> appears ~60000/(k+1) times across 3 days
+    val tokens = (0 until 30000).flatMap { i =>
+      val k = (0 until 12).find(k => i % (k + 1) == 0).getOrElse(0)
+      Seq((i % 3, s"t$k"))
+    }.toDF("day", "tok")
+    val exact = tokens.groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    val n = tokens.count()
+
+    val perDay = Sketches.buildFreqSketches(tokens, Seq("day"), "tok",
+      eps = 0.001, confidence = 0.99)
+    val candidates = tokens.select("tok").distinct()
+    val hot = Sketches.heavyHitters(perDay, candidates, "tok",
+      minCount = 2000L).as[(String, Long)].collect()
+
+    // one-sided CMS error: est >= true, est <= true + eps*N (with
+    // margin; the seed is fixed so this is deterministic)
+    hot.foreach { case (tok, est) =>
+      val truth = exact(tok)
+      assert(est >= truth, s"$tok: est $est below true $truth")
+      assert(est <= truth + (0.002 * n).toLong,
+        s"$tok: est $est beyond the error envelope of $truth")
+    }
+    // the genuinely hot keys surface
+    val hotSet = hot.map(_._1).toSet
+    assert(hotSet.contains("t0"))
+    assert(exact.filter(_._2 >= 3000).keySet.subsetOf(hotSet))
+
+    // merging per-day sketches == sketching the whole corpus: the
+    // estimates must agree key-for-key
+    val whole = Sketches.buildFreqSketches(tokens, Nil, "tok",
+      eps = 0.001, confidence = 0.99)
+    val wholeHot = Sketches.heavyHitters(whole, candidates, "tok",
+      minCount = 2000L).as[(String, Long)].collect().toMap
+    assert(hot.toMap === wholeHot)
+  }
 }
