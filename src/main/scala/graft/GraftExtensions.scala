@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket, Int8Quantize, MinHashSig, SimHash60}
+import graft.functions.{CmsUnionAgg, CosineSimilarity, CountMinProbe, HyperplaneBucket, Int8Quantize, MinHashSig, SimHash60}
 import graft.plans.BoundedLevenshteinRule
 
 /** Session extension registering graft's native expressions with the
@@ -107,6 +107,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"int8_quantize expects 1 argument, got ${children.length}")
         Int8Quantize(children(0))
+      }))
+
+    // cms_union_agg(cms): executor-side union of serialized count-min
+    // sketches — the frequency mirror of the builtin hll_union_agg,
+    // which Spark (4.1) has no builtin for.
+    ext.injectFunction((
+      new FunctionIdentifier("cms_union_agg"),
+      new ExpressionInfo(classOf[CmsUnionAgg].getName, null, "cms_union_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"cms_union_agg expects 1 argument, got ${children.length}")
+        CmsUnionAgg(children(0)).toAggregateExpression()
+      }))
+
+    // count_min_probe(value, sketch): the sketch operand must be a
+    // query-level constant (foldable literal or scalar subquery) — the
+    // expression deserializes it once, not per row. Validated by the
+    // expression's own checkInputDataTypes (a subquery is still
+    // unresolved at injection time, so no eager require here).
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_probe"),
+      new ExpressionInfo(classOf[CountMinProbe].getName, null, "count_min_probe"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"count_min_probe expects 2 arguments, got ${children.length}")
+        CountMinProbe(children(0), children(1))
       }))
 
     // Spark ships BloomFilterMightContain / BloomFilterAggregate but

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CountMin
+
 /** Mergeable distinct-count sketches (DataSketches HLL, Spark 3.5+
   * builtins) — the only way distinct counting works at 100 TB.
   *
@@ -59,14 +61,21 @@ object Sketches {
     * at 100 TB: per-ingest-unit sketches are fixed-size binaries
     * stored like any column; any window's frequency table is a merge
     * of that window's sketches, never a corpus rescan. Same seed ⇒
-    * identical hash functions ⇒ sketches merge additively. */
+    * identical hash functions ⇒ sketches merge additively.
+    *
+    * The value is cast to STRING before sketching so build and probe
+    * share one hash domain: the builtin aggregate hashes integral
+    * columns as longs but `CountMinProbe` (and any stored-candidate
+    * scoring) hashes UTF-8 bytes — sketching an int column natively
+    * would make every later string-keyed probe hash-noise while
+    * keeping the one-sided est ≥ true guarantee silently false. */
   def buildFreqSketches(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, eps: Double = 0.001,
                         confidence: Double = 0.99,
                         seed: Int = 42): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
-        lit(seed)).as("cms"))
+      .agg(count_min_sketch(col(valueCol).cast("string"), lit(eps),
+        lit(confidence), lit(seed)).as("cms"))
 
   /** Merge per-unit frequency sketches and report the estimated count
     * of every candidate item above `minCount`.
@@ -76,44 +85,36 @@ object Sketches {
     * (bounded rows per unit — cheap), the union is the candidate set
     * (a true global heavy hitter is a local heavy hitter in at least
     * one unit at these thresholds), and the merged sketch scores each
-    * candidate over the WHOLE window. Sketch rows and candidates are
-    * both unit-bounded metadata, so the driver-side merge is
-    * broadcast-sized by construction — the corpus itself is touched
-    * only by the per-unit build pass.
+    * candidate over the WHOLE window.
+    *
+    * The union itself runs EXECUTOR-side (`CmsUnionAgg`, the
+    * frequency mirror of `hll_union_agg` above): partial merges where
+    * the sketch rows live, one final combine, and the driver sees
+    * exactly ONE ~100 KB merged sketch — never the unit × sketch-size
+    * product, which for a year of days × sources is tens of GB and a
+    * sequential loop if collected. Scoring is the native
+    * `CountMinProbe` expression, so the candidate pass stays inside
+    * whole-stage codegen (plan-pinned in SketchesSpec).
+    *
+    * An empty/all-null sketches frame yields an EMPTY result (an empty
+    * window is a legal query, not a throw).
     *
     * CMS error is one-sided: est ≥ true, est ≤ true + eps·N with the
     * configured confidence (spec-pinned). */
   def heavyHitters(sketches: DataFrame, candidates: DataFrame,
                    valueCol: String, minCount: Long): DataFrame = {
-    import org.apache.spark.util.sketch.CountMinSketch
     val spark = sketches.sparkSession
-    val merged = sketches.select(col("cms")).collect()
-      .map(r => CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
-    val bc = spark.sparkContext.broadcast({
-      val bos = new java.io.ByteArrayOutputStream()
-      merged.writeTo(bos)
-      bos.toByteArray
-    })
-    val estimate = udfFreeEstimate(bc, candidates, valueCol)
-    estimate.filter(col("est_count") >= minCount)
-      .orderBy(col("est_count").desc, col(valueCol))
-  }
-
-  /** Candidate scoring via mapPartitions (one sketch deserialization
-    * per partition, no per-row UDF churn). */
-  private def udfFreeEstimate(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
-                              candidates: DataFrame,
-                              valueCol: String): DataFrame = {
-    import org.apache.spark.util.sketch.CountMinSketch
-    val spark = candidates.sparkSession
     import spark.implicits._
-    val vals = candidates.select(col(valueCol).cast("string")).as[String]
-    val scored = vals.mapPartitions { it =>
-      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bc.value))
-      it.map(v => (v, cms.estimateCount(v)))
+    val mergedRow = sketches.agg(CountMin.cmsUnion(col("cms")).as("cms")).head()
+    if (mergedRow.isNullAt(0)) {
+      spark.emptyDataset[(String, Long)].toDF(valueCol, "est_count")
+    } else {
+      val merged = mergedRow.getAs[Array[Byte]](0)
+      candidates
+        .select(col(valueCol).cast("string").as(valueCol))
+        .withColumn("est_count", CountMin.probe(col(valueCol), merged))
+        .filter(col("est_count") >= minCount)
+        .orderBy(col("est_count").desc, col(valueCol))
     }
-    scored.toDF(valueCol, "est_count")
   }
 }

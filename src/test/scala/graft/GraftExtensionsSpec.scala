@@ -55,6 +55,23 @@ class GraftExtensionsSpec extends SparkSpec {
       val iq = extended.sql(
         "SELECT int8_quantize(array(0.5D, -1.0D)) AS q").collect().head
       assert(iq.getSeq[Double](0) === Seq(64.0, -127.0))
+      // cms_union_agg + count_min_probe round trip: sketch per group,
+      // union, probe — 'a' appears 3 times, est >= true (one-sided)
+      val cm = extended.sql(
+        """WITH raw AS (SELECT * FROM VALUES (0, 'a'), (0, 'a'), (1, 'a'),
+          |                                  (1, 'b') AS t(day, tok)),
+          |     per AS (SELECT count_min_sketch(tok, 0.01D, 0.99D, 42) cms
+          |             FROM raw GROUP BY day)
+          |SELECT count_min_probe('a', (SELECT cms_union_agg(cms) FROM per)) AS a
+          |""".stripMargin).collect().head
+      assert(cm.getLong(0) >= 3L)
+      // a per-row (non-foldable) sketch operand must be rejected eagerly
+      val cerr = intercept[Exception] {
+        extended.sql(
+          "SELECT count_min_probe('a', s) FROM (SELECT CAST(NULL AS BINARY) s)"
+        ).collect()
+      }
+      assert(cerr.getMessage.contains("foldable"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -98,4 +98,70 @@ class SketchesSpec extends SparkSpec {
       minCount = 2000L).as[(String, Long)].collect().toMap
     assert(hot.toMap === wholeHot)
   }
+
+  test("distributed cms union == driver-side reference merge") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val tokens = (0 until 9000)
+      .map(i => (i % 4, s"w${i % 37}")).toDF("day", "tok")
+    val perDay = Sketches.buildFreqSketches(tokens, Seq("day"), "tok")
+
+    // reference: collect every per-day sketch and merge sequentially
+    // on the driver (the shape the executor-side aggregate replaces)
+    val reference = perDay.select("cms").collect()
+      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+
+    // distributed: CmsUnionAgg's partial/final split over 4 rows
+    val mergedBytes = perDay
+      .agg(graft.functions.CountMin.cmsUnion(col("cms")).as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val merged = CountMinSketch.readFrom(mergedBytes)
+
+    (0 until 37).foreach { k =>
+      assert(merged.estimateCount(s"w$k") === reference.estimateCount(s"w$k"),
+        s"w$k: distributed union must equal the driver reference merge")
+    }
+  }
+
+  test("non-string heavy-hitter column: estimates honor est >= true") {
+    // integral keys: before the build-side cast to string, the builtin
+    // aggregate hashed these as longs while scoring hashed UTF-8 bytes
+    // — estimates were hash-noise far below the true counts
+    val ints = (0 until 8000).map(i => (i % 2, i % (1 + i % 7))).toDF("day", "k")
+    val exact = ints.groupBy($"k".cast("string").as("k")).count()
+      .as[(String, Long)].collect().toMap
+    val hot = Sketches.heavyHitters(
+      Sketches.buildFreqSketches(ints, Seq("day"), "k"),
+      ints.select("k").distinct(), "k", minCount = 1L)
+      .as[(String, Long)].collect()
+    assert(hot.nonEmpty)
+    hot.foreach { case (k, est) =>
+      assert(est >= exact(k), s"$k: est $est below true ${exact(k)}")
+    }
+  }
+
+  test("empty sketches frame yields an empty result, not a throw") {
+    val none = Sketches.buildFreqSketches(
+      Seq.empty[(Int, String)].toDF("day", "tok"), Seq("day"), "tok")
+    val out = Sketches.heavyHitters(
+      none, Seq("a", "b").toDF("tok"), "tok", minCount = 1L)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("tok", "est_count"))
+  }
+
+  test("heavy-hitter scoring stage is lambda-free (native probe in plan)") {
+    val tokens = (0 until 600).map(i => (i % 3, s"t${i % 5}")).toDF("day", "tok")
+    // range-backed candidates: a local Seq would be folded away at plan
+    // time (ConvertToLocalRelation), hiding the scoring stage entirely
+    val candidates = spark.range(5)
+      .select(concat(lit("t"), $"id".cast("string")).as("tok"))
+    val scored = Sketches.heavyHitters(
+      Sketches.buildFreqSketches(tokens, Seq("day"), "tok"),
+      candidates, "tok", minCount = 1L)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("count_min_probe"),
+      s"scoring must go through the native CountMinProbe expression:\n$plan")
+    assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
+      s"scoring stage must stay inside whole-stage codegen:\n$plan")
+  }
 }
