@@ -217,7 +217,20 @@ object Dedup {
     * reach ceil(tau·na)), the probe side streams full postings, maxDf
     * caps hot shingles, and exact set intersection verifies survivors.
     * The size filter is intentionally ABSENT (asymmetry is the point);
-    * the prefix shrinks with tau on the side that defines the bound. */
+    * the prefix shrinks with tau on the side that defines the bound.
+    *
+    * The POSITIONAL filter the Jaccard path carries applies here too
+    * (added r9 — the 16× ScaleProbe showed candidate-verify dominating
+    * the wall): a meeting on the pair's SMALLEST common token under the
+    * global (df, s) order has every other common token after it on
+    * both sides, so that row bounds the overlap by
+    * 1 + min(na − pa, nb − pb) ≥ |A∩B|; a pair survives iff ANY of its
+    * meeting rows can still reach the required overlap ceil(tau·na).
+    * +0.5 slack keeps float rounding over-admitting (verify is exact,
+    * so over-admission costs time, never output). Positions on the
+    * probe side are ranks among KEPT (df ≤ maxDf) tokens while n stays
+    * the full set size — the bound only widens under capping, so the
+    * documented maxDf recall caveat is unchanged. */
   def containmentPairs(docs: DataFrame, k: Int, tau: Double,
                        maxDf: Long = Long.MaxValue): DataFrame = {
     val docSets = docShingleSets(docs, k)
@@ -232,12 +245,14 @@ object Dedup {
     val prefix = ranked
       .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
     val a = prefix.select(col("doc_id").as("doc_a"), col("s").as("sa"),
-      col("n").as("na"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"),
-      col("n").as("nb"))
+      col("n").as("na"), col("pos").as("pa"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+      col("n").as("nb"), col("pos").as("pb"))
     val cand = a.join(b, col("sa") === col("sb") &&
         (col("na") < col("nb") ||
-          (col("na") === col("nb") && col("doc_a") < col("doc_b"))))
+          (col("na") === col("nb") && col("doc_a") < col("doc_b"))) &&
+        (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) + 0.5 >=
+          lit(tau) * col("na")))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(docSets.toDF("ia", "set_a", "na"), col("doc_a") === col("ia"))

@@ -173,6 +173,42 @@ object Similarity {
       v => pmod(v("vec_id"), lit(50)) === 0, tau = 0.40)
       .orderBy(col("vec_id"))
 
+  /** Minimal band count so a pair at EXACTLY cosine `tau` collides in
+    * at least one band with probability ≥ `targetRecall`: the banding
+    * curve 1-(1-p^bits)^bands ≥ target solved for bands, with
+    * p = 1-θ/π = 1-acos(tau)/π (the hyperplane collision probability
+    * per bit). Recall is monotone in cosine, so every pair ABOVE tau
+    * detects with at least this probability — tau is the worst case. */
+  def bandsFor(tau: Double, targetRecall: Double, planesPerBand: Int): Int = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(planesPerBand >= 1)
+    val p = 1.0 - math.acos(tau) / math.Pi
+    val pBand = math.pow(p, planesPerBand)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+  }
+
+  /** (bands, planesPerBand) meeting `targetRecall` at `tau` with the
+    * LOWEST expected candidate cost, subject to a total-plane budget:
+    * for each bits ∈ [1, 8] the minimal band count comes from
+    * [[bandsFor]]; among configs with bands·bits ≤ maxPlanes, pick the
+    * one minimizing bands/2^bits (expected candidates per corpus row,
+    * as a fraction of |bench|), tie-broken on fewer planes. More bits
+    * always cuts cost-per-candidate but costs more planes — the budget
+    * caps the banding compute (bands·bits dot products per row). */
+  def bandingFor(tau: Double, targetRecall: Double = 0.95,
+                 maxPlanes: Int = 96): (Int, Int) = {
+    val options = (1 to 8).map { bits =>
+      (bandsFor(tau, targetRecall, bits), bits)
+    }.filter { case (bands, bits) => bands * bits <= maxPlanes }
+    require(options.nonEmpty,
+      s"no banding meets recall $targetRecall at tau $tau within $maxPlanes planes")
+    options.minBy { case (bands, bits) =>
+      (bands.toDouble / (1L << bits), bands * bits)
+    }
+  }
+
   /** LSH-banded decontamination — the scale path next to the exact
     * embedDecontaminate BNLJ, for when the benchmark set outgrows
     * "model-sized": `numBands` independent hyperplane codes of
@@ -186,18 +222,31 @@ object Similarity {
     * |bench| — the banded-join bound every other near-dup operator in
     * this library uses, and O(n·B) in corpus size with NO nested loop.
     * Recall is the standard banding curve (1-(1-p^P)^B, p = 1-θ/π),
-    * monotone in numBands — tune bands up / planes down for lower
-    * thresholds. Misses are pairs colliding in no band; the DuckDB
-    * oracle replicates the banding bit-for-bit (dots, buckets, then
-    * verify), so the PIPELINE is checked exactly even though the
-    * operator is approximate vs embedDecontaminate.
+    * monotone in numBands. The DEFAULT knobs are derived from tau by
+    * [[bandingFor]], so the shipped operating point meets ≥ 0.95
+    * per-pair recall AT tau BY CONSTRUCTION (spec-pinned empirically)
+    * — a caller picks knobs only to trade recall for candidate volume
+    * deliberately, never to make the defaults safe. Misses are pairs
+    * colliding in no band; the DuckDB oracle replicates the banding
+    * bit-for-bit (dots, buckets, then verify), so the PIPELINE is
+    * checked exactly even though the operator is approximate vs
+    * embedDecontaminate.
     *
     * Output = corpus docs with at least one CANDIDATE (audit rows:
     * near-misses carry contaminated=false with their max_cos). */
   def embedDecontaminateLsh(emb: DataFrame, benchIds: DataFrame => Column,
-                            tau: Double, numBands: Int = 6,
-                            planesPerBand: Int = 4,
+                            tau: Double, numBands: Int = -1,
+                            planesPerBand: Int = -1,
                             dim: Int = 64): DataFrame = {
+    val (autoBands, autoPlanes) =
+      if (numBands > 0 && planesPerBand > 0) (numBands, planesPerBand)
+      else bandingFor(tau)
+    embedDecontaminateLshWith(emb, benchIds, tau, autoBands, autoPlanes, dim)
+  }
+
+  private def embedDecontaminateLshWith(
+      emb: DataFrame, benchIds: DataFrame => Column, tau: Double,
+      numBands: Int, planesPerBand: Int, dim: Int): DataFrame = {
     require(numBands >= 1 && planesPerBand >= 1)
     val planes = planeMatrix(numBands * planesPerBand, dim)
     // (id, e, band, bucket) — one HyperplaneBucket per band (native
@@ -648,9 +697,14 @@ object Similarity {
        |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** The query's shipped banding — derived, not hand-picked, so the
+    * oracle and the Spark plan can never drift from the recall SLA. */
+  private val decontamLshBanding: (Int, Int) = bandingFor(tau = 0.40)
+
   val oracles: Map[String, String] = Map(
     "embed_decontam_lsh" -> embedDecontamLshOracle(tau = 0.40,
-      numBands = 6, planesPerBand = 4),
+      numBands = decontamLshBanding._1,
+      planesPerBand = decontamLshBanding._2),
     "embed_quantize_int8" ->
       """SELECT vec_id, round(maxabs, 6) AS maxabs_r,
         | CAST(list_sum(q) AS BIGINT) AS q_sum,

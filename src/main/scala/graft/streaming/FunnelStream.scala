@@ -31,6 +31,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   * Output (append mode): one row per user per REACHED stage, emitted
   * when the watermark confirms it; downstream counts are a plain
   * aggregation of this changelog.
+  *
+  * CHECKPOINT COMPATIBILITY: the pending-buffer timestamps switched
+  * from milliseconds to MICROSECONDS in r8 (batch parity at sub-ms
+  * resolution) with an unchanged physical state schema (Long, String)
+  * — Spark's state-schema validation therefore cannot reject a
+  * checkpoint written before the change, and resuming one would
+  * silently read buffered ms values as µs (stale events instantly
+  * ripe, emitted `tus` off by 1000×). Checkpoints from the ms era
+  * must be DISCARDED, not resumed; same contract in Scd2Stream.
   */
 object FunnelStream {
 

@@ -30,6 +30,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   * State per key: the open interval (one row) + the watermark-bounded
   * pending buffer — arrival lag, not history; a key's state does not
   * grow with its change count.
+  *
+  * CHECKPOINT COMPATIBILITY: pending-buffer timestamps switched from
+  * milliseconds to MICROSECONDS in r8 with an unchanged physical state
+  * schema, so schema validation cannot reject an old checkpoint —
+  * checkpoints from the ms era must be DISCARDED, not resumed (see
+  * FunnelStream for the full rationale).
   */
 object Scd2Stream {
 

@@ -96,10 +96,16 @@ object Sinks {
     private var applied = 0L
     private[Sinks] def alreadyCommitted(pid: Long, eid: Long): Boolean =
       synchronized(epochs.contains((pid, eid)))
+    // Check-and-record runs INSIDE the lock: open()'s alreadyCommitted
+    // probe alone is not atomic with close()'s commit, so two attempts
+    // of the same (partition, epoch) — e.g. speculative tasks — could
+    // both pass the probe. Table content was always safe (upsert-by-key
+    // is idempotent) but appliedCount would double-count; the second
+    // committer now no-ops entirely.
     def commit(pid: Long, eid: Long, rows: Seq[(Any, Seq[Any])]): Unit =
       synchronized {
-        epochs += ((pid, eid))
-        rows.foreach { case (k, r) => table(k) = r; applied += 1 }
+        if (epochs.add((pid, eid)))
+          rows.foreach { case (k, r) => table(k) = r; applied += 1 }
       }
     def rows: Map[Any, Seq[Any]] = synchronized(table.toMap)
     def appliedCount: Long = synchronized(applied)

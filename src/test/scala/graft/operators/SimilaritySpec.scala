@@ -216,6 +216,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bandsFor/bandingFor: minimal bands solving the banding curve, budget respected") {
+    val tau = 0.40
+    val p = 1.0 - math.acos(tau) / math.Pi
+    def curve(bands: Int, bits: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+    // bandsFor is the MINIMAL band count reaching the target
+    for (bits <- 1 to 6; target <- Seq(0.9, 0.95, 0.99)) {
+      val b = Similarity.bandsFor(tau, target, bits)
+      assert(curve(b, bits) >= target, s"bits=$bits target=$target bands=$b")
+      if (b > 1)
+        assert(curve(b - 1, bits) < target,
+          s"bands not minimal: bits=$bits target=$target bands=$b")
+    }
+    // bandingFor meets the curve inside the plane budget and picks the
+    // cheapest candidate-cost config among those that fit
+    val (bands, bits) = Similarity.bandingFor(tau)
+    assert(curve(bands, bits) >= 0.95)
+    assert(bands * bits <= 96)
+    // monotonicity: stricter target or lower tau can only need more bands
+    assert(Similarity.bandsFor(tau, 0.99, 4) >= Similarity.bandsFor(tau, 0.95, 4))
+    assert(Similarity.bandsFor(0.8, 0.95, 4) <= Similarity.bandsFor(0.4, 0.95, 4))
+  }
+
   test("embedDecontaminate: flags match a driver-side brute force") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -245,7 +268,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("embedDecontaminateLsh: a sound, useful subset of the exact pass") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
-    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // sf0.1, not sf0.001: the recall SLA below needs a contaminated set
+    // big enough that one unlucky pair can't swing the ratio (sf0.001
+    // has exactly 2 contaminated docs; sf0.1 has dozens)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
     val tau = 0.40
     def bench(v: org.apache.spark.sql.DataFrame) =
       pmod(v("vec_id"), lit(50)) === 0
@@ -256,11 +282,19 @@ class SimilaritySpec extends SparkSpec {
     val flagged = lsh.filter(col("contaminated")).select("vec_id")
       .as[Long].collect().toSet
     // Soundness: exact verify inside buckets — the LSH pass can MISS a
-    // contaminated doc (banding recall < 1; the fixture's hits sit just
-    // above tau where per-doc recall is ~0.66, so presence here is NOT
-    // asserted) but never invent one.
+    // contaminated doc (banding recall < 1) but never invent one.
     assert(flagged.subsetOf(exact),
       s"LSH flagged non-contaminated docs: ${(flagged -- exact).take(5)}")
+    // Recall SLA: the DEFAULT knobs derive from (tau, target 0.95) via
+    // bandingFor, so the shipped operating point must actually deliver
+    // >= 0.95 recall of the exact pass on this corpus — the r8 shipped
+    // 6x4 knobs gave 0.67 here, exactly the failure mode bandingFor
+    // exists to prevent. Deterministic planes => a pinned number, not
+    // a flaky sample.
+    assert(exact.nonEmpty, "precondition: corpus has contaminated docs")
+    val recall = flagged.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95,
+      s"derived banding recall $recall < 0.95 (${flagged.size}/${exact.size})")
     // Guaranteed-recall case: a corpus vector PARALLEL to a benchmark
     // vector has identical hyperplane signs, so it collides in EVERY
     // band — banding can never miss it, deterministically.

@@ -87,10 +87,22 @@ class SinksSpec extends SparkSpec {
       assert(!w.open(0L, 0L), "already-committed epoch must be declined")
       assert(w.open(0L, 99L), "a fresh epoch must be accepted")
 
-      // even a FORCED replay (bookkeeping bypassed — the at-least-once
-      // path) is content-idempotent: upsert-by-key re-applies the same
-      // values
+      // commit() itself re-checks the epoch under the lock (open()'s
+      // probe alone is not atomic with close() — two speculative
+      // attempts of one (partition, epoch) could both pass it): a
+      // direct replay of an already-committed epoch no-ops entirely,
+      // content AND count
       Sinks.UpsertForeachWriter.commit(0L, 1L,
+        Seq((1L, Seq(1L, "c")), (3L, Seq(3L, "d"))))
+      assert(Sinks.UpsertForeachWriter.rows.map { case (k, r) => k -> r(1) }
+        === Map(1L -> "c", 2L -> "b", 3L -> "d"))
+      assert(Sinks.UpsertForeachWriter.appliedCount === appliedBefore,
+        "a replayed (partition, epoch) must not double-count")
+
+      // and even when the SAME values land under a fresh epoch (the
+      // at-least-once path with no dedup bookkeeping at all), table
+      // content is idempotent because upsert-by-key re-applies them
+      Sinks.UpsertForeachWriter.commit(0L, 98L,
         Seq((1L, Seq(1L, "c")), (3L, Seq(3L, "d"))))
       assert(Sinks.UpsertForeachWriter.rows.map { case (k, r) => k -> r(1) }
         === Map(1L -> "c", 2L -> "b", 3L -> "d"))
