@@ -37,13 +37,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; the session must set spark.sql.legacy.parquet.nanosAsLong
-    * (Sessions.local / Verify / Bench do). Convert with integer DIV — a
-    * double division would lose precision above 2^53 nanos. */
+  /** events.ts has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as LONG under
+    * spark.sql.legacy.parquet.nanosAsLong, which Sessions.local /
+    * Verify / Bench set) and parquet timestamp[us] without UTC
+    * adjustment (read as TIMESTAMP_NTZ). Branch on the loaded dtype so
+    * every downstream consumer sees one canonical TimestampType column
+    * regardless of generation — the session is pinned to UTC, so the
+    * NTZ→LTZ cast preserves wall-clock values. The nanos branch uses
+    * integer DIV: a double division would lose precision above 2^53. */
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventsTs(load(s, d, "events"))
+
+  /** Shared by the batch loader and the streaming-parity tests (a
+    * readStream over the same parquet must normalize identically). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other — expected LONG (nanos), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
   /** documents/embeddings feed compute-heavy map stages (shingling,
     * md5, per-element vector math), so their loaders fan out when the
     * file layout starves parallelism (see fanOut). */

@@ -19,18 +19,19 @@ class BatchStreamParitySpec extends SparkSpec {
     val batch = Windows.tumbling(Tables.events(spark, dir))
       .collect().map(_.toSeq).toSet
 
-    // same parquet, replayed as a file-source stream (ts arrives as
-    // nanos long under nanosAsLong, converted exactly like Tables.events);
+    // same parquet, replayed as a file-source stream, normalized through
+    // the SAME dtype-adaptive helper as the batch loader so a testdata
+    // regeneration cannot split the two paths;
     // the file source wants a directory, so stage the file into one
     val streamDir = java.nio.file.Files.createTempDirectory("graft_parity")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(streamDir.toString))
 
     val q = Sinks.memory(Windows.tumbling(stream), "parity_sink", "complete").start()
     try {
