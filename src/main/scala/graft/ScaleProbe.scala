@@ -147,7 +147,9 @@ object ScaleProbe {
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
       "cc_skew" -> (() => ccSkewProbe(spark)),
-      "decontam" -> (() => factors.foreach(f => decontamProbe(spark, f))))
+      "decontam" -> (() => factors.foreach(f => decontamProbe(spark, f))),
+      "incremental" -> (() => incrementalCutProbe(spark)),
+      "decontam_knobs" -> (() => decontamKnobsProbe(spark)))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -178,6 +180,62 @@ object ScaleProbe {
       ccSkewProbe(spark)
     }
     spark.stop()
+  }
+
+  /** Candidate-cut audit for the ONE-SIDED incremental path on the
+    * live sf0.1 corpus (the symmetric cut is ppjoinProbe's job): the
+    * delta-prefix × corpus-prefix PPJoin candidates vs the one-sided
+    * AllPairs baseline (delta prefix × full postings, no size or
+    * positional filter). The index build and delta shingling are
+    * checkpointed OUT of both timings — this measures the candidate
+    * join alone, the stage whose volume scales the nightly job. */
+  private def incrementalCutProbe(spark: SparkSession): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val (postingsRaw, _) = operators.Dedup.corpusIndex(corpus, k = 3)
+    val postings = postingsRaw.localCheckpoint()
+    val dSets = operators.Dedup.docShingleSets(delta, k = 3).localCheckpoint()
+    def run(pp: Boolean): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = operators.Dedup
+        .incrementalCandidates(dSets, postings, tau = 0.7, ppjoin = pp).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nPp, tPp) = run(true)
+    val (nAll, tAll) = run(false)
+    println(f"[scale-incr] cand_allpairs=$nAll%-8d cand_ppjoin=$nPp%-8d " +
+      f"cut=${100.0 * (nAll - nPp) / math.max(nAll, 1)}%.1f%% " +
+      f"wall_allpairs=${tAll}%.2fs wall_ppjoin=${tPp}%.2fs")
+  }
+
+  /** Knob-cost audit for the banded embedding decontam: candidate
+    * volume (collision-join rows), candidates per corpus row, wall,
+    * and flagged rows for the DERIVED knobs vs the pre-r9 hand-picked
+    * (6, 4) and the next-bits alternative within the same plane
+    * budget. Pairs with the recall SLA already spec-pinned: this
+    * prints what the SLA COSTS, so the 3× stays a documented choice. */
+  private def decontamKnobsProbe(spark: SparkSession): Unit = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    def benchIds(v: DataFrame): Column = pmod(v("vec_id"), lit(50)) === 0
+    val tau = 0.40
+    val nCorpus = emb.filter(pmod(col("vec_id"), lit(50)) =!= 0).count()
+    val derived = operators.Similarity.bandingFor(tau)
+    val bits5 = (operators.Similarity.bandsFor(tau, 0.95, 5), 5)
+    for ((bands, bits) <- Seq(derived, (6, 4), bits5).distinct) {
+      val t0 = System.nanoTime()
+      val cands = operators.Similarity
+        .lshDecontamCandidates(emb, benchIds, bands, bits, dim = 64)
+        .localCheckpoint()
+      val nCand = cands.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val flagged = cands.filter(col("cos") >= tau)
+        .select("vec_id").distinct().count()
+      val tag = if ((bands, bits) == derived) "derived" else "alt"
+      println(f"[scale-decontam-knobs] bands=$bands%-3d bits=$bits " +
+        f"($tag%-7s) cand=$nCand%-9d cand/row=${nCand.toDouble / nCorpus}%.2f " +
+        f"flagged=$flagged%-6d wall=${wall}%.2fs")
+    }
   }
 
   /** Exact vs banded decontamination on the replicated corpus: same

@@ -732,15 +732,33 @@ object Dedup {
           "assign delta ids from a fresh range")
     }
     val dSets = docShingleSets(delta, k)
-    val dSh = dSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
+    val cand = incrementalCandidates(dSets, postings, tau)
+    // ids are disjoint between delta and corpus, so the shared
+    // verifier reads each side's sets from the union projection
+    verifyJaccard(cand, dSets.unionByName(corpusSets), tau)
+      .select(col("doc_a").as("delta_id"), col("doc_b").as("corpus_id"),
+        col("jac"))
+  }
 
-    // Delta tokens rank under the SAME global (df, s) order the index
-    // was built with: df comes from the index postings themselves
-    // (bucketed index → the aggregate needs no corpus exchange), and
-    // tokens unseen in the corpus take df = 0 — they sort first, which
-    // only pushes common tokens later in the delta's ranks; the prefix
-    // theorem is position-arithmetic within each record, so order
-    // consistency on COMMON tokens is all it needs.
+  /** Candidate stage of the incremental probe, separated so ScaleProbe
+    * can audit the PPJoin filters' candidate cut on the live corpus
+    * (ppjoin = false degrades to the one-sided AllPairs baseline:
+    * delta prefix × FULL corpus postings, no size/positional filter —
+    * same contract as [[ngramCandidates]]'s toggle). Verified output
+    * is identical either way; only the verify-join volume differs.
+    *
+    * Delta tokens rank under the SAME global (df, s) order the index
+    * was built with: df comes from the index postings themselves
+    * (bucketed index → the aggregate needs no corpus exchange), and
+    * tokens unseen in the corpus take df = 0 — they sort first, which
+    * only pushes common tokens later in the delta's ranks; the prefix
+    * theorem is position-arithmetic within each record, so order
+    * consistency on COMMON tokens is all it needs. */
+  private[graft] def incrementalCandidates(dSets: DataFrame,
+                                           postings: DataFrame,
+                                           tau: Double,
+                                           ppjoin: Boolean = true): DataFrame = {
+    val dSh = dSets.select(col("doc_id"), col("n"), explode(col("sset")).as("s"))
     val dfBySh = postings.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = dSh.join(dfBySh, Seq("s"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
@@ -751,24 +769,26 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("s").as("sa"),
         col("n").as("na"), col("pos").as("pa"))
 
-    // Corpus side: PREFIX of the ranked index, a map-only filter on the
-    // index read (pos/n are precomputed at build time, so the prefix
-    // bound — which depends on the probe-time tau — costs nothing and
-    // the index stays tau-agnostic). Symmetric prefix theorem: the
-    // smallest common token of a qualifying pair lies in both prefixes.
-    val cPrefix = postings
-      .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
-      .select(col("doc_id").as("doc_b"), col("s").as("sb"),
-        col("n").as("nb"), col("pos").as("pb"))
-
-    val cand = dPrefix
-      .join(cPrefix, col("sa") === col("sb") && ppjoinFilters(tau))
-      .select("doc_a", "doc_b").distinct()
-    // ids are disjoint between delta and corpus, so the shared
-    // verifier reads each side's sets from the union projection
-    verifyJaccard(cand, dSets.unionByName(corpusSets), tau)
-      .select(col("doc_a").as("delta_id"), col("doc_b").as("corpus_id"),
-        col("jac"))
+    if (!ppjoin) {
+      dPrefix.join(
+          postings.select(col("doc_id").as("doc_b"), col("s").as("sb")),
+          col("sa") === col("sb"))
+        .select("doc_a", "doc_b").distinct()
+    } else {
+      // Corpus side: PREFIX of the ranked index, a map-only filter on
+      // the index read (pos/n are precomputed at build time, so the
+      // prefix bound — which depends on the probe-time tau — costs
+      // nothing and the index stays tau-agnostic). Symmetric prefix
+      // theorem: the smallest common token of a qualifying pair lies
+      // in both prefixes.
+      val cPrefix = postings
+        .filter(col("pos") <= col("n") - floor(lit(tau) * col("n")) + 1)
+        .select(col("doc_id").as("doc_b"), col("s").as("sb"),
+          col("n").as("nb"), col("pos").as("pb"))
+      dPrefix
+        .join(cPrefix, col("sa") === col("sb") && ppjoinFilters(tau))
+        .select("doc_a", "doc_b").distinct()
+    }
   }
 
   /** Build the reusable corpus-side artifacts for incremental dedup:

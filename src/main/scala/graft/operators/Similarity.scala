@@ -246,6 +246,21 @@ object Similarity {
 
   private def embedDecontaminateLshWith(
       emb: DataFrame, benchIds: DataFrame => Column, tau: Double,
+      numBands: Int, planesPerBand: Int, dim: Int): DataFrame =
+    lshDecontamCandidates(emb, benchIds, numBands, planesPerBand, dim)
+      .groupBy(col("vec_id"))
+      .agg(
+        round(max(col("cos")), 6).as("max_cos"),
+        count_distinct(when(col("cos") >= tau, col("bench_id"))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+
+  /** Collision (candidate) frame of the banded decontam join —
+    * (vec_id, bench_id, cos) per (band, bucket) collision, BEFORE the
+    * per-doc aggregate. Exposed so ScaleProbe can measure the exact
+    * candidate volume a knob choice buys (the quantity bandingFor's
+    * bands/2^bits objective estimates). */
+  private[graft] def lshDecontamCandidates(
+      emb: DataFrame, benchIds: DataFrame => Column,
       numBands: Int, planesPerBand: Int, dim: Int): DataFrame = {
     require(numBands >= 1 && planesPerBand >= 1)
     val planes = planeMatrix(numBands * planesPerBand, dim)
@@ -269,11 +284,6 @@ object Similarity {
     val corpus = banded(v.filter(!benchIds(v)), "vec_id", "e")
     corpus.join(broadcast(bench), Seq("band", "bucket"))
       .withColumn("cos", CosineSimilarity(col("e"), col("eb")))
-      .groupBy(col("vec_id"))
-      .agg(
-        round(max(col("cos")), 6).as("max_cos"),
-        count_distinct(when(col("cos") >= tau, col("bench_id"))).as("n_hits"))
-      .withColumn("contaminated", col("n_hits") > 0)
   }
 
   def embedDecontamLshQuery(spark: SparkSession, dir: String): DataFrame =

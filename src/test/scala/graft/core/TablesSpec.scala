@@ -23,6 +23,40 @@ class TablesSpec extends SparkSpec {
     assert(Tables.fanOut(spark, wide) eq wide)
   }
 
+  test("normalizeEventsTs canonicalizes every historical ts dtype to TIMESTAMP") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // 2021-01-01T00:00:01Z, expressed three ways
+    val micros = 1609459201000000L
+
+    // nanos-long generation (pre-r9 testdata under nanosAsLong): the
+    // current testdata no longer exercises this branch, so pin it here
+    val longFrame = Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+    val fromLong = Tables.normalizeEventsTs(longFrame)
+    assert(fromLong.schema("ts").dataType === TimestampType)
+
+    // micros-NTZ generation (current testdata)
+    val ntzFrame = longFrame.select(col("event_id"),
+      timestamp_micros(col("ts") / 1000 cast "long").cast(TimestampNTZType).as("ts"))
+    assert(ntzFrame.schema("ts").dataType === TimestampNTZType)
+    val fromNtz = Tables.normalizeEventsTs(ntzFrame)
+    assert(fromNtz.schema("ts").dataType === TimestampType)
+
+    // already-TIMESTAMP passes through, and all three agree on the
+    // instant (session TZ is UTC, so NTZ wall-clock == LTZ instant)
+    val ltzFrame = longFrame.select(col("event_id"),
+      timestamp_micros(col("ts") / 1000 cast "long").as("ts"))
+    assert(Tables.normalizeEventsTs(ltzFrame) eq ltzFrame)
+    val instants = Seq(fromLong, fromNtz, ltzFrame)
+      .map(_.select(unix_timestamp(col("ts"))).head.getLong(0))
+    assert(instants.distinct === Seq(1609459201L))
+
+    // an unsupported dtype must fail loudly at load, not downstream
+    val strFrame = longFrame.select(col("event_id"), lit("2021-01-01").as("ts"))
+    val e = intercept[IllegalStateException](Tables.normalizeEventsTs(strFrame))
+    assert(e.getMessage.contains("events.ts"))
+  }
+
   test("documents/embeddings loaders deliver full parallelism downstream") {
     for (t <- Seq(
         Tables.documents(spark, "/root/testdata/sf0.001"),
