@@ -131,6 +131,7 @@ object SparkEntry {
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
     "segment_dedup"          -> (Dedup.segmentDedupQuery _),
+    "dup_spans"              -> (Dedup.dupSpansQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),

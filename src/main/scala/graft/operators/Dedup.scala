@@ -927,6 +927,72 @@ object Dedup {
     segmentDedup(Tables.documents(spark, dir), segTokens = 8, dupDf = 2)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- dup spans
+
+  /** Cross-document duplicated-SUBSTRING span audit — the
+    * suffix-array substring-dedup technique (see "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022)
+    * re-expressed Spark-first at fixed window granularity: rolling
+    * w-token windows at stride 1 (so a duplicated passage is caught at
+    * ANY alignment, unlike [[segmentDedup]]'s fixed tiling), a window
+    * counts as duplicated when its md5 occurs in >= minDf DISTINCT
+    * docs, and per doc the duplicated window positions merge into
+    * maximal spans (intervals [pos, pos+w-1], merged while they touch
+    * or overlap — the gaps-and-islands construction). Per doc:
+    * token count, duplicated windows, merged span count, tokens
+    * covered by the span union, and coverage in basis points.
+    *
+    * Scale shape: windows are map-only (posexplode over the in-row
+    * shingle array); window df is a map-side-combined aggregate over
+    * DISTINCT (doc_id, h) — never a window function over the
+    * power-law hash key; the dup-hash set joins back by equi-join
+    * (AQE broadcasts it when small); the ONLY window function is
+    * partitioned by doc_id, bounded by a single doc's length. The
+    * coverage ratio is integer basis points — (dup·10000) DIV n with
+    * both operands non-negative, where Spark's truncating DIV and
+    * DuckDB's flooring // agree — never a rounded float.
+    */
+  def dupSpans(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = unique), got $minDf")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(wordShingles(col("toks"), w)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("p"), md5(col("col")).as("h"))
+    val dupH = wins.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val dupWins = wins.join(dupH, "h")
+    val byPos = W.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = dupWins
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byPos) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + w - 1).as("e"),
+        count(lit(1)).as("wins"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("wins")).as("n_dup_windows"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_bp", expr("(dup_tokens * 10000) DIV n_tokens"))
+  }
+
+  def dupSpansQuery(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(spark, dir), w = 8, minDf = 2)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -1106,5 +1172,46 @@ object Dedup {
         |   ORDER BY seg_idx), '') AS cleaned_text
         |FROM segs JOIN dfx ON md5(seg) = h
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // rolling 8-token windows stride 1; dup = hash in >= 2 distinct
+    // docs; spans = gaps-and-islands over positions (break when the
+    // gap exceeds the window width); coverage in integer basis points
+    "dup_spans" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text,' ') AS w,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+        | FROM toks, UNNEST(range(1, n - 8 + 2)) t(i)),
+        |duph AS (
+        | SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+        | WHERE df >= 2),
+        |marks AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |   THEN 0 ELSE 1 END AS brk
+        | FROM wins JOIN duph USING (h)),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        | FROM marks),
+        |spans AS (
+        | SELECT doc_id, g, min(p) AS s, max(p) + 8 - 1 AS e,
+        |  CAST(count(*) AS BIGINT) AS wins
+        | FROM isl GROUP BY doc_id, g),
+        |per AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(wins) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        | FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        | COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+        | COALESCE(per.n_spans, 0) AS n_spans,
+        | COALESCE(per.dup_tokens, 0) AS dup_tokens,
+        | (COALESCE(per.dup_tokens, 0) * 10000) // t.n AS dup_bp
+        |FROM toks t LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -255,4 +255,53 @@ class DedupSpec extends SparkSpec {
     // df('a b c d') = 2 < 3 → kept; cleaned text reassembles in seg order
     assert(out === Map(1L -> "a b c d e f g h", 2L -> "a b c d x y z w"))
   }
+
+  test("dupSpans: shared passage found at ANY alignment; overlapping windows merge to one span") {
+    // docs 1 and 2 share the 5-token passage "p q r s t" at DIFFERENT
+    // offsets (1-based token 3 in doc 1, token 1 in doc 2) — exactly
+    // the case segmentDedup's fixed tiling misses; w=4 gives each doc
+    // two duplicated windows ("p q r s" and "q r s t") whose intervals
+    // overlap and must merge into ONE 5-token span
+    val d = docs(
+      1L -> "a b p q r s t c d",  // 9 tokens, passage at 3..7
+      2L -> "p q r s t x y z",    // 8 tokens, passage at 1..5
+      3L -> "u v w only here once more words")  // 8 tokens, clean
+    val out = Dedup.dupSpans(d, w = 4, minDf = 2)
+      .select("doc_id", "n_tokens", "n_dup_windows", "n_spans", "dup_tokens", "dup_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 9L, 2L, 1L, 5L, 5555L)))
+    assert(out(2L) === ((2L, 8L, 2L, 1L, 5L, 6250L)))
+    assert(out(3L) === ((3L, 8L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpans: in-doc repetition alone is df=1 (clean); distant repeats form separate spans") {
+    val d = docs(
+      // "m m m m" windows repeat WITHIN doc 1 only → df=1 → clean
+      1L -> "m m m m m m",
+      // docs 2/3 share two non-adjacent 2-token passages (gap > w) →
+      // two separate spans of 2 tokens each
+      2L -> "aa bb c1 c2 c3 aa bb d9",
+      3L -> "aa bb e1 e2 e3 aa bb f9")
+    val out = Dedup.dupSpans(d, w = 2, minDf = 2)
+      .select("doc_id", "n_dup_windows", "n_spans", "dup_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0L, 0L, 0L)))
+    // windows "aa bb" at positions 1 and 6 in both docs: gap 5 > w=2 →
+    // spans [1,2] and [6,7]
+    assert(out(2L) === ((2L, 2L, 2L, 4L)))
+    assert(out(3L) === ((3L, 2L, 2L, 4L)))
+  }
+
+  test("dupSpans: docs shorter than the window report zero with correct n_tokens") {
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a b c d e")
+    val out = Dedup.dupSpans(d, w = 4, minDf = 2)
+      .select("doc_id", "n_tokens", "n_dup_windows").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // identical 2-token docs produce NO w=4 windows → clean by contract
+    assert(out(1L) === ((1L, 2L, 0L)))
+    assert(out(2L) === ((2L, 2L, 0L)))
+    assert(out(3L) === ((3L, 5L, 0L)))
+  }
 }
