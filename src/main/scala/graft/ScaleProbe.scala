@@ -119,6 +119,10 @@ object ScaleProbe {
       // distinct-segment frame grows linearly — the worst case for the
       // join-back side. The rest are map-only and expected linear.
       "segment_dedup"       -> (operators.Dedup.segmentDedupQuery _),
+      // copies are token-prefixed → rolling windows are copy-disjoint,
+      // so dup spans stay within-copy and output must scale linearly
+      "dup_spans"           -> (operators.Dedup.dupSpansQuery _),
+      "dup_spans_redact"    -> (operators.Dedup.dupSpansRedactQuery _),
       "blocklist_redact"    -> (operators.TextAnalysis.blocklistRedactQuery _),
       "upsample_mixture"    -> (operators.TextAnalysis.upsampleMixtureQuery _),
       // r7d additions over the replicated EVENTS table: user count

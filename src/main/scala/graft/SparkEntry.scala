@@ -132,6 +132,7 @@ object SparkEntry {
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
     "segment_dedup"          -> (Dedup.segmentDedupQuery _),
     "dup_spans"              -> (Dedup.dupSpansQuery _),
+    "dup_spans_redact"       -> (Dedup.dupSpansRedactQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),

@@ -993,6 +993,63 @@ object Dedup {
     dupSpans(Tables.documents(spark, dir), w = 8, minDf = 2)
       .orderBy(col("doc_id"))
 
+  /** [[dupSpans]] made actionable: REMOVE every token covered by a
+    * duplicated span and reassemble the survivors in order — the same
+    * remove-ALL-occurrences policy as [[segmentDedup]] (boilerplate
+    * should vanish everywhere; pick-one-canonical is a different,
+    * global-coordination problem). Spans re-derive via [[dupSpans]]'s
+    * stages; covered positions come from exploding each span interval
+    * (bounded by the doc's own length — sum of interval widths IS the
+    * doc's dup_tokens, never corpus-sized), removal is a left
+    * anti-join on (doc_id, pos), and reassembly is the segmentDedup
+    * ordered-struct collect, bounded per doc. Docs fully covered by
+    * duplication emit cleaned_text = ''. */
+  def dupSpansRedact(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = unique), got $minDf")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(wordShingles(col("toks"), w)))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("p"), md5(col("col")).as("h"))
+    val dupH = wins.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val byPos = W.partitionBy(col("doc_id")).orderBy(col("p"))
+    val covered = wins.join(dupH, "h")
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byPos) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + w - 1).as("e"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("e"))).as("pos"))
+    val positioned = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("toks")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    val kept = positioned
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos").as("i"), col("tok").as("t")))),
+          x => x.getField("t"))).as("cleaned_text"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  def dupSpansRedactQuery(spark: SparkSession, dir: String): DataFrame =
+    dupSpansRedact(Tables.documents(spark, dir), w = 8, minDf = 2)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -1212,6 +1269,52 @@ object Dedup {
         | COALESCE(per.dup_tokens, 0) AS dup_tokens,
         | (COALESCE(per.dup_tokens, 0) * 10000) // t.n AS dup_bp
         |FROM toks t LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // same span derivation as dup_spans, then: explode span intervals
+    // to covered positions, anti-join against positioned tokens,
+    // reassemble survivors in order (remove-all-occurrences policy)
+    "dup_spans_redact" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text,' ') AS w,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+        | FROM toks, UNNEST(range(1, n - 8 + 2)) t(i)),
+        |duph AS (
+        | SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+        | WHERE df >= 2),
+        |marks AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |   THEN 0 ELSE 1 END AS brk
+        | FROM wins JOIN duph USING (h)),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        | FROM marks),
+        |spans AS (
+        | SELECT doc_id, g, min(p) AS s, max(p) + 8 - 1 AS e
+        | FROM isl GROUP BY doc_id, g),
+        |cov AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos
+        | FROM spans, UNNEST(range(s, e + 1)) t(i)),
+        |ptoks AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+        | FROM toks, UNNEST(range(1, n + 1)) t(i)),
+        |kept AS (
+        | SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(p.tok, ' ' ORDER BY p.pos) AS cleaned_text
+        | FROM ptoks p LEFT JOIN cov c
+        |  ON p.doc_id = c.doc_id AND p.pos = c.pos
+        | WHERE c.pos IS NULL
+        | GROUP BY p.doc_id)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        | COALESCE(k.n_kept, 0) AS n_kept,
+        | COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
   )
 }

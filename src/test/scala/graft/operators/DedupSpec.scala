@@ -294,6 +294,24 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 2L, 2L, 4L)))
   }
 
+  test("dupSpansRedact: covered tokens vanish everywhere; clean and fully-covered docs handled") {
+    val d = docs(
+      1L -> "a b p q r s t c d",  // span [3,7] → keep "a b c d"
+      2L -> "p q r s t x y z",    // span [1,5] → keep "x y z"
+      3L -> "u v w only here once more words",  // clean → unchanged
+      4L -> "j k l m",            // docs 4/5 identical → fully covered
+      5L -> "j k l m")
+    val out = Dedup.dupSpansRedact(d, w = 4, minDf = 2)
+      .select("doc_id", "n_tokens", "n_kept", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 9L, 4L, "a b c d")))
+    assert(out(2L) === ((2L, 8L, 3L, "x y z")))
+    assert(out(3L) === ((3L, 8L, 8L, "u v w only here once more words")))
+    assert(out(4L) === ((4L, 4L, 0L, "")))
+    assert(out(5L) === ((5L, 4L, 0L, "")))
+  }
+
   test("dupSpans: docs shorter than the window report zero with correct n_tokens") {
     val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a b c d e")
     val out = Dedup.dupSpans(d, w = 4, minDf = 2)
