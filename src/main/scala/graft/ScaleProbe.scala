@@ -123,6 +123,7 @@ object ScaleProbe {
       // so dup spans stay within-copy and output must scale linearly
       "dup_spans"           -> (operators.Dedup.dupSpansQuery _),
       "dup_spans_redact"    -> (operators.Dedup.dupSpansRedactQuery _),
+      "dup_by_source"       -> (operators.Dedup.dupBySourceQuery _),
       "blocklist_redact"    -> (operators.TextAnalysis.blocklistRedactQuery _),
       "upsample_mixture"    -> (operators.TextAnalysis.upsampleMixtureQuery _),
       // r7d additions over the replicated EVENTS table: user count

@@ -133,6 +133,7 @@ object SparkEntry {
     "segment_dedup"          -> (Dedup.segmentDedupQuery _),
     "dup_spans"              -> (Dedup.dupSpansQuery _),
     "dup_spans_redact"       -> (Dedup.dupSpansRedactQuery _),
+    "dup_by_source"          -> (Dedup.dupBySourceQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),

@@ -1050,6 +1050,28 @@ object Dedup {
     dupSpansRedact(Tables.documents(spark, dir), w = 8, minDf = 2)
       .orderBy(col("doc_id"))
 
+  /** Per-SOURCE duplication profile — the curation dashboard question
+    * "which sources are boilerplate farms?": [[dupSpans]] aggregated
+    * by the document's source with doc counts, affected-doc counts,
+    * token totals, and coverage in integer basis points. The rollup
+    * rides the per-doc span stats, so the extra cost over dupSpans is
+    * one source-keyed aggregate over |docs| rows (map-side combined;
+    * source cardinality is tiny by comparison). */
+  def dupBySource(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame =
+    dupSpans(docs, w, minDf)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_dup_windows") > 0).cast("long")).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("dup_tokens")).as("dup_tokens"))
+      .withColumn("dup_bp", expr("(dup_tokens * 10000) DIV total_tokens"))
+
+  def dupBySourceQuery(spark: SparkSession, dir: String): DataFrame =
+    dupBySource(Tables.documents(spark, dir), w = 8, minDf = 2)
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -1316,5 +1338,48 @@ object Dedup {
         | COALESCE(k.cleaned_text, '') AS cleaned_text
         |FROM toks t LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // dup_spans per-doc stats rolled up by the doc's source
+    "dup_by_source" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text,' ') AS w,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+        | FROM toks, UNNEST(range(1, n - 8 + 2)) t(i)),
+        |duph AS (
+        | SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+        | WHERE df >= 2),
+        |marks AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |   THEN 0 ELSE 1 END AS brk
+        | FROM wins JOIN duph USING (h)),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        | FROM marks),
+        |spans AS (
+        | SELECT doc_id, g, min(p) AS s, max(p) + 8 - 1 AS e,
+        |  CAST(count(*) AS BIGINT) AS wins
+        | FROM isl GROUP BY doc_id, g),
+        |per AS (
+        | SELECT doc_id, CAST(sum(wins) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        | FROM spans GROUP BY doc_id)
+        |SELECT d.source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN COALESCE(per.n_dup_windows, 0) > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(t.n) AS BIGINT) AS total_tokens,
+        | CAST(sum(COALESCE(per.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        | (sum(COALESCE(per.dup_tokens, 0)) * 10000) // sum(t.n) AS dup_bp
+        |FROM documents d
+        | JOIN toks t ON d.doc_id = t.doc_id
+        | LEFT JOIN per ON d.doc_id = per.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
   )
 }

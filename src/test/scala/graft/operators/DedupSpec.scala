@@ -312,6 +312,21 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((5L, 4L, 0L, "")))
   }
 
+  test("dupBySource: per-source rollup counts affected docs and coverage in basis points") {
+    val d = Seq(
+      (1L, "a b p q r s t c d", "web"),   // dup span [3,7] → 5 of 9 tokens
+      (2L, "p q r s t x y z", "web"),     // dup span [1,5] → 5 of 8 tokens
+      (3L, "u v w only here once more words", "books"))  // clean
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupBySource(d, w = 4, minDf = 2)
+      .select("source", "n_docs", "n_dup_docs", "total_tokens", "dup_tokens", "dup_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // web: 17 tokens, 10 duplicated → 5882 bp; books untouched
+    assert(out("web") === (("web", 2L, 2L, 17L, 10L, 5882L)))
+    assert(out("books") === (("books", 1L, 0L, 8L, 0L, 0L)))
+  }
+
   test("dupSpans: docs shorter than the window report zero with correct n_tokens") {
     val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a b c d e")
     val out = Dedup.dupSpans(d, w = 4, minDf = 2)
