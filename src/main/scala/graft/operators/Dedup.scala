@@ -1005,18 +1005,40 @@ object Dedup {
     * ordered-struct collect, bounded per doc. Docs fully covered by
     * duplication emit cleaned_text = ''. */
   def dupSpansRedact(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
-    require(w > 0, s"window must be positive, got $w")
     require(minDf >= 2, s"minDf must be >= 2 (df 1 = unique), got $minDf")
+    dupSpansRedactWithIndex(docs, dupHashIndex(docs, w, minDf), w)
+  }
+
+  /** The duplicated-window-hash set — the REUSABLE corpus artifact of
+    * the span family (build nightly from the standing corpus, persist
+    * bucketed by h, probe from batch or streaming redaction): one
+    * distinct + one map-side-combined aggregate. */
+  def dupHashIndex(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(wordShingles(col("toks"), w)))
+      .select(col("doc_id"), md5(col("col")).as("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+  }
+
+  /** Redaction against a PRECOMPUTED dup-hash index. Each output row
+    * depends only on its own doc and the static index — embarrassingly
+    * parallel by construction, which is why the streaming form
+    * (foreachBatch over a doc stream probing the nightly index) is
+    * batch-identical under ANY micro-batch split
+    * (DupSpansStreamSpec pins this). */
+  def dupSpansRedactWithIndex(docs: DataFrame, dupH: DataFrame,
+                              w: Int): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
     val wins = toks
       .select(col("doc_id"), posexplode(wordShingles(col("toks"), w)))
       .select(col("doc_id"),
         (col("pos") + 1).cast("long").as("p"), md5(col("col")).as("h"))
-    val dupH = wins.select(col("doc_id"), col("h")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select("h")
     val byPos = W.partitionBy(col("doc_id")).orderBy(col("p"))
     val covered = wins.join(dupH, "h")
       .withColumn("brk",
