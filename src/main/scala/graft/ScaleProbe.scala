@@ -217,9 +217,13 @@ object ScaleProbe {
   /** Knob-cost audit for the banded embedding decontam: candidate
     * volume (collision-join rows), candidates per corpus row, wall,
     * and flagged rows for the DERIVED knobs vs the pre-r9 hand-picked
-    * (6, 4) and the next-bits alternative within the same plane
-    * budget. Pairs with the recall SLA already spec-pinned: this
-    * prints what the SLA COSTS, so the 3× stays a documented choice. */
+    * (6, 4) and the bits=5 alternative. NOTE: bits=5 needs
+    * bandsFor(0.40, 0.95, 5) = 29 bands = 145 planes, EXCEEDING the
+    * default 96-plane budget — bandingFor rejects it by construction;
+    * it is printed to show what RELAXING the budget would buy, not as
+    * a budget-legal alternative. Pairs with the recall SLA already
+    * spec-pinned: this prints what the SLA COSTS, so the 3× stays a
+    * documented choice. */
   private def decontamKnobsProbe(spark: SparkSession): Unit = {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     def benchIds(v: DataFrame): Column = pmod(v("vec_id"), lit(50)) === 0

@@ -952,23 +952,25 @@ object Dedup {
     * both operands non-negative, where Spark's truncating DIV and
     * DuckDB's flooring // agree — never a rounded float.
     */
-  def dupSpans(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
-    require(w > 0, s"window must be positive, got $w")
-    require(minDf >= 2, s"minDf must be >= 2 (df 1 = unique), got $minDf")
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-    val wins = toks
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode(wordShingles(col("toks"), w)))
-      .select(col("doc_id"), col("n_tokens"),
+  /** (doc_id, p: 1-based window position, h: md5 of the w-token
+    * window) — the ONE rolling-window recipe all span-family entry
+    * points derive from (a hash or merge tweak applied to one copy
+    * would silently desynchronize the audit from the redaction). */
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(wordShingles(tokens(col("text")), w)))
+      .select(col("doc_id"),
         (col("pos") + 1).cast("long").as("p"), md5(col("col")).as("h"))
-    val dupH = wins.select(col("doc_id"), col("h")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select("h")
-    val dupWins = wins.join(dupH, "h")
+
+  /** Maximal merged spans of duplicated windows: (doc_id, s, e, wins)
+    * — the shared gaps-and-islands construction (intervals
+    * [p, p+w-1], merged while they touch or overlap: break when the
+    * position gap exceeds w). Separate islands end >w apart, so the
+    * emitted spans are disjoint and non-adjacent by construction. */
+  private def dupSpanBounds(wins: DataFrame, dupH: DataFrame,
+                            w: Int): DataFrame = {
     val byPos = W.partitionBy(col("doc_id")).orderBy(col("p"))
-    val spans = dupWins
+    wins.join(dupH, "h")
       .withColumn("brk",
         when(col("p") - lag(col("p"), 1).over(byPos) <= w, lit(0L))
           .otherwise(lit(1L)))
@@ -976,11 +978,20 @@ object Dedup {
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("p")).as("s"), (max(col("p")) + w - 1).as("e"),
         count(lit(1)).as("wins"))
+      .select("doc_id", "s", "e", "wins")
+  }
+
+  def dupSpans(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = unique), got $minDf")
+    val wins = windowHashes(docs, w)
+    val spans = dupSpanBounds(wins, dupHashIndexFrom(wins, minDf), w)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("wins")).as("n_dup_windows"),
         sum(col("e") - col("s") + 1).as("dup_tokens"))
-    toks.select(col("doc_id"), col("n_tokens"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
@@ -1015,10 +1026,12 @@ object Dedup {
     * distinct + one map-side-combined aggregate. */
   def dupHashIndex(docs: DataFrame, w: Int, minDf: Int = 2): DataFrame = {
     require(w > 0, s"window must be positive, got $w")
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(wordShingles(col("toks"), w)))
-      .select(col("doc_id"), md5(col("col")).as("h"))
-      .distinct()
+    dupHashIndexFrom(windowHashes(docs, w), minDf)
+  }
+
+  private def dupHashIndexFrom(wins: DataFrame, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = unique), got $minDf")
+    wins.select(col("doc_id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select("h")
@@ -1035,18 +1048,7 @@ object Dedup {
     require(w > 0, s"window must be positive, got $w")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-    val wins = toks
-      .select(col("doc_id"), posexplode(wordShingles(col("toks"), w)))
-      .select(col("doc_id"),
-        (col("pos") + 1).cast("long").as("p"), md5(col("col")).as("h"))
-    val byPos = W.partitionBy(col("doc_id")).orderBy(col("p"))
-    val covered = wins.join(dupH, "h")
-      .withColumn("brk",
-        when(col("p") - lag(col("p"), 1).over(byPos) <= w, lit(0L))
-          .otherwise(lit(1L)))
-      .withColumn("g", sum(col("brk")).over(byPos))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("p")).as("s"), (max(col("p")) + w - 1).as("e"))
+    val covered = dupSpanBounds(windowHashes(docs, w), dupH, w)
       .select(col("doc_id"),
         explode(sequence(col("s"), col("e"))).as("pos"))
     val positioned = toks
@@ -1397,7 +1399,8 @@ object Dedup {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         | CAST(sum(t.n) AS BIGINT) AS total_tokens,
         | CAST(sum(COALESCE(per.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
-        | (sum(COALESCE(per.dup_tokens, 0)) * 10000) // sum(t.n) AS dup_bp
+        | CAST((sum(COALESCE(per.dup_tokens, 0)) * 10000) // sum(t.n)
+        |   AS BIGINT) AS dup_bp
         |FROM documents d
         | JOIN toks t ON d.doc_id = t.doc_id
         | LEFT JOIN per ON d.doc_id = per.doc_id

@@ -108,4 +108,21 @@ class TestdataSchemaSpec extends SparkSpec {
       assert(df.head(1).nonEmpty, s"TESTDATA DRIFT: $name is empty at sf0.001")
     }
   }
+
+  test("normalized events timestamps land in a sane epoch range") {
+    // dtype alone cannot catch a UNIT drift: if a future generation
+    // ships ts as epoch-MICROS in a LONG column, the nanos branch of
+    // normalizeEventsTs would divide by 1000 once too often and emit
+    // 1970-era timestamps with a perfectly valid TimestampType schema.
+    // Magnitude is the only observable — pin the year range.
+    import org.apache.spark.sql.functions._
+    val yrs = Tables.events(spark, dir)
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+      .head()
+    val (lo, hi) = (yrs.getInt(0), yrs.getInt(1))
+    assert(lo >= 2000 && hi <= 2100,
+      s"TESTDATA DRIFT in events.ts: normalized years [$lo, $hi] are outside " +
+        "[2000, 2100] — the raw column's epoch UNIT likely changed " +
+        "(nanos vs micros vs millis); fix Tables.normalizeEventsTs")
+  }
 }
