@@ -196,6 +196,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dupSpans matches a driver-side reference on random corpora with planted passages") {
+    val rnd = new Random(428)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val w = 3
+    for (_ <- 1 to 4) {
+      // random docs plus a PLANTED shared passage inserted at random
+      // offsets in two of them — the alignment case the operator exists
+      // to catch
+      val passage = List.fill(5)(vocab(rnd.nextInt(vocab.size)))
+      val texts = List.fill(5)(List.fill(12)(vocab(rnd.nextInt(vocab.size))))
+        .zipWithIndex.map { case (toks, i) =>
+          if (i < 2) {
+            val at = rnd.nextInt(toks.size)
+            toks.take(at) ++ passage ++ toks.drop(at)
+          } else toks
+        }
+      val docs = texts.map(_.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+      // reference: brute-force windows, global df, interval union
+      val wins = texts.zipWithIndex.flatMap { case (toks, d) =>
+        toks.sliding(w).zipWithIndex.collect {
+          case (win, p) if win.size == w => (d.toLong, p + 1L, win.mkString(" "))
+        }
+      }
+      val df = wins.groupBy(_._3).map { case (k, v) => k -> v.map(_._1).distinct.size }
+      val expected = texts.zipWithIndex.map { case (toks, d) =>
+        val dupPos = wins.filter(x => x._1 == d && df(x._3) >= 2).map(_._2).sorted
+        val coveredTokens = dupPos.flatMap(p => p until (p + w)).distinct
+        // island count: break when the next window starts > w past the prev
+        val spans = dupPos.foldLeft(0 -> -1L) { case ((n, prev), p) =>
+          (if (prev < 0 || p - prev > w) n + 1 else n) -> p
+        }._1
+        (d.toLong, toks.size.toLong, dupPos.size.toLong, spans.toLong,
+          coveredTokens.size.toLong)
+      }.toSet
+
+      val got = Dedup.dupSpans(docs, w = w, minDf = 2)
+        .select("doc_id", "n_tokens", "n_dup_windows", "n_spans", "dup_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expected)
+    }
+  }
+
   test("property: saltedJoin is result-equivalent to the plain join") {
     val rnd = new Random(423)
     for (_ <- 1 to 4) {
