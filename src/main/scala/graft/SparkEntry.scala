@@ -142,6 +142,7 @@ object SparkEntry {
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
+    "ann_rerank_topk"        -> (Similarity.annRerankTopKQuery _),
     "embed_decontam"         -> (Similarity.embedDecontamQuery _),
     "embed_decontam_lsh"     -> (Similarity.embedDecontamLshQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)

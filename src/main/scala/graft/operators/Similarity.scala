@@ -570,6 +570,54 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** TWO-STAGE retrieval — the production serving shape the separate
+    * int8 and fp32 baselines exist to feed: stage 1 scans the
+    * 4x-smaller QUANTIZED corpus and shortlists the top `m` neighbors
+    * per query by quantized cosine (the I/O-bound pass at 100 TB);
+    * stage 2 re-scores ONLY the shortlist — |Q|·m rows — with exact
+    * fp32 cosine and keeps top `k`. Quantization noise can reorder
+    * near-ties inside the shortlist but the rerank restores the exact
+    * ordering; a true neighbor is missed only if noise pushes it below
+    * rank m, which m >> k makes rare (and AnnRerankSpec pins the
+    * m = corpus bound: with a full shortlist the result EQUALS the
+    * exact brute-force baseline).
+    *
+    * Scale shape: stage 1 is the annInt8TopK plan (broadcast bounded
+    * query side, one quantized-corpus scan, per-query top-m); stage 2
+    * broadcasts the |Q|·m shortlist against the fp32 corpus scan —
+    * no shuffle touches full-width vectors until only shortlisted
+    * rows remain. */
+  def annRerankTopK(emb: DataFrame, numQueries: Int, m: Int,
+                    k: Int): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val v = vectors(emb)
+    val qv = v.select(col("vec_id"),
+      graft.functions.Int8Quantize(col("e")).as("qe"))
+    val q8 = qv.filter(col("vec_id") < numQueries).toDF("query_id", "qq")
+    val wq = W.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val shortlist = broadcast(q8)
+      .join(qv, col("query_id") =!= col("vec_id"))
+      .withColumn("qcos",
+        round(CosineSimilarity(col("qq"), col("qe")), 6))
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wq).as("prnk"))
+      .filter(col("prnk") <= m)
+      .select("query_id", "vec_id")
+    val qf = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = v
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos",
+        round(CosineSimilarity(col("eq"), col("e")), 6))
+    topK(cand, k)
+  }
+
+  def annRerankTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annRerankTopK(Tables.embeddings(spark, dir),
+      numQueries = 8, m = 20, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
   def annInt8TopKQuery(spark: SparkSession, dir: String): DataFrame =
     annInt8TopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
@@ -787,6 +835,51 @@ object Similarity {
     // the whole quantize→score→rank pipeline replicated in SQL — the
     // quantized values are exact small integers, so list_sum order is
     // irrelevant and the score is bit-stable cross-engine
+    // two-stage: int8 top-20 shortlist (same qz/n CTEs as ann_int8),
+    // exact fp32 rerank of the shortlist to top-5
+    "ann_rerank_topk" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |vn AS (
+        | SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |m AS (
+        | SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+        |qz AS (
+        | SELECT vec_id,
+        |  CASE WHEN ma = 0 THEN list_transform(e, x -> 0.0)
+        |       ELSE list_transform(e,
+        |              x -> sign(x) * floor(abs(x) * 127.0 / ma + 0.5))
+        |  END AS qe
+        | FROM m),
+        |n AS (
+        | SELECT vec_id, qe,
+        |  sqrt(list_sum(list_transform(qe, x -> x * x))) AS nrm FROM qz),
+        |pre AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY qcos DESC, neighbor_id) AS prnk
+        |  FROM (
+        |   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(q.qe)+1),
+        |      i -> q.qe[i]*x.qe[i])) / (q.nrm * x.nrm), 6) AS qcos
+        |   FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |   WHERE q.vec_id < 8))
+        | WHERE prnk <= 20)
+        |SELECT query_id, neighbor_id, cos, rnk FROM (
+        | SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cos DESC, neighbor_id) AS rnk
+        | FROM (
+        |  SELECT p.query_id, p.neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.e)+1),
+        |     i -> q.e[i]*x.e[i])) / (q.nrm * x.nrm), 6) AS cos
+        |  FROM pre p
+        |   JOIN vn q ON q.vec_id = p.query_id
+        |   JOIN vn x ON x.vec_id = p.neighbor_id))
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "ann_int8_topk" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

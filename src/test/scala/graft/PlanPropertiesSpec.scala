@@ -15,6 +15,9 @@ class PlanPropertiesSpec extends SparkSpec {
     * keyed equi-joins. */
   private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk",
     "ann_int8_topk",
+    // stage-1 shortlist pass: same bounded query-side broadcast as
+    // ann_int8_topk; stage 2 is equi-joins only
+    "ann_rerank_topk",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max

@@ -180,6 +180,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty && out.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("annRerankTopK: full shortlist equals the exact brute-force baseline; m=k degrades to int8 ids") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count().toInt
+
+    // m = corpus size → nothing can fall off the shortlist → the fp32
+    // rerank IS the exact baseline, bit for bit
+    val full = Similarity.annRerankTopK(e, numQueries = 4, m = n, k = 5)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.annCosineTopK(e, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === exact)
+
+    // m = k → the NEIGHBOR SET is the int8 stage's verbatim (rerank
+    // can reorder within it but admit nothing new); scores are fp32
+    val narrow = Similarity.annRerankTopK(e, numQueries = 4, m = 5, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val int8 = Similarity.annInt8TopK(e, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(narrow === int8)
+  }
+
   test("quantizeInt8: half-away-from-zero rounding, symmetric range, zero-vector convention") {
     val out = Similarity.quantizeInt8(emb(
       1L -> Seq(1f, -0.5f, 0.25f, 0f),
