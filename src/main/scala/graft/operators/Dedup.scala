@@ -351,7 +351,11 @@ object Dedup {
     * of 15 bits; Hamming <= 3 over 60 bits forces at least one piece
     * to match exactly, so candidates come from an equi-join on
     * (piece index, piece value) and only candidates get the exact
-    * popcount check. Integer arithmetic throughout — no fp drift. */
+    * popcount check. Integer arithmetic throughout — no fp drift.
+    * The Hamming filter runs BEFORE the pair distinct (r11): a pair
+    * colliding in several pieces is deterministic per piece, so
+    * filtering first is result-identical and the distinct's exchange
+    * carries only true near-dups instead of every band collision. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4x15 banding guarantees recall only to Hamming 3")
     val bitsN = 60
@@ -375,8 +379,8 @@ object Dedup {
         x("doc_a") < y("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
