@@ -231,19 +231,28 @@ object ScaleProbe {
     val nCorpus = emb.filter(pmod(col("vec_id"), lit(50)) =!= 0).count()
     val derived = operators.Similarity.bandingFor(tau)
     val bits5 = (operators.Similarity.bandsFor(tau, 0.95, 5), 5)
-    for ((bands, bits) <- Seq(derived, (6, 4), bits5).distinct) {
-      val t0 = System.nanoTime()
-      val cands = operators.Similarity
-        .lshDecontamCandidates(emb, benchIds, bands, bits, dim = 64)
-        .localCheckpoint()
-      val nCand = cands.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val flagged = cands.filter(col("cos") >= tau)
-        .select("vec_id").distinct().count()
-      val tag = if ((bands, bits) == derived) "derived" else "alt"
-      println(f"[scale-decontam-knobs] bands=$bands%-3d bits=$bits " +
-        f"($tag%-7s) cand=$nCand%-9d cand/row=${nCand.toDouble / nCorpus}%.2f " +
-        f"flagged=$flagged%-6d wall=${wall}%.2fs")
+    // rows carry LABELS instead of being silently de-duplicated: when
+    // bandingFor(tau) derives exactly a hand-picked alternative, the
+    // collapse is printed so the probe's row set is self-explaining
+    val knobs = Seq("derived" -> derived, "alt-6x4" -> ((6, 4)), "alt-bits5" -> bits5)
+    val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+    for ((tag, (bands, bits)) <- knobs) {
+      if (!seen.add((bands, bits))) {
+        println(s"[scale-decontam-knobs] $tag (bands=$bands bits=$bits) " +
+          "collapses into an earlier row — skipped")
+      } else {
+        val t0 = System.nanoTime()
+        val cands = operators.Similarity
+          .lshDecontamCandidates(emb, benchIds, bands, bits, dim = 64)
+          .localCheckpoint()
+        val nCand = cands.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val flagged = cands.filter(col("cos") >= tau)
+          .select("vec_id").distinct().count()
+        println(f"[scale-decontam-knobs] bands=$bands%-3d bits=$bits " +
+          f"($tag%-9s) cand=$nCand%-9d cand/row=${nCand.toDouble / nCorpus}%.2f " +
+          f"flagged=$flagged%-6d wall=${wall}%.2fs")
+      }
     }
   }
 

@@ -55,7 +55,14 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→LTZ cast preserves wall-clock values ONLY under a UTC
+        // session; a misconfigured entrypoint must fail loudly here, not
+        // silently shift every timestamp by the host offset
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventsTs: NTZ events.ts requires spark.sql.session.timeZone=UTC, got $tz")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts loaded as unsupported type $other — expected LONG (nanos), TIMESTAMP_NTZ, or TIMESTAMP")

@@ -37,7 +37,7 @@ class TablesSpec extends SparkSpec {
 
     // micros-NTZ generation (current testdata)
     val ntzFrame = longFrame.select(col("event_id"),
-      timestamp_micros(col("ts") / 1000 cast "long").cast(TimestampNTZType).as("ts"))
+      timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType).as("ts"))
     assert(ntzFrame.schema("ts").dataType === TimestampNTZType)
     val fromNtz = Tables.normalizeEventsTs(ntzFrame)
     assert(fromNtz.schema("ts").dataType === TimestampType)
@@ -45,7 +45,7 @@ class TablesSpec extends SparkSpec {
     // already-TIMESTAMP passes through, and all three agree on the
     // instant (session TZ is UTC, so NTZ wall-clock == LTZ instant)
     val ltzFrame = longFrame.select(col("event_id"),
-      timestamp_micros(col("ts") / 1000 cast "long").as("ts"))
+      timestamp_micros(expr("ts DIV 1000")).as("ts"))
     assert(Tables.normalizeEventsTs(ltzFrame) eq ltzFrame)
     val instants = Seq(fromLong, fromNtz, ltzFrame)
       .map(_.select(unix_timestamp(col("ts"))).head.getLong(0))
@@ -55,6 +55,14 @@ class TablesSpec extends SparkSpec {
     val strFrame = longFrame.select(col("event_id"), lit("2021-01-01").as("ts"))
     val e = intercept[IllegalStateException](Tables.normalizeEventsTs(strFrame))
     assert(e.getMessage.contains("events.ts"))
+
+    // the NTZ branch depends on a UTC session — a misconfigured
+    // entrypoint must fail loudly, not silently shift wall-clock values
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val tzErr = intercept[IllegalArgumentException](Tables.normalizeEventsTs(ntzFrame))
+      assert(tzErr.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("documents/embeddings loaders deliver full parallelism downstream") {
