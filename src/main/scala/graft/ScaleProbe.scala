@@ -403,6 +403,19 @@ object ScaleProbe {
       println(f"[scale-ann] factor=$f%-3d $name%-26s ${sec}%7.2fs " +
         f"cand_total=${total.toLong}%-8d cand_max/q=${maxQ.toLong}%-7d cand_avg/q=${avgQ}%.1f")
     }
+
+    // the composed IVF × int8 × rerank stack: output is |Q|·k by
+    // construction, so the audited statistic is end-to-end WALL —
+    // with C scaled linearly the per-query cell scan stays constant
+    // and the wall must stay ~flat while the corpus grows f-fold
+    for ((name, c) <- Seq("fixed(C=16)" -> 16, s"scaled(C=${16 * f})" -> 16 * f)) {
+      val t0 = System.nanoTime()
+      val nOut = operators.Similarity
+        .annIvfRerankTopK(emb, numQ, m = 12, k = 3, numCentroids = c, nProbe = 4)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-ann] factor=$f%-3d ann_ivf_rerank $name%-13s ${sec}%7.2fs rows=$nOut")
+    }
   }
 
   /** PPJoin candidate-volume audit: the same corpus and tau, candidates

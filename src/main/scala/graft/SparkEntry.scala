@@ -143,6 +143,7 @@ object SparkEntry {
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
     "ann_rerank_topk"        -> (Similarity.annRerankTopKQuery _),
+    "ann_ivf_rerank_topk"    -> (Similarity.annIvfRerankTopKQuery _),
     "embed_decontam"         -> (Similarity.embedDecontamQuery _),
     "embed_decontam_lsh"     -> (Similarity.embedDecontamLshQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)

@@ -425,6 +425,21 @@ object Similarity {
     * n to hold the per-query scan constant). */
   private[graft] def annIvfCandidates(emb: DataFrame, cents: DataFrame,
                                       numQueries: Int, nProbe: Int): DataFrame = {
+    val (assigned, probes) = ivfIndex(emb, cents, numQueries, nProbe)
+    broadcast(probes)
+      .join(assigned, col("probe") === col("cell") &&
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+  }
+
+  /** IVF index + probe frames shared by the fp32 and two-stage serving
+    * paths: `assigned` (vec_id, cell, e) — each corpus vector in its
+    * single nearest cell — and `probes` (query_id, eq, probe) — each
+    * query fanned to its top-nProbe cells. A (query, vector) candidate
+    * pair arises at most once downstream because a vector lives in
+    * exactly one cell. */
+  private def ivfIndex(emb: DataFrame, cents: DataFrame, numQueries: Int,
+                       nProbe: Int): (DataFrame, DataFrame) = {
     val v = vectors(emb)
 
     // nearest centroid per vector: max (rounded cosine, then smallest
@@ -444,11 +459,7 @@ object Similarity {
       .filter(col("prnk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("cid").as("probe"))
-
-    broadcast(probes)
-      .join(assigned, col("probe") === col("cell") &&
-        col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    (assigned, probes)
   }
 
   /** Offline spherical k-means (Lloyd) training for the IVF coarse
@@ -618,6 +629,66 @@ object Similarity {
       numQueries = 8, m = 20, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** The FULL production ANN serving stack — IVF cell shortlist ×
+    * int8 scoring × fp32 rerank composed into one plan (the r10
+    * pieces ran separately: annIvfTopK scanned probed cells at fp32,
+    * annRerankTopK int8-scanned the WHOLE corpus). Three stages:
+    *
+    *   1. coarse: each query probes its nProbe nearest IVF cells, so
+    *      only ≈ nProbe·n/C corpus rows are touched at all;
+    *   2. shortlist: those rows are scored by QUANTIZED cosine (the
+    *      4x-smaller column a 100 TB index actually stores per cell)
+    *      and cut to the top m per query;
+    *   3. rerank: exact fp32 cosine on |Q|·m rows restores the true
+    *      ordering before the final top-k.
+    *
+    * Misses compose exactly like the parts: a true neighbor is lost
+    * only if it lives outside every probed cell (IVF recall, measured
+    * by SimilaritySpec's recall property) or quantization noise pushes
+    * it below rank m inside them (m >> k makes this rare; AnnRerankSpec
+    * pins the bound). With nProbe = C and m = corpus size the result
+    * EQUALS the exact brute-force baseline — the boundary contract
+    * AnnIvfRerankSpec pins.
+    *
+    * Scale shape: cell assignment and quantization are one map-side
+    * pass each, computed ONCE per corpus vector (inside `assigned`,
+    * not per candidate pair); both join stages broadcast only bounded
+    * frames (probes, then the |Q|·m shortlist); no shuffle ever
+    * carries full-width fp32 vectors except the final |Q|·m rerank. */
+  def annIvfRerankTopK(emb: DataFrame, numQueries: Int, m: Int, k: Int,
+                       numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    val (assigned, probes) = ivfIndex(
+      emb, defaultCentroids(emb, numCentroids), numQueries, nProbe)
+    val a8 = assigned.withColumn("qe", graft.functions.Int8Quantize(col("e")))
+    val p8 = probes.select(col("query_id"),
+      graft.functions.Int8Quantize(col("eq")).as("qq"), col("probe"))
+    val wm = W.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val shortlist = broadcast(p8)
+      .join(a8, col("probe") === col("cell") &&
+        col("query_id") =!= col("vec_id"))
+      .withColumn("qcos", round(CosineSimilarity(col("qq"), col("qe")), 6))
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wm).as("prnk"))
+      .filter(col("prnk") <= m)
+      .select("query_id", "vec_id")
+    val v = vectors(emb)
+    val qf = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = v
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    topK(cand, k)
+  }
+
+  def annIvfRerankTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfRerankTopK(Tables.embeddings(spark, dir),
+      numQueries = 8, m = 12, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+
   def annInt8TopKQuery(spark: SparkSession, dir: String): DataFrame =
     annInt8TopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
@@ -713,6 +784,67 @@ object Similarity {
        |                              ORDER BY cos DESC, neighbor_id) AS rnk
        | FROM scored) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** Full oracle for the composed IVF × int8 × fp32-rerank path: the
+    * IVF assignment/probing fragments are [[annIvfOracle]]'s, the
+    * quantization is embed_quantize_int8's explicit sign·floor form,
+    * and the int8 shortlist scoring is exact integer arithmetic (|q| <=
+    * 127 ⇒ 64-dim dots <= ~1.03e6, exactly representable in double in
+    * any order) — so the WHOLE three-stage pipeline replicates in SQL
+    * bit-for-bit, not just row counts. */
+  private def annIvfRerankOracle(numQueries: Int, k: Int, numCentroids: Int,
+                                 nProbe: Int, m: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qv AS (
+       | SELECT vec_id, list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+       |   ELSE CAST(sign(x) * floor(abs(x) * 127.0 / maxabs + 0.5)
+       |             AS INTEGER) END) AS q
+       | FROM (SELECT vec_id, e,
+       |        list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v)),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |q8 AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+       |   / (sqrt(list_sum(list_transform(a.q, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(b.q, x -> x*x)))), 6) AS qcos
+       | FROM cand c JOIN qv a ON c.query_id = a.vec_id
+       |  JOIN qv b ON c.neighbor_id = b.vec_id),
+       |short AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY qcos DESC, neighbor_id) AS rn
+       |  FROM q8) WHERE rn <= $m),
+       |scored AS (
+       | SELECT s.query_id, s.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
+       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       | FROM short s JOIN v q ON s.query_id = q.vec_id
+       |  JOIN v x ON s.neighbor_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM scored) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** Full oracle for the banded decontam path: planes as SQL literals,
     * band/bucket assignment, DISTINCT collision pairs, exact verify —
     * the same pipeline the Spark plan runs, so the banding itself is
@@ -779,6 +911,8 @@ object Similarity {
     "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
     "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4),
+    "ann_ivf_rerank_topk" -> annIvfRerankOracle(numQueries = 8, k = 3,
+      numCentroids = 16, nProbe = 4, m = 12),
     "embed_decontam" -> (vectorCte +
       """, b AS (SELECT vec_id AS bench_id, e AS eb, nrm AS nrmb
         |        FROM v WHERE vec_id % 50 = 0),

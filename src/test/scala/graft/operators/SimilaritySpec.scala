@@ -203,6 +203,43 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow === int8)
   }
 
+  test("annIvfRerankTopK boundary contracts: degrades exactly to each of its three parts") {
+    import scala.util.Random
+    val rnd = new Random(1107)
+    val n = 150
+    val e = emb((0 until n).map(i =>
+      (i.toLong, Seq.fill(12)((rnd.nextDouble() * 2 - 1).toFloat))): _*)
+    val numQ = 5
+    val k = 4
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select("query_id", "neighbor_id", "cos", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+
+    // probe every cell + full shortlist → nothing is approximated
+    // anywhere: EQUALS the exact brute-force baseline bit for bit
+    val full = Similarity.annIvfRerankTopK(e, numQ, m = n, k = k,
+      numCentroids = 8, nProbe = 8)
+    assert(rows(full) === rows(Similarity.annCosineTopK(e, numQ, k)))
+
+    // partial probing + full shortlist → the int8 stage passes every
+    // IVF candidate through to the fp32 rerank: EQUALS annIvfTopK at
+    // the same nProbe (the quantized ordering becomes irrelevant)
+    val probed = Similarity.annIvfRerankTopK(e, numQ, m = n, k = k,
+      numCentroids = 8, nProbe = 2)
+    assert(rows(probed) === rows(Similarity.annIvfTopK(e, numQ, k,
+      numCentroids = 8, nProbe = 2)))
+
+    // full probing + m = k → the NEIGHBOR SET is the int8 stage's
+    // verbatim (rerank reorders inside it but admits nothing new)
+    val narrow = Similarity.annIvfRerankTopK(e, numQ, m = k, k = k,
+      numCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val int8 = Similarity.annInt8TopK(e, numQ, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(narrow === int8)
+  }
+
   test("quantizeInt8: half-away-from-zero rounding, symmetric range, zero-vector convention") {
     val out = Similarity.quantizeInt8(emb(
       1L -> Seq(1f, -0.5f, 0.25f, 0f),
