@@ -122,6 +122,10 @@ object ScaleProbe {
       // copies are token-prefixed → rolling windows are copy-disjoint,
       // so dup spans stay within-copy and output must scale linearly
       "dup_spans"           -> (operators.Dedup.dupSpansQuery _),
+      // r11: pair volume rides the dup-hash self-join (sum df² over
+      // duplicated windows) — copy-disjoint windows keep matched runs
+      // within-copy, so spans AND pair volume must both scale linearly
+      "dup_spans_exact"     -> (operators.Dedup.dupSpansExactQuery _),
       "dup_spans_redact"    -> (operators.Dedup.dupSpansRedactQuery _),
       "dup_by_source"       -> (operators.Dedup.dupBySourceQuery _),
       "blocklist_redact"    -> (operators.TextAnalysis.blocklistRedactQuery _),

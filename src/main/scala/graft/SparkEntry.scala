@@ -134,6 +134,7 @@ object SparkEntry {
     "dup_spans"              -> (Dedup.dupSpansQuery _),
     "dup_spans_redact"       -> (Dedup.dupSpansRedactQuery _),
     "dup_by_source"          -> (Dedup.dupBySourceQuery _),
+    "dup_spans_exact"        -> (Dedup.dupSpansExactQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),

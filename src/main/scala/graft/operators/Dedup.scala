@@ -1100,6 +1100,68 @@ object Dedup {
     dupBySource(Tables.documents(spark, dir), w = 8, minDf = 2)
       .orderBy(col("source"))
 
+  /** EXACT maximal repeated substrings — [[dupSpans]] refined from
+    * window-union granularity to true match boundaries (the full
+    * Lee et al. 2022 substring-dedup semantic, without a suffix
+    * array). The difference: dupSpans marks the union of duplicated
+    * w-windows, so a span may be a CHIMERA — first half shared with
+    * doc X, second half with doc Y, the whole never occurring
+    * anywhere else. This operator emits every interval [s, e] whose
+    * ENTIRE token run occurs verbatim in another document, maximal
+    * under containment.
+    *
+    * Construction (one self-join + two windows, no suffix array):
+    * duplicated w-windows self-join on hash across doc pairs; matches
+    * between a doc pair at the same alignment share a DIAGONAL
+    * (pb - pa), and w >= 2 makes per-diagonal match positions
+    * contiguous within a matched run (windows at pa and pa+g, g < w,
+    * overlap — both matching forces every window between), so
+    * gaps-and-islands over consecutive pa yields each pair's maximal
+    * matched runs exactly. Per doc, the maximal elements of all runs
+    * under containment (sort by s asc / e desc, drop rows whose
+    * running max(e) already covers them) are the answer.
+    *
+    * Scale shape: the self-join is on DUPLICATED hashes only, so pair
+    * volume is sum(df²) over the dup-hash index — w-token windows are
+    * near-unique outside true boilerplate, and corpora where heavy
+    * boilerplate dominates should run [[dupSpansRedact]] first (or
+    * raise w). Both windows partition by (doc pair, diagonal) and by
+    * doc — never by a corpus-scale key. Defined for the pairwise
+    * df >= 2 semantic (a higher minDf would need the full substring
+    * in minDf docs, which per-pair runs cannot certify). */
+  def dupSpansExact(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 (diagonal runs need overlap), got $w")
+    val wins = windowHashes(docs, w)
+    val dup = wins.join(dupHashIndexFrom(wins, minDf = 2), "h")
+    val a = dup.select(col("h"), col("doc_id").as("doc_a"), col("p").as("pa"))
+    val b = dup.select(col("h").as("hb"), col("doc_id").as("doc_b"),
+      col("p").as("pb"))
+    val byDiag = W.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = a.join(b, col("h") === col("hb") && col("doc_a") =!= col("doc_b"))
+      .withColumn("diag", col("pb") - col("pa"))
+      .withColumn("brk",
+        when(col("pa") - lag(col("pa"), 1).over(byDiag) === 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("g"))
+      .agg(min(col("pa")).as("s"), (max(col("pa")) + w - 1).as("e"))
+    val spans = runs.select(col("doc_a").as("doc_id"), col("s"), col("e"))
+      .distinct()
+    val byS = W.partitionBy(col("doc_id"))
+      .orderBy(col("s").asc, col("e").desc)
+    spans
+      .withColumn("emax",
+        max(col("e")).over(byS.rowsBetween(W.unboundedPreceding, -1)))
+      .filter(col("emax").isNull || col("emax") < col("e"))
+      .select(col("doc_id"), col("s"), col("e"),
+        (col("e") - col("s") + 1).as("len"))
+  }
+
+  def dupSpansExactQuery(spark: SparkSession, dir: String): DataFrame =
+    dupSpansExact(Tables.documents(spark, dir), w = 8)
+      .orderBy(col("doc_id"), col("s"), col("e"))
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -1410,5 +1472,32 @@ object Dedup {
         | LEFT JOIN per ON d.doc_id = per.doc_id
         |GROUP BY d.source
         |ORDER BY d.source""".stripMargin,
+    // brute-force ground truth for the exact span family: ENUMERATE
+    // every interval of length >= w, group the literal substrings,
+    // keep df >= 2, reduce to containment-maximal intervals — an
+    // INDEPENDENT algorithm from the engine's diagonal-run
+    // construction (the oracle may be O(n·len²); the engine is not)
+    "dup_spans_exact" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text,' ') AS w,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        | FROM documents),
+        |iv AS (
+        | SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e,
+        |  array_to_string(list_slice(w, s, e), ' ') AS sub
+        | FROM toks,
+        |  UNNEST(range(1, n - 8 + 2)) ts(s),
+        |  UNNEST(range(s + 8 - 1, n + 1)) te(e)),
+        |dupsub AS (
+        | SELECT sub FROM (
+        |  SELECT sub, count(DISTINCT doc_id) AS df FROM iv GROUP BY sub)
+        | WHERE df >= 2),
+        |rep AS (SELECT DISTINCT doc_id, s, e FROM iv JOIN dupsub USING (sub)),
+        |maxi AS (
+        | SELECT r.doc_id, r.s, r.e FROM rep r WHERE NOT EXISTS (
+        |  SELECT 1 FROM rep q WHERE q.doc_id = r.doc_id AND q.s <= r.s
+        |   AND q.e >= r.e AND (q.s < r.s OR q.e > r.e)))
+        |SELECT doc_id, s, e, e - s + 1 AS len FROM maxi
+        |ORDER BY doc_id, s, e""".stripMargin,
   )
 }

@@ -240,6 +240,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dupSpansExact matches brute-force maximal repeated substrings; spans stay inside dupSpans coverage") {
+    val rnd = new Random(1142)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val w = 3
+    for (_ <- 1 to 4) {
+      val passage = List.fill(5)(vocab(rnd.nextInt(vocab.size)))
+      val texts = List.fill(5)(List.fill(12)(vocab(rnd.nextInt(vocab.size))))
+        .zipWithIndex.map { case (toks, i) =>
+          if (i < 2) {
+            val at = rnd.nextInt(toks.size)
+            toks.take(at) ++ passage ++ toks.drop(at)
+          } else toks
+        }
+      val docs = texts.map(_.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+      // reference: ENUMERATE every interval of length >= w, df over
+      // distinct docs of the literal substring, keep df >= 2, reduce
+      // to containment-maximal — same ground truth as the DuckDB
+      // oracle, but driver-side and independent of both engines
+      val subs = texts.zipWithIndex.flatMap { case (toks, d) =>
+        for {
+          s <- 0 until toks.size
+          e <- (s + w - 1) until toks.size
+        } yield (d.toLong, s + 1L, e + 1L, toks.slice(s, e + 1).mkString(" "))
+      }
+      val df = subs.groupBy(_._4).map { case (k, v) => k -> v.map(_._1).distinct.size }
+      val rep = subs.collect { case (d, s, e, t) if df(t) >= 2 => (d, s, e) }
+      val expected = rep.filter { case (d, s, e) =>
+        !rep.exists { case (d2, s2, e2) =>
+          d2 == d && s2 <= s && e2 >= e && (s2 < s || e2 > e) }
+      }.map { case (d, s, e) => (d, s, e, e - s + 1) }.toSet
+
+      val got = Dedup.dupSpansExact(docs, w = w)
+        .select("doc_id", "s", "e", "len")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected)
+
+      // containment: every exact span lies inside dupSpans' window-
+      // union coverage of the same doc (the exact family can only
+      // TIGHTEN the audit, never claim new positions)
+      val coverage = Dedup.dupSpans(docs, w = w, minDf = 2)
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      val exactTokens = got.groupBy(_._1).view.mapValues(spans =>
+        spans.flatMap(sp => sp._2 to sp._3).size.toLong).toMap
+      exactTokens.foreach { case (d, n) =>
+        assert(n <= coverage.getOrElse(d, 0L),
+          s"doc $d: exact covers $n tokens > dupSpans ${coverage.getOrElse(d, 0L)}")
+      }
+    }
+  }
+
   test("property: saltedJoin is result-equivalent to the plain join") {
     val rnd = new Random(423)
     for (_ <- 1 to 4) {

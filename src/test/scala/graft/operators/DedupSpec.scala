@@ -294,6 +294,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 2L, 2L, 4L)))
   }
 
+  test("dupSpansExact: splits the chimera span dupSpans merges; boundaries are true match bounds") {
+    // doc 1 = X ++ Y adjacent, where X is shared with doc 2 and Y with
+    // doc 3 — but the concatenation X++Y occurs nowhere else. dupSpans'
+    // window union merges the two into ONE span [1,8] (the bridging
+    // windows keep the islands within w of each other); the exact
+    // operator must report the two true matched runs separately.
+    val d = docs(
+      1L -> "x1 x2 x3 x4 y1 y2 y3 y4",
+      2L -> "a x1 x2 x3 x4 b c d",
+      3L -> "y1 y2 y3 y4 q r s t")
+    val merged = Dedup.dupSpans(d, w = 3, minDf = 2)
+      .select("doc_id", "n_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(merged(1L) === ((1L, 1L, 8L)), "precondition: dupSpans merges the chimera")
+
+    val exact = Dedup.dupSpansExact(d, w = 3)
+      .select("doc_id", "s", "e", "len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(exact === Set(
+      (1L, 1L, 4L, 4L), (1L, 5L, 8L, 4L),  // the chimera split in two
+      (2L, 2L, 5L, 4L),                    // X at its true offsets
+      (3L, 1L, 4L, 4L)))                   // Y at its true offsets
+  }
+
   test("dupSpansRedact: covered tokens vanish everywhere; clean and fully-covered docs handled") {
     val d = docs(
       1L -> "a b p q r s t c d",  // span [3,7] → keep "a b c d"
