@@ -153,6 +153,7 @@ object SparkEntry {
     "multimodal_framesample" -> (Multimodal.multimodalFrameSampleQuery _),
     "multimodal_patchgrid"   -> (Multimodal.multimodalPatchGridQuery _),
     "multimodal_audiochunks" -> (Multimodal.multimodalAudioChunkQuery _),
+    "multimodal_decode_png"  -> (Multimodal.multimodalDecodePngQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

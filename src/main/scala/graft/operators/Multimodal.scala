@@ -11,11 +11,14 @@ import graft.functions.TextFunctions._
   * stage with the batch shape a real decoder (image/audio codec,
   * vision-tower featurizer) would need.
   *
-  * The decode itself is a DETERMINISTIC STUB — the container has no
-  * image/audio libraries — but everything Spark-side is real: schema,
-  * encoders, partition-local batching, and the typed mapPartitions
-  * boundary where a JNI/ONNX call would sit. Swap `decodeStub` for a
-  * real codec and nothing else changes.
+  * Two decode tiers. The IMAGE path is REAL as of r11: payloads are
+  * actual PNG bytes (javax.imageio lives in the JDK — no external
+  * codec jar needed) and [[decodeImages]] reads format, dimensions
+  * and pixels back from the bytes alone. The audio/video paths keep
+  * a DETERMINISTIC STUB (no codec in the container), but everything
+  * Spark-side is real: schema, encoders, partition-local batching,
+  * and the typed mapPartitions boundary where a JNI/ONNX call would
+  * sit. Swap `decodeStub` for a real codec and nothing else changes.
   */
 object Multimodal {
 
@@ -72,6 +75,103 @@ object Multimodal {
     extractFeatures(assets).toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         col("n_bytes"), col("checksum"), round(col("feat0"), 6).as("feat0"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A real-bytes image asset: `payload` is an actual encoded PNG. */
+  case class PngAsset(doc_id: Long, width: Int, height: Int,
+                      payload: Array[Byte])
+
+  /** Decoded-image facts, every field read back from the BYTES (the
+    * generation metadata is never consulted): container format from
+    * the ImageIO reader, dimensions and the exact gray-pixel sum from
+    * the decoded raster, mean luminance in integer basis points of
+    * full-scale ((sum*10000) DIV (w*h*255)). */
+  case class DecodedImage(doc_id: Long, format: String, width: Int,
+                          height: Int, px_sum: Long, mean_bp: Long)
+
+  /** Deterministic gray fill for pixel (x, y) of document d — the
+    * rule the DuckDB oracle reproduces arithmetically, which is what
+    * makes a REAL codec round-trip oracle-checkable: PNG is lossless,
+    * so decode must recover exactly these values. */
+  private def grayAt(d: Long, x: Int, y: Int): Int =
+    ((x * 31L + y * 17L + d * 7L) % 256L).toInt
+
+  /** Generate real PNG payloads: a TYPE_BYTE_GRAY image of
+    * md5-derived dimensions filled by [[grayAt]], encoded through
+    * javax.imageio. Encoder init is per partition (the reason the
+    * decode boundary is mapPartitions, not a per-row UDF). */
+  def withPngPayloads(docs: DataFrame): Dataset[PngAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        (hash60(col("text")) % 32 + 16).cast("int").as("width"),
+        (hash60(concat(col("text"), lit("#h"))) % 32 + 16).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (d, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, grayAt(d, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngAsset(d, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL image decode at the same partition-batched boundary as
+    * [[extractFeatures]]: javax.imageio sniffs the container from the
+    * byte stream, and dimensions + pixel sum come from the decoded
+    * raster — nothing is copied from generation metadata. An
+    * undecodable payload degrades to a ("error", -1, ...) row instead
+    * of failing the partition (a 100 TB crawl always contains corrupt
+    * files; one bad payload must not kill the stage). */
+  def decodeImages(assets: Dataset[PngAsset],
+                   batchSize: Int = 64): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (iis == null || !readers.hasNext)
+            DecodedImage(a.doc_id, "error", -1, -1, -1L, -1L)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val img = r.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              DecodedImage(a.doc_id, r.getFormatName.toLowerCase, w, h,
+                sum, sum * 10000L / (w.toLong * h * 255L))
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                DecodedImage(a.doc_id, "error", -1, -1, -1L, -1L)
+            } finally r.dispose()
+          }
+        }
+      }
+    }
+  }
+
+  def multimodalDecodePngQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeImages(withPngPayloads(Tables.documents(spark, dir))).toDF()
       .orderBy(col("doc_id"))
   }
 
@@ -184,6 +284,25 @@ object Multimodal {
         |   (a, b) -> (a * 131 + b) % 1000000007) AS checksum
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the REAL-decode path: the oracle never sees the PNG bytes — it
+    // recomputes what a lossless round-trip of the deterministic gray
+    // fill MUST decode to (dimensions from the md5 rule, pixel sum by
+    // direct summation), so it checks that the engine's ImageIO
+    // encode→decode actually recovered every pixel
+    "multimodal_decode_png" ->
+      """WITH dims AS (
+        | SELECT doc_id,
+        |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS width,
+        |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS height
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, width, height,
+        |  CAST(sum((xx.x*31 + yy.y*17 + doc_id*7) % 256) AS BIGINT) AS px_sum
+        | FROM dims, UNNEST(range(0, width)) xx(x), UNNEST(range(0, height)) yy(y)
+        | GROUP BY doc_id, width, height)
+        |SELECT doc_id, 'png' AS format, width, height, px_sum,
+        | (px_sum * 10000) // (width * height * 255) AS mean_bp
+        |FROM px ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, width, height,
         | CAST(greatest(1, floor((width*224) / greatest(width, height))) AS INTEGER) AS out_w,
