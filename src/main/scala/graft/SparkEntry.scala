@@ -119,6 +119,9 @@ object SparkEntry {
     "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
+    "bm25_topk"              -> (Retrieval.bm25TopKQuery _),
+    "lm_surprisal"           -> (QualityModels.lmSurprisalQuery _),
+    "quality_floor_per_source" -> (QualityModels.qualityFloorPerSourceQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
     "dedup_containment"      -> (Dedup.containmentQuery _),
@@ -142,6 +145,7 @@ object SparkEntry {
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
+    "embed_project_srp"      -> (Similarity.embedProjectSrpQuery _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
     "ann_rerank_topk"        -> (Similarity.annRerankTopKQuery _),
     "ann_ivf_rerank_topk"    -> (Similarity.annIvfRerankTopKQuery _),
@@ -166,5 +170,6 @@ object SparkEntry {
       Similarity.oracles ++ Multimodal.oracles ++ AsofJoin.oracles ++
       CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
       FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
-      Timeseries.oracles ++ ProductAnalytics.oracles
+      Timeseries.oracles ++ ProductAnalytics.oracles ++
+      Retrieval.oracles ++ QualityModels.oracles
 }

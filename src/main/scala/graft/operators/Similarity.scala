@@ -693,6 +693,60 @@ object Similarity {
     annInt8TopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- projection
+
+  /** Deterministic ±1 sign matrix for signed random projection, from
+    * the same md5 stream as planeMatrix so both engines can replicate
+    * it as literals. */
+  private[operators] def srpSigns(outDim: Int, inDim: Int): Seq[Seq[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def s(tag: String): Int =
+      if ((digest.digest(tag.getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    Seq.tabulate(outDim, inDim)((j, i) => s(s"srp#$j#$i"))
+  }
+
+  /** Signed-random-projection dimensionality reduction (Achlioptas
+    * 2003's database-friendly JL variant): int8-quantize each vector,
+    * then project through a fixed ±1 matrix to `outDim` integer
+    * components. For sign rows s_j, E[(s_j·a)(s_j·b)] = a·b, so
+    * projected dot products are unbiased inner-product estimators and
+    * projected cosine approximates true cosine with stderr ~ 1/√outDim
+    * — the compression layer that feeds clustering / LSH / ANN probes
+    * when even the int8 corpus is too wide to scan (64 dims × 4 B
+    * fp32 = 256 B/vec down to 16 × ~2 B ≈ 32 B/vec, 8x less I/O).
+    *
+    * Exactness contract: quantized components are |q| ≤ 127 ints, so
+    * every projected component is an exact BIGINT sum (|p_j| ≤ 64·127)
+    * and norm2 an exact sum of their squares — no float summation
+    * order anywhere; the oracle replicates quantization + projection
+    * bit-for-bit.
+    *
+    * Scale shape: entirely MAP-ONLY — the sign matrix is a literal in
+    * the plan, quantization and both folds are in-row array ops; the
+    * operator adds ZERO shuffles to a corpus scan at any size. */
+  def embedProjectSrp(emb: DataFrame, outDim: Int = 16,
+                      inDim: Int = 64): DataFrame = {
+    val signsLit = array(srpSigns(outDim, inDim).map(row =>
+      array(row.map(lit(_)): _*)): _*)
+    vectors(emb)
+      .select(col("vec_id"), graft.functions.Int8Quantize(col("e")).as("q"))
+      // zip_with null-pads on length mismatch, which would silently
+      // null the fold — reject wrong-width vectors loudly instead
+      .withColumn("q", when(size(col("q")) === inDim, col("q"))
+        .otherwise(raise_error(concat(lit(s"embedProjectSrp: expected $inDim-dim vector, got "),
+          size(col("q")).cast("string")))))
+      .select(col("vec_id"),
+        transform(signsLit, r =>
+          aggregate(zip_with(r, col("q"), (s, x) => (s * x).cast("long")),
+            lit(0L), (acc, x) => acc + x)).as("p"))
+      .select(col("vec_id"),
+        concat_ws(",", col("p")).as("proj_csv"),
+        aggregate(col("p"), lit(0L), (acc, x) => acc + x * x).as("norm2"))
+  }
+
+  def embedProjectSrpQuery(spark: SparkSession, dir: String): DataFrame =
+    embedProjectSrp(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- oracles
 
   private val vectorCte =
@@ -891,7 +945,37 @@ object Similarity {
     * oracle and the Spark plan can never drift from the recall SLA. */
   private val decontamLshBanding: (Int, Int) = bandingFor(tau = 0.40)
 
+  /** Full oracle for the SRP projection: the sign matrix is
+    * deterministic driver-side data embedded as SQL literals, and the
+    * quantize → project → fold pipeline is replicated end to end in
+    * exact integer arithmetic. */
+  private def embedProjectSrpOracle(outDim: Int): String = {
+    val signRows = srpSigns(outDim, 64).zipWithIndex.map { case (row, j) =>
+      s"($j, [${row.mkString(", ")}])"
+    }.mkString(",\n   ")
+    s"""WITH signs(j, s) AS (VALUES
+       |   $signRows),
+       |q AS (
+       | SELECT vec_id,
+       |  list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+       |    ELSE CAST(sign(x) * floor(abs(x) * 127.0 / maxabs + 0.5)
+       |              AS INTEGER) END) AS q
+       | FROM (
+       |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))),
+       |proj AS (
+       | SELECT q.vec_id, s.j,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> s.s[i] * q.q[i]))
+       |       AS BIGINT) AS p
+       | FROM q CROSS JOIN signs s)
+       |SELECT vec_id,
+       | string_agg(CAST(p AS VARCHAR), ',' ORDER BY j) AS proj_csv,
+       | CAST(sum(p * p) AS BIGINT) AS norm2
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_project_srp" -> embedProjectSrpOracle(outDim = 16),
     "embed_decontam_lsh" -> embedDecontamLshOracle(tau = 0.40,
       numBands = decontamLshBanding._1,
       planesPerBand = decontamLshBanding._2),

@@ -18,6 +18,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // stage-1 shortlist pass: same bounded query-side broadcast as
     // ann_int8_topk; stage 2 is equi-joins only
     "ann_rerank_topk",
+    // cell-assignment pass crosses each vector with the model-sized
+    // centroid table (same bounded shape as ann_ivf_topk); the
+    // shortlist and rerank stages are keyed equi-joins
+    "ann_ivf_rerank_topk",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max
@@ -30,7 +34,12 @@ class PlanPropertiesSpec extends SparkSpec {
     "source_stats", "q22_global_sales", "q11_important_parts",
     "q15_top_supplier",
     // 1-row (min_day, max_day) bounds frame crossed into the user grid
-    "gap_fill_daily")
+    "gap_fill_daily",
+    // 1-row (N, sumdl) corpus-stats frame crossed into the scorer
+    "bm25_topk",
+    // 1-row vocab-map frame (the broadcast unigram model) crossed into
+    // the map-only doc scan
+    "lm_surprisal")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

@@ -375,4 +375,59 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].collect().head
     assert(maxHits <= nBench)
   }
+
+  test("embedProjectSrp: exact integer contract (width, norm2, zero vector)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val rows = Similarity.embedProjectSrp(e)
+      .as[(Long, String, Long)].collect()
+    assert(rows.length === 50)
+    rows.foreach { case (id, csv, norm2) =>
+      val p = csv.split(",").map(_.toLong)
+      assert(p.length === 16, s"vec $id projected to ${p.length} dims")
+      assert(p.forall(x => math.abs(x) <= 64L * 127L))
+      assert(norm2 === p.map(x => x * x).sum, s"vec $id norm2 mismatch")
+    }
+    // all-zero vector quantizes to zeros and projects to zeros
+    val z = Seq((99L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.embedProjectSrp(z).as[(Long, String, Long)].collect()
+    assert(zr.head._2.split(",").forall(_ == "0") && zr.head._3 === 0L)
+  }
+
+  test("embedProjectSrp rejects wrong-width vectors loudly") {
+    val bad = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.embedProjectSrp(bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("embedProjectSrp approximately preserves cosine (JL property)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    // true pairwise cosine
+    val v = Similarity.vectors(e)
+    val tru = v.toDF("a", "ea").join(v.toDF("b", "eb"), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        CosineSimilarity(col("ea"), col("eb")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // projected-space cosine estimate
+    val proj = Similarity.embedProjectSrp(e)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, csv, n2) => id -> ((csv.split(",").map(_.toLong), n2)) }
+      .toMap
+    val errs = tru.toSeq.map { case ((a, b), c) =>
+      val (pa, na) = proj(a); val (pb, nb) = proj(b)
+      val est = pa.zip(pb).map { case (x, y) => x * y }.sum.toDouble /
+        math.sqrt(na.toDouble * nb.toDouble)
+      math.abs(est - c)
+    }
+    val meanErr = errs.sum / errs.length
+    assert(meanErr < 0.25,
+      f"mean |cos_est - cos| = $meanErr%.3f too high for outDim=16")
+  }
 }
