@@ -120,6 +120,7 @@ object SparkEntry {
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     "bm25_topk"              -> (Retrieval.bm25TopKQuery _),
+    "hybrid_rrf_topk"        -> (Retrieval.hybridRrfTopKQuery _),
     "lm_surprisal"           -> (QualityModels.lmSurprisalQuery _),
     "quality_floor_per_source" -> (QualityModels.qualityFloorPerSourceQuery _),
     // LLM-data-pipeline: near-dup detection
@@ -141,6 +142,7 @@ object SparkEntry {
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),
+    "semdedup"               -> (Similarity.semDedupQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),

@@ -105,6 +105,76 @@ object Similarity {
     embedClusters(Tables.embeddings(spark, dir), tau = 0.40)
       .orderBy(col("vec_id"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * with CLUSTER-BOUNDED pairwise comparison — the trick that makes
+    * embedding dedup tractable when the exact tiled join (embedClusters
+    * above) is still too much compute. Vectors are coarse-clustered by
+    * nearest centroid; near-dup pairs are only sought WITHIN a cell, so
+    * pairwise work drops from O(n²) to O(Σ cᵢ²) — at 100 TB with C
+    * cells of ~n/C vectors that is a C-fold compute cut, bought with
+    * the (measured, bounded) recall loss of cross-cell dup pairs.
+    *
+    * Within each cell: cosine-threshold pairs at `tau` chain into
+    * groups via the same connected-components operator the text path
+    * uses, and each group keeps the member FARTHEST from its cell
+    * centroid (lowest centroid cosine; doc_id breaks ties) — the
+    * paper's keep-rule, which retains the cluster's most peripheral
+    * (least redundant) example rather than an arbitrary one.
+    *
+    * Serving contract mirrors annIvfTopK: centroids here are the
+    * deterministic `vec_id < numCentroids` set so the WHOLE path —
+    * assignment, intra-cell pairs, components, keep-rule — replicates
+    * in the SQL oracle; production plugs trainIvfCentroids output into
+    * the same plan unchanged.
+    *
+    * Scale shape: assignment is corpus × broadcast(C centroids) with a
+    * map-side-combined max_by (one scan, no shuffle of the C-fold
+    * amplification); the intra-cell self-join shuffles on `cell` once;
+    * components shuffle frontier-sized rounds; the keep-rule is one
+    * component-keyed aggregate join-back. No window ever sees more
+    * than a cell. */
+  def semDedup(emb: DataFrame, numCentroids: Int, tau: Double): DataFrame = {
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    val v = vectors(emb)
+    val cents = v.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("ccos")),
+          struct(col("ccos"), (lit(0L) - col("cid")).as("nc"))).as("best"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("best.cid").as("cell"),
+        col("best.ccos").as("cos_centroid"), col("e"))
+
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("e").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("e").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(CosineSimilarity(col("ea"), col("eb")), 6) >= tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+
+    val comp = Dedup.connectedComponents(
+        assigned.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("rep_id"), col("cluster_size"))
+    val withCos = comp.join(
+      assigned.select(col("vec_id"), col("cell"), col("cos_centroid")),
+      "vec_id")
+    val keepers = withCos.groupBy("rep_id")
+      .agg(min_by(col("vec_id"), struct(col("cos_centroid"), col("vec_id")))
+        .as("keeper"))
+    withCos.join(keepers, "rep_id")
+      .select(col("vec_id"), col("cell"), col("cos_centroid"), col("rep_id"),
+        col("cluster_size"), (col("vec_id") === col("keeper")).as("keep"))
+  }
+
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(spark, dir), numCentroids = 16, tau = 0.40)
+      .orderBy(col("vec_id"))
+
   /** Shared top-k tail of every ANN variant: rank candidates per query
     * by (rounded cosine desc, id) — ties break identically in the
     * DuckDB oracles — and keep rnk <= k.
@@ -1037,6 +1107,51 @@ object Similarity {
         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
         |  c.vec_id = c.rep_id AS is_canonical
         |FROM comp c JOIN sz USING (rep_id)
+        |ORDER BY vec_id""".stripMargin),
+    // the whole SemDeDup path — assignment (ties: rounded ccos desc,
+    // cid asc), intra-cell pairs, components, farthest-from-centroid
+    // keep-rule — replicated; reach starts from every vector so
+    // singletons carry cluster_size 1
+    "semdedup" -> ("WITH RECURSIVE " + vectorCte.stripPrefix("WITH ") +
+      """,cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+        |           FROM v WHERE vec_id < 16),
+        |ac AS (
+        | SELECT v.vec_id, c.cid,
+        |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+        |    / (v.nrm * c.cnrm), 6) AS ccos
+        | FROM v CROSS JOIN cents c),
+        |assigned AS (
+        | SELECT vec_id, cid AS cell, ccos AS cos_centroid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY ccos DESC, cid) AS rn
+        |  FROM ac) WHERE rn = 1),
+        |pairs AS (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        | FROM assigned a JOIN assigned b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | JOIN v va ON va.vec_id = a.vec_id
+        | JOIN v vb ON vb.vec_id = b.vec_id
+        | WHERE round(list_sum(list_transform(range(1, len(va.e)+1),
+        |         i -> va.e[i]*vb.e[i])) / (va.nrm * vb.nrm), 6) >= 0.40),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(x, l) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.x),
+        |comp AS (SELECT x AS vec_id, min(l) AS rep_id FROM reach GROUP BY x),
+        |sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM comp GROUP BY 1),
+        |keepers AS (
+        | SELECT rep_id, vec_id AS keeper FROM (
+        |  SELECT c.rep_id, c.vec_id,
+        |   row_number() OVER (PARTITION BY c.rep_id
+        |                      ORDER BY a.cos_centroid ASC, c.vec_id) AS rn
+        |  FROM comp c JOIN assigned a USING (vec_id)) WHERE rn = 1)
+        |SELECT a.vec_id, a.cell, a.cos_centroid, c.rep_id, sz.cluster_size,
+        | a.vec_id = k.keeper AS keep
+        |FROM assigned a JOIN comp c USING (vec_id) JOIN sz USING (rep_id)
+        |JOIN keepers k USING (rep_id)
         |ORDER BY vec_id""".stripMargin),
     "ann_cosine_topk" -> (vectorCte +
       """SELECT query_id, neighbor_id, cos, rnk FROM (

@@ -60,4 +60,53 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(3L, 5L, 7L))
     assert(out.map(_._3).distinct.length === 1)
   }
+
+  private def embs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("hybridRrfTopK: pins the integer RRF fusion of both hand-ranked lists") {
+    // query = doc 0 ("q r"). Lexical list: [1, 2] (doc 1 has q twice
+    // plus r; doc 3 shares no term). Semantic list: [3, 2, 1] by
+    // cosine to e0 = x-axis. RRF with rrfK=60:
+    //   doc1: 1e6 div 61 + 1e6 div 63 = 16393 + 15873 = 32266
+    //   doc2: 1e6 div 62 + 1e6 div 62 = 16129 + 16129 = 32258
+    //   doc3: sem-only rank 1         = 16393
+    val d = docs(0L -> "q r", 1L -> "q q r", 2L -> "q s", 3L -> "t u")
+    val e = embs(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.6f, 0.8f),
+      2L -> Seq(0.9f, 0.43f),
+      3L -> Seq(0.95f, 0.1f))
+    val out = Retrieval.hybridRrfTopK(d, e, numQueries = 1, kFuse = 3, k = 3)
+      .orderBy($"rnk")
+      .as[(Long, Long, Int, Int, Long, Int)].collect()
+    assert(out.toSeq === Seq(
+      (0L, 1L, 1, 3, 32266L, 1),
+      (0L, 2L, 2, 2, 32258L, 2),
+      (0L, 3L, 0, 1, 16393L, 3)))
+  }
+
+  test("hybridRrfTopK: shard invariance and rank bookkeeping on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val one = Retrieval.hybridRrfTopK(d, e, shards = 1)
+      .as[(Long, Long, Int, Int, Long, Int)].collect().toSet
+    val eight = Retrieval.hybridRrfTopK(d, e, shards = 8)
+      .as[(Long, Long, Int, Int, Long, Int)].collect().toSet
+    assert(one.nonEmpty && one === eight)
+    one.foreach { case (qid, did, lexR, semR, rrf, rnk) =>
+      assert(did !== qid, "a query doc must not retrieve itself")
+      assert(lexR > 0 || semR > 0, "every fused doc came from some list")
+      val expect =
+        (if (lexR > 0) 1000000L / (60 + lexR) else 0L) +
+        (if (semR > 0) 1000000L / (60 + semR) else 0L)
+      assert(rrf === expect, s"rrf_micro mismatch for ($qid,$did)")
+      assert(rnk >= 1 && rnk <= 5)
+    }
+    // a doc topping BOTH lists must top the fusion
+    one.groupBy(_._1).values.foreach { g =>
+      g.find(r => r._3 === 1 && r._4 === 1)
+        .foreach(r => assert(r._6 === 1, s"double-rank-1 doc not fused first: $r"))
+    }
+  }
 }

@@ -430,4 +430,55 @@ class SimilaritySpec extends SparkSpec {
     assert(meanErr < 0.25,
       f"mean |cos_est - cos| = $meanErr%.3f too high for outDim=16")
   }
+
+  test("semDedup: assignment, intra-cell grouping, farthest-from-centroid keep rule") {
+    // centroids: 0 -> x-axis, 1 -> y-axis. 2 is a near-dup of 0 in cell
+    // 0; 3 sits in cell 0 below tau; 1 is alone in cell 1.
+    val out = Similarity.semDedup(emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0.8f, 0.6f)
+    ), numCentroids = 2, tau = 0.95)
+      .select("vec_id", "cell", "rep_id", "cluster_size", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (0L, 0L, 0L, 2L, false), // in the dup group but AT the centroid
+      (2L, 0L, 0L, 2L, true),  // farthest from centroid -> kept
+      (3L, 0L, 3L, 1L, true),  // below tau: singleton
+      (1L, 1L, 1L, 1L, true)))
+  }
+
+  test("semDedup: one cell degrades to embedClusters' components; pairs never cross cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // numCentroids=1: every vector lands in cell 0, so the component
+    // structure must equal the exact-pair embedClusters result
+    val sem = Similarity.semDedup(e, numCentroids = 1, tau = 0.40)
+      .select("vec_id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.embedClusters(e, tau = 0.40)
+      .select("vec_id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sem === exact)
+    assert(sem.exists(_._3 > 1), "precondition: corpus has dup groups")
+    // with real cells, every non-singleton group is intra-cell and its
+    // members form a subset of some exact component
+    val cells = Similarity.semDedup(e, numCentroids = 16, tau = 0.40)
+      .select("vec_id", "cell", "rep_id")
+      .as[(Long, Long, Long)].collect()
+    val cellOf = cells.map(r => r._1 -> r._2).toMap
+    val exactRep = exact.map(r => r._1 -> r._2).toMap
+    cells.groupBy(_._3).values.foreach { grp =>
+      assert(grp.map(g => cellOf(g._1)).distinct.length === 1,
+        s"group ${grp.toSeq} spans cells")
+      assert(grp.map(g => exactRep(g._1)).distinct.length === 1,
+        s"group ${grp.toSeq} not contained in an exact component")
+    }
+    // exactly one keeper per group
+    val keeps = Similarity.semDedup(e, numCentroids = 16, tau = 0.40)
+      .select("rep_id", "keep").as[(Long, Boolean)].collect()
+    keeps.groupBy(_._1).values.foreach { g =>
+      assert(g.count(_._2) === 1, "each group keeps exactly one member")
+    }
+  }
 }
