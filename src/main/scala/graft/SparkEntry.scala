@@ -123,6 +123,7 @@ object SparkEntry {
     "hybrid_rrf_topk"        -> (Retrieval.hybridRrfTopKQuery _),
     "lm_surprisal"           -> (QualityModels.lmSurprisalQuery _),
     "quality_floor_per_source" -> (QualityModels.qualityFloorPerSourceQuery _),
+    "dsir_importance"        -> (QualityModels.dsirImportanceQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
     "dedup_containment"      -> (Dedup.containmentQuery _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window => W}
 
@@ -137,6 +137,90 @@ object QualityModels {
   def qualityFloorPerSourceQuery(spark: SparkSession, dir: String): DataFrame =
     qualityFloorPerSource(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how target-like its
+    * hashed n-gram feature distribution is, then keep the top-N. The
+    * importance model is two bag-of-buckets unigram+bigram
+    * distributions — p_target over docs matching `target`, p_raw over
+    * everything — smoothed add-1 over `numBuckets` hash buckets; a
+    * doc's log-importance is Σ over its feature OCCURRENCES of
+    * λ(b) = ln p̂_target(b) − ln p̂_raw(b). Ranking uses the per-feature
+    * MEAN (lw div n_feat) so long docs aren't favored merely for
+    * having more features (the paper's length-normalized variant).
+    * The published method resamples with Gumbel noise; this takes the
+    * deterministic top-N limit (noise-free selection is the
+    * reproducible analog, and ties still break on doc_id).
+    *
+    * Cross-engine exactness: λ is rounded ONCE per bucket to integer
+    * micro-nats with the four ln terms in a FIXED left-to-right order
+    * (float addition is order-sensitive; same text, same bits), so doc
+    * scores are BIGINT sums. Spark `div` and DuckDB `//` both truncate
+    * toward zero, so the possibly-NEGATIVE mean agrees too.
+    *
+    * Scale shape: feature hashing is the point of DSIR — the model is
+    * `numBuckets` rows no matter the corpus (vs an unbounded n-gram
+    * vocab), so it broadcasts as ONE collapsed map row and docs score
+    * map-only via the in-row `aggregate` fold (same zero-shuffle shape
+    * as lmSurprisal). Both count aggregates are map-side-combined into
+    * ≤ numBuckets groups; selection is the two-phase sharded top-N, so
+    * no window ever sees the corpus — only ≤ shards·selectN rows. */
+  def dsirImportance(docs: DataFrame, target: Column,
+                     numBuckets: Int = 256, selectN: Int = 100,
+                     shards: Int = 8): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(selectN >= 1 && shards >= 1,
+      s"selectN/shards must be >= 1, got $selectN/$shards")
+    val b = numBuckets
+    val feats = docs
+      .select(col("doc_id"), target.as("is_target"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_target"),
+        concat(col("toks"), wordShingles(col("toks"), 2)).as("fs"))
+
+    val occ = feats
+      .select(col("doc_id"), col("is_target"), explode(col("fs")).as("f"))
+      .select(col("is_target"), pmod(hash28(col("f")), lit(b.toLong)).as("b"))
+    val counts = occ.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val tots = occ.agg(count(lit(1)).as("tr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"))
+
+    // the four ln terms stay in this exact order on both engines
+    val lam = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round((log(col("ct") + 1) - log(col("tt") + b)
+          - log(col("cr") + 1) + log(col("tr") + b))
+          * lit(1000000.0d)).cast("long").as("lam_micro"))
+    val lamMap = lam
+      .agg(collect_list(struct(col("b"), col("lam_micro"))).as("es"))
+      .select(map_from_entries(col("es")).as("lmap"))
+
+    val perDoc = feats.crossJoin(broadcast(lamMap))
+      .select(col("doc_id"),
+        size(col("fs")).cast("long").as("n_feat"),
+        aggregate(col("fs"), lit(0L), (acc, f) =>
+          acc + element_at(col("lmap"), pmod(hash28(f), lit(b.toLong))))
+          .as("lw_micro"))
+      .withColumn("mean_micro", expr("lw_micro div n_feat"))
+
+    val wShard = W.partitionBy(pmod(col("doc_id"), lit(shards)))
+      .orderBy(col("mean_micro").desc, col("doc_id"))
+    val wFinal = W.orderBy(col("mean_micro").desc, col("doc_id"))
+    val sel = perDoc
+      .withColumn("srnk", row_number().over(wShard))
+      .filter(col("srnk") <= selectN)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= selectN)
+      .select(col("doc_id").as("sel_id"))
+    perDoc.join(broadcast(sel), col("doc_id") === col("sel_id"), "left_outer")
+      .select(col("doc_id"), col("n_feat"), col("lw_micro"), col("mean_micro"),
+        col("sel_id").isNotNull.as("selected"))
+  }
+
+  def dsirImportanceQuery(spark: SparkSession, dir: String): DataFrame =
+    dsirImportance(Tables.documents(spark, dir), col("lang") === "en")
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
     "lm_surprisal" ->
       """WITH tok AS (
@@ -168,5 +252,50 @@ object QualityModels {
         | FROM scored)
         |SELECT doc_id, source, score_bp,
         | rn <= (9 * n_src + 9) // 10 AS keep
-        |FROM ranked ORDER BY doc_id""".stripMargin)
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+    // hashed unigram+bigram buckets, add-1 smoothed target/raw
+    // log-ratio rounded once per bucket (ln terms in the Spark-side
+    // order), BIGINT doc sums, trunc-div mean, global top-100
+    "dsir_importance" ->
+      """WITH docs_t AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |feats AS (
+        | SELECT doc_id, lang,
+        |  list_concat(toks, CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)),
+        |                        i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END) AS fs
+        | FROM docs_t),
+        |occ AS (
+        | SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(f), 1, 7) AS BIGINT) % 256 AS b
+        | FROM (SELECT doc_id, lang, unnest(fs) AS f FROM feats)),
+        |counts AS (
+        | SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        | FROM occ GROUP BY 1),
+        |tots AS (
+        | SELECT CAST(count(*) AS BIGINT) AS tr,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        | FROM occ),
+        |lam AS (
+        | SELECT b,
+        |  CAST(round((ln(ct + 1) - ln(tt + 256) - ln(cr + 1) + ln(tr + 256))
+        |             * 1000000) AS BIGINT) AS lam_micro
+        | FROM counts CROSS JOIN tots),
+        |per_doc AS (
+        | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |  CAST(sum(l.lam_micro) AS BIGINT) AS lw_micro
+        | FROM occ o JOIN lam l USING (b) GROUP BY 1),
+        |ranked AS (
+        | SELECT doc_id, n_feat, lw_micro, lw_micro // n_feat AS mean_micro
+        | FROM per_doc),
+        |sel AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |   row_number() OVER (ORDER BY mean_micro DESC, doc_id) AS rn
+        |  FROM ranked) WHERE rn <= 100)
+        |SELECT r.doc_id, r.n_feat, r.lw_micro, r.mean_micro,
+        | r.doc_id IN (SELECT doc_id FROM sel) AS selected
+        |FROM ranked r ORDER BY r.doc_id""".stripMargin)
 }

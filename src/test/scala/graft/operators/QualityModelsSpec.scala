@@ -54,6 +54,42 @@ class QualityModelsSpec extends SparkSpec {
     assert(got.valuesIterator.exists(!_), "floor must actually drop docs")
   }
 
+  test("dsirImportance: target-like docs outscore off-target docs and win selection") {
+    // en docs share a feature pool disjoint from the xx docs', so every
+    // en feature has ct≈cr (λ ≈ ln(Tr/Tt) > 0 … relative) while xx
+    // features have ct=0 — en means must dominate
+    val d = Seq(
+      (0L, "aa bb aa", "en"), (1L, "bb aa cc", "en"), (2L, "aa bb", "en"),
+      (3L, "xx yy zz", "xx"), (4L, "yy zz xx", "xx"), (5L, "zz xx", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = QualityModels.dsirImportance(d, col("lang") === "en", selectN = 3)
+      .select("doc_id", "mean_micro", "selected")
+      .as[(Long, Long, Boolean)].collect()
+    val mean = out.map(r => r._1 -> r._2).toMap
+    for (t <- 0L to 2L; r <- 3L to 5L)
+      assert(mean(t) > mean(r), s"target doc $t must outscore raw doc $r")
+    assert(out.filter(_._3).map(_._1).toSet === Set(0L, 1L, 2L))
+    assert(out.length === 6, "every doc gets a score row")
+  }
+
+  test("dsirImportance: selection == naive global top-N; shard-count invariant") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val one = QualityModels.dsirImportance(d, col("lang") === "en", shards = 1)
+      .select("doc_id", "n_feat", "lw_micro", "mean_micro", "selected")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val eight = QualityModels.dsirImportance(d, col("lang") === "en", shards = 8)
+      .select("doc_id", "n_feat", "lw_micro", "mean_micro", "selected")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(one.toSet === eight.toSet)
+    assert(one.length === d.count().toInt)
+    // no smoothing hole: every doc has a finite score even when its
+    // buckets never occur in the target slice
+    assert(one.forall(r => r._2 > 0))
+    val naive = one.sortBy(r => (-r._4, r._1)).take(100).map(_._1).toSet
+    assert(one.filter(_._5).map(_._1).toSet === naive)
+    assert(naive.size === 100)
+  }
+
   test("qualityFloorPerSource: boundary ties keep lowest doc_ids") {
     // 4 docs, one source, identical score; keep 9/10 ⇒ K = ceil(3.6) = 4?
     // No: K = (9*4+9) div 10 = 4 — all kept. Force a drop with 10 docs:
