@@ -118,6 +118,7 @@ object SparkEntry {
     "pii_redact"             -> (TextAnalysis.piiRedactQuery _),
     "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
+    "holdout_split"          -> (TextAnalysis.holdoutSplitQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     "bm25_topk"              -> (Retrieval.bm25TopKQuery _),
     "hybrid_rrf_topk"        -> (Retrieval.hybridRrfTopKQuery _),
@@ -145,6 +146,8 @@ object SparkEntry {
     "embed_clusters"         -> (Similarity.embedClustersQuery _),
     "semdedup"               -> (Similarity.semDedupQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
+    "ann_hard_negatives"     -> (Similarity.annHardNegativesQuery _),
+    "kcenter_coreset"        -> (Similarity.kcenterCoresetQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),

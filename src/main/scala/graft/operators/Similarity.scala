@@ -207,6 +207,88 @@ object Similarity {
     annCosineTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** Hard-negative mining for contrastive retrieval training (the
+    * DPR/ANCE shape — Karpukhin et al. 2020, Xiong et al. 2021): per
+    * query, the top-k candidates in the cosine band [lo, hi) —
+    * similar enough to be confusable (the negatives that actually
+    * teach the model), but below the near-dup/positive threshold so
+    * no false negative sneaks into the training pair. Plain top-k
+    * mines easy negatives; the band is the whole point.
+    *
+    * Same scale shape as annCosineTopK: bounded query side broadcast,
+    * one corpus scan, band filter BEFORE the rank shuffle (the band
+    * prunes most of the |Q|·n candidate stream in-scan); at corpus
+    * scale stage 1 swaps for the IVF/int8 shortlist unchanged. */
+  def annHardNegatives(emb: DataFrame, numQueries: Int, k: Int,
+                       lo: Double = 0.15, hi: Double = 0.40): DataFrame = {
+    require(lo < hi, s"band [$lo, $hi) is empty")
+    val v = vectors(emb)
+    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = broadcast(q)
+      .join(v, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    topK(cand, k)
+  }
+
+  def annHardNegativesQuery(spark: SparkSession, dir: String): DataFrame =
+    annHardNegatives(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal; the coreset objective of Sener & Savarese 2018): pick
+    * k vectors such that every corpus vector is close to some pick —
+    * the diversity-maximizing subset used for "cover the embedding
+    * space with a small training subset" selection, the opposite
+    * objective of semDedup's redundancy removal.
+    *
+    * Deterministic contract: seed is vec_id 0; each round adds the
+    * vector FARTHEST from the chosen set (max over the running
+    * min-distance, ties to the smallest vec_id); distances are
+    * rounded-6 cosine distance so both engines compare identical
+    * doubles, and the reported distance is exact integer micro-units.
+    *
+    * Scale shape: k corpus passes, each map-only (crossJoin with the
+    * ONE-row broadcast of the newest center + a running `least`) into
+    * a TakeOrdered top-1 — no corpus-sized shuffle anywhere, state
+    * between rounds is one localCheckpoint'd frame. The classic
+    * sequential-greedy; at 100 TB each pass is a scan, so cost is
+    * k scans — which is the known price of the exact greedy (the 2-approx
+    * guarantee needs sequential picks). */
+  def kcenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = vectors(emb)
+    val seed = v.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("e")).localCheckpoint()
+    // selection log: (rnk, vec_id, dist_micro); the seed has no
+    // predecessor set — 2000000 (the max possible cosine distance) by
+    // convention
+    var sel = seed.select(lit(1).as("rnk"), col("vec_id"),
+      lit(2000000L).as("dist_micro")).localCheckpoint()
+    var cent = seed.select(col("e").as("ce")).localCheckpoint()
+    var md = v // (vec_id, e) + running min distance, added on round 1
+      .select(col("vec_id"), col("e"), lit(2.0d).as("mind"))
+    for (i <- 2 to k) {
+      md = md.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("e"),
+          least(col("mind"),
+            round(lit(1.0d) - CosineSimilarity(col("e"), col("ce")), 6))
+            .as("mind"))
+        .localCheckpoint()
+      val next = md.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      sel = sel.unionByName(next.select(lit(i).as("rnk"), col("vec_id"),
+        round(col("mind") * 1000000.0d).cast("long").as("dist_micro")))
+        .localCheckpoint()
+      cent = next.select(col("e").as("ce")).localCheckpoint()
+    }
+    sel
+  }
+
+  def kcenterCoresetQuery(spark: SparkSession, dir: String): DataFrame =
+    kcenterCoreset(Tables.embeddings(spark, dir), k = 8)
+      .orderBy(col("rnk"))
+
   /** Embedding-space benchmark decontamination: for every corpus
     * vector, its maximum cosine against a (model-sized, broadcast)
     * benchmark embedding set and the count of benchmark vectors within
@@ -819,6 +901,37 @@ object Similarity {
 
   // ---------------------------------------------------------------- oracles
 
+  /** Chained-CTE oracle for the greedy k-center traversal: m_i is the
+    * running min-distance after i-1 picks, c_i the i-th pick (argmax
+    * m_i, ties to smallest vec_id) — the same iterated `least` over
+    * rounded-6 distances the Spark loop computes, so the selection
+    * sequence and reported micro-distances match bit-for-bit. */
+  private def kcenterOracle(k: Int): String = {
+    def dist(a: String, b: String): String =
+      s"round(1.0 - list_sum(list_transform(range(1, len($a.e)+1), " +
+        s"i -> $a.e[i]*$b.e[i])) / ($a.nrm * $b.nrm), 6)"
+    val sb = new StringBuilder(vectorCte)
+    sb ++= ",c1 AS (SELECT vec_id, e, nrm FROM v WHERE vec_id = 0)"
+    for (i <- 2 to k) {
+      val m =
+        if (i == 2)
+          s"SELECT v.vec_id, v.e, v.nrm, ${dist("v", "c")} AS mind " +
+            "FROM v CROSS JOIN c1 c"
+        else
+          s"SELECT m.vec_id, m.e, m.nrm, least(m.mind, ${dist("m", "c")}) " +
+            s"AS mind FROM m${i - 1} m CROSS JOIN c${i - 1} c"
+      sb ++= s",m$i AS ($m)"
+      sb ++= s",c$i AS (SELECT vec_id, e, nrm, mind FROM m$i " +
+        "ORDER BY mind DESC, vec_id LIMIT 1)"
+    }
+    sb ++= " SELECT 1 AS rnk, vec_id, CAST(2000000 AS BIGINT) AS dist_micro FROM c1"
+    for (i <- 2 to k)
+      sb ++= s" UNION ALL SELECT $i, vec_id, " +
+        s"CAST(round(mind * 1000000) AS BIGINT) FROM c$i"
+    sb ++= " ORDER BY rnk"
+    sb.toString
+  }
+
   private val vectorCte =
     """WITH v AS (
       | SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -1165,6 +1278,21 @@ object Similarity {
         |  FROM v q JOIN v x ON x.vec_id <> q.vec_id
         |  WHERE q.vec_id < 8))
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // the confusable band [0.15, 0.40): rank only candidates inside it
+    "ann_hard_negatives" -> (vectorCte +
+      """SELECT query_id, neighbor_id, cos, rnk FROM (
+        | SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cos DESC, neighbor_id) AS rnk
+        | FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+        |     / (q.nrm * x.nrm), 6) AS cos
+        |  FROM v q JOIN v x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8)
+        | WHERE cos >= 0.15 AND cos < 0.40)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    "kcenter_coreset" -> kcenterOracle(k = 8),
     // the whole quantize→score→rank pipeline replicated in SQL — the
     // quantized values are exact small integers, so list_sum order is
     // irrelevant and the score is bit-stable cross-engine

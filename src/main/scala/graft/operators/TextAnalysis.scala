@@ -644,6 +644,30 @@ object TextAnalysis {
     stratifiedSample(Tables.documents(spark, dir), sampleRates)
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test holdout assignment — the disjoint
+    * EXHAUSTIVE partition every training corpus needs before anything
+    * else touches it (vs stratifiedSample, which thins). Same md5
+    * bucket as the sampling family, so the split is a pure map-side
+    * expression: reproducible across runs/engines, stable under
+    * corpus growth (a doc's split never changes when other docs
+    * arrive — the property a row_number-based split lacks), and free
+    * of RNG state. Thresholds are integer floor(pct·2^32/100) so both
+    * engines cut at exactly the same bucket. */
+  def holdoutSplit(docs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split $trainPct/$valPct")
+    val trainT = 4294967296L * trainPct / 100
+    val valT = 4294967296L * (trainPct + valPct) / 100
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      when(sampleBucket < trainT, "train")
+        .when(sampleBucket < valT, "val")
+        .otherwise("test").as("split"))
+  }
+
+  def holdoutSplitQuery(spark: SparkSession, dir: String): DataFrame =
+    holdoutSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   /** Temperature-balanced language sampling (the multilingual-mixture
     * rule): each language is downsampled at rate
     * sqrt(n_lang / n_largest) — alpha = 0.5 temperature flattening
@@ -942,6 +966,14 @@ object TextAnalysis {
          | SELECT doc_id, lang, $sampleBucketSql AS bucket
          | FROM documents)
          |WHERE bucket < $sampleCaseSql
+         |ORDER BY doc_id""".stripMargin,
+    "holdout_split" ->
+      s"""SELECT doc_id, lang, source,
+         | CASE WHEN b < ${4294967296L * 80 / 100} THEN 'train'
+         |      WHEN b < ${4294967296L * 90 / 100} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang, source, $sampleBucketSql AS b
+         |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "pii_redact" -> {
       val counts = piiPatterns.map { case (name, pat, _) =>

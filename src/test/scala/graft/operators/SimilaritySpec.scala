@@ -431,6 +431,62 @@ class SimilaritySpec extends SparkSpec {
       f"mean |cos_est - cos| = $meanErr%.3f too high for outDim=16")
   }
 
+  test("annHardNegatives: only the confusable band survives, ranked within it") {
+    // cos to q=0: id1 ~0.999 (dup, above hi), id2 = 0.3 (in band),
+    // id3 = 0 (below lo)
+    val out = Similarity.annHardNegatives(emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.05f),
+      2L -> Seq(0.3f, 0.953939f),
+      3L -> Seq(0f, 1f)
+    ), numQueries = 1, k = 5, lo = 0.2, hi = 0.9)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(out === Set((2L, 1)))
+  }
+
+  test("annHardNegatives: band containment and contiguous ranks on real data") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.annHardNegatives(e, numQueries = 8, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty, "precondition: band is populated at sf0.001")
+    rows.foreach { case (_, _, cos, _) =>
+      assert(cos >= 0.15 && cos < 0.40, s"cos $cos escaped the band")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length), "ranks not contiguous")
+    }
+  }
+
+  test("kcenterCoreset: hand-traced farthest-point sequence with exact distances") {
+    // seed 0=(1,0); farthest is 3=(-1,0) at d=2, then 2=(0,1) at d=1,
+    // then 1=(45°) at d = 1 - round(cos45°, 6) = 0.292893
+    val out = Similarity.kcenterCoreset(emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.7f, 0.7f),
+      2L -> Seq(0f, 1f),
+      3L -> Seq(-1f, 0f)
+    ), k = 4)
+      .orderBy($"rnk").as[(Int, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1, 0L, 2000000L),
+      (2, 3L, 2000000L),
+      (3, 2L, 1000000L),
+      (4, 1L, 292893L)))
+  }
+
+  test("kcenterCoreset: distinct picks with non-increasing coverage radius") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.kcenterCoreset(e, k = 8)
+      .orderBy($"rnk").as[(Int, Long, Long)].collect().toSeq
+    assert(out.length === 8)
+    assert(out.map(_._2).distinct.length === 8, "a center was picked twice")
+    assert(out.head === ((1, 0L, 2000000L)), "seed contract: vec 0 first")
+    // greedy farthest-point: the max-min distance can only shrink
+    val ds = out.drop(1).map(_._3)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b },
+      s"coverage radius not monotone: $ds")
+  }
+
   test("semDedup: assignment, intra-cell grouping, farthest-from-centroid keep rule") {
     // centroids: 0 -> x-axis, 1 -> y-axis. 2 is a near-dup of 0 in cell
     // 0; 3 sits in cell 0 below tau; 1 is alone in cell 1.

@@ -324,4 +324,23 @@ class TextAnalysisSpec extends SparkSpec {
     val thr = out.filter(_.getString(1) == "fr").head.getLong(3)
     assert(thr === math.floor(math.sqrt(100.0 / 400.0) * 4294967296L).toLong)
   }
+
+  test("holdoutSplit: exhaustive disjoint partition, plausible shares, growth-stable") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.holdoutSplit(d)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(out.length === d.count().toInt, "every doc gets exactly one split row")
+    assert(out.map(_._1).distinct.length === out.length)
+    val byS = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    val n = out.length.toDouble
+    assert(byS("train") / n > 0.7 && byS("train") / n < 0.9, s"train share $byS")
+    assert(byS("val") / n > 0.04 && byS("val") / n < 0.16, s"val share $byS")
+    // growth stability: assignments on a half-corpus agree with the
+    // full-corpus assignment doc-for-doc (split depends only on doc_id)
+    val full = out.toMap
+    TextAnalysis.holdoutSplit(d.filter($"doc_id" % 2 === 0))
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (id, s) => assert(full(id) === s, s"doc $id drifted") }
+  }
 }
