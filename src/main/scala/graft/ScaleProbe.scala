@@ -163,7 +163,24 @@ object ScaleProbe {
       "session_paths"       -> (operators.ProductAnalytics.sessionPathsQuery _),
       "retention_cohorts"   -> (operators.ProductAnalytics.retentionCohortsQuery _),
       "value_histogram"     -> (operators.ProductAnalytics.valueHistogramQuery _),
-      "corpus_checksum"     -> (operators.Cdc.corpusChecksumQuery _))
+      "corpus_checksum"     -> (operators.Cdc.corpusChecksumQuery _),
+      // r11 additions. bm25/hybrid: copy-prefixed tokens keep the query
+      // vocab matching copy 0 only — postings stay bounded, output
+      // constant, runtime rides the linear token scan. lm_surprisal is
+      // the deliberate stress: the collapsed vocab-map row grows with
+      // the factor (prefixing breaks Heaps' law on purpose), probing
+      // the one-broadcast-row assumption. dsir: bucket model is fixed
+      // at 256 rows no matter the vocab — the hashing's whole point.
+      // kcenter: 8 scans, output constant. hard_negatives: constant
+      // top-k output; the band candidate stream grows linearly.
+      "bm25_topk"           -> (operators.Retrieval.bm25TopKQuery _),
+      "hybrid_rrf_topk"     -> (operators.Retrieval.hybridRrfTopKQuery _),
+      "lm_surprisal"        -> (operators.QualityModels.lmSurprisalQuery _),
+      "quality_floor_per_source" -> (operators.QualityModels.qualityFloorPerSourceQuery _),
+      "dsir_importance"     -> (operators.QualityModels.dsirImportanceQuery _),
+      "kcenter_coreset"     -> (operators.Similarity.kcenterCoresetQuery _),
+      "ann_hard_negatives"  -> (operators.Similarity.annHardNegativesQuery _),
+      "holdout_split"       -> (operators.TextAnalysis.holdoutSplitQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
@@ -171,7 +188,8 @@ object ScaleProbe {
       "decontam" -> (() => factors.foreach(f => decontamProbe(spark, f))),
       "incremental" -> (() => incrementalCutProbe(spark)),
       "decontam_knobs" -> (() => decontamKnobsProbe(spark)),
-      "cosine_tail" -> (() => factors.foreach(f => cosineTailProbe(spark, f))))
+      "cosine_tail" -> (() => factors.foreach(f => cosineTailProbe(spark, f))),
+      "semdedup_cells" -> (() => factors.foreach(f => semdedupCellsProbe(spark, f))))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -310,6 +328,43 @@ object ScaleProbe {
     println(f"[scale-cosine-tail] factor=$f%-3d within=$within " +
       f"(must be ${f}x the 1x run) cross=$cross iid_tail_expect=$expCross " +
       f"wall=${wall}%.2fs")
+  }
+
+  /** semDedup cell-sizing probe (r11): the operator's pairwise work is
+    * Σ(cellᵢ choose 2), so a FIXED centroid count grows quadratically
+    * with the corpus — numCentroids is a knob that must scale with n
+    * (cells of ~constant size), exactly like IVF's C. The probe
+    * measures both regimes: candidate volume at C=16 fixed (the f²
+    * curve, from the assignment histogram alone — no pairs
+    * materialized) vs C=16·f scaled (the linear bar), then runs the
+    * scaled-C pair stage for real and splits the ≥tau pairs
+    * within/cross copy (within must be ~f x the 1x run; cross is the
+    * iid tail of in-cell pairs, a data property — see
+    * cosineTailProbe). */
+  private def semdedupCellsProbe(spark: SparkSession, f: Int): Unit = {
+    val dir = replicate(spark, f)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def candVolume(c: Int): Long =
+      operators.Similarity.semDedupAssigned(emb, c)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
+    val fixedCand = candVolume(16)
+    val scaledC = 16 * f
+    val scaledCand = candVolume(scaledC)
+    val t0 = System.nanoTime()
+    val assigned = operators.Similarity.semDedupAssigned(emb, scaledC)
+    val row = operators.Similarity.semDedupPairs(assigned, tau = 0.40)
+      .select(
+        sum(when(expr("doc_a DIV 10000000") === expr("doc_b DIV 10000000"), 1L)
+          .otherwise(0L)).as("within"),
+        sum(when(expr("doc_a DIV 10000000") =!= expr("doc_b DIV 10000000"), 1L)
+          .otherwise(0L)).as("cross")).head()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val within = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val cross = if (row.isNullAt(1)) 0L else row.getLong(1)
+    println(f"[scale-semdedup] factor=$f%-3d cand_fixedC16=$fixedCand " +
+      f"(f² curve) cand_scaledC$scaledC=$scaledCand (linear bar) " +
+      f"within=$within cross=$cross pair_wall=${wall}%.2fs")
   }
 
   /** P[cos >= tau] for two iid uniform directions in R^d: the density

@@ -135,27 +135,8 @@ object Similarity {
     * than a cell. */
   def semDedup(emb: DataFrame, numCentroids: Int, tau: Double): DataFrame = {
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
-    val v = vectors(emb)
-    val cents = v.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("ccos")),
-          struct(col("ccos"), (lit(0L) - col("cid")).as("nc"))).as("best"),
-        first(col("e")).as("e"))
-      .select(col("vec_id"), col("best.cid").as("cell"),
-        col("best.ccos").as("cos_centroid"), col("e"))
-
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-      col("e").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("e").as("eb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(round(CosineSimilarity(col("ea"), col("eb")), 6) >= tau)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val assigned = semDedupAssigned(emb, numCentroids)
+    val pairs = semDedupPairs(assigned, tau)
 
     val comp = Dedup.connectedComponents(
         assigned.select(col("vec_id").as("doc_id")), pairs)
@@ -169,6 +150,36 @@ object Similarity {
     withCos.join(keepers, "rep_id")
       .select(col("vec_id"), col("cell"), col("cos_centroid"), col("rep_id"),
         col("cluster_size"), (col("vec_id") === col("keeper")).as("keep"))
+  }
+
+  /** semDedup stage 1 — nearest-centroid assignment (exposed for the
+    * cell-sizing scale probe). */
+  private[graft] def semDedupAssigned(emb: DataFrame,
+                                      numCentroids: Int): DataFrame = {
+    val v = vectors(emb)
+    val cents = v.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("ccos")),
+          struct(col("ccos"), (lit(0L) - col("cid")).as("nc"))).as("best"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("best.cid").as("cell"),
+        col("best.ccos").as("cos_centroid"), col("e"))
+  }
+
+  /** semDedup stage 2 — intra-cell near-dup pairs at tau. */
+  private[graft] def semDedupPairs(assigned: DataFrame,
+                                   tau: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("e").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("e").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(CosineSimilarity(col("ea"), col("eb")), 6) >= tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 
   def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
@@ -701,6 +712,32 @@ object Similarity {
 
   def quantizeInt8Query(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  /** The physical ANN index row — (vec_id, cell, scale, q) with the
+    * SAME nearest-centroid rule the serving path probes and the SAME
+    * half-away-from-zero quantization quantizeInt8 pins: one frame
+    * that, written `partitionBy("cell")`, is the on-disk IVF+int8
+    * index (serving's cell probe becomes partition pruning). Built
+    * here once for batch, and per micro-batch by the streaming ingest
+    * (streaming.IvfIngest) — each row depends only on itself plus the
+    * static centroid frame, so stream output is batch-identical under
+    * any micro-batch split. */
+  def ivfInt8IndexRows(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val v = vectors(emb)
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (lit(0L) - col("cid")).as("nc")))
+        .as("cell"), first(col("e")).as("e"))
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .select(col("vec_id"), col("cell"),
+        round(col("maxabs"), 6).as("scale"),
+        transform(col("e"), x =>
+          when(col("maxabs") === 0.0d, lit(0))
+            .otherwise((signum(x) *
+              floor(abs(x) * lit(127.0d) / col("maxabs") + lit(0.5d)))
+              .cast("int"))).as("q"))
+  }
 
   /** Brute-force cosine top-k over the int8-QUANTIZED corpus — the
     * serving path that reads a 4x-smaller vector column (the dominant

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** Streaming IVF+int8 index maintenance: per-batch assign + quantize
+  * against frozen centroids, appended to the partitioned index layout.
+  * Stream must equal the batch builder row-for-row under any
+  * micro-batch split, and a later delta must land in the same layout. */
+class IvfIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cents(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("cid", "ce")
+
+  private val quantizer = cents(
+    0L -> Seq(1.0, 0.0, 0.0),
+    1L -> Seq(0.0, 1.0, 0.0))
+
+  private val arrivals = Seq(
+    10L -> Seq(0.9f, 0.1f, 0.0f),  // cell 0
+    11L -> Seq(0.1f, 0.8f, 0.1f),  // cell 1
+    12L -> Seq(0.7f, 0.7f, 0.0f),  // tie-ish: rounded ccos decides
+    13L -> Seq(0.0f, 0.0f, 0.9f),  // far from both: still assigned
+    14L -> Seq(0.0f, 0.0f, 0.0f))  // zero vector: scale 0 convention
+
+  private def indexSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("vec_id"), col("cell"), col("scale"),
+      concat_ws(",", col("q")).as("qcsv"))
+    .as[(Long, Long, Double, String)].collect().toSet
+
+  test("streamed ingest == batch index rows, split across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ivf_ingest").toString
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = IvfIngest.writer(
+      ms.toDF().toDF("vec_id", "embedding"), quantizer,
+      s"$dir/index", s"$dir/ckpt").start()
+    try {
+      ms.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = indexSet(spark.read.parquet(s"$dir/index"))
+    val batch = indexSet(Similarity.ivfInt8IndexRows(
+      arrivals.toDF("vec_id", "embedding"), quantizer))
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === arrivals.map(_._1).toSet)
+    // partition layout: one cell=<c> directory per distinct cell, so
+    // serving's cell probe becomes partition pruning on this index
+    val cells = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cells === batch.map(r => s"cell=${r._2}"))
+    // zero vector: all-zero q and scale 0 by the quantizeInt8 contract
+    val zero = streamed.find(_._1 == 14L).get
+    assert(zero._3 === 0.0 && zero._4.split(",").forall(_ == "0"))
+  }
+
+  test("a later delta appends into the same index; rebuild-from-scratch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ivf_ingest2").toString
+    val delta = Seq(20L -> Seq(0.95f, 0.05f, 0.0f), 21L -> Seq(0.0f, 1.0f, 0.2f))
+
+    def drain(data: Seq[(Long, Seq[Float])], ckpt: String): Unit = {
+      val ms = MemoryStream[(Long, Seq[Float])]
+      ms.addData(data: _*)
+      val q = IvfIngest.writerAvailableNow(
+        ms.toDF().toDF("vec_id", "embedding"), quantizer,
+        s"$dir/index", s"$dir/$ckpt").start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain(arrivals, "ckpt1")
+    drain(delta, "ckpt2")
+
+    val streamed = indexSet(spark.read.parquet(s"$dir/index"))
+    val rebuilt = indexSet(Similarity.ivfInt8IndexRows(
+      (arrivals ++ delta).toDF("vec_id", "embedding"), quantizer))
+    assert(streamed === rebuilt,
+      "incremental appends must equal the full nightly rebuild")
+  }
+}
