@@ -155,6 +155,7 @@ object SparkEntry {
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
     "ann_rerank_topk"        -> (Similarity.annRerankTopKQuery _),
     "ann_ivf_rerank_topk"    -> (Similarity.annIvfRerankTopKQuery _),
+    "ann_ivf_from_index"     -> (Similarity.annIvfFromIndexQuery _),
     "embed_decontam"         -> (Similarity.embedDecontamQuery _),
     "embed_decontam_lsh"     -> (Similarity.embedDecontamLshQuery _),
     // LLM-data-pipeline: multimodal plumbing (stubbed decode)

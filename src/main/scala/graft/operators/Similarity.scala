@@ -713,6 +713,53 @@ object Similarity {
   def quantizeInt8Query(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
+  /** Serving DIRECTLY from the stored IVF+int8 index — the read path
+    * matching [[ivfInt8IndexRows]]'s write path: queries probe their
+    * nProbe nearest cells, candidates come from an equi-join of the
+    * broadcast probe frame against the index on `cell` (on the
+    * `partitionBy(cell)` parquet layout that join is dynamic partition
+    * pruning — only probed cells are READ, the point of the layout),
+    * and scoring is the quantized cosine computed from the STORED `q`
+    * integers — per-vector scale cancels in cosine, so the index needs
+    * no fp32 vectors at all for the shortlist tier. Unlike the ann_*
+    * functions that recompute quantization per run, this is the shape
+    * that actually serves at 100 TB: the index is built once (nightly
+    * bulk + streaming.IvfIngest appends), queries touch ~nProbe/C of
+    * it.
+    *
+    * @param queries (query_id, e) fp32 query vectors — quantized here
+    *                with the same native expression the index used */
+  def annIvfTopKFromIndex(index: DataFrame, queries: DataFrame,
+                          cents: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"nProbe/k must be >= 1, got $nProbe/$k")
+    val scoredCells = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
+    val wProbe = W.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = scoredCells
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"),
+        graft.functions.Int8Quantize(col("e")).as("qq"),
+        col("cid").as("cell"))
+    val cand = broadcast(probes).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(CosineSimilarity(col("qq"), toDoubleArray(col("q"))), 6))
+    topK(cand, k)
+  }
+
+  def annIvfFromIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val v = vectors(emb)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val queries = v.filter(col("vec_id") < 8).toDF("query_id", "e")
+    annIvfTopKFromIndex(ivfInt8IndexRows(emb, cents), queries, cents,
+        nProbe = 4, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** The physical ANN index row — (vec_id, cell, scale, q) with the
     * SAME nearest-centroid rule the serving path probes and the SAME
     * half-away-from-zero quantization quantizeInt8 pins: one frame
@@ -1065,6 +1112,52 @@ object Similarity {
     * 127 ⇒ 64-dim dots <= ~1.03e6, exactly representable in double in
     * any order) — so the WHOLE three-stage pipeline replicates in SQL
     * bit-for-bit, not just row counts. */
+  /** Oracle for the from-index serving path: identical CTE chain to
+    * the rerank oracle up to the candidate set, then the top-k ranks
+    * directly on the quantized cosine computed from the stored-index
+    * integers (exact small-int arithmetic, bit-stable cross-engine). */
+  private def annIvfFromIndexOracle(numQueries: Int, k: Int,
+                                    numCentroids: Int, nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qv AS (
+       | SELECT vec_id, list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+       |   ELSE CAST(sign(x) * floor(abs(x) * 127.0 / maxabs + 0.5)
+       |             AS INTEGER) END) AS q
+       | FROM (SELECT vec_id, e,
+       |        list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v)),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |q8 AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+       |   / (sqrt(list_sum(list_transform(a.q, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(b.q, x -> x*x)))), 6) AS cos
+       | FROM cand c JOIN qv a ON c.query_id = a.vec_id
+       |  JOIN qv b ON c.neighbor_id = b.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM q8) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   private def annIvfRerankOracle(numQueries: Int, k: Int, numCentroids: Int,
                                  nProbe: Int, m: Int): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1217,6 +1310,8 @@ object Similarity {
       numCentroids = 16, nProbe = 4),
     "ann_ivf_rerank_topk" -> annIvfRerankOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4, m = 12),
+    "ann_ivf_from_index" -> annIvfFromIndexOracle(numQueries = 8, k = 3,
+      numCentroids = 16, nProbe = 4),
     "embed_decontam" -> (vectorCte +
       """, b AS (SELECT vec_id AS bench_id, e AS eb, nrm AS nrmb
         |        FROM v WHERE vec_id % 50 = 0),

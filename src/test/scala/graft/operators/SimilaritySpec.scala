@@ -431,6 +431,51 @@ class SimilaritySpec extends SparkSpec {
       f"mean |cos_est - cos| = $meanErr%.3f too high for outDim=16")
   }
 
+  test("annIvfTopKFromIndex: degrades to the full int8 scan; ids match the rerank stack; survives the parquet layout") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = Similarity.vectors(e)
+    val C = 16
+    val cents = v.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val queries = v.filter(col("vec_id") < 8).toDF("query_id", "e")
+    val index = Similarity.ivfInt8IndexRows(e, cents)
+
+    // nProbe = C probes every cell -> exactly the full quantized scan
+    val full = Similarity.annIvfTopKFromIndex(index, queries, cents,
+        nProbe = C, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val int8 = Similarity.annInt8TopK(e, numQueries = 8, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === int8)
+
+    // nProbe < C: same candidate cells as the rerank stack, so the
+    // m=k shortlist ids must coincide per query (rerank only re-scores)
+    val fromIdx = Similarity.annIvfTopKFromIndex(index, queries, cents,
+        nProbe = 4, k = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val rerank = Similarity.annIvfRerankTopK(e, numQueries = 8,
+        numCentroids = C, nProbe = 4, m = 3, k = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(fromIdx === rerank)
+
+    // the stored layout round-trips: write partitionBy(cell), read
+    // back (partition column comes back re-typed), serve identically
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    index.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = Similarity.annIvfTopKFromIndex(
+        spark.read.parquet(dir), queries, cents, nProbe = 4, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val mem = Similarity.annIvfTopKFromIndex(index, queries, cents,
+        nProbe = 4, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(stored === mem)
+  }
+
   test("annHardNegatives: only the confusable band survives, ranked within it") {
     // cos to q=0: id1 ~0.999 (dup, above hi), id2 = 0.3 (in band),
     // id3 = 0 (below lo)
