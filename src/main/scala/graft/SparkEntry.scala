@@ -135,6 +135,7 @@ object SparkEntry {
     "corpus_diff"            -> (Dedup.corpusDiffQuery _),
     "ngram_stats"            -> (Dedup.ngramStatsQuery _),
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
+    "decontam_bloom"         -> (Dedup.decontaminateBloomQuery _),
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
     "segment_dedup"          -> (Dedup.segmentDedupQuery _),
     "dup_spans"              -> (Dedup.dupSpansQuery _),

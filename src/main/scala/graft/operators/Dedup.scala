@@ -869,6 +869,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pre-filtered decontamination — the memory-bounded form of
+    * [[decontaminate]] for when even the DISTINCT benchmark shingle
+    * set is too wide to ship as strings (a 1e9-shingle benchmark union
+    * is tens of GB of strings but ~1 GB of Bloom bits at 8 bits/key).
+    * The benchmark aggregates into ONE Bloom value over
+    * xxhash64(shingle) shipped by scalar subquery; the corpus shingle
+    * stream drops non-members via `might_contain` INSIDE its scan
+    * stage — before any exchange — and only the surviving sliver meets
+    * the exact string equi-join that removes Bloom false positives.
+    * False negatives don't exist, so output ≡ [[decontaminate]]
+    * exactly (the oracle runs the exact form; DecontamBloomSpec pins
+    * frame equality + the might_contain-in-scan plan shape).
+    *
+    * Third candidate-generation mechanism in the decontam family:
+    * exact broadcast (row 53) when the shingle union is model-sized,
+    * banded LSH (row 134) for embedding space, Bloom bits here when
+    * the union is huge but a ~1% shingle-level fpp is an acceptable
+    * price in wasted verify rows. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, k: Int,
+                         estKeys: Long = 100000L,
+                         bitsPerKey: Int = 8): DataFrame = {
+    require(estKeys > 0 && bitsPerKey > 0)
+    val spark = corpus.sparkSession
+    val serial = bloomViewSerial.incrementAndGet()
+    val bv = s"graft_decontam_bench_$serial"
+    val cv = s"graft_decontam_corpus_$serial"
+    val benchDistinct = shingleSet(benchmark, k).select("s").distinct()
+    benchDistinct.createOrReplaceTempView(bv)
+    shingleSet(corpus, k).createOrReplaceTempView(cv)
+    val pruned = spark.sql(
+      s"""SELECT doc_id, s FROM $cv
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(s),
+         |                           CAST($estKeys AS BIGINT),
+         |                           CAST(${estKeys * bitsPerKey} AS BIGINT))
+         |   FROM $bv),
+         |  xxhash64(s))""".stripMargin)
+    spark.catalog.dropTempView(bv)
+    spark.catalog.dropTempView(cv)
+    val hits = pruned.join(benchDistinct, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 1)
+  }
+
+  private val bloomViewSerial = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def decontaminateBloomQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateBloom(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- segments
 
   /** Cross-document repeated-SEGMENT removal — the CCNet/RefinedWeb
@@ -1277,6 +1333,20 @@ object Dedup {
         | GROUP BY 1, 2)
         |WHERE jac >= 0.7 ORDER BY delta_id, corpus_id""".stripMargin,
     "benchmark_decontam" -> (shingleCte +
+      """,bench AS (SELECT DISTINCT s FROM sh3 WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT a.doc_id, count(*) AS n_shared
+        |  FROM sh3 a JOIN bench b ON a.s = b.s
+        |  WHERE a.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin),
+    // Bloom path: false positives die in the exact verify join, false
+    // negatives don't exist — so the EXACT form is the oracle
+    "decontam_bloom" -> (shingleCte +
       """,bench AS (SELECT DISTINCT s FROM sh3 WHERE doc_id % 50 = 0),
         |hits AS (
         |  SELECT a.doc_id, count(*) AS n_shared

@@ -98,6 +98,27 @@ class DedupSpec extends SparkSpec {
     assert(hinted === plain)
   }
 
+  test("decontaminateBloom == exact decontaminate; might_contain rides the shingle stream") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter($"doc_id" % 50 =!= 0)
+    val bench = all.filter($"doc_id" % 50 === 0)
+    val bloom = Dedup.decontaminateBloom(corpus, bench, k = 3)
+    val exact = Dedup.decontaminate(corpus, bench, k = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(bloom.as[(Long, Long, Boolean)].collect().toSet === exact)
+    assert(exact.exists(_._3), "precondition: some contamination exists")
+    // the Bloom probe must sit in the plan (pre-exchange pruning),
+    // not have been optimized away
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("decontaminateBloom: empty benchmark contaminates nothing (null filter drops all)") {
+    val corpus = docs(1L -> "a b c d x", 3L -> "p q r s t")
+    val out = Dedup.decontaminateBloom(corpus, docs(), k = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 0L, false), (3L, 0L, false)))
+  }
+
   test("dedupClusters: near-dup chain collapses to one canonical doc") {
     val out = Dedup.dedupClusters(docs(
         1L -> "a b c d e f",
