@@ -164,16 +164,25 @@ object ScaleProbe {
       "retention_cohorts"   -> (operators.ProductAnalytics.retentionCohortsQuery _),
       "value_histogram"     -> (operators.ProductAnalytics.valueHistogramQuery _),
       "corpus_checksum"     -> (operators.Cdc.corpusChecksumQuery _),
-      // r11 additions. bm25/hybrid: copy-prefixed tokens keep the query
-      // vocab matching copy 0 only — postings stay bounded, output
-      // constant, runtime rides the linear token scan. lm_surprisal is
-      // the deliberate stress: the collapsed vocab-map row grows with
-      // the factor (prefixing breaks Heaps' law on purpose), probing
-      // the one-broadcast-row assumption. dsir: bucket model is fixed
-      // at 256 rows no matter the vocab — the hashing's whole point.
-      // kcenter: 8 scans, output constant. hard_negatives: constant
-      // top-k output; the band candidate stream grows linearly.
-      "bm25_topk"           -> (operators.Retrieval.bm25TopKQuery _),
+      // r11 additions. bm25: the replica prefixes EVERY copy's tokens
+      // (c0_ included), so the probe prefixes the demo query terms the
+      // same way — they then match exactly copy 0's postings at every
+      // factor: postings stay bounded, output constant, runtime rides
+      // the linear token scan. hybrid derives its query vocab from the
+      // (prefixed) corpus docs, so it needs no rewrite. lm_surprisal
+      // is the deliberate stress: the collapsed vocab-map row grows
+      // with the factor (prefixing breaks Heaps' law on purpose),
+      // probing the one-broadcast-row assumption. dsir: bucket model
+      // is fixed at 256 rows no matter the vocab — the hashing's whole
+      // point. kcenter: 8 scans, output constant. hard_negatives:
+      // constant top-k output; the band candidate stream grows
+      // linearly.
+      "bm25_topk"           -> ((s: SparkSession, dir: String) =>
+        operators.Retrieval.bm25TopK(
+          s.read.parquet(s"$dir/documents.parquet"),
+          operators.Retrieval.demoQueries.map { case (i, q) =>
+            (i, q.split(" ").map("c0_" + _).mkString(" ")) },
+          k = 5)),
       "hybrid_rrf_topk"     -> (operators.Retrieval.hybridRrfTopKQuery _),
       "lm_surprisal"        -> (operators.QualityModels.lmSurprisalQuery _),
       "quality_floor_per_source" -> (operators.QualityModels.qualityFloorPerSourceQuery _),
@@ -344,15 +353,19 @@ object ScaleProbe {
   private def semdedupCellsProbe(spark: SparkSession, f: Int): Unit = {
     val dir = replicate(spark, f)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    def candVolume(c: Int): Long =
-      operators.Similarity.semDedupAssigned(emb, c)
-        .groupBy("cell").agg(count(lit(1)).as("n"))
+    def candVolume(assigned: DataFrame): Long =
+      assigned.groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
-    val fixedCand = candVolume(16)
+    val fixedCand =
+      candVolume(operators.Similarity.semDedupAssigned(emb, 16))
     val scaledC = 16 * f
-    val scaledCand = candVolume(scaledC)
-    val t0 = System.nanoTime()
+    // materialize the scaled assignment ONCE: the histogram and the
+    // timed pair stage both read it, and pair_wall measures the pair
+    // stage alone (not a second corpus×C assignment scan)
     val assigned = operators.Similarity.semDedupAssigned(emb, scaledC)
+      .localCheckpoint()
+    val scaledCand = candVolume(assigned)
+    val t0 = System.nanoTime()
     val row = operators.Similarity.semDedupPairs(assigned, tau = 0.40)
       .select(
         sum(when(expr("doc_a DIV 10000000") === expr("doc_b DIV 10000000"), 1L)

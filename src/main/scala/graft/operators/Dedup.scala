@@ -879,8 +879,8 @@ object Dedup {
     * stage — before any exchange — and only the surviving sliver meets
     * the exact string equi-join that removes Bloom false positives.
     * False negatives don't exist, so output ≡ [[decontaminate]]
-    * exactly (the oracle runs the exact form; DecontamBloomSpec pins
-    * frame equality + the might_contain-in-scan plan shape).
+    * exactly (the oracle runs the exact form; DedupSpec pins frame
+    * equality + the might_contain-in-scan plan shape).
     *
     * Third candidate-generation mechanism in the decontam family:
     * exact broadcast (row 53) when the shingle union is model-sized,
@@ -898,16 +898,20 @@ object Dedup {
     val benchDistinct = shingleSet(benchmark, k).select("s").distinct()
     benchDistinct.createOrReplaceTempView(bv)
     shingleSet(corpus, k).createOrReplaceTempView(cv)
-    val pruned = spark.sql(
-      s"""SELECT doc_id, s FROM $cv
-         |WHERE might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64(s),
-         |                           CAST($estKeys AS BIGINT),
-         |                           CAST(${estKeys * bitsPerKey} AS BIGINT))
-         |   FROM $bv),
-         |  xxhash64(s))""".stripMargin)
-    spark.catalog.dropTempView(bv)
-    spark.catalog.dropTempView(cv)
+    // views are session-global: drop them even when analysis throws
+    val pruned =
+      try spark.sql(
+        s"""SELECT doc_id, s FROM $cv
+           |WHERE might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(s),
+           |                           CAST($estKeys AS BIGINT),
+           |                           CAST(${estKeys * bitsPerKey} AS BIGINT))
+           |   FROM $bv),
+           |  xxhash64(s))""".stripMargin)
+      finally {
+        spark.catalog.dropTempView(bv)
+        spark.catalog.dropTempView(cv)
+      }
     val hits = pruned.join(benchDistinct, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     corpus.select("doc_id").join(hits, Seq("doc_id"), "left")

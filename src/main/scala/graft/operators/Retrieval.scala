@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window => W}
 
 import graft.core.Tables
-import graft.functions.CosineSimilarity
 import graft.functions.TextFunctions._
 
 /** Ranked retrieval over the corpus — the search-side operator a
@@ -191,11 +190,7 @@ object Retrieval {
     val lex = shardedTopK(lexScored, col("score_micro"), kFuse, shards)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
 
-    val v = Similarity.vectors(emb)
-    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
-    val semScored = broadcast(q)
-      .join(v, col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    val semScored = Similarity.cosineCandidates(emb, numQueries)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("cos"))
     val sem = shardedTopK(semScored, col("cos"), kFuse, shards)
       .select(col("query_id"), col("doc_id"), col("rnk").as("sem_rnk"))

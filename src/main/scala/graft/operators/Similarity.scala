@@ -152,13 +152,17 @@ object Similarity {
         col("cluster_size"), (col("vec_id") === col("keeper")).as("keep"))
   }
 
-  /** semDedup stage 1 — nearest-centroid assignment (exposed for the
-    * cell-sizing scale probe). */
-  private[graft] def semDedupAssigned(emb: DataFrame,
-                                      numCentroids: Int): DataFrame = {
-    val v = vectors(emb)
-    val cents = v.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
+  /** THE nearest-centroid assignment rule — one implementation shared
+    * by semDedup, the IVF index build, and (via ivfIndex) IVF serving,
+    * so the tie-break-sensitive ordering (rounded-6 ccos desc, then
+    * smallest cid via the negated-cid struct) cannot drift between the
+    * write path, the read path, and the SQL oracles that replicate it.
+    * trainIvfCentroids deliberately does NOT share it: Lloyd
+    * iterations assign on the UN-rounded cosine (training is float
+    * territory by contract and not oracle-checked).
+    * @param v     (vec_id, e) corpus vectors
+    * @param cents (cid, ce) centroid frame (model-sized, broadcast) */
+  private[graft] def assignToCells(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
       .groupBy("vec_id")
@@ -167,6 +171,15 @@ object Similarity {
         first(col("e")).as("e"))
       .select(col("vec_id"), col("best.cid").as("cell"),
         col("best.ccos").as("cos_centroid"), col("e"))
+
+  /** semDedup stage 1 — nearest-centroid assignment (exposed for the
+    * cell-sizing scale probe). */
+  private[graft] def semDedupAssigned(emb: DataFrame,
+                                      numCentroids: Int): DataFrame = {
+    val v = vectors(emb)
+    val cents = v.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    assignToCells(v, cents)
   }
 
   /** semDedup stage 2 — intra-cell near-dup pairs at tau. */
@@ -204,14 +217,22 @@ object Similarity {
     * so the big side is scanned exactly once with no shuffle; the only
     * shuffle is the final per-query top-k, whose input is |Q| * n rows
     * pre-truncatable by partial top-k. */
-  def annCosineTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  def annCosineTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame =
+    topK(cosineCandidates(emb, numQueries), k)
+
+  /** The fp32 broadcast-query candidate block — one copy of the
+    * bounded-query scan (broadcast q side, self-pair exclusion,
+    * rounded-6 cosine) shared by annCosineTopK, annHardNegatives, and
+    * the hybrid RRF dense side, so the conventions the DuckDB oracles
+    * replicate live in one place. Emits (query_id, vec_id, cos, ...).*/
+  private[graft] def cosineCandidates(emb: DataFrame,
+                                      numQueries: Int): DataFrame = {
     val v = vectors(emb)
     val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
-    val cand = broadcast(q)
+    broadcast(q)
       .join(v, col("query_id") =!= col("vec_id"))
       .withColumn("cos",
         round(CosineSimilarity(col("eq"), col("e")), 6))
-    topK(cand, k)
   }
 
   def annCosineTopKQuery(spark: SparkSession, dir: String): DataFrame =
@@ -233,13 +254,8 @@ object Similarity {
   def annHardNegatives(emb: DataFrame, numQueries: Int, k: Int,
                        lo: Double = 0.15, hi: Double = 0.40): DataFrame = {
     require(lo < hi, s"band [$lo, $hi) is empty")
-    val v = vectors(emb)
-    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
-    val cand = broadcast(q)
-      .join(v, col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
-      .filter(col("cos") >= lo && col("cos") < hi)
-    topK(cand, k)
+    topK(cosineCandidates(emb, numQueries)
+      .filter(col("cos") >= lo && col("cos") < hi), k)
   }
 
   def annHardNegativesQuery(spark: SparkSession, dir: String): DataFrame =
@@ -605,19 +621,19 @@ object Similarity {
                        nProbe: Int): (DataFrame, DataFrame) = {
     val v = vectors(emb)
 
-    // nearest centroid per vector: max (rounded cosine, then smallest
-    // cid) via max_by over a struct — aggregates combine map-side, so
-    // the C-fold row amplification never crosses the exchange
-    val scoredCells = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
-    val assigned = scoredCells.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), (lit(0L) - col("cid")).as("nc")))
-        .as("cell"), first(col("e")).as("e"))
+    // nearest centroid per vector: the shared assignToCells rule —
+    // aggregates combine map-side, so the C-fold row amplification
+    // never crosses the exchange
+    val assigned = assignToCells(v, cents)
+      .select(col("vec_id"), col("cell"), col("e"))
 
-    // query probes: top-nProbe centroids (bounded rows — window is fine)
+    // query probes: top-nProbe centroids (bounded rows — window is
+    // fine; the crossJoin is queries-only, |Q|·C rows)
     val wProbe = W.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val probes = scoredCells.filter(col("vec_id") < numQueries)
+    val probes = v.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
@@ -695,15 +711,23 @@ object Similarity {
     * engines; floor does not). Map-only, zero shuffles; the transform
     * lambdas here are a one-off storage pass, not the per-query ANN
     * hot path (which stays lambda-free via native expressions). */
+  /** The half-away-from-zero int8 component expression — ONE copy
+    * shared by quantizeInt8 and the index build (ivfInt8IndexRows), so
+    * the rounding mode and the zero-vector convention cannot drift
+    * between the stored index and the quantization the oracles/native
+    * Int8Quantize pin. */
+  private def int8Components(e: Column, maxabs: Column): Column =
+    transform(e, x =>
+      when(maxabs === 0.0d, lit(0))
+        .otherwise((signum(x) *
+          floor(abs(x) * lit(127.0d) / maxabs + lit(0.5d)))
+          .cast("int")))
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     vectors(emb)
       .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
       .select(col("vec_id"), col("maxabs"),
-        transform(col("e"), x =>
-          when(col("maxabs") === 0.0d, lit(0))
-            .otherwise((signum(x) *
-              floor(abs(x) * lit(127.0d) / col("maxabs") + lit(0.5d)))
-              .cast("int"))).as("q"))
+        int8Components(col("e"), col("maxabs")).as("q"))
       .select(col("vec_id"),
         round(col("maxabs"), 6).as("maxabs_r"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
@@ -769,22 +793,12 @@ object Similarity {
     * (streaming.IvfIngest) — each row depends only on itself plus the
     * static centroid frame, so stream output is batch-identical under
     * any micro-batch split. */
-  def ivfInt8IndexRows(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val v = vectors(emb)
-    v.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), (lit(0L) - col("cid")).as("nc")))
-        .as("cell"), first(col("e")).as("e"))
+  def ivfInt8IndexRows(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignToCells(vectors(emb), cents)
       .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
       .select(col("vec_id"), col("cell"),
         round(col("maxabs"), 6).as("scale"),
-        transform(col("e"), x =>
-          when(col("maxabs") === 0.0d, lit(0))
-            .otherwise((signum(x) *
-              floor(abs(x) * lit(127.0d) / col("maxabs") + lit(0.5d)))
-              .cast("int"))).as("q"))
-  }
+        int8Components(col("e"), col("maxabs")).as("q"))
 
   /** Brute-force cosine top-k over the int8-QUANTIZED corpus — the
     * serving path that reads a 4x-smaller vector column (the dominant
