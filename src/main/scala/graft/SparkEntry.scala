@@ -125,6 +125,9 @@ object SparkEntry {
     "lm_surprisal"           -> (QualityModels.lmSurprisalQuery _),
     "quality_floor_per_source" -> (QualityModels.qualityFloorPerSourceQuery _),
     "dsir_importance"        -> (QualityModels.dsirImportanceQuery _),
+    "gopher_rules"           -> (QualityModels.gopherRulesQuery _),
+    "bigram_surprisal"       -> (QualityModels.bigramSurprisalQuery _),
+    "vocab_kl_drift"         -> (QualityModels.vocabKlDriftQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),
     "dedup_containment"      -> (Dedup.containmentQuery _),

@@ -221,6 +221,172 @@ object QualityModels {
     dsirImportance(Tables.documents(spark, dir), col("lang") === "en")
       .orderBy(col("doc_id"))
 
+  /** The Gopher/MassiveText rule gate (Rae et al. 2021, Appendix A) as
+    * named per-rule flags — the AUDITABLE form of the filter: a release
+    * gate wants to know WHICH rule killed a doc, not just that one did.
+    * textQuality (TextAnalysis) reports float ratio STATS; this is the
+    * boolean RULE SET, in exact integer arithmetic (every comparison is
+    * cross-multiplied — no division anywhere, so no rounding caveat at
+    * all):
+    *
+    *  - r_word_count:  n_words ∈ [minWords, maxWords]
+    *  - r_word_len:    mean word length ∈ [4, 10]  (4·w ≤ alpha ≤ 10·w,
+    *                   alpha = n_chars − n_words + 1 on the
+    *                   single-spaced corpus)
+    *  - r_stopwords:   ≥ 2 DISTINCT members of the 8-word stop list
+    *                   appear (Gopher's "contains at least two of the,
+    *                   be, to, of, and, that, have, with", with `a`
+    *                   standing in for `be` so the list intersects
+    *                   this corpus's vocabulary)
+    *  - r_ttr:         type-token ratio ≥ 30% (10·n_distinct ≥ 3·w) —
+    *                   keyboard-mash and boilerplate both crater this
+    *  - r_top_token:   most frequent token's share ≤ 20% (5·top ≤ w) —
+    *                   the unigram member of Gopher's repetition family
+    *                   (the n-gram members live in repetition_stats)
+    *
+    * keep = all five. Scale shape: ENTIRELY map-only — the repetition
+    * signals are in-row array folds (distinct + per-type counts over a
+    * ≤ doc-length array), not the explode→groupBy path, so the operator
+    * adds ZERO shuffles at any corpus size; the rule evaluates inside
+    * the scan stage and pushes `keep` into downstream filters. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 15, maxWords: Int = 90): DataFrame = {
+    val gopherStop = Seq("the", "a", "to", "of", "and", "that", "have", "with")
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        length(col("text")).as("nc"))
+      .select(col("doc_id"), col("toks"), col("nc"),
+        size(col("toks")).as("w"),
+        (col("nc") - size(col("toks")) + 1).as("alpha"),
+        size(array_distinct(col("toks"))).as("nd"),
+        size(filter(array_distinct(col("toks")),
+          t => t.isin(gopherStop: _*))).as("nstop"),
+        array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))).as("topc"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        (col("w") >= minWords && col("w") <= maxWords).as("r_word_count"),
+        (lit(4) * col("w") <= col("alpha") &&
+          col("alpha") <= lit(10) * col("w")).as("r_word_len"),
+        (col("nstop") >= 2).as("r_stopwords"),
+        (lit(10) * col("nd") >= lit(3) * col("w")).as("r_ttr"),
+        (lit(5) * col("topc") <= col("w")).as("r_top_token"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_stopwords") &&
+          col("r_ttr") && col("r_top_token"))
+  }
+
+  def gopherRulesQuery(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Bigram-LM cross-entropy — lmSurprisal one Markov order up (the
+    * KenLM direction: CCNet scores with a 5-gram; the bigram is the
+    * first order where CONTEXT matters, so "the the the" scores high
+    * while unigram surprisal — blind to order — scores it low).
+    *
+    * Model: add-1-smoothed conditional
+    *   p(t2|t1) = (cnt(t1 t2) + 1) / (cnt_prefix(t1) + V)
+    * over the corpus's own bigram stream, V = distinct unigram types,
+    * cnt_prefix = occurrences of t1 AS A PREFIX (= unigram count minus
+    * the end-of-doc positions, counted directly from the bigram stream
+    * so the two engines can't disagree about doc boundaries). Per
+    * bigram TYPE the surprisal ln(cnt_prefix+V) − ln(cnt+1) is rounded
+    * ONCE to integer micro-nats (two ln terms, pinned order); a doc's
+    * score is the BIGINT sum over its n_words−1 bigram positions and
+    * the mean is exact trunc division.
+    *
+    * Scale shape — same zero-corpus-shuffle contract as lmSurprisal:
+    * bigram counts are ONE map-side-combined aggregate (bigram-vocab-
+    * sized output; Heaps' law keeps it ≪ corpus), prefix counts REUSE
+    * the bigram table (a second vocab-sized aggregate — the corpus is
+    * NOT rescanned), the model collapses to one broadcast map row, and
+    * docs score via the in-row `aggregate` fold over their own shingle
+    * array — no explode, no per-doc groupBy. Docs with < 2 tokens
+    * carry a 0 score and a NULL mean (no bigram evidence). */
+  def bigramSurprisal(docs: DataFrame,
+                      minKeepMicro: Long = 3340000L,
+                      maxKeepMicro: Long = 3420000L): DataFrame = {
+    val bigs = docs.select(
+      explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+    val bcnt = bigs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    // prefix occurrences + V from the bigram table, not a rescan
+    val pcnt = bcnt
+      .groupBy(split(col("bg"), " ").getItem(0).as("t1"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    val vocabV = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = bcnt
+      .join(pcnt, split(col("bg"), " ").getItem(0) === col("t1"))
+      .crossJoin(broadcast(vocabV))
+      .select(col("bg"),
+        round((log(col("pcnt") + col("v")) - log(col("cnt") + 1))
+          * lit(1000000.0d)).cast("long").as("s"))
+      .agg(collect_list(struct(col("bg"), col("s"))).as("es"))
+      .select(map_from_entries(col("es")).as("smap"))
+
+    docs.crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        wordShingles(tokens(col("text")), 2).as("bgs"), col("smap"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        aggregate(col("bgs"), lit(0L),
+          (acc, bg) => acc + element_at(col("smap"), bg))
+          .as("surprisal_micro"))
+      .withColumn("mean_micro",
+        when(col("n_bigrams") > 0,
+          expr("surprisal_micro div n_bigrams")))
+      .withColumn("keep",
+        coalesce(col("mean_micro") >= minKeepMicro &&
+          col("mean_micro") <= maxKeepMicro, lit(false)))
+  }
+
+  def bigramSurprisalQuery(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Token-distribution drift between two corpus slices — the
+    * monitoring operator a continuously-crawled pipeline runs before
+    * admitting a new batch: KL(new ‖ base) decomposed PER TOKEN TYPE,
+    * so a drifted ingest doesn't just trip a scalar alarm, it names
+    * the tokens driving the shift.
+    *
+    * Per type t (add-1 smoothed over the UNION vocab V, so both sides
+    * are proper distributions even for tokens one side lacks):
+    *   q̂(t) = (cnt_new+1)/(tot_new+V),  p̂(t) = (cnt_base+1)/(tot_base+V)
+    *   contrib(t) = q̂(t) · ln(q̂(t)/p̂(t))
+    * rounded ONCE per type to integer micro-nats with the four ln
+    * terms in pinned left-to-right order; Σ contrib = KL + the smoothing
+    * bias, and `driver` flags |contrib| ≥ driverMicro. contrib < 0
+    * (token LESS common in new) is reported too — direction matters
+    * for diagnosis.
+    *
+    * Scale shape: two map-side-combined counts keyed by token type
+    * collapse the corpus to vocab-sized frames; base/new align with a
+    * full-outer join on t (vocab-sized); the three scalars (totals, V)
+    * broadcast. The corpus itself is touched exactly once, map-only
+    * past the partial aggregate. */
+  def vocabKlDrift(docs: DataFrame, isNew: Column,
+                   driverMicro: Long = 300L): DataFrame = {
+    val occ = docs.select(isNew.as("is_new"),
+      explode(tokens(col("text"))).as("t"))
+    val cnts = occ.groupBy("t").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("cnt_base"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("cnt_new"))
+    val tots = cnts.agg(sum(col("cnt_base")).as("tot_base"),
+      sum(col("cnt_new")).as("tot_new"), count(lit(1)).as("v"))
+    cnts.crossJoin(broadcast(tots))
+      .select(col("t"), col("cnt_base"), col("cnt_new"),
+        round(((col("cnt_new") + 1) / (col("tot_new") + col("v")))
+          * (log(col("cnt_new") + 1) - log(col("tot_new") + col("v"))
+            - log(col("cnt_base") + 1) + log(col("tot_base") + col("v")))
+          * lit(1000000.0d)).cast("long").as("kl_contrib_micro"))
+      .withColumn("driver", abs(col("kl_contrib_micro")) >= driverMicro)
+  }
+
+  def vocabKlDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabKlDrift(Tables.documents(spark, dir), col("source").isin("src0", "src1"))
+      .orderBy(col("t"))
+
   val oracles: Map[String, String] = Map(
     "lm_surprisal" ->
       """WITH tok AS (
@@ -297,5 +463,88 @@ object QualityModels {
         |  FROM ranked) WHERE rn <= 100)
         |SELECT r.doc_id, r.n_feat, r.lw_micro, r.mean_micro,
         | r.doc_id IN (SELECT doc_id FROM sel) AS selected
-        |FROM ranked r ORDER BY r.doc_id""".stripMargin)
+        |FROM ranked r ORDER BY r.doc_id""".stripMargin,
+    // named per-rule flags, every comparison cross-multiplied — pure
+    // integer arithmetic, bit-identical by construction
+    "gopher_rules" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, len(toks) AS w, nc - len(toks) + 1 AS alpha,
+        |  len(list_distinct(toks)) AS nd,
+        |  len(list_filter(list_distinct(toks), s -> s IN
+        |   ('the','a','to','of','and','that','have','with'))) AS nstop,
+        |  list_max(list_transform(list_distinct(toks),
+        |   s -> len(list_filter(toks, x -> x = s)))) AS topc
+        | FROM t)
+        |SELECT doc_id, w AS n_words,
+        | w BETWEEN 15 AND 90 AS r_word_count,
+        | (4 * w <= alpha AND alpha <= 10 * w) AS r_word_len,
+        | nstop >= 2 AS r_stopwords,
+        | 10 * nd >= 3 * w AS r_ttr,
+        | 5 * topc <= w AS r_top_token,
+        | ((w BETWEEN 15 AND 90) AND 4 * w <= alpha AND alpha <= 10 * w
+        |   AND nstop >= 2 AND 10 * nd >= 3 * w AND 5 * topc <= w) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // bigram add-1 model: prefix counts REUSE the bigram table; the
+    // two ln terms rounded once per bigram type, BIGINT doc sums
+    "bigram_surprisal" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bgocc AS (
+        | SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |   THEN list_transform(range(1, len(toks)),
+        |                       i -> toks[i] || ' ' || toks[i+1])
+        |   ELSE [] END) AS bg
+        | FROM tok),
+        |bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM bgocc GROUP BY 1),
+        |pcnt AS (SELECT string_split(bg, ' ')[1] AS t1,
+        |          CAST(sum(cnt) AS BIGINT) AS pc FROM bcnt GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |smap AS (
+        | SELECT bg,
+        |  CAST(round((ln(pc + v) - ln(cnt + 1)) * 1000000) AS BIGINT) AS s
+        | FROM bcnt JOIN pcnt ON string_split(bg, ' ')[1] = pcnt.t1
+        | CROSS JOIN vv),
+        |per_doc AS (
+        | SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
+        | FROM bgocc b JOIN smap s USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(p.n_bigrams, 0) AS n_bigrams,
+        | coalesce(p.surprisal_micro, 0) AS surprisal_micro,
+        | CASE WHEN coalesce(p.n_bigrams, 0) > 0
+        |   THEN p.surprisal_micro // p.n_bigrams END AS mean_micro,
+        | coalesce((p.surprisal_micro // p.n_bigrams)
+        |   BETWEEN 3340000 AND 3420000, FALSE) AS keep
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // add-1 smoothed per-type KL contribution, four ln terms in the
+    // Spark-side order, q-hat as a double division on both engines
+    "vocab_kl_drift" ->
+      """WITH occ AS (
+        | SELECT (source IN ('src0', 'src1')) AS is_new,
+        |  unnest(string_split(text, ' ')) AS t
+        | FROM documents),
+        |cnts AS (
+        | SELECT t,
+        |  CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS cnt_base,
+        |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS cnt_new
+        | FROM occ GROUP BY 1),
+        |tots AS (SELECT CAST(sum(cnt_base) AS BIGINT) AS tot_base,
+        |  CAST(sum(cnt_new) AS BIGINT) AS tot_new,
+        |  CAST(count(*) AS BIGINT) AS v FROM cnts),
+        |scored AS (
+        | SELECT t, cnt_base, cnt_new,
+        |  CAST(round(((cnt_new + 1) / (tot_new + v))
+        |   * (ln(cnt_new + 1) - ln(tot_new + v)
+        |      - ln(cnt_base + 1) + ln(tot_base + v))
+        |   * 1000000) AS BIGINT) AS kl_contrib_micro
+        | FROM cnts CROSS JOIN tots)
+        |SELECT t, cnt_base, cnt_new, kl_contrib_micro,
+        | abs(kl_contrib_micro) >= 300 AS driver
+        |FROM scored ORDER BY t""".stripMargin)
 }

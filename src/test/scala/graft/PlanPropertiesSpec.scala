@@ -15,6 +15,13 @@ class PlanPropertiesSpec extends SparkSpec {
     * keyed equi-joins. */
   private val boundedBroadcastOk = Set("ann_cosine_topk", "ann_ivf_topk",
     "ann_int8_topk",
+    // bounded query-side broadcast (fixed query set), band filter
+    // applied in-scan — same legitimate shape as ann_cosine_topk
+    "ann_hard_negatives",
+    // query-side cell assignment crosses the bounded query set with
+    // the model-sized centroid table; index probing is an equi-join
+    // on cell — same bounded shape as ann_ivf_topk
+    "ann_ivf_from_index",
     // stage-1 shortlist pass: same bounded query-side broadcast as
     // ann_int8_topk; stage 2 is equi-joins only
     "ann_rerank_topk",
@@ -39,7 +46,23 @@ class PlanPropertiesSpec extends SparkSpec {
     "bm25_topk",
     // 1-row vocab-map frame (the broadcast unigram model) crossed into
     // the map-only doc scan
-    "lm_surprisal")
+    "lm_surprisal",
+    // same shape one order up: 1-row bigram-map model + the 1-row
+    // distinct-unigram-count (V) scalar crossed into the model build
+    "bigram_surprisal",
+    // 1-row totals frame (tot_base, tot_new, V) crossed onto the
+    // vocab-sized counts frame
+    "vocab_kl_drift",
+    // 1-row occurrence-totals frame + the numBuckets-row model
+    // collapsed to ONE map row, crossed into the map-only doc scorer
+    "dsir_importance",
+    // 1-row (N, sumdl) corpus-stats frame (bm25_topk's shape) on the
+    // sparse leg; the dense leg is the bounded query broadcast
+    "hybrid_rrf_topk",
+    // nearest-centroid assignment crosses vectors with the model-sized
+    // centroid table (ann_ivf_topk's shape); intra-cell pairing is an
+    // equi-join on cell
+    "semdedup")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

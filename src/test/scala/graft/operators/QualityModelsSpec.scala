@@ -102,6 +102,116 @@ class QualityModelsSpec extends SparkSpec {
     assert(!out(9L))
   }
 
+  test("gopherRules: each rule trips independently on constructed docs") {
+    def words(ws: String*): String = ws.mkString(" ")
+    val pass = words((Seq("the", "a") ++
+      (1 to 18).map(i => f"word$i%02d")): _*) // 20 words, mwl ok, ttr 1
+    val tooShort = "just five small word docs"
+    val thinWords = words(("a" +: "to" +:
+      ('a' to 'r').map(c => s"$c$c")): _*) // 20 words, all ≤ 2 chars
+    val noStop = words((1 to 20).map(i => f"word$i%02d"): _*)
+    val lowTtr = words(Seq.fill(4)(Seq("the", "that", "have", "with", "jumbo")).flatten: _*)
+    val topHeavy = words((Seq.fill(5)("of") ++ Seq("the") ++
+      (1 to 14).map(i => f"word$i%02d")): _*)
+    val d = Seq(
+      (0L, pass), (1L, tooShort), (2L, thinWords), (3L, noStop),
+      (4L, lowTtr), (5L, topHeavy)).toDF("doc_id", "text")
+    val out = QualityModels.gopherRules(d)
+      .select("doc_id", "r_word_count", "r_word_len", "r_stopwords",
+        "r_ttr", "r_top_token", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, true, true, true, true, true, true)))
+    assert(!out(1L)._2, "5 words must fail r_word_count")
+    assert(!out(2L)._3, "2-char words must fail r_word_len")
+    assert(out(2L)._4, "a+to are two distinct stop members")
+    assert(!out(3L)._4, "no stop members must fail r_stopwords")
+    assert(!out(4L)._5 && out(4L)._3 && out(4L)._6,
+      "5 types over 20 tokens fails ONLY r_ttr (top share exactly 20%)")
+    assert(!out(5L)._6 && out(5L)._5,
+      "25% top-token share fails r_top_token, ttr still fine")
+    assert(out.valuesIterator.count(_._7) === 1, "only the clean doc keeps")
+  }
+
+  test("gopherRules == independent explode-based recomputation on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = QualityModels.gopherRules(d)
+      .select("doc_id", "n_words", "r_ttr", "r_top_token", "keep")
+      .as[(Long, Int, Boolean, Boolean, Boolean)].collect().toSet
+    // independent path: explode → per-doc groupBy (the shuffle shape
+    // the map-only operator exists to avoid — here it's the referee)
+    val stop = Seq("the", "a", "to", "of", "and", "that", "have", "with")
+    val byTok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("w"), count(lit(1)).as("nd"), max(col("c")).as("topc"),
+        sum(when(col("t").isin(stop: _*), 1).otherwise(0)).as("nstopt"),
+        sum(length(col("t")) * col("c")).as("alpha"))
+    val want = byTok.select(col("doc_id"), col("w").cast("int").as("n_words"),
+        (lit(10) * col("nd") >= lit(3) * col("w")).as("r_ttr"),
+        (lit(5) * col("topc") <= col("w")).as("r_top_token"),
+        ((col("w") >= 15 && col("w") <= 90) &&
+          (lit(4) * col("w") <= col("alpha") && col("alpha") <= lit(10) * col("w")) &&
+          (col("nstopt") >= 2) && (lit(10) * col("nd") >= lit(3) * col("w")) &&
+          (lit(5) * col("topc") <= col("w"))).as("keep"))
+      .as[(Long, Int, Boolean, Boolean, Boolean)].collect().toSet
+    assert(got === want)
+    assert(got.exists(_._5) && got.exists(!_._5), "gate must split the corpus")
+  }
+
+  test("bigramSurprisal: hand-computed micro-nats; context-sensitivity") {
+    // corpus: "a a a" + "a b" ⇒ bigrams: (a a)x2, (a b)x1; V=2;
+    // prefix(a) = 3 ⇒ s(a a) = ln5 − ln3, s(a b) = ln5 − ln2
+    val d = Seq((1L, "a a a"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val out = QualityModels.bigramSurprisal(d)
+      .select("doc_id", "n_bigrams", "surprisal_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val sAA = math.round((math.log(5) - math.log(3)) * 1e6)
+    val sAB = math.round((math.log(5) - math.log(2)) * 1e6)
+    assert(out(1L) === ((2L, 2 * sAA)))
+    assert(out(2L) === ((1L, sAB)))
+    assert(out(3L) === ((0L, 0L)), "single-token doc: no bigram evidence")
+    val mean = QualityModels.bigramSurprisal(d)
+      .filter(col("doc_id") === 3L).select("mean_micro", "keep")
+      .as[(Option[Long], Boolean)].collect().head
+    assert(mean === ((None, false)))
+  }
+
+  test("bigramSurprisal sees word ORDER where lmSurprisal cannot") {
+    // identical unigram multisets, different bigram streams
+    val d = Seq((1L, "a b a b a b"), (2L, "a a a b b b")).toDF("doc_id", "text")
+    val uni = QualityModels.lmSurprisal(d)
+      .select("doc_id", "surprisal_micro").as[(Long, Long)].collect().toMap
+    assert(uni(1L) === uni(2L), "unigram scoring is order-blind")
+    val bi = QualityModels.bigramSurprisal(d)
+      .select("doc_id", "surprisal_micro").as[(Long, Long)].collect().toMap
+    assert(bi(1L) !== bi(2L), "bigram scoring must distinguish order")
+  }
+
+  test("vocabKlDrift: hand-checked contributions; no-drift slice scores 0") {
+    val d = Seq(
+      (1L, "x x y", "base"), (2L, "x z", "new")).toDF("doc_id", "text", "src")
+    val out = QualityModels.vocabKlDrift(d, col("src") === "new")
+      .select("t", "cnt_base", "cnt_new", "kl_contrib_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def contrib(cn: Long, cb: Long, tn: Long, tb: Long, v: Long): Long =
+      math.round(((cn + 1).toDouble / (tn + v))
+        * (math.log(cn + 1.0) - math.log(tn + v.toDouble)
+          - math.log(cb + 1.0) + math.log(tb + v.toDouble)) * 1e6)
+    assert(out("x") === ((2L, 1L, contrib(1, 2, 2, 3, 3))))
+    assert(out("y") === ((1L, 0L, contrib(0, 1, 2, 3, 3))))
+    assert(out("z") === ((0L, 1L, contrib(1, 0, 2, 3, 3))))
+    assert(out("z")._3 > 0 && out("y")._3 < 0,
+      "new-only token drifts up, vanished token drifts down")
+    // identical slices ⇒ the four ln terms cancel exactly per type
+    val same = Seq((1L, "p q r", "base"), (2L, "p q r", "new"))
+      .toDF("doc_id", "text", "src")
+    val zero = QualityModels.vocabKlDrift(same, col("src") === "new")
+      .select("kl_contrib_micro").as[Long].collect()
+    assert(zero.forall(_ === 0L))
+  }
+
   implicit private class Map2Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
