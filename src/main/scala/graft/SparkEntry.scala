@@ -145,6 +145,7 @@ object SparkEntry {
     "dup_spans_redact"       -> (Dedup.dupSpansRedactQuery _),
     "dup_by_source"          -> (Dedup.dupBySourceQuery _),
     "dup_spans_exact"        -> (Dedup.dupSpansExactQuery _),
+    "tfidf_cosine_pairs"     -> (TfIdfSim.tfidfCosinePairsQuery _),
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),
@@ -182,5 +183,5 @@ object SparkEntry {
       CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
       FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
       Timeseries.oracles ++ ProductAnalytics.oracles ++
-      Retrieval.oracles ++ QualityModels.oracles
+      Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles
 }

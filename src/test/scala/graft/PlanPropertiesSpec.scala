@@ -62,7 +62,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // nearest-centroid assignment crosses vectors with the model-sized
     // centroid table (ann_ivf_topk's shape); intra-cell pairing is an
     // equi-join on cell
-    "semdedup")
+    "semdedup",
+    // 1-row corpus-count scalar (N for idf) crossed onto the
+    // vocab-sized df frame; pairing is the term-keyed equi-join
+    "tfidf_cosine_pairs")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
