@@ -153,6 +153,7 @@ object SparkEntry {
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
     "ann_hard_negatives"     -> (Similarity.annHardNegativesQuery _),
     "kcenter_coreset"        -> (Similarity.kcenterCoresetQuery _),
+    "mmr_diversify"          -> (Similarity.mmrDiversifyQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),

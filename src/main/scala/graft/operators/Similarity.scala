@@ -316,6 +316,90 @@ object Similarity {
     kcenterCoreset(Tables.embeddings(spark, dir), k = 8)
       .orderBy(col("rnk"))
 
+  /** MMR — Maximal Marginal Relevance re-ranking (Carbonell &
+    * Goldstein 1998): pick k results that are RELEVANT to the query
+    * but not redundant with each other,
+    *   mmr(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    * greedily. kcenterCoreset maximizes pure diversity over the whole
+    * corpus; this is its QUERY-RELATIVE sibling — the post-retrieval
+    * step that stops a near-dup cluster from filling all k slots.
+    *
+    * Deterministic contract, all integer: per-candidate relevance and
+    * pairwise similarities are rounded ONCE to micro-units
+    * (round(cos·1e6) — never round-to-6-then-scale, whose re-widened
+    * double can truncate off by one); with λ = lamNum/lamDen the
+    * selection argmax uses the UNDIVIDED score
+    *   lamNum·rel_micro − (lamDen−lamNum)·maxs_micro
+    * (reported as mmr_tenth_micro at the default λ=7/10 — tenth-micro
+    * units), so no float ever orders the picks; ties to smallest
+    * vec_id. Pick 1 is pure relevance (empty-S convention: no
+    * penalty term).
+    *
+    * Scale shape: the CORPUS is touched exactly once — relevance
+    * scoring against the ONE broadcast query row, then a two-phase
+    * sharded top-nCand shortlist (no global window ever sees the
+    * corpus; the final window sees ≤ shards·nCand rows). The k−1
+    * greedy rounds run entirely on the nCand-row candidate frame
+    * (model-sized by construction — this is a re-RANKER, fed by
+    * annIvfRerankTopK at 100 TB), each round one broadcast of the
+    * newest pick + a running integer max, exactly kcenterCoreset's
+    * loop discipline. */
+  def mmrDiversify(emb: DataFrame, k: Int = 8, nCand: Int = 64,
+                   lamNum: Int = 7, lamDen: Int = 10,
+                   shards: Int = 8): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need 1 <= k <= nCand, got $k/$nCand")
+    require(lamNum >= 0 && lamNum <= lamDen && lamDen > 0,
+      s"lambda $lamNum/$lamDen must be in [0, 1]")
+    val v = vectors(emb)
+    val q = v.filter(col("vec_id") === 0L).select(col("e").as("eq"))
+      .localCheckpoint()
+    def micro(c: Column): Column = round(c * lit(1000000.0d)).cast("long")
+    val rel = v.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"),
+        micro(CosineSimilarity(col("e"), col("eq"))).as("rel_micro"))
+    val wShard = W.partitionBy(pmod(col("vec_id"), lit(shards)))
+      .orderBy(col("rel_micro").desc, col("vec_id"))
+    val wFinal = W.orderBy(col("rel_micro").desc, col("vec_id"))
+    val cand = rel
+      .withColumn("srnk", row_number().over(wShard))
+      .filter(col("srnk") <= nCand)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= nCand)
+      .select(col("vec_id"), col("e"), col("rel_micro"))
+      .localCheckpoint()
+
+    val penalty = lamDen - lamNum
+    val first = cand.orderBy(col("rel_micro").desc, col("vec_id")).limit(1)
+      .localCheckpoint()
+    var sel = first.select(lit(1).as("rnk"), col("vec_id"), col("rel_micro"),
+      (lit(lamNum) * col("rel_micro")).as("mmr_tenth_micro"))
+      .localCheckpoint()
+    var newest = first.select(col("vec_id").as("cid"), col("e").as("ce"))
+      .localCheckpoint()
+    // pool rows carry the running max similarity to the selected set
+    var pool = cand.select(col("vec_id"), col("e"), col("rel_micro"),
+      lit(Long.MinValue).as("maxs"))
+    for (i <- 2 to k) {
+      pool = pool.crossJoin(broadcast(newest))
+        .filter(col("vec_id") =!= col("cid"))
+        .select(col("vec_id"), col("e"), col("rel_micro"),
+          greatest(col("maxs"),
+            micro(CosineSimilarity(col("e"), col("ce")))).as("maxs"))
+        .localCheckpoint()
+      val score = lit(lamNum) * col("rel_micro") - lit(penalty) * col("maxs")
+      val next = pool.orderBy(score.desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      sel = sel.unionByName(next.select(lit(i).as("rnk"), col("vec_id"),
+        col("rel_micro"), score.as("mmr_tenth_micro"))).localCheckpoint()
+      newest = next.select(col("vec_id").as("cid"), col("e").as("ce"))
+        .localCheckpoint()
+    }
+    sel
+  }
+
+  def mmrDiversifyQuery(spark: SparkSession, dir: String): DataFrame =
+    mmrDiversify(Tables.embeddings(spark, dir)).orderBy(col("rnk"))
+
   /** Embedding-space benchmark decontamination: for every corpus
     * vector, its maximum cosine against a (model-sized, broadcast)
     * benchmark embedding set and the count of benchmark vectors within
@@ -1030,6 +1114,45 @@ object Similarity {
     sb.toString
   }
 
+  /** Chained-CTE oracle for the MMR greedy: cand is the micro-unit
+    * top-nCand shortlist, m_i the pool with the running max-similarity
+    * after i-1 picks, c_i the argmax of the undivided integer score
+    * 7·rel − 3·maxs (λ = 7/10, ties to smallest vec_id) — the same
+    * iterated greatest() over once-rounded micro cosines the Spark
+    * loop computes. */
+  private def mmrOracle(k: Int, nCand: Int): String = {
+    def simMicro(a: String, b: String): String =
+      s"CAST(round((list_sum(list_transform(range(1, len($a.e)+1), " +
+        s"i -> $a.e[i]*$b.e[i])) / ($a.nrm * $b.nrm)) * 1000000) AS BIGINT)"
+    val sb = new StringBuilder(vectorCte)
+    sb ++= ",q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id = 0)"
+    sb ++= s",rel AS (SELECT c.vec_id, c.e, c.nrm, " +
+      s"${simMicro("c", "q")} AS rel_micro " +
+      "FROM v c CROSS JOIN q WHERE c.vec_id <> 0)"
+    sb ++= s",cand AS (SELECT vec_id, e, nrm, rel_micro FROM rel " +
+      s"ORDER BY rel_micro DESC, vec_id LIMIT $nCand)"
+    sb ++= ",c1 AS (SELECT vec_id, e, nrm, rel_micro FROM cand " +
+      "ORDER BY rel_micro DESC, vec_id LIMIT 1)"
+    for (i <- 2 to k) {
+      val prev = if (i == 2) "cand" else s"m${i - 1}"
+      val maxExpr =
+        if (i == 2) simMicro("m", "s")
+        else s"greatest(m.maxs, ${simMicro("m", "s")})"
+      sb ++= s",m$i AS (SELECT m.vec_id, m.e, m.nrm, m.rel_micro, " +
+        s"$maxExpr AS maxs FROM $prev m CROSS JOIN c${i - 1} s " +
+        "WHERE m.vec_id <> s.vec_id)"
+      sb ++= s",c$i AS (SELECT vec_id, e, nrm, rel_micro, maxs FROM m$i " +
+        "ORDER BY (7 * rel_micro - 3 * maxs) DESC, vec_id LIMIT 1)"
+    }
+    sb ++= " SELECT 1 AS rnk, vec_id, rel_micro, " +
+      "7 * rel_micro AS mmr_tenth_micro FROM c1"
+    for (i <- 2 to k)
+      sb ++= s" UNION ALL SELECT $i, vec_id, rel_micro, " +
+        s"7 * rel_micro - 3 * maxs FROM c$i"
+    sb ++= " ORDER BY rnk"
+    sb.toString
+  }
+
   private val vectorCte =
     """WITH v AS (
       | SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -1439,6 +1562,7 @@ object Similarity {
         | WHERE cos >= 0.15 AND cos < 0.40)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "kcenter_coreset" -> kcenterOracle(k = 8),
+    "mmr_diversify" -> mmrOracle(k = 8, nCand = 64),
     // the whole quantize→score→rank pipeline replicated in SQL — the
     // quantized values are exact small integers, so list_sum order is
     // irrelevant and the score is bit-stable cross-engine

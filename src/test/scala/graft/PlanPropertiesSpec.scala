@@ -65,7 +65,10 @@ class PlanPropertiesSpec extends SparkSpec {
     "semdedup",
     // 1-row corpus-count scalar (N for idf) crossed onto the
     // vocab-sized df frame; pairing is the term-keyed equi-join
-    "tfidf_cosine_pairs")
+    "tfidf_cosine_pairs",
+    // 1-row broadcast query + 1-row newest-pick frames; the greedy
+    // rounds run on the bounded top-nCand shortlist only
+    "mmr_diversify")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

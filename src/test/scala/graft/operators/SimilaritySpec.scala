@@ -582,4 +582,49 @@ class SimilaritySpec extends SparkSpec {
       assert(g.count(_._2) === 1, "each group keeps exactly one member")
     }
   }
+
+  test("mmrDiversify: redundancy penalty reorders a near-dup cluster") {
+    // unit vectors: v1 at +26° of q with near-twin v2; v3 at −30°, the
+    // OTHER side of q, so rel(v3)=0.87 is high while sim(v1,v3)≈0.57.
+    // Relevance alone ranks v1, v2, v3; the λ=0.7 penalty on v2's
+    // ≈0.9998 twin similarity must interleave v3 second.
+    val d = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.9f, 0.4359f),
+      2L -> Seq(0.89f, 0.456f),
+      3L -> Seq(0.87f, -0.4931f))
+    val picks = Similarity.mmrDiversify(d, k = 3, nCand = 3)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(picks === Seq(1L, 3L, 2L))
+    // λ = 1 switches the penalty off: pure relevance order comes back
+    val rel = Similarity.mmrDiversify(d, k = 3, nCand = 3,
+        lamNum = 10, lamDen = 10)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(rel === Seq(1L, 2L, 3L))
+  }
+
+  test("mmrDiversify: k=1 is the pure-relevance argmax at 7x micro score") {
+    val d = emb(0L -> Seq(1f, 0f), 1L -> Seq(0.8f, 0.6f), 2L -> Seq(0f, 1f))
+    val out = Similarity.mmrDiversify(d, k = 1, nCand = 2)
+      .select("rnk", "vec_id", "rel_micro", "mmr_tenth_micro")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (rnk, id, relM, score) = out.head
+    assert(rnk === 1 && id === 1L)
+    assert(relM === 800000L, "cos([1,0],[0.8,0.6]) = 0.8 exactly")
+    assert(score === 7 * relM)
+  }
+
+  test("mmrDiversify: nCand shortlist bounds the pool the greedy sees") {
+    // v3 is most diverse but sits OUTSIDE the top-2 relevance shortlist,
+    // so with nCand=2 the greedy can only choose among v1, v2
+    val d = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.9f, 0.1f),
+      2L -> Seq(0.89f, 0.11f),
+      3L -> Seq(0f, 1f))
+    val picks = Similarity.mmrDiversify(d, k = 2, nCand = 2)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(picks === Seq(1L, 2L))
+  }
 }
