@@ -96,6 +96,7 @@ object SparkEntry {
     "retention_cohorts"      -> (ProductAnalytics.retentionCohortsQuery _),
     "value_histogram"        -> (ProductAnalytics.valueHistogramQuery _),
     "attribution_first_last" -> (ProductAnalytics.attributionFirstLastQuery _),
+    "event_pagerank"         -> (GraphRank.eventPageRankQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
@@ -184,5 +185,6 @@ object SparkEntry {
       CorpusPrep.oracles ++ BloomJoin.oracles ++ LayoutOps.oracles ++
       FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
       Timeseries.oracles ++ ProductAnalytics.oracles ++
-      Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles
+      Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles ++
+      GraphRank.oracles
 }

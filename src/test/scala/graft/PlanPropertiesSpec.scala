@@ -68,7 +68,10 @@ class PlanPropertiesSpec extends SparkSpec {
     "tfidf_cosine_pairs",
     // 1-row broadcast query + 1-row newest-pick frames; the greedy
     // rounds run on the bounded top-nCand shortlist only
-    "mmr_diversify")
+    "mmr_diversify",
+    // 1-row node-count scalar crossed onto the node frame each
+    // iteration; rank propagation itself is the src/dst equi-join
+    "event_pagerank")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

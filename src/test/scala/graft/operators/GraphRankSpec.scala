@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int = 10) =
+    GraphRank.pageRank(edges.toDF("src", "dst", "w"), iters)
+      .select("node", "out_w", "rank_micro")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("pageRank: hand-traced chain with a dangling sink") {
+    // A→B only. r0 = 500000 each; A never receives ⇒ settles at the
+    // base 75000; B receives A's full (damped) mass: 75000 from round
+    // 3 on ⇒ 75000 + (85·75000) div 100 = 138750. B is dangling — its
+    // mass leaks, but it is still ranked INTO.
+    val out = ranks(Seq(("A", "B", 1L)))
+    assert(out("A") === ((1L, 75000L)))
+    assert(out("B") === ((0L, 138750L)))
+  }
+
+  test("pageRank: a symmetric cycle is an exact fixed point conserving mass") {
+    val out = ranks(Seq(("A", "B", 1L), ("B", "A", 1L)))
+    assert(out("A") === ((1L, 500000L)))
+    assert(out("B") === ((1L, 500000L)))
+    assert(out.values.map(_._2).sum === 1000000L, "no truncation loss here")
+  }
+
+  test("pageRank: link mass concentrates on the hub") {
+    // star A→C, B→C with a C self-loop: accumulation is monotone (a
+    // back-link instead would make the rank oscillate with period 2
+    // and the comparison parity-dependent on the iteration count)
+    val out = ranks(Seq(("A", "C", 1L), ("B", "C", 1L), ("C", "C", 1L)))
+    assert(out("C")._2 > out("A")._2 && out("C")._2 > out("B")._2)
+    assert(out("A") === out("B"), "A and B are symmetric sources")
+    assert(out("A")._2 === 50000L, "sources settle at the base mass")
+  }
+
+  test("pageRank: iters=0 returns the uniform prior") {
+    val out = ranks(Seq(("A", "B", 1L), ("B", "C", 1L)), iters = 0)
+    assert(out.values.map(_._2).toSet === Set(1000000L / 3))
+  }
+
+  test("eventTransitions builds per-user consecutive pairs in (ts, event_id) order") {
+    val ev = Seq(
+      // user 1: a @t1, b @t2, a @t3 ⇒ a→b, b→a
+      (1L, 10L, "2021-01-01 00:00:01", "a"),
+      (2L, 10L, "2021-01-01 00:00:02", "b"),
+      (3L, 10L, "2021-01-01 00:00:03", "a"),
+      // user 2: same-ts tie broken by event_id: b(4) then a(5) ⇒ b→a
+      (4L, 20L, "2021-01-01 00:00:05", "b"),
+      (5L, 20L, "2021-01-01 00:00:05", "a"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val ed = GraphRank.eventTransitions(ev)
+      .as[(String, String, Long)].collect().toSet
+    assert(ed === Set(("a", "b", 1L), ("b", "a", 2L)))
+  }
+}
