@@ -89,6 +89,8 @@ object SparkEntry {
     "merge_upserts"          -> (Cdc.mergeUpsertsQuery _),
     "gap_fill_daily"         -> (Timeseries.gapFillDailyQuery _),
     "outlier_events"         -> (Timeseries.outlierEventsQuery _),
+    "mad_outliers"           -> (Timeseries.madOutliersQuery _),
+    "ewma_smooth"            -> (Timeseries.ewmaSmoothQuery _),
     "resample_ohlc"          -> (Timeseries.resampleOhlcQuery _),
     "corpus_checksum"        -> (Cdc.corpusChecksumQuery _),
     // product analytics over the event log
@@ -97,6 +99,7 @@ object SparkEntry {
     "value_histogram"        -> (ProductAnalytics.valueHistogramQuery _),
     "attribution_first_last" -> (ProductAnalytics.attributionFirstLastQuery _),
     "event_pagerank"         -> (GraphRank.eventPageRankQuery _),
+    "token_triangles"        -> (GraphRank.tokenTrianglesQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
@@ -161,6 +164,7 @@ object SparkEntry {
     "embed_project_srp"      -> (Similarity.embedProjectSrpQuery _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),
     "ann_rerank_topk"        -> (Similarity.annRerankTopKQuery _),
+    "ann_pq_topk"            -> (Similarity.annPqTopKQuery _),
     "ann_ivf_rerank_topk"    -> (Similarity.annIvfRerankTopKQuery _),
     "ann_ivf_from_index"     -> (Similarity.annIvfFromIndexQuery _),
     "embed_decontam"         -> (Similarity.embedDecontamQuery _),

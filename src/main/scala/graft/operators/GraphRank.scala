@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window => W}
 
@@ -89,6 +89,87 @@ object GraphRank {
       .withColumnRenamed("node", "event_type")
       .orderBy(col("event_type"))
 
+  /** Token co-occurrence graph: an undirected edge (u < v) for every
+    * token pair sharing ≥ perMille‰ of the corpus's documents. The
+    * rate threshold (1000·w ≥ perMille·nDocs, exact integers against
+    * the ONE broadcast doc-count row) keeps the edge rule scale-free:
+    * the same perMille names the same relationship at any corpus
+    * size, where an absolute count would saturate to the complete
+    * graph as the corpus grows. Per-doc pair fan-out is quadratic in
+    * DISTINCT tokens per doc — bounded by doc length, never corpus
+    * size — and the pair aggregate is map-side combined on (u, v). */
+  def tokenCooccurrence(docs: DataFrame, perMille: Int = 630): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000,
+      s"perMille must be in [0, 1000], got $perMille")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+        .as("t"))
+    val nd = docs.agg(count(lit(1)).as("ndocs"))
+    toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("u"), col("b.t").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .crossJoin(broadcast(nd))
+      .filter(lit(1000L) * col("w") >= lit(perMille.toLong) * col("ndocs"))
+      .select(col("u"), col("v"))
+  }
+
+  /** Per-node triangle counts by degree-ordered orientation (the
+    * compact-forward algorithm; Latapy 2008): each undirected edge is
+    * directed from its lower-(deg, id) endpoint to the higher, wedges
+    * enumerate ONLY ordered out-neighbor pairs of each source, and a
+    * wedge closes iff the (y→z) directed edge exists — every triangle
+    * materializes exactly once, at its lowest-rank vertex.
+    *
+    * Why this shape survives scale: the naive 3-way edge self-join
+    * lets one hub generate deg² wedges (power-law graphs: quadratic
+    * in the hottest degree); after orientation every vertex's
+    * OUT-degree is O(√m), so wedge volume is Σ outdeg² ≤ m^(3/2) —
+    * the theoretical optimum for exact counting. All three hops are
+    * equi-joins (src, then (y, z) against the directed edge set), so
+    * AQE handles residual skew; the rank is the exact integer pair
+    * (deg, node) — no float, ties broken by node id, bit-identical
+    * cross-engine. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("u", "v")
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+
+    val lower = (du: Column, u: Column, dv: Column, v: Column) =>
+      du < dv || (du === dv && u < v)
+    val dir = und
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(lower(col("du"), col("u"), col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(lower(col("du"), col("u"), col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("d"))
+      .join(deg.select(col("x").as("d"), col("deg").as("dd")), "d")
+
+    val tri = dir.select(col("s"), col("d").as("y"), col("dd").as("dy"))
+      .join(dir.select(col("s"), col("d").as("z"), col("dd").as("dz")), "s")
+      .filter(lower(col("dy"), col("y"), col("dz"), col("z")))
+      .join(dir.select(col("s").as("y"), col("d").as("z")), Seq("y", "z"),
+        "left_semi")
+    val perNode = tri.select(col("s").as("n"))
+      .union(tri.select(col("y").as("n")))
+      .union(tri.select(col("z").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, col("x") === col("n"), "left_outer")
+      .select(col("x").as("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  def tokenTrianglesQuery(spark: SparkSession, dir: String): DataFrame =
+    triangleCount(tokenCooccurrence(Tables.documents(spark, dir)))
+      .orderBy(col("node"))
+
   /** Oracle: the identical integer recurrence unrolled as r0..r10
     * CTEs — truncating `//` at the same three spots per iteration. */
   private def pagerankOracle(iters: Int): String = {
@@ -122,5 +203,42 @@ object GraphRank {
   }
 
   val oracles: Map[String, String] = Map(
-    "event_pagerank" -> pagerankOracle(10))
+    "event_pagerank" -> pagerankOracle(10),
+    "token_triangles" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+        |ed AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.t AS u, b.t AS v, CAST(count(*) AS BIGINT) AS w
+        |    FROM tok a JOIN tok b
+        |      ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2), nd
+        |  WHERE 1000*w >= 630*ndocs),
+        |dg AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS x FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+        |dir AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS d
+        |  FROM ed e JOIN dg du ON e.u = du.x JOIN dg dv ON e.v = dv.x),
+        |tri AS (
+        |  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+        |  FROM dir e1
+        |  JOIN dg dy ON e1.d = dy.x
+        |  JOIN dir e2 ON e1.s = e2.s
+        |  JOIN dg dz ON e2.d = dz.x
+        |  WHERE (dy.deg < dz.deg OR (dy.deg = dz.deg AND e1.d < e2.d))
+        |    AND EXISTS (SELECT 1 FROM dir e3
+        |                WHERE e3.s = e1.d AND e3.d = e2.d))
+        |SELECT dg.x AS node, dg.deg,
+        |  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+        |FROM dg LEFT JOIN (
+        |  SELECT n, count(*) AS triangles FROM (
+        |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY 1) p
+        |  ON dg.x = p.n
+        |ORDER BY node""".stripMargin)
 }

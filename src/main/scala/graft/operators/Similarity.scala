@@ -963,6 +963,89 @@ object Similarity {
       numQueries = 8, m = 20, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the compression
+    * tier BELOW int8: the vector splits into numSub subspaces, each
+    * encoded as the id of its nearest codeword from a numCodes-entry
+    * per-subspace codebook, so a 64-dim fp32 vector stores as 8
+    * one-byte codes — 32x less index I/O than fp32, 8x less than
+    * int8. Scoring is ADC (asymmetric distance computation): per
+    * query, ONE numSub×numCodes table of query-subvector·codeword
+    * dots; a corpus vector's score is numSub table LOOKUPS summed —
+    * the original vector is never touched at serving time.
+    *
+    * Determinism contract (the family's usual): codewords are the
+    * deterministic `vec_id < numCodes` sub-slices (production plugs a
+    * trained codebook into the same plan — the trainIvfCentroids
+    * convention); encoding picks the min rounded-6 L2 distance², ties
+    * to smallest code id; each ADC table entry and each per-sub
+    * reconstruction norm² rounds ONCE to integer micro-units, so a
+    * vector's dot and recon-norm² are BIGINT sums — exact in any
+    * accumulation order — finished by one IEEE sqrt + divide both
+    * engines compute identically. Vectors sharing a code share a
+    * score for every query, BY CONSTRUCTION (spec-pinned): that loss
+    * of resolution is exactly what was compressed away, and the fp32
+    * rerank tier (annRerankTopK) exists to restore it.
+    *
+    * Scale shape: the codebook (numSub·numCodes rows) broadcasts;
+    * encoding is one corpus scan — numSub in-row slices, broadcast
+    * codebook join, map-side-combined per-(vec, sub) argmin (the
+    * assignToCells discipline); the stored code frame (numSub small
+    * ints per vector) IS the index; serving joins codes against the
+    * broadcast ADC table on (sub, cid) and map-side-combines the
+    * numSub partial sums — no shuffle ever carries a vector wider
+    * than its codes. */
+  def annPqTopK(emb: DataFrame, numQueries: Int, k: Int,
+                numSub: Int = 8, subDim: Int = 8,
+                numCodes: Int = 16): DataFrame = {
+    require(numQueries >= 1 && k >= 1, s"bad numQueries=$numQueries/k=$k")
+    require(numSub >= 1 && subDim >= 1 && numCodes >= 1,
+      s"bad PQ shape $numSub x $subDim x $numCodes")
+    val v = vectors(emb)
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
+    def subSlice(e: Column) = slice(e, col("sub") * subDim + 1, lit(subDim))
+    val cb = v.filter(col("vec_id") < numCodes)
+      .select(col("vec_id").as("cid"), subs.as("sub"), col("e"))
+      .select(col("sub"), col("cid"), subSlice(col("e")).as("c"))
+
+    val enc = v.select(col("vec_id"), subs.as("sub"), col("e"))
+      .select(col("vec_id"), col("sub"), subSlice(col("e")).as("x"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2r",
+        round(dot(col("x"), col("x")) + dot(col("c"), col("c"))
+          - lit(2.0d) * dot(col("x"), col("c")), 6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2r"), col("cid"))).as("cid"))
+
+    val r2 = enc.join(broadcast(cb), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(round(dot(col("c"), col("c")) * lit(1000000.0d)).cast("long"))
+        .as("r2m"))
+
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        l2norm(col("e")).as("qn"))
+    val tab = q.crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"), col("qn"),
+        round(dot(slice(col("eq"), col("sub") * subDim + 1, lit(subDim)),
+          col("c")) * lit(1000000.0d)).cast("long").as("tm"))
+
+    val sc = enc.join(broadcast(tab), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
+    val cand = sc.join(r2, "vec_id")
+      .withColumn("cos",
+        when(col("r2m") <= 0 || col("qn") === 0.0d, lit(0.0d))
+          .otherwise(round((col("dm") / lit(1000000.0d)) /
+            (col("qn") * sqrt(col("r2m") / lit(1000000.0d))), 6)))
+    topK(cand, k)
+  }
+
+  def annPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
   /** The FULL production ANN serving stack — IVF cell shortlist ×
     * int8 scoring × fp32 rerank composed into one plan (the r10
     * pieces ran separately: annIvfTopK scanned probed cells at fp32,
@@ -1637,6 +1720,55 @@ object Similarity {
         |     / (q.nrm * x.nrm), 6) AS cos
         |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
         |  WHERE q.vec_id < 8))
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "ann_pq_topk" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |cb AS (
+        | SELECT s.s AS sub, v.vec_id AS cid,
+        |  list_transform(range(1, 9), j -> v.e[s.s*8 + j]) AS c
+        | FROM v, sub s WHERE v.vec_id < 16),
+        |cx AS (
+        | SELECT v.vec_id, s.s AS sub,
+        |  list_transform(range(1, 9), j -> v.e[s.s*8 + j]) AS x
+        | FROM v, sub s),
+        |enc AS (
+        | SELECT vec_id, sub, cid FROM (
+        |  SELECT cx.vec_id, cx.sub, cb.cid,
+        |   row_number() OVER (PARTITION BY cx.vec_id, cx.sub ORDER BY
+        |    round(list_sum(list_transform(range(1, 9), i -> cx.x[i]*cx.x[i]))
+        |      + list_sum(list_transform(range(1, 9), i -> cb.c[i]*cb.c[i]))
+        |      - 2*list_sum(list_transform(range(1, 9), i -> cx.x[i]*cb.c[i])),
+        |     6), cb.cid) AS rn
+        |  FROM cx JOIN cb ON cx.sub = cb.sub) WHERE rn = 1),
+        |r2 AS (
+        | SELECT e.vec_id,
+        |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
+        |      AS BIGINT)) AS r2m
+        | FROM enc e JOIN cb ON e.sub = cb.sub AND e.cid = cb.cid GROUP BY 1),
+        |q AS (
+        | SELECT vec_id AS query_id, e,
+        |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+        | FROM v WHERE vec_id < 8),
+        |tab AS (
+        | SELECT q.query_id, cb.sub, cb.cid, q.qn,
+        |  CAST(round(list_sum(list_transform(range(1, 9),
+        |    i -> q.e[cb.sub*8 + i] * cb.c[i])) * 1000000) AS BIGINT) AS tm
+        | FROM q, cb),
+        |sc AS (
+        | SELECT t.query_id, e.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
+        | FROM enc e JOIN tab t ON e.sub = t.sub AND e.cid = t.cid
+        | WHERE t.query_id <> e.vec_id GROUP BY 1, 2),
+        |cand AS (
+        | SELECT sc.query_id, sc.vec_id AS neighbor_id,
+        |  CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+        |       ELSE round((sc.dm / 1000000.0)
+        |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
+        | FROM sc JOIN r2 ON sc.vec_id = r2.vec_id)
+        |SELECT query_id, neighbor_id, cos, rnk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }

@@ -141,7 +141,149 @@ object Timeseries {
     resampleOhlc(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Robust outlier QC: events whose modified z-score exceeds 3.5 —
+    * |0.6745·(x − med)| > 3.5·MAD (Iglewicz & Hoaglin 1993), the
+    * median/MAD complement to outlierEvents' mean/σ gate (one wild
+    * sensor reading inflates σ enough to hide its siblings; the
+    * median breaks down only past 50% contamination).
+    *
+    * Exactness: the flag is evaluated as 6745·|x−med| > 35000·MAD in
+    * BIGINTs — no division anywhere — and both medians are DISCRETE
+    * (smallest value whose cumulative count reaches (n+1) div 2), so
+    * every compared quantity is an integer both engines agree on.
+    * MAD = 0 (>50% of a type at one value) flags any deviation, the
+    * documented modified-z-score degeneration.
+    *
+    * Scale shape — the corpus is scanned ONCE and never sorted:
+    * medians come from a VALUE HISTOGRAM (map-side-combined groupBy
+    * (type, cents), output bounded by |types|·|distinct cents|, not
+    * row count), the cumulative window runs over the histogram, and
+    * the deviation histogram is derived FROM the value histogram
+    * (groupBy |cents−med| re-aggregating cnt — no second corpus
+    * pass). The (med, MAD) frame (|types| rows) broadcasts back onto
+    * the fact scan, so the flag is a map-only filter — the same
+    * join-back discipline as outlierEvents/valueHistogram. */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val hist = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+
+    def discreteMedian(h: DataFrame, valueCol: String): DataFrame = {
+      val cum = W.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = W.partitionBy(col("event_type"))
+      h.withColumn("cum", sum(col("cnt")).over(cum))
+        .withColumn("n", sum(col("cnt")).over(tot))
+        .filter(lit(2) * col("cum") >= col("n") + 1)
+        .groupBy(col("event_type"))
+        .agg(min(col(valueCol)).as("med"))
+    }
+
+    val meds = discreteMedian(hist, "cents")
+      .withColumnRenamed("med", "med_cents")
+    val adHist = hist.join(broadcast(meds), Seq("event_type"))
+      .groupBy(col("event_type"),
+        abs(col("cents") - col("med_cents")).as("ad"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mads = discreteMedian(adHist, "ad")
+      .withColumnRenamed("med", "mad_cents")
+
+    ev.join(broadcast(meds), Seq("event_type"))
+      .join(broadcast(mads), Seq("event_type"))
+      .filter(lit(6745L) * abs(col("cents") - col("med_cents")) >
+        lit(35000L) * col("mad_cents"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"))
+  }
+
+  def madOutliersQuery(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("event_id"))
+
+  /** Trailing exponentially-weighted moving average, α = 1/2, as
+    * EXACT integers: over the last K events of the same user (by the
+    * (event-time µs, event_id) total order), weight 2^i for the i-th
+    * oldest frame element, so
+    *   ewma = (Σ xᵢ·2^i) div (2^L − 1),   L = frame length ≤ K.
+    * The numerator folds Horner-style over the reversed frame list
+    * (acc·2 + x — newest first), so no pow() float touches the value
+    * path; magnitudes: |x| ≤ 10⁷ cents · 2⁸ · 8 ≪ int64. A shorter
+    * head frame (L < K) renormalizes automatically via its own 2^L−1.
+    *
+    * Scale: ONE shuffle+sort on user_id (per-USER history partitions,
+    * the scd2/gap-fill discipline — never a global order); the frame
+    * list is ≤ K elements, folded in-row. The window's collect_list
+    * respects frame order on both engines (rows enter in ORDER BY
+    * order — the same contract session_paths pins for array_sort
+    * inputs). */
+  def ewmaSmooth(events: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-(k - 1), W.currentRow)
+    ev.withColumn("lst", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("tus"), col("cents"),
+        expr("aggregate(reverse(lst), 0L, (acc, x) -> acc * 2 + x)" +
+          " div (shiftleft(1L, size(lst)) - 1)").as("ewma_cents"))
+  }
+
+  def ewmaSmoothQuery(spark: SparkSession, dir: String): DataFrame =
+    ewmaSmooth(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("tus"), col("event_id"))
+
   val oracles: Map[String, String] = Map(
+    "mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value*100, 0) AS BIGINT) AS cents FROM events),
+        |h AS (
+        |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type, min(cents) AS med_cents FROM hc
+        |  WHERE 2*cum >= n + 1 GROUP BY 1),
+        |ah AS (
+        |  SELECT h.event_type, abs(h.cents - m.med_cents) AS ad,
+        |    CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |  FROM h JOIN med m ON h.event_type = m.event_type GROUP BY 1, 2),
+        |ac AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM ah),
+        |mad AS (
+        |  SELECT event_type, min(ad) AS mad_cents FROM ac
+        |  WHERE 2*cum >= n + 1 GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents, m.med_cents, d.mad_cents
+        |FROM ev e
+        |JOIN med m ON e.event_type = m.event_type
+        |JOIN mad d ON e.event_type = d.event_type
+        |WHERE 6745*abs(e.cents - m.med_cents) > 35000*d.mad_cents
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "ewma_smooth" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus,
+        |    CAST(round(value*100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tus, cents,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM ev)
+        |SELECT user_id, event_id, tus, cents,
+        |  CAST(list_reduce(list_reverse(lst), (acc, x) -> acc*2 + x)
+        |    // ((1::BIGINT << len(lst)) - 1) AS BIGINT) AS ewma_cents
+        |FROM l ORDER BY user_id, tus, event_id""".stripMargin,
     "resample_ohlc" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -71,7 +71,14 @@ class PlanPropertiesSpec extends SparkSpec {
     "mmr_diversify",
     // 1-row node-count scalar crossed onto the node frame each
     // iteration; rank propagation itself is the src/dst equi-join
-    "event_pagerank")
+    "event_pagerank",
+    // ADC table build crosses the bounded query set with the
+    // model-sized codebook (numSub·numCodes rows); encoding and
+    // scoring are (sub, cid)-keyed equi-joins
+    "ann_pq_topk",
+    // 1-row doc-count scalar crossed onto the vocab-sized pair-rate
+    // filter; wedge/closure hops are keyed equi-joins
+    "token_triangles")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"

@@ -108,6 +108,72 @@ class CdcTimeseriesSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("madOutliers: modified z-score flags vs a driver-side reference") {
+    // type t: tight cluster + one wild value. Median/MAD are discrete
+    // (smallest value whose cumulative count reaches (n+1) div 2).
+    val vals = Seq(10.00, 10.01, 10.02, 10.01, 10.03, 10.02, 99.99)
+    val ev = events(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "2024-01-01 00:00:00", 1L, "t", v) })
+    val got = Timeseries.madOutliers(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+
+    val cents = vals.map(v => math.round(v * 100)).sorted
+    val med = cents((cents.size + 1) / 2 - 1) // 1002
+    val ads = vals.map(v => math.abs(math.round(v * 100) - med)).sorted
+    val mad = ads((ads.size + 1) / 2 - 1) // 1
+    val want = vals.zipWithIndex
+      .filter { case (v, _) => 6745L * math.abs(math.round(v * 100) - med) >
+        35000L * mad }
+      .map { case (_, i) => (i.toLong, med, mad) }.toSet
+    assert(med === 1002L && mad === 1L)
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("madOutliers: MAD=0 degenerates to flagging any deviation") {
+    // 5 of 6 values identical ⇒ med = that value, MAD = 0
+    val ev = events(Seq.tabulate(5)(i =>
+      (i.toLong, "2024-01-01 00:00:00", 1L, "t", 5.00)) :+
+      (9L, "2024-01-01 00:00:00", 1L, "t", 5.01))
+    val got = Timeseries.madOutliers(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(got === Set((9L, 0L)))
+  }
+
+  test("madOutliers: the mean/σ gate misses what the median gate catches") {
+    // two wild values drag σ up enough that 3σ keeps them both; the
+    // median is unmoved, so the MAD gate flags them — the robustness
+    // motivation, pinned
+    val vals = Seq.fill(8)(10.00) ++ Seq(80.00, 80.00)
+    val ev = events(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "2024-01-01 00:00:00", 1L, "t", v) })
+    assert(Timeseries.outlierEvents(ev).count() === 0L)
+    assert(Timeseries.madOutliers(ev).collect().map(_.getLong(0)).toSet
+      === Set(8L, 9L))
+  }
+
+  test("ewmaSmooth: hand-traced trailing fold, frame cap, user isolation") {
+    val ev = events(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "t", 1.00), // [100]            → 100
+      (2L, "2024-01-01 00:00:02", 1L, "t", 2.00), // [100,200]        → (100+400)/3 = 166
+      (3L, "2024-01-01 00:00:03", 1L, "t", 0.50), // [100,200,50]     → (100+400+200)/7 = 100
+      (9L, "2024-01-01 00:00:09", 2L, "t", 7.00))) // other user: own frame
+    val got = Timeseries.ewmaSmooth(ev, k = 8).collect()
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 100L, 2L -> 166L, 3L -> 100L, 9L -> 700L))
+  }
+
+  test("ewmaSmooth: frame is capped at k and renormalizes at the head") {
+    // k=2: third event sees only [prev, cur] → (prev + 2·cur) div 3
+    val ev = events(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "t", 9.00),
+      (2L, "2024-01-01 00:00:02", 1L, "t", 3.00),
+      (3L, "2024-01-01 00:00:03", 1L, "t", 6.00)))
+    val got = Timeseries.ewmaSmooth(ev, k = 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    // id2: (900 + 2·300)/3 = 500; id3: (300 + 2·600)/3 = 500
+    assert(got === Map(1L -> 900L, 2L -> 500L, 3L -> 500L))
+  }
+
   test("ohlc: open/close follow the (time, event_id) order, not arrival order") {
     import spark.implicits._
     // one (type, hour) bar, rows DELIBERATELY out of order; ids at the

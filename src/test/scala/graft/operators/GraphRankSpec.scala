@@ -45,6 +45,55 @@ class GraphRankSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet === Set(1000000L / 3))
   }
 
+  private def tris(edges: Seq[(String, String)]) =
+    GraphRank.triangleCount(edges.toDF("u", "v"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("triangleCount: one triangle, every vertex counts it once") {
+    val out = tris(Seq(("A", "B"), ("B", "C"), ("C", "A")))
+    assert(out === Map("A" -> ((2L, 1L)), "B" -> ((2L, 1L)), "C" -> ((2L, 1L))))
+  }
+
+  test("triangleCount: a 4-cycle has no triangles") {
+    val out = tris(Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")))
+    assert(out.values.forall(_._2 === 0L))
+    assert(out.values.forall(_._1 === 2L))
+  }
+
+  test("triangleCount: K4 — four triangles, each vertex in three") {
+    val vs = Seq("A", "B", "C", "D")
+    val out = tris(for { a <- vs; b <- vs if a < b } yield (a, b))
+    assert(out.values.forall(_ === ((3L, 3L))))
+    // each triangle counted at exactly one source ⇒ Σ per-node = 3·4
+    assert(out.values.map(_._2).sum === 12L)
+  }
+
+  test("triangleCount: reversed duplicates and self-loops canonicalize away") {
+    val out = tris(Seq(("A", "B"), ("B", "A"), ("B", "C"), ("A", "C"),
+      ("C", "C")))
+    assert(out("A") === ((2L, 1L)) && out.size === 3)
+  }
+
+  test("triangleCount: bowtie — the shared apex sees both triangles") {
+    val out = tris(Seq(("A", "B"), ("B", "X"), ("X", "A"),
+      ("C", "D"), ("D", "X"), ("X", "C")))
+    assert(out("X") === ((4L, 2L)))
+    assert(out("A")._2 === 1L && out("C")._2 === 1L)
+  }
+
+  test("tokenCooccurrence: per-mille threshold against the doc count") {
+    // 4 docs: (a b) together in 3 → 750‰; (a c) in 1 → 250‰
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val hi = GraphRank.tokenCooccurrence(docs, perMille = 700)
+      .as[(String, String)].collect().toSet
+    assert(hi === Set(("a", "b")))
+    val lo = GraphRank.tokenCooccurrence(docs, perMille = 250)
+      .as[(String, String)].collect().toSet
+    assert(lo === Set(("a", "b"), ("a", "c")))
+  }
+
   test("eventTransitions builds per-user consecutive pairs in (ts, event_id) order") {
     val ev = Seq(
       // user 1: a @t1, b @t2, a @t3 ⇒ a→b, b→a

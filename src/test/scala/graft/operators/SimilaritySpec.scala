@@ -627,4 +627,38 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
     assert(picks === Seq(1L, 2L))
   }
+
+  test("annPqTopK: hand-traced codes, ADC scores, and code-sharing") {
+    // axis-aligned 2x2 PQ: codewords are vec 0/1's sub-slices.
+    // v2 encodes as (sub0→c0, sub1→c1); v3 is NEAR those codewords and
+    // lands on the SAME code — so v2 and v3 must score identically for
+    // any query (what PQ compressed away), ranked apart by id only.
+    val d = emb(
+      0L -> Seq(1f, 0f, 1f, 0f),
+      1L -> Seq(0f, 1f, 0f, 1f),
+      2L -> Seq(1f, 0f, 0f, 1f),
+      3L -> Seq(0.9f, 0.1f, 0.1f, 0.9f))
+    val out = Similarity.annPqTopK(d, numQueries = 1, k = 3,
+        numSub = 2, subDim = 2, numCodes = 2)
+      .orderBy("rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    // query 0 (= [1,0,1,0]): ADC dot with code (c0,c1) = 1·1e6 + 0;
+    // recon norm √2, query norm √2 ⇒ cos = 1/2 for both v2 and v3;
+    // v1's code (c1,c1) is orthogonal ⇒ 0
+    assert(out.map(r => (r._2, r._3, r._4)) ===
+      Seq((2L, 0.5, 1), (3L, 0.5, 2), (1L, 0.0, 3)))
+  }
+
+  test("annPqTopK: real corpus — k dense ranks per query, self excluded") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.annPqTopK(e, numQueries = 4, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 4 * 5)
+    assert(out.forall(r => r._1 != r._2), "query is never its own neighbor")
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to 5), "dense ranks")
+      // ranks follow (cos desc, id) exactly
+      val sorted = rs.sortBy(_._4).toSeq
+      assert(sorted === rs.sortBy(r => (-r._3, r._2)).toSeq)
+    }
+  }
 }
