@@ -100,6 +100,7 @@ object SparkEntry {
     "attribution_first_last" -> (ProductAnalytics.attributionFirstLastQuery _),
     "event_pagerank"         -> (GraphRank.eventPageRankQuery _),
     "token_triangles"        -> (GraphRank.tokenTrianglesQuery _),
+    "token_communities"      -> (GraphRank.tokenCommunitiesQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "holdout_split"          -> (TextAnalysis.holdoutSplitQuery _),
+    "shuffle_shards"         -> (TextAnalysis.shuffleShardsQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     "bm25_topk"              -> (Retrieval.bm25TopKQuery _),
     "hybrid_rrf_topk"        -> (Retrieval.hybridRrfTopKQuery _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "corpus_diff"            -> (Dedup.corpusDiffQuery _),
     "ngram_stats"            -> (Dedup.ngramStatsQuery _),
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
+    "decontam_report"        -> (Dedup.decontamReportQuery _),
     "decontam_bloom"         -> (Dedup.decontaminateBloomQuery _),
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
     "segment_dedup"          -> (Dedup.segmentDedupQuery _),
@@ -153,6 +156,7 @@ object SparkEntry {
     // LLM-data-pipeline: embedding similarity
     "embed_cosine_neardup"   -> (Similarity.cosineNearDupQuery _),
     "embed_clusters"         -> (Similarity.embedClustersQuery _),
+    "cluster_purity"         -> (Similarity.clusterPurityQuery _),
     "semdedup"               -> (Similarity.semDedupQuery _),
     "ann_cosine_topk"        -> (Similarity.annCosineTopKQuery _),
     "ann_hard_negatives"     -> (Similarity.annHardNegativesQuery _),

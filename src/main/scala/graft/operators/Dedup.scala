@@ -869,6 +869,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The INVERSE contamination view — per BENCHMARK doc: how many
+    * corpus docs leak it, the total pair-shingle overlap mass, and
+    * the worst-offending corpus doc. [[decontaminate]] answers the
+    * training question ("which corpus docs do I drop"); this answers
+    * the eval team's ("which benchmark items are compromised and can
+    * their scores be trusted") — same join, opposite aggregation
+    * side, so the per-pair resolution the per-doc count collapses is
+    * preserved where it matters.
+    *
+    * Scale shape: the shingle equi-join keys on s with the
+    * benchmark-side postings model-sized by construction; the
+    * per-(bench, corpus) pair aggregate combines map-side, and the
+    * report aggregate runs on the pair frame (bounded by true overlap
+    * pairs, not the corpus). Clean benchmark rows survive via the
+    * left join with 0 counts and a NULL worst_doc. The worst-offender
+    * argmax is a map-side-combined max_by over (n_shared, smallest
+    * corpus_id breaking ties) — never a window over a hot benchmark
+    * doc's full leak list. A corpus-wide boilerplate shingle inflates
+    * the pair join exactly as it inflates true overlap; cap it
+    * upstream with the family's maxDf stop-shingle rule if the report
+    * need not count boilerplate as leakage. */
+  def decontamReport(corpus: DataFrame, benchmark: DataFrame,
+                     k: Int): DataFrame = {
+    val bs = shingleSet(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val cs = shingleSet(corpus, k)
+      .select(col("doc_id").as("corpus_id"), col("s"))
+    val pairs = bs.join(cs, "s")
+      .groupBy("bench_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val rep = pairs.groupBy("bench_id").agg(
+      count(lit(1)).as("n_leaking_docs"),
+      sum(col("n_shared")).as("total_shared"),
+      max_by(col("corpus_id"),
+        struct(col("n_shared"), (lit(0L) - col("corpus_id")).as("nc")))
+        .as("worst_doc"),
+      max(col("n_shared")).as("worst_shared"))
+    benchmark.select(col("doc_id").as("bench_id"))
+      .join(rep, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("total_shared"), lit(0L)).as("total_shared"),
+        col("worst_doc"),
+        coalesce(col("worst_shared"), lit(0L)).as("worst_shared"))
+  }
+
+  def decontamReportQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontamReport(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 3)
+      .orderBy(col("bench_id"))
+  }
+
   /** Bloom-pre-filtered decontamination — the memory-bounded form of
     * [[decontaminate]] for when even the DISTINCT benchmark shingle
     * set is too wide to ship as strings (a 1e9-shingle benchmark union
@@ -1336,6 +1389,32 @@ object Dedup {
         |  JOIN szc nb ON b.doc_id = nb.doc_id
         | GROUP BY 1, 2)
         |WHERE jac >= 0.7 ORDER BY delta_id, corpus_id""".stripMargin,
+    "decontam_report" -> (shingleCte +
+      """,bs AS (SELECT doc_id AS bench_id, s FROM sh3 WHERE doc_id % 50 = 0),
+        |cs AS (SELECT doc_id AS corpus_id, s FROM sh3 WHERE doc_id % 50 <> 0),
+        |ph AS (
+        |  SELECT bench_id, corpus_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM bs JOIN cs USING (s) GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_leaking_docs,
+        |    CAST(sum(n_shared) AS BIGINT) AS total_shared,
+        |    max(n_shared) AS worst_shared
+        |  FROM ph GROUP BY 1),
+        |wo AS (
+        |  SELECT bench_id, corpus_id AS worst_doc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bench_id
+        |      ORDER BY n_shared DESC, corpus_id) AS rn FROM ph)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id AS bench_id,
+        |  coalesce(r.n_leaking_docs, 0) AS n_leaking_docs,
+        |  coalesce(r.total_shared, 0) AS total_shared,
+        |  wo.worst_doc,
+        |  coalesce(r.worst_shared, 0) AS worst_shared
+        |FROM documents d
+        |LEFT JOIN rep r ON d.doc_id = r.bench_id
+        |LEFT JOIN wo ON d.doc_id = wo.bench_id
+        |WHERE d.doc_id % 50 = 0
+        |ORDER BY bench_id""".stripMargin),
     "benchmark_decontam" -> (shingleCte +
       """,bench AS (SELECT DISTINCT s FROM sh3 WHERE doc_id % 50 = 0),
         |hits AS (

@@ -111,7 +111,7 @@ object GraphRank {
       .agg(count(lit(1)).as("w"))
       .crossJoin(broadcast(nd))
       .filter(lit(1000L) * col("w") >= lit(perMille.toLong) * col("ndocs"))
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("w"))
   }
 
   /** Per-node triangle counts by degree-ordered orientation (the
@@ -167,7 +167,55 @@ object GraphRank {
   }
 
   def tokenTrianglesQuery(spark: SparkSession, dir: String): DataFrame =
-    triangleCount(tokenCooccurrence(Tables.documents(spark, dir)))
+    triangleCount(
+        tokenCooccurrence(Tables.documents(spark, dir)).select("u", "v"))
+      .orderBy(col("node"))
+
+  /** Community detection by SYNCHRONOUS weighted label propagation
+    * (Raghavan et al. 2007), made deterministic: every node starts
+    * labeled with itself; each round every node adopts the label with
+    * the highest summed edge weight among its neighbors, ties to the
+    * smallest label — evaluated as ONE map-side-combined min_by over
+    * the (-weight, label) struct, so there is no RNG, no update
+    * order, and no float anywhere. Synchronous LPA can oscillate
+    * (period 2) on bipartite-ish structures; a FIXED iteration count
+    * is therefore part of the operator contract (like pageRank's 10)
+    * and the spec pins an oscillating case rather than hiding it.
+    * Complements the graph family: connectedComponents answers
+    * reachability, triangles local density, pageRank centrality —
+    * LPA answers "which nodes belong together", the domain/topic
+    * grouping step of a curation pipeline.
+    *
+    * Scale shape: the corpus appears only in the edge build; each
+    * round is ONE equi-join of the neighbor list against the label
+    * frame (both graph-sized) + one map-side-combined argmax — no
+    * windows, no driver-side graph; label state localCheckpoints per
+    * round so plans stay flat (the connectedComponents discipline). */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val ed = edges.toDF("u", "v", "w")
+    val nb = ed.select(col("u").as("x"), col("v").as("nb"), col("w"))
+      .union(ed.select(col("v").as("x"), col("u").as("nb"), col("w")))
+      .localCheckpoint()
+    val nodes = nb.select("x").distinct().localCheckpoint()
+    var labels = nodes.select(col("x"), col("x").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = nb
+        .join(labels.select(col("x").as("nb"), col("lbl")), "nb")
+        .groupBy(col("x"), col("lbl")).agg(sum(col("w")).as("s"))
+        .groupBy("x")
+        .agg(min_by(col("lbl"),
+          struct((lit(0L) - col("s")).as("ns"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("x").as("node"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
+  def tokenCommunitiesQuery(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(tokenCooccurrence(Tables.documents(spark, dir)))
       .orderBy(col("node"))
 
   /** Oracle: the identical integer recurrence unrolled as r0..r10
@@ -202,20 +250,54 @@ object GraphRank {
     sb.toString
   }
 
+  /** The shared token co-occurrence edge CTEs (rate threshold 630‰,
+    * matching tokenCooccurrence's default). */
+  private val coocCte =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+      |ed AS (
+      |  SELECT u, v, w FROM (
+      |    SELECT a.t AS u, b.t AS v, CAST(count(*) AS BIGINT) AS w
+      |    FROM tok a JOIN tok b
+      |      ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2), nd
+      |  WHERE 1000*w >= 630*ndocs)
+      |""".stripMargin
+
+  /** Oracle: the identical synchronous rounds unrolled as l0..lN CTEs
+    * — weighted counts, then argmax with (s DESC, lbl) tie order. */
+  private def lpaOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= coocCte
+    sb ++= """,nb AS (SELECT u AS x, v AS nb, w FROM ed
+      | UNION ALL SELECT v, u, w FROM ed),
+      |l0 AS (SELECT DISTINCT x, x AS lbl FROM nb)
+      |""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",l$i AS (
+        | SELECT x, lbl FROM (
+        |  SELECT c.x, c.lbl,
+        |   row_number() OVER (PARTITION BY c.x
+        |                      ORDER BY c.s DESC, c.lbl) AS rn
+        |  FROM (SELECT n.x, l.lbl, CAST(sum(n.w) AS BIGINT) AS s
+        |        FROM nb n JOIN l${i - 1} l ON n.nb = l.x
+        |        GROUP BY 1, 2) c)
+        | WHERE rn = 1)
+        |""".stripMargin
+    }
+    sb ++= s""",cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+      | FROM l$iters GROUP BY 1)
+      |SELECT l.x AS node, l.lbl AS community, cs.community_size
+      |FROM l$iters l JOIN cs ON l.lbl = cs.lbl ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "event_pagerank" -> pagerankOracle(10),
-    "token_triangles" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-        |  FROM documents),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
-        |ed AS (
-        |  SELECT u, v FROM (
-        |    SELECT a.t AS u, b.t AS v, CAST(count(*) AS BIGINT) AS w
-        |    FROM tok a JOIN tok b
-        |      ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2), nd
-        |  WHERE 1000*w >= 630*ndocs),
-        |dg AS (
+    "token_communities" -> lpaOracle(5),
+    "token_triangles" -> (coocCte +
+      """,dg AS (
         |  SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS x FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
         |dir AS (
@@ -240,5 +322,5 @@ object GraphRank {
         |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
         |    UNION ALL SELECT z FROM tri) GROUP BY 1) p
         |  ON dg.x = p.n
-        |ORDER BY node""".stripMargin)
+        |ORDER BY node""".stripMargin))
 }

@@ -105,6 +105,40 @@ object Similarity {
     embedClusters(Tables.embeddings(spark, dir), tau = 0.40)
       .orderBy(col("vec_id"))
 
+  /** Cluster↔label agreement — the evaluation step between "we built
+    * embedding dedup clusters" and "we trust them": per cluster, its
+    * majority ground-truth label (the embeddings table's `label`
+    * column) and purity in integer basis points. Low purity means the
+    * cosine threshold is merging semantically distinct docs — the
+    * knob-tuning signal for tau, measured instead of eyeballed.
+    *
+    * Determinism: majority = ONE map-side-combined min_by over the
+    * (−count, label) struct (ties to the smallest label — no RNG, no
+    * window over a mega-cluster); purity_bp = 10000·majority_n div
+    * size in exact integer division.
+    *
+    * Scale: clustering cost is embedClusters' (frontier-iterated CC);
+    * everything added here is two label-keyed aggregates over
+    * cluster-sized frames. */
+  def clusterLabelPurity(emb: DataFrame, tau: Double): DataFrame = {
+    val cl = embedClusters(emb, tau).select(col("vec_id"), col("rep_id"))
+    val cnt = cl.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("rep_id"), col("label")).agg(count(lit(1)).as("n"))
+    cnt.groupBy("rep_id").agg(
+        min_by(col("label"),
+          struct((lit(0L) - col("n")).as("nn"), col("label")))
+          .as("majority_label"),
+        max(col("n")).as("majority_n"),
+        sum(col("n")).as("cluster_size"))
+      .select(col("rep_id"), col("cluster_size"), col("majority_label"),
+        col("majority_n"),
+        expr("majority_n * 10000 div cluster_size").as("purity_bp"))
+  }
+
+  def clusterPurityQuery(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelPurity(Tables.embeddings(spark, dir), tau = 0.40)
+      .orderBy(col("rep_id"))
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     * with CLUSTER-BOUNDED pairwise comparison — the trick that makes
     * embedding dedup tractable when the exact tiled join (embedClusters
@@ -1573,6 +1607,37 @@ object Similarity {
         |  c.vec_id = c.rep_id AS is_canonical
         |FROM comp c JOIN sz USING (rep_id)
         |ORDER BY vec_id""".stripMargin),
+    // clustering base identical to embed_clusters; majority label by
+    // (n DESC, label) rank, purity in exact integer basis points
+    "cluster_purity" -> ("WITH RECURSIVE " + vectorCte.stripPrefix("WITH ") +
+      """,pairs AS (
+        | SELECT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]))
+        |     / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        | WHERE cos >= 0.40),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(x, l) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.x),
+        |comp AS (SELECT x AS vec_id, min(l) AS rep_id FROM reach GROUP BY x),
+        |cnt AS (
+        |  SELECT c.rep_id, b.label, CAST(count(*) AS BIGINT) AS n
+        |  FROM comp c JOIN embeddings b ON c.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |arg AS (
+        |  SELECT rep_id, label AS majority_label, n AS majority_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY rep_id
+        |      ORDER BY n DESC, label) AS rn FROM cnt) WHERE rn = 1),
+        |tot AS (SELECT rep_id, CAST(sum(n) AS BIGINT) AS cluster_size
+        |        FROM cnt GROUP BY 1)
+        |SELECT t.rep_id, t.cluster_size, a.majority_label, a.majority_n,
+        |  a.majority_n * 10000 // t.cluster_size AS purity_bp
+        |FROM tot t JOIN arg a USING (rep_id)
+        |ORDER BY rep_id""".stripMargin),
     // the whole SemDeDup path — assignment (ties: rounded ccos desc,
     // cid asc), intra-cell pairs, components, farthest-from-centroid
     // keep-rule — replicated; reach starts from every vector so

@@ -668,6 +668,50 @@ object TextAnalysis {
   def holdoutSplitQuery(spark: SparkSession, dir: String): DataFrame =
     holdoutSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Deterministic global training-order shuffle + shard assignment:
+    * every doc gets a dense permutation index 0..n−1 in md5-key order
+    * (full digest of the family's md5(doc_id) derivation; doc_id
+    * breaks digest collisions) and shard = idx div shardSize — the
+    * reproducible dataloader order a training run needs (epoch
+    * determinism, resumable mid-epoch by idx, shards of exactly
+    * shardSize docs). The RANK-based complement to holdoutSplit:
+    * split membership there is growth-stable by design; a permutation
+    * index is inherently not (inserting a doc shifts everything
+    * after it) — which is why shuffle order is stamped per corpus
+    * VERSION, not maintained incrementally.
+    *
+    * Scale shape — the classic two-phase rank, never a global sort:
+    * the bucket is the key's FIRST TWO HEX CHARS (256 values), an
+    * order-preserving prefix, so (bucket, key) order ≡ key order by
+    * construction; per-bucket counts (256 rows) take an exclusive
+    * prefix sum in one tiny window; per-bucket dense ranks window
+    * over ~n/256 rows each; idx = bucket offset + rank − 1. The
+    * oracle computes the SAME index with one global window — the
+    * two-phase equivalence is the point (packTokenBudgetGlobal's
+    * discipline applied to a permutation). */
+  def shuffleShards(docs: DataFrame, shardSize: Long = 1000L): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val keyed = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("bkt",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+    val offs = keyed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(W.orderBy(col("bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wB = W.partitionBy(col("bkt")).orderBy(col("skey"), col("doc_id"))
+    keyed.withColumn("rn", row_number().over(wB))
+      .join(broadcast(offs), "bkt")
+      .select(col("doc_id"),
+        (col("off") + col("rn") - 1).as("idx"))
+      .withColumn("shard", expr(s"idx div $shardSize"))
+  }
+
+  def shuffleShardsQuery(spark: SparkSession, dir: String): DataFrame =
+    shuffleShards(Tables.documents(spark, dir), shardSize = 64)
+      .orderBy(col("idx"))
+
   /** Temperature-balanced language sampling (the multilingual-mixture
     * rule): each language is downsampled at rate
     * sqrt(n_lang / n_largest) — alpha = 0.5 temperature flattening
@@ -975,6 +1019,17 @@ object TextAnalysis {
          |FROM (SELECT doc_id, lang, source, $sampleBucketSql AS b
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // the oracle ranks with ONE global window; the operator's
+    // two-phase (bucket offsets + per-bucket ranks) must equal it
+    "shuffle_shards" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |   AS BIGINT) AS idx,
+        |  CAST((row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 64
+        |   AS BIGINT) AS shard
+        |FROM documents ORDER BY idx""".stripMargin,
     "pii_redact" -> {
       val counts = piiPatterns.map { case (name, pat, _) =>
         s"len(regexp_extract_all(text, '$pat')) AS n_$name"

@@ -87,6 +87,31 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("decontamReport: per-benchmark leak counts, worst offender, clean rows kept") {
+    // bench 100 "a b c d e" has shingles {abc, bcd, cde}:
+    //  - corpus 1 shares abc+bcd (2), corpus 2 shares abc (1)
+    //  - worst offender = doc 1 (more shared), NOT the smaller id rule
+    // bench 200 is clean: zero counts, NULL worst_doc
+    val bench = docs(100L -> "a b c d e", 200L -> "x y z w v")
+    val corpus = docs(1L -> "a b c d q", 2L -> "a b c q r",
+      3L -> "p q r s t")
+    val out = Dedup.decontamReport(corpus, bench, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))))
+      .toMap
+    assert(out(100L) === ((2L, 3L, Some(1L), 2L)))
+    assert(out(200L) === ((0L, 0L, None, 0L)))
+  }
+
+  test("decontamReport: worst-offender ties break to the smaller corpus id") {
+    val bench = docs(100L -> "a b c d")
+    // both corpus docs share exactly {abc}; tie → doc 5
+    val corpus = docs(9L -> "a b c x", 5L -> "a b c y")
+    val row = Dedup.decontamReport(corpus, bench, k = 3).collect().head
+    assert(row.getLong(3) === 5L && row.getLong(4) === 1L)
+  }
+
   test("decontaminate without the broadcast hint returns identical counts") {
     val bench = docs(100L -> "a b c d e")
     val corpus = docs(1L -> "a b c d x", 3L -> "p q r s t")

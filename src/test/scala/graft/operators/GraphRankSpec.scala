@@ -87,11 +87,45 @@ class GraphRankSpec extends SparkSpec {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
       .toDF("doc_id", "text")
     val hi = GraphRank.tokenCooccurrence(docs, perMille = 700)
-      .as[(String, String)].collect().toSet
-    assert(hi === Set(("a", "b")))
+      .as[(String, String, Long)].collect().toSet
+    assert(hi === Set(("a", "b", 3L)))
     val lo = GraphRank.tokenCooccurrence(docs, perMille = 250)
-      .as[(String, String)].collect().toSet
-    assert(lo === Set(("a", "b"), ("a", "c")))
+      .as[(String, String, Long)].collect().toSet
+    assert(lo === Set(("a", "b", 3L), ("a", "c", 1L)))
+  }
+
+  private def lpa(edges: Seq[(String, String, Long)], iters: Int = 5) =
+    GraphRank.labelPropagation(edges.toDF("u", "v", "w"), iters)
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("labelPropagation: two disjoint triangles settle on their min labels") {
+    val out = lpa(Seq(("A", "B", 1L), ("B", "C", 1L), ("A", "C", 1L),
+      ("X", "Y", 1L), ("Y", "Z", 1L), ("X", "Z", 1L)))
+    assert(out("A") === (("A", 3L)) && out("B") === (("A", 3L)) &&
+      out("C") === (("A", 3L)))
+    assert(out("X") === (("X", 3L)) && out("Y") === (("X", 3L)) &&
+      out("Z") === (("X", 3L)))
+  }
+
+  test("labelPropagation: edge weight outvotes label-id preference") {
+    // X's neighbors: A (w=3) vs B,C (w=1 each). Round 1: X adopts A's
+    // label by weight even though B < C labels exist with equal count.
+    val out = lpa(Seq(("X", "A", 3L), ("X", "B", 1L), ("X", "C", 1L)),
+      iters = 1)
+    assert(out("X")._1 === "A")
+    // leaves each see only X ⇒ all adopt "X"
+    assert(out("A")._1 === "X" && out("B")._1 === "X" && out("C")._1 === "X")
+  }
+
+  test("labelPropagation: synchronous oscillation is deterministic by iteration count") {
+    // star: center M, leaves a,b,c — classic period-2 oscillator.
+    // Odd iters: leaves hold M's previous label, center holds min leaf.
+    val edges = Seq(("M", "a", 1L), ("M", "b", 1L), ("M", "c", 1L))
+    val odd = lpa(edges, iters = 5)
+    assert(odd("M")._1 === "a" && odd("a")._1 === "M")
+    val even = lpa(edges, iters = 4)
+    assert(even("M")._1 === "M" && even("a")._1 === "a")
   }
 
   test("eventTransitions builds per-user consecutive pairs in (ts, event_id) order") {

@@ -628,6 +628,23 @@ class SimilaritySpec extends SparkSpec {
     assert(picks === Seq(1L, 2L))
   }
 
+  test("clusterLabelPurity: majority share, singleton purity, label tie-break") {
+    val d = Seq(
+      // cluster A: three parallel vectors, labels 7,7,9 → purity 6666
+      (1L, Seq(1f, 0f), 7), (2L, Seq(2f, 0f), 7), (3L, Seq(3f, 0f), 9),
+      // cluster B: two parallel vectors, labels 4,2 tie → majority 2
+      (5L, Seq(0f, 1f), 4), (6L, Seq(0f, 2f), 2),
+      // singleton, pure by definition
+      (9L, Seq(1f, -1f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterLabelPurity(d, tau = 0.9)
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((3L, 7, 2L, 6666L)))
+    assert(out(5L) === ((2L, 2, 1L, 5000L)))
+    assert(out(9L) === ((1L, 5, 1L, 10000L)))
+  }
+
   test("annPqTopK: hand-traced codes, ADC scores, and code-sharing") {
     // axis-aligned 2x2 PQ: codewords are vec 0/1's sub-slices.
     // v2 encodes as (sub0→c0, sub1→c1); v3 is NEAR those codewords and

@@ -343,4 +343,27 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect()
       .foreach { case (id, s) => assert(full(id) === s, s"doc $id drifted") }
   }
+
+  test("shuffleShards: dense permutation equal to one global md5 sort, fixed shard sizes") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = (0L until 300L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.shuffleShards(docs, shardSize = 64)
+      .as[(Long, Long, Long)].collect()
+    // dense 0..n-1 permutation
+    assert(out.map(_._2).sorted.toSeq === (0L until 300L))
+    // two-phase index == the single global window the oracle uses
+    val want = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      .as[(Long, String)].collect()
+      .sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    out.foreach { case (id, idx, shard) =>
+      assert(idx === want(id), s"doc $id two-phase idx drifted")
+      assert(shard === idx / 64)
+    }
+    // full shards except the tail
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes(0L) === 64 && sizes(4L) === 44)
+  }
 }
