@@ -189,7 +189,27 @@ object ScaleProbe {
       "dsir_importance"     -> (operators.QualityModels.dsirImportanceQuery _),
       "kcenter_coreset"     -> (operators.Similarity.kcenterCoresetQuery _),
       "ann_hard_negatives"  -> (operators.Similarity.annHardNegativesQuery _),
-      "holdout_split"       -> (operators.TextAnalysis.holdoutSplitQuery _))
+      "holdout_split"       -> (operators.TextAnalysis.holdoutSplitQuery _),
+      // r11 session 2. mad: per-copy value distributions are identical,
+      // so histograms scale exactly f-fold, medians/MADs are UNCHANGED
+      // and flagged rows must be exactly linear. ewma: per-user frames
+      // constant, rows linear. shuffle: rows linear, permutation dense
+      // by construction. pq: codebook stays copy-0's first 16 vectors,
+      // output constant (|Q|·k), wall rides the linear encode+ADC scan.
+      // decontam_report: within-copy shingle disjointness keeps leaks
+      // same-copy, bench rows grow linearly. (cluster_purity is NOT
+      // probed — it rides embed_clusters' quadratic random-cosine
+      // tail, the cosine_tail special's territory. token_triangles /
+      // token_communities are probed via the graph_scale special: the
+      // per-mille edge rule deliberately references the GLOBAL doc
+      // count, so corpus replication dilutes co-rates f-fold and the
+      // edge set empties — the probe isolates the OPERATORS on a
+      // tag-replicated edge frame instead.)
+      "mad_outliers"        -> (operators.Timeseries.madOutliersQuery _),
+      "ewma_smooth"         -> (operators.Timeseries.ewmaSmoothQuery _),
+      "shuffle_shards"      -> (operators.TextAnalysis.shuffleShardsQuery _),
+      "ann_pq_topk"         -> (operators.Similarity.annPqTopKQuery _),
+      "decontam_report"     -> (operators.Dedup.decontamReportQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
@@ -198,7 +218,8 @@ object ScaleProbe {
       "incremental" -> (() => incrementalCutProbe(spark)),
       "decontam_knobs" -> (() => decontamKnobsProbe(spark)),
       "cosine_tail" -> (() => factors.foreach(f => cosineTailProbe(spark, f))),
-      "semdedup_cells" -> (() => factors.foreach(f => semdedupCellsProbe(spark, f))))
+      "semdedup_cells" -> (() => factors.foreach(f => semdedupCellsProbe(spark, f))),
+      "graph_scale" -> (() => factors.foreach(f => graphScaleProbe(spark, f))))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -350,6 +371,38 @@ object ScaleProbe {
     * within/cross copy (within must be ~f x the 1x run; cross is the
     * iid tail of in-cell pairs, a data property — see
     * cosineTailProbe). */
+  /** Triangle-count + label-propagation scaling on a TAG-replicated
+    * edge frame: copy-0's token co-occurrence edges duplicated f-fold
+    * into disjoint node spaces. This isolates the OPERATORS from the
+    * edge rule (whose per-mille rate deliberately dilutes under corpus
+    * replication — the scale-free property, not a bug): f disjoint
+    * copies of the same graph must yield exactly f× the node rows,
+    * f× the triangle total, and f× each community, with walls riding
+    * the linear edge volume. */
+  private def graphScaleProbe(spark: SparkSession, f: Int): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = operators.GraphRank.tokenCooccurrence(docs).localCheckpoint()
+    val edges = (0 until f).map { c =>
+      base.select(concat(lit(s"g${c}_"), col("u")).as("u"),
+        concat(lit(s"g${c}_"), col("v")).as("v"), col("w"))
+    }.reduce(_ unionByName _).localCheckpoint()
+
+    var t0 = System.nanoTime()
+    val tri = operators.GraphRank.triangleCount(edges.select("u", "v"))
+      .agg(count(lit(1)).as("nodes"), sum(col("triangles")).as("tri3"))
+      .head()
+    val triSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val lpa = operators.GraphRank.labelPropagation(edges)
+      .agg(count(lit(1)).as("nodes"),
+        countDistinct(col("community")).as("comms")).head()
+    val lpaSec = (System.nanoTime() - t0) / 1e9
+    println(f"[graph_scale] factor=$f%-3d triangles: nodes=${tri.getLong(0)} " +
+      f"sum3x=${tri.getLong(1)} ${triSec}%6.2fs | " +
+      f"lpa: nodes=${lpa.getLong(0)} communities=${lpa.getLong(1)} " +
+      f"${lpaSec}%6.2fs")
+  }
+
   private def semdedupCellsProbe(spark: SparkSession, f: Int): Unit = {
     val dir = replicate(spark, f)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
