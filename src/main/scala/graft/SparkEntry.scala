@@ -132,6 +132,11 @@ object SparkEntry {
     "quality_floor_per_source" -> (QualityModels.qualityFloorPerSourceQuery _),
     "dsir_importance"        -> (QualityModels.dsirImportanceQuery _),
     "gopher_rules"           -> (QualityModels.gopherRulesQuery _),
+    "quality_logreg"         -> (QualityModels.qualityLogregQuery _),
+    "winnowing_fingerprint"  -> (Winnowing.winnowingFingerprintQuery _),
+    "source_jaccard"         -> (CorpusStats.sourceJaccardQuery _),
+    "embed_centroid_drift"   -> (CorpusStats.centroidDriftQuery _),
+    "knn_graph"              -> (Similarity.knnGraphQuery _),
     "bigram_surprisal"       -> (QualityModels.bigramSurprisalQuery _),
     "vocab_kl_drift"         -> (QualityModels.vocabKlDriftQuery _),
     // LLM-data-pipeline: near-dup detection
@@ -194,5 +199,5 @@ object SparkEntry {
       FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
       Timeseries.oracles ++ ProductAnalytics.oracles ++
       Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles ++
-      GraphRank.oracles
+      GraphRank.oracles ++ Winnowing.oracles ++ CorpusStats.oracles
 }

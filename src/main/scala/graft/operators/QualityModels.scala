@@ -387,7 +387,82 @@ object QualityModels {
     vocabKlDrift(Tables.documents(spark, dir), col("source").isin("src0", "src1"))
       .orderBy(col("t"))
 
+  // ------------------------------------------------- linear quality model
+
+  /** The default classifier weights — one ROW, not hardcoded literals
+    * in the scoring plan, so trained weights substitute without
+    * touching the operator. Columns: intercept + one weight per
+    * feature, all integer (the model's fixed-point contract). */
+  def defaultQualityWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((-130000L, 8L, 20L, 9L, 120L))
+      .toDF("w0", "w_alpha", "w_stop", "w_ttr", "w_len")
+  }
+
+  /** Linear quality-classifier INFERENCE (the fasttext/logreg serving
+    * shape): score = w0 + w·x over exact integer features — alpha and
+    * stopword mass in basis points, type-token ratio in basis points,
+    * and the token count. The logistic link is strictly monotone, so
+    * the keep decision `sigmoid(score) > 0.5` is EXACTLY `score > 0` —
+    * evaluated on the BIGINT score with no exp/division anywhere
+    * (the same no-float discipline as the τ tests; a probability
+    * column would add a cross-engine libm dependency for zero
+    * decision-relevant information).
+    *
+    * Scale shape: the model is ONE broadcast row; features and score
+    * are in-row expressions — the whole operator is map-only, zero
+    * shuffles at any corpus size. Trained weights arrive as a
+    * different one-row `weights` frame (the output of any external
+    * trainer), making this the inference half of a logreg pipeline.
+    */
+  def qualityLogreg(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)")
+          .as("alpha_bp"),
+        (lit(10000L) * size(filter(toks, t => t.isin(TextAnalysis.enStop: _*))))
+          .as("stop_n"),
+        (lit(10000L) * size(array_distinct(toks))).as("ttr_n"))
+      .select(col("doc_id"), col("n_words"), col("alpha_bp"),
+        expr("stop_n div n_words").as("stop_bp"),
+        expr("ttr_n div n_words").as("ttr_bp"))
+      .crossJoin(broadcast(weights))
+      .select(col("doc_id"), col("n_words"), col("alpha_bp"),
+        col("stop_bp"), col("ttr_bp"),
+        (col("w0") + col("w_alpha") * col("alpha_bp")
+          + col("w_stop") * col("stop_bp") + col("w_ttr") * col("ttr_bp")
+          + col("w_len") * col("n_words")).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  def qualityLogregQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityLogreg(Tables.documents(spark, dir),
+      defaultQualityWeights(spark)).orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    // the same integer features and one-row model, weights as literals
+    // (the oracle pins the DEFAULT model; a trained model reuses the
+    // operator unchanged)
+    "quality_logreg" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  (10000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
+        |    // length(text) AS alpha_bp,
+        |  (10000 * len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','of','and','to','is','in'))))
+        |    // len(string_split(text, ' ')) AS stop_bp,
+        |  (10000 * len(list_distinct(string_split(text, ' '))))
+        |    // len(string_split(text, ' ')) AS ttr_bp
+        | FROM documents)
+        |SELECT doc_id, n_words, alpha_bp, stop_bp, ttr_bp,
+        |  -130000 + 8 * alpha_bp + 20 * stop_bp + 9 * ttr_bp
+        |    + 120 * n_words AS score,
+        |  (-130000 + 8 * alpha_bp + 20 * stop_bp + 9 * ttr_bp
+        |    + 120 * n_words) > 0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "lm_surprisal" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -1144,6 +1144,57 @@ object Similarity {
     annInt8TopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- kNN graph
+
+  /** k-nearest-neighbor GRAPH over the whole corpus — the precursor
+    * artifact for graph-based curation (NN-Descent refinement,
+    * graph-connected semantic dedup, diversity walks): every vector's
+    * top-k cosine neighbors as directed edges, with a `mutual` flag
+    * (both endpoints list each other — the reciprocal edges graph
+    * clustering actually trusts).
+    *
+    * This is ann_ivf serving with Q = the corpus itself, and the scale
+    * shape changes where it must: the probe side is corpus-sized, so
+    * it is NOT broadcast (contrast annIvfCandidates) — candidates come
+    * from a shuffled equi-join on (cell, blk), where `blk` sub-tiles
+    * each cell's corpus slice so a hot cell splits across numBlocks
+    * tasks instead of funneling through one (the cosineNearDupPairs
+    * tiling discipline applied to IVF cells; AQE skew-join would split
+    * by size, the explicit key makes the bound deterministic).
+    * Candidate volume per vertex ≈ nProbe·n/C — C grows with the
+    * corpus exactly like the serving path, and nProbe=C degrades to
+    * the exact brute-force graph (spec-pinned). The mutuality pass is
+    * a self-join of the EDGE frame (n·k rows), never corpus-sized.
+    */
+  def knnGraph(emb: DataFrame, k: Int = 5, numCentroids: Int = 16,
+               nProbe: Int = 4, numBlocks: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids && numBlocks >= 1)
+    val cents = defaultCentroids(emb, numCentroids)
+    val (assigned, probes) = ivfIndex(emb, cents, Int.MaxValue, nProbe)
+    val blocked = assigned
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("e").as("en"),
+        pmod(col("vec_id"), lit(numBlocks.toLong)).as("blk"))
+    val fanned = probes
+      .withColumn("blk", explode(sequence(lit(0L), lit(numBlocks - 1L))))
+    val cand = fanned.join(blocked,
+        col("probe") === col("cell") && fanned("blk") === blocked("blk") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("en")), 6))
+      .select(col("query_id"), col("neighbor_id").as("vec_id"), col("cos"))
+    val edges = topK(cand, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cos"), col("rnk"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("m"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .withColumn("mutual", coalesce(col("m"), lit(false)))
+      .drop("m")
+  }
+
+  def knnGraphQuery(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir))
+      .orderBy(col("src"), col("rnk"))
+
   // ---------------------------------------------------------------- projection
 
   /** Deterministic ±1 sign matrix for signed random projection, from
@@ -1370,6 +1421,49 @@ object Similarity {
     * the rerank oracle up to the candidate set, then the top-k ranks
     * directly on the quantized cosine computed from the stored-index
     * integers (exact small-int arithmetic, bit-stable cross-engine). */
+  /** knn_graph oracle: annIvfOracle's CTE chain with the probe set
+    * widened to the WHOLE corpus, plus the reciprocal-edge self-join
+    * for the mutual flag. */
+  private def knnGraphOracle(k: Int, numCentroids: Int,
+                             nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn <= $nProbe),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
+       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       | FROM cand c JOIN v q ON c.query_id = q.vec_id
+       |  JOIN v x ON c.neighbor_id = x.vec_id),
+       |edges AS (
+       | SELECT query_id AS src, neighbor_id AS dst, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= $k)
+       |SELECT e.src, e.dst, e.cos, e.rnk, (r.src IS NOT NULL) AS mutual
+       |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+       |ORDER BY e.src, e.rnk""".stripMargin
+
   private def annIvfFromIndexOracle(numQueries: Int, k: Int,
                                     numCentroids: Int, nProbe: Int): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1562,6 +1656,7 @@ object Similarity {
     "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
     "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4),
+    "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
     "ann_ivf_rerank_topk" -> annIvfRerankOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4, m = 12),
     "ann_ivf_from_index" -> annIvfFromIndexOracle(numQueries = 8, k = 3,

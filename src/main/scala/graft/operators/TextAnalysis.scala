@@ -66,7 +66,7 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- quality
 
-  private val enStop = Seq("the", "a", "of", "and", "to", "is", "in")
+  private[operators] val enStop = Seq("the", "a", "of", "and", "to", "is", "in")
 
   /** The corpus keep rule as a reusable column expression (word count
     * in [5, 1000] and ROUNDED alpha ratio > 0.5 — the rounding matters
