@@ -137,6 +137,10 @@ object SparkEntry {
     "source_jaccard"         -> (CorpusStats.sourceJaccardQuery _),
     "embed_centroid_drift"   -> (CorpusStats.centroidDriftQuery _),
     "knn_graph"              -> (Similarity.knnGraphQuery _),
+    "winnow_pairs"           -> (Winnowing.winnowPairsQuery _),
+    "doc_novelty"            -> (CorpusStats.docNoveltyQuery _),
+    "tokenizer_fertility"    -> (CorpusStats.tokenizerFertilityQuery _),
+    "ann_recall_eval"        -> (Similarity.annRecallEvalQuery _),
     "bigram_surprisal"       -> (QualityModels.bigramSurprisalQuery _),
     "vocab_kl_drift"         -> (QualityModels.vocabKlDriftQuery _),
     // LLM-data-pipeline: near-dup detection

@@ -81,13 +81,27 @@ object CorpusStats {
     * the exploded corpus (output |labels|·dim rows — model-sized);
     * everything downstream operates on the model-sized centroid frame.
     */
-  def centroidDrift(emb: DataFrame): DataFrame = {
-    val q = emb.select(col("label"),
+  def centroidDrift(emb: DataFrame): DataFrame =
+    driftFromSums(componentSums(emb))
+
+  /** The accumulable STATE behind centroidDrift: per-(label, dim)
+    * exact BIGINT sums of once-rounded micro components, plus the
+    * contributing row count. Exposed separately because integer sums
+    * are batch-split-invariant — the same aggregation runs as a
+    * Structured Streaming complete-mode query (streaming.DriftStream)
+    * and the drift tail computes from the live state at any point. */
+  private[graft] def componentSums(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
         posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
       .select(col("label"), col("dim"),
         round(col("x") * lit(1000000.0d)).cast("long").as("xm"))
-    val cent = q.groupBy("label", "dim").agg(sum("xm").as("c"))
-    val sizes = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .groupBy("label", "dim")
+      .agg(sum("xm").as("c"), count(lit(1)).as("n"))
+
+  /** The model-sized drift tail over the (label, dim, c, n) sums. */
+  private[graft] def driftFromSums(sums: DataFrame): DataFrame = {
+    val cent = sums.select("label", "dim", "c")
+    val sizes = sums.filter(col("dim") === 0).select(col("label"), col("n"))
     val norms = cent.groupBy("label")
       .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("n2"))
     val a = cent.toDF("label_a", "dim", "ca")
@@ -109,6 +123,67 @@ object CorpusStats {
   def centroidDriftQuery(spark: SparkSession, dir: String): DataFrame =
     centroidDrift(Tables.embeddings(spark, dir))
       .orderBy(col("label_a"), col("label_b"))
+
+  /** Per-doc NOVELTY against the rest of the corpus: how much of this
+    * doc's distinct shingle set appears nowhere else (df = 1), plus
+    * the mean df of its shingles in milli-units — the per-doc signal
+    * behind upsampling decisions (novel long-tail content) and
+    * boilerplate suspicion (mean_df high), where the dedup family
+    * answers only the binary is-it-a-near-dup question.
+    *
+    * Exactness: novelty_bp = 10000·n_unique div n_shingles and
+    * mean_df_milli = 1000·Σdf div n_shingles, all BIGINT.
+    *
+    * Scale shape: distinct postings + df are the dedup family's
+    * map-side-combined aggregates; the join-back is posting-sized and
+    * re-aggregates by doc map-side. No window ever partitions by the
+    * (power-law) shingle key. Docs with zero shingles (< k tokens)
+    * are absent by construction. */
+  def docNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
+    val ss = Dedup.shingleSet(docs, k)
+    val dfBy = ss.groupBy("s").agg(count(lit(1)).as("df"))
+    ss.join(dfBy, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(col("df")).as("df_sum"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(10000 * n_unique) div n_shingles").as("novelty_bp"),
+        expr("(1000 * df_sum) div n_shingles").as("mean_df_milli"))
+  }
+
+  def docNoveltyQuery(spark: SparkSession, dir: String): DataFrame =
+    docNovelty(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Tokenizer fertility per language: how many regex (BPE-ish)
+    * tokens the tokenizer spends per whitespace word, and characters
+    * per token — the per-language tokenizer-efficiency audit run
+    * before committing a vocab (a language at 2x fertility costs 2x
+    * the training compute for the same text). Ratios in exact
+    * milli-units over per-language BIGINT sums; per-doc counts are
+    * in-row expressions, the aggregate is ONE map-side-combined
+    * groupBy over |langs| keys. */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        sum("ws_tokens").as("ws_tokens"),
+        sum("re_tokens").as("re_tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"),
+        col("ws_tokens"), col("re_tokens"),
+        expr("(1000 * re_tokens) div ws_tokens").as("fertility_milli"),
+        expr("(1000 * chars) div re_tokens").as("chars_per_tok_milli"))
+  }
+
+  def tokenizerFertilityQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertility(Tables.documents(spark, dir)).orderBy(col("lang"))
 
   val oracles: Map[String, String] = Map(
     "source_jaccard" ->
@@ -134,6 +209,44 @@ object CorpusStats {
         | JOIN sizes sa ON i.source_a = sa.source
         | JOIN sizes sb ON i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "doc_novelty" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ss AS (
+        | SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END) AS s
+        | FROM toks),
+        |dfv AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ss GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  (10000 * CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS novelty_bp,
+        |  (1000 * CAST(sum(df) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS mean_df_milli
+        |FROM ss JOIN dfv USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tokenizer_fertility" ->
+      """WITH f AS (
+        | SELECT lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |   AS BIGINT) AS re_tokens
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(re_tokens) AS BIGINT) AS re_tokens,
+        |  (1000 * CAST(sum(re_tokens) AS BIGINT))
+        |    // CAST(sum(ws_tokens) AS BIGINT) AS fertility_milli,
+        |  (1000 * CAST(sum(n_chars) AS BIGINT))
+        |    // CAST(sum(re_tokens) AS BIGINT) AS chars_per_tok_milli
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the same once-rounded micro components, HUGEINT sums/products,
     // and the display-only IEEE sqrt tail

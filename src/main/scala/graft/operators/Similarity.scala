@@ -1195,6 +1195,42 @@ object Similarity {
     knnGraph(Tables.embeddings(spark, dir))
       .orderBy(col("src"), col("rnk"))
 
+  // ---------------------------------------------------------------- recall eval
+
+  /** MEASURED recall@k of the IVF serving path against exact brute
+    * force, per query and per nProbe setting — the knob-tuning
+    * artifact behind every "C and nProbe were chosen to meet the
+    * recall SLA" claim in this family (the banding analog is
+    * bandingFor's closed form; IVF recall has no closed form, so it
+    * must be measured). recall_bp = 10000·hits div k in BIGINTs.
+    *
+    * Scale shape: each probed serving run is the annIvfTopK plan
+    * unchanged (one per nProbe, unioned — the cells scan is shared
+    * work a cache-conscious caller can persist); the exact side is the
+    * brute-force baseline ONCE; both sides land as |Q|·k edge frames
+    * and the hit join + per-(nProbe, query) aggregate never touch
+    * anything corpus-sized. */
+  def annRecallEval(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                    numCentroids: Int = 16,
+                    nProbes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= numCentroids))
+    val exact = annCosineTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    val approx = nProbes.map { p =>
+      annIvfTopK(emb, numQueries, k, numCentroids, p)
+        .select(lit(p).as("n_probe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    approx.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("n_probe", "query_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .select(col("n_probe"), col("query_id"), col("hits"),
+        expr(s"(10000 * hits) div $k").as("recall_bp"))
+  }
+
+  def annRecallEvalQuery(spark: SparkSession, dir: String): DataFrame =
+    annRecallEval(Tables.embeddings(spark, dir))
+      .orderBy(col("n_probe"), col("query_id"))
+
   // ---------------------------------------------------------------- projection
 
   /** Deterministic ±1 sign matrix for signed random projection, from
@@ -1421,6 +1457,69 @@ object Similarity {
     * the rerank oracle up to the candidate set, then the top-k ranks
     * directly on the quantized cosine computed from the stored-index
     * integers (exact small-int arithmetic, bit-stable cross-engine). */
+  /** ann_recall_eval oracle: the annIvfOracle CTE chain ranked once
+    * per nProbe value (a VALUES fan-out over the probe-rank filter),
+    * the brute-force exact top-k as the truth set, hits by left join. */
+  private def annRecallOracle(numQueries: Int, k: Int, numCentroids: Int,
+                              nProbes: Seq[Int]): String = {
+    val maxP = nProbes.max
+    val vals = nProbes.map(p => s"($p)").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
+       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $maxP),
+       |exact_scored AS (
+       | SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
+       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       | FROM v q JOIN v x ON q.vec_id < $numQueries AND q.vec_id <> x.vec_id),
+       |exact AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact_scored) WHERE rnk <= $k),
+       |cand AS (
+       | SELECT np.p AS n_probe, pr.query_id, a.vec_id AS neighbor_id
+       | FROM (VALUES $vals) np(p)
+       |  JOIN probes pr ON pr.rn <= np.p
+       |  JOIN assigned a ON a.cell = pr.probe AND a.vec_id <> pr.query_id),
+       |scored AS (
+       | SELECT c.n_probe, c.query_id, c.neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
+       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       | FROM cand c JOIN v q ON c.query_id = q.vec_id
+       |  JOIN v x ON c.neighbor_id = x.vec_id),
+       |ranked AS (
+       | SELECT n_probe, query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= $k)
+       |SELECT r.n_probe, r.query_id,
+       |  CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS hits,
+       |  (10000 * CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT)) // $k AS recall_bp
+       |FROM ranked r LEFT JOIN exact e
+       | ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** knn_graph oracle: annIvfOracle's CTE chain with the probe set
     * widened to the WHOLE corpus, plus the reciprocal-edge self-join
     * for the mutual flag. */
@@ -1657,6 +1756,8 @@ object Similarity {
     "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4),
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
+    "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
+      numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "ann_ivf_rerank_topk" -> annIvfRerankOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4, m = 12),
     "ann_ivf_from_index" -> annIvfFromIndexOracle(numQueries = 8, k = 3,

@@ -75,6 +75,50 @@ object Winnowing {
     winnowingFingerprints(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Near-dup candidate pairs FROM the winnowed index (the MOSS
+    * application): docs sharing >= minShared distinct selected
+    * fingerprint hashes, with overlap_bp = 10000·shared div
+    * min(|A|,|B|) as the containment-style score over fingerprint
+    * SETS. The robustness guarantee makes this sound: any shared run
+    * of >= w+k-1 tokens is represented in BOTH docs' fingerprint sets,
+    * so long verbatim overlaps cannot be missed — while the index is
+    * ~2/(w+1) the size of the full shingle index the ngram/containment
+    * family joins (the winnowing trade: a deterministic index-size cut
+    * for a coarser score).
+    *
+    * Scale shape: per-doc fingerprint SETS derive map-side from the
+    * map-only selection; the self-join fans out per HASH only to the
+    * docs selecting it; `maxDf` drops hotter-than-cap postings (the
+    * boilerplate guard, same knob discipline as ngramCandidates — a
+    * candidate-generation cut, documented recall caveat). The pair
+    * aggregate is map-side combined. */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Long = 2L,
+                  maxDf: Long = Long.MaxValue): DataFrame = {
+    val fpSet = winnowingFingerprints(docs, k, w)
+      .select(col("doc_id"), col("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt")) // distinct, map-side
+      .select("doc_id", "h")
+    val sizes = fpSet.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfBy = fpSet.groupBy("h").agg(count(lit(1)).as("df"))
+    val posting = fpSet.join(dfBy.filter(col("df") <= maxDf), "h")
+    val a = posting.select(col("doc_id").as("doc_a"), col("h").as("ha"))
+    val b = posting.select(col("doc_id").as("doc_b"), col("h").as("hb"))
+    a.join(b, col("ha") === col("hb") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        expr("(10000 * shared) div least(n_a, n_b)").as("overlap_bp"))
+  }
+
+  def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   val oracles: Map[String, String] = Map(
     // same pipeline over DuckDB lists: k=3 shingles, 60-bit md5 hash,
     // per-window rightmost min via list_reverse + list_position, and
@@ -104,5 +148,40 @@ object Winnowing {
         |  list_min(h[i:i+3]) AS h
         | FROM win)
         |SELECT DISTINCT doc_id, pos, h FROM pick
-        |ORDER BY doc_id, pos""".stripMargin)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // the pair report over the same winnowed index: distinct per-doc
+    // fingerprint hash sets, self-join, min-size containment score
+    "winnow_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END AS s
+        | FROM toks),
+        |hs AS (
+        | SELECT doc_id,
+        |  list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS h
+        | FROM sh WHERE len(s) >= 1),
+        |win AS (
+        | SELECT doc_id, h,
+        |  unnest(range(1, greatest(len(h) - 4 + 1, 1) + 1)) AS i
+        | FROM hs),
+        |fp AS (
+        | SELECT DISTINCT doc_id, list_min(h[i:i+3]) AS h FROM win),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |          FROM fp GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(count(*) AS BIGINT) AS shared
+        | FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.shared, sa.sz AS n_a, sb.sz AS n_b,
+        |  (10000 * p.shared) // least(sa.sz, sb.sz) AS overlap_bp
+        |FROM pairs p
+        | JOIN sizes sa ON p.doc_a = sa.doc_id
+        | JOIN sizes sb ON p.doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

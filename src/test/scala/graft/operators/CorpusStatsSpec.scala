@@ -34,6 +34,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(CorpusStats.sourceJaccard(d, k = 1).count() === 0)
   }
 
+  test("docNovelty: unique vs shared shingles, hand-computed at k=1") {
+    // doc1 = {a,b,c}, doc2 = {b,c,d}: unique a (df1), d (df1);
+    // doc1: n=3, unique=1, df_sum=1+2+2=5
+    val d = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = CorpusStats.docNovelty(d, k = 1)
+      .select("doc_id", "n_shingles", "n_unique", "novelty_bp", "mean_df_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq(
+      (1L, 3L, 1L, 3333L, 1666L),
+      (2L, 3L, 1L, 3333L, 1666L)))
+  }
+
+  test("docNovelty: fully duplicated doc has zero novelty") {
+    val d = Seq((1L, "p q r s t"), (2L, "p q r s t"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.docNovelty(d)
+      .select("doc_id", "novelty_bp").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 10000L)
+  }
+
+  test("tokenizerFertility: hand-computed ratios per lang") {
+    // "ab, cd" -> ws 2 tokens, re tokens: ab , cd = 3; chars 6
+    val d = Seq((1L, "ab, cd", "xx"), (2L, "e f", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusStats.tokenizerFertility(d)
+      .select("lang", "n_docs", "chars", "ws_tokens", "re_tokens",
+        "fertility_milli", "chars_per_tok_milli")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq(
+      ("xx", 1L, 6L, 2L, 3L, 1500L, 2000L),
+      ("yy", 1L, 3L, 2L, 2L, 1000L, 1500L)))
+  }
+
   test("centroidDrift: identical slices score cos 1e6, opposite -1e6") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),

@@ -55,6 +55,38 @@ class WinnowingSpec extends SparkSpec {
     assert(fps(Seq((2L, "a b"))) === Seq.empty)
   }
 
+  test("winnowPairs: long shared run yields a pair; unrelated docs do not") {
+    val shared = (0 until 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared"),
+      (2L, s"$shared zeta eta theta iota"),
+      (3L, "totally unrelated words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Winnowing.winnowPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L)))
+  }
+
+  test("winnowPairs: overlap_bp is shared over the smaller fingerprint set") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = Winnowing.winnowPairs(d, minShared = 1)
+      .select("shared", "n_a", "n_b", "overlap_bp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.length === 1)
+    val (shared, na, nb, bp) = out.head
+    assert(na === nb && shared === na, "identical docs share everything")
+    assert(bp === 10000L)
+  }
+
+  test("winnowPairs: maxDf drops hot postings and with them their pairs") {
+    // one shingle shared by all three docs; df cap at 2 removes it
+    val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    assert(Winnowing.winnowPairs(d, minShared = 1).count() === 3)
+    assert(Winnowing.winnowPairs(d, minShared = 1, maxDf = 2L).count() === 0)
+  }
+
   test("selection is position-correct: selected hash matches its shingle") {
     val text = "the quick brown fox jumps over the lazy dog today"
     val toks = text.split(" ")
