@@ -42,7 +42,7 @@ object ScaleProbe {
     }
 
   private def replicate(spark: SparkSession, factor: Int): String = {
-    val out = s"/tmp/graft_scale_f${factor}_v4"
+    val out = s"/tmp/graft_scale_f${factor}_v5"
     if (new java.io.File(s"$out/_done").exists()) return out
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docCopies = (0 until factor).map { c =>
@@ -58,9 +58,15 @@ object ScaleProbe {
       val (perm, signs) = signedPerm(c, 64)
       val permuted = array((0 until 64).map(k =>
         lit(signs(k)) * element_at(col("embedding"), perm(k) + 1)): _*)
+      // labels offset per copy: label slices stay copy-local, so the
+      // drift pairs of copy c are copy 0's pairs under one orthogonal
+      // transform — cos_micro must match copy 0 EXACTLY (permutation
+      // reorders/negates the micro-rounded components; HALF_UP rounds
+      // symmetrically, so round(-x) = -round(x))
       emb.select(
         (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
-        permuted.cast("array<float>").as("embedding"))
+        permuted.cast("array<float>").as("embedding"),
+        (col("label") + lit(c * 1000)).as("label"))
     }.reduce(_ unionByName _)
     embCopies.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
@@ -209,7 +215,27 @@ object ScaleProbe {
       "ewma_smooth"         -> (operators.Timeseries.ewmaSmoothQuery _),
       "shuffle_shards"      -> (operators.TextAnalysis.shuffleShardsQuery _),
       "ann_pq_topk"         -> (operators.Similarity.annPqTopKQuery _),
-      "decontam_report"     -> (operators.Dedup.decontamReportQuery _))
+      "decontam_report"     -> (operators.Dedup.decontamReportQuery _),
+      // r11 session 3. winnowing: selection is per-doc map-only; the
+      // copy prefix changes the hash stream so per-copy counts differ
+      // slightly from copy 0's, but totals must stay ~linear and wall
+      // flat. winnow_pairs: shingle-disjoint copies keep every pair
+      // within-copy. source_jaccard: copies KEEP the source value, so
+      // inter and sizes are exactly f x copy 0's and jaccard_bp is
+      // INVARIANT (sharpest kind of probe: ratios must not move).
+      // doc_novelty: df structure is copy-local, so each doc's novelty
+      // equals its copy-0 counterpart — rows exactly linear, novelty
+      // histogram invariant. quality_logreg/tokenizer_fertility:
+      // map-only; fertility rows stay |langs|. ann_recall_eval: queries
+      // are copy 0's first 8, output constant 24 rows, wall rides the
+      // linear candidate scan.
+      "winnowing_fingerprint" -> (operators.Winnowing.winnowingFingerprintQuery _),
+      "winnow_pairs"        -> (operators.Winnowing.winnowPairsQuery _),
+      "source_jaccard"      -> (operators.CorpusStats.sourceJaccardQuery _),
+      "doc_novelty"         -> (operators.CorpusStats.docNoveltyQuery _),
+      "quality_logreg"      -> (operators.QualityModels.qualityLogregQuery _),
+      "tokenizer_fertility" -> (operators.CorpusStats.tokenizerFertilityQuery _),
+      "ann_recall_eval"     -> (operators.Similarity.annRecallEvalQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
@@ -219,7 +245,9 @@ object ScaleProbe {
       "decontam_knobs" -> (() => decontamKnobsProbe(spark)),
       "cosine_tail" -> (() => factors.foreach(f => cosineTailProbe(spark, f))),
       "semdedup_cells" -> (() => factors.foreach(f => semdedupCellsProbe(spark, f))),
-      "graph_scale" -> (() => factors.foreach(f => graphScaleProbe(spark, f))))
+      "graph_scale" -> (() => factors.foreach(f => graphScaleProbe(spark, f))),
+      "knn_scale" -> (() => factors.foreach(f => knnScaleProbe(spark, f))),
+      "drift_scale" -> (() => factors.foreach(f => driftScaleProbe(spark, f))))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -431,6 +459,58 @@ object ScaleProbe {
     println(f"[scale-semdedup] factor=$f%-3d cand_fixedC16=$fixedCand " +
       f"(f² curve) cand_scaledC$scaledC=$scaledCand (linear bar) " +
       f"within=$within cross=$cross pair_wall=${wall}%.2fs")
+  }
+
+  /** knn_graph at scale: output rows must be exactly n·k (linear);
+    * candidates/vertex at FIXED C grows like n/C (the f curve), while
+    * scaling C with the corpus holds it ~constant — the same knob
+    * story as IVF serving, measured on the graph build. */
+  private def knnScaleProbe(spark: SparkSession, f: Int): Unit = {
+    val dir = replicate(spark, f)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    def candPerVertex(c: Int): Long = {
+      // per-vertex average candidate count over a 64-query sample of
+      // the same probe×assigned join the graph build runs
+      val cents = operators.Similarity.defaultCentroids(emb, c)
+      operators.Similarity.annIvfCandidates(
+        emb, cents, numQueries = 64, nProbe = 4).count() / 64
+    }
+    val fixed = candPerVertex(16)
+    val scaled = candPerVertex(16 * f)
+    val t0 = System.nanoTime()
+    val rows = operators.Similarity.knnGraph(emb, k = 5,
+      numCentroids = 16 * f, nProbe = 4).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-knn] factor=$f%-3d n=$n rows=$rows (bar ${n * 5}) " +
+      f"cand_per_vertex_fixedC16=$fixed scaledC${16 * f}=$scaled " +
+      f"graph_wall=${wall}%.2fs")
+  }
+
+  /** Centroid-drift parity under replication: copy c's label slices
+    * are copy 0's under one orthogonal signed permutation, so each
+    * within-copy pair's cos_micro must equal copy 0's EXACTLY; cross-
+    * copy pairs are the iid-direction tail (reported, not barred). */
+  private def driftScaleProbe(spark: SparkSession, f: Int): Unit = {
+    val dir = replicate(spark, f)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t0 = System.nanoTime()
+    val drift = operators.CorpusStats.centroidDrift(emb).localCheckpoint()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val within = drift.filter(expr("label_a DIV 1000 = label_b DIV 1000"))
+    val base = drift.filter(col("label_a") < 1000 && col("label_b") < 1000)
+      .select(col("label_a").as("ba"), col("label_b").as("bb"),
+        col("cos_micro").as("base_cos"))
+    val mismatches = within
+      .withColumn("ba", expr("label_a % 1000"))
+      .withColumn("bb", expr("label_b % 1000"))
+      .join(base, Seq("ba", "bb"))
+      .filter(col("cos_micro") =!= col("base_cos")).count()
+    val nWithin = within.count()
+    val nCross = drift.count() - nWithin
+    println(f"[scale-drift] factor=$f%-3d within_pairs=$nWithin " +
+      f"(bar ${45L * f}) parity_mismatches=$mismatches (bar 0) " +
+      f"cross_pairs=$nCross wall=${wall}%.2fs")
   }
 
   /** P[cos >= tau] for two iid uniform directions in R^d: the density

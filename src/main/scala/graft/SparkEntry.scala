@@ -138,6 +138,10 @@ object SparkEntry {
     "embed_centroid_drift"   -> (CorpusStats.centroidDriftQuery _),
     "knn_graph"              -> (Similarity.knnGraphQuery _),
     "winnow_pairs"           -> (Winnowing.winnowPairsQuery _),
+    "lsh_recall_eval"        -> (Dedup.lshRecallEvalQuery _),
+    "cluster_size_stats"     -> (Dedup.clusterSizeStatsQuery _),
+    "fk_integrity"           -> (IntegrityAudit.fkIntegrityQuery _),
+    "out_of_order_stats"     -> (Timeseries.outOfOrderStatsQuery _),
     "doc_novelty"            -> (CorpusStats.docNoveltyQuery _),
     "tokenizer_fertility"    -> (CorpusStats.tokenizerFertilityQuery _),
     "ann_recall_eval"        -> (Similarity.annRecallEvalQuery _),
@@ -203,5 +207,6 @@ object SparkEntry {
       FuzzyJoin.oracles ++ SemiStructured.oracles ++ Cdc.oracles ++
       Timeseries.oracles ++ ProductAnalytics.oracles ++
       Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles ++
-      GraphRank.oracles ++ Winnowing.oracles ++ CorpusStats.oracles
+      GraphRank.oracles ++ Winnowing.oracles ++ CorpusStats.oracles ++
+      IntegrityAudit.oracles
 }

@@ -313,7 +313,18 @@ object Dedup {
     val docSets = docShingleSets(docs, 3)
     val sig = docSets.select(col("doc_id"),
       graft.functions.MinHashSig(col("sset"), numHashes).as("sig"))
+    val cand = minhashBandCandidates(sig, numHashes, bandsN)
 
+    // exact-Jaccard verify, candidates only (no all-pairs anywhere)
+    verifyJaccard(cand, docSets.select("doc_id", "sset", "n"), tau)
+  }
+
+  /** Banding candidate generation over a (doc_id, sig) signature frame
+    * — the ONE banding rule shared by the serving path and the recall
+    * eval, so measured recall is measured on the production plan. */
+  private def minhashBandCandidates(sig: DataFrame, numHashes: Int,
+                                    bandsN: Int): DataFrame = {
+    val rowsPerBand = numHashes / bandsN
     val bandStructs = array((0 until bandsN).map { bnd =>
       val parts = (0 until rowsPerBand)
         .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1))
@@ -325,18 +336,60 @@ object Dedup {
 
     val x = bands.toDF("doc_a", "band_a", "bh_a")
     val y = bands.toDF("doc_b", "band_b", "bh_b")
-    val cand = x.join(y,
+    x.join(y,
         x("band_a") === y("band_b") && x("bh_a") === y("bh_b") &&
           x("doc_a") < y("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-
-    // exact-Jaccard verify, candidates only (no all-pairs anywhere)
-    verifyJaccard(cand, docSets.select("doc_id", "sset", "n"), tau)
   }
 
   def minhashLshQuery(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(Tables.documents(spark, dir), tau = 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MEASURED banding recall: minhash-LSH candidates per banding
+    * setting vs the exact τ-pair truth set — the dedup sibling of
+    * ann_recall_eval, and the empirical check on bandingFor's
+    * closed-form collision probability (1-(1-s^r)^b predicts; this
+    * measures, candidates and misses both). Truth comes from the
+    * PREFIX-FILTERED exact path (ngramJaccardPairs — provably
+    * complete, never all-pairs), found = banding candidates that are
+    * true pairs (equivalent to the exact verify the serving path
+    * runs), so precision is 1 by construction and the tradeoff lives
+    * in (n_cand, recall_bp) per banding row.
+    *
+    * Scale shape: one signature scan feeds all bandings (map-only
+    * native MinHashSig); each banding adds its band equi-join; every
+    * reported number is a COUNT — the output is |bandings| rows.
+    * recall_bp is NULL if the corpus has no true pairs at τ (Spark
+    * `div` returns null; the oracle corpus always has planted pairs).
+    */
+  def lshRecallEval(docs: DataFrame, tau: Double = 0.8,
+                    numHashes: Int = 64,
+                    bandings: Seq[Int] = Seq(16, 8, 4)): DataFrame = {
+    require(bandings.nonEmpty &&
+      bandings.forall(b => b >= 1 && numHashes % b == 0),
+      s"every banding must divide numHashes=$numHashes: $bandings")
+    val docSets = docShingleSets(docs, 3)
+    val sig = docSets.select(col("doc_id"),
+      graft.functions.MinHashSig(col("sset"), numHashes).as("sig"))
+    val truth = ngramJaccardPairs(docs, 3, tau).select("doc_a", "doc_b")
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val rows = bandings.map { b =>
+      val cand = minhashBandCandidates(sig, numHashes, b)
+      val found = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(lit(b).as("bands"), lit(numHashes / b).as("rows_per_band"),
+          col("n_cand"), col("n_found"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_true"), col("n_found"),
+        expr("(10000 * n_found) div n_true").as("recall_bp"))
+  }
+
+  def lshRecallEvalQuery(spark: SparkSession, dir: String): DataFrame =
+    lshRecallEval(Tables.documents(spark, dir)).orderBy(col("bands"))
 
   /** 60-bit SimHash near-dup pairs at Hamming distance <= 3.
     *
@@ -577,6 +630,28 @@ object Dedup {
   def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(Tables.documents(spark, dir), k = 3, tau = 0.7)
       .orderBy(col("doc_id"))
+
+  /** Cluster SIZE distribution — the operational dedup report ("how
+    * much of the corpus sits in mega-clusters?") that decides whether
+    * the τ knob is too loose before anyone deletes a byte: per
+    * distinct cluster size, how many clusters have it and how many
+    * docs they hold (n_docs = size·count, exact). Singletons appear
+    * as the size-1 bucket, so the rows sum to the corpus.
+    *
+    * Scale shape: rides dedupClusters' frontier-iterated components;
+    * the additions aggregate the CANONICAL rows (one per cluster) —
+    * map-side combined, output bounded by |distinct sizes|. */
+  def clusterSizeStats(docs: DataFrame, k: Int = 3,
+                       tau: Double = 0.7): DataFrame =
+    dedupClusters(docs, k, tau)
+      .filter(col("is_canonical"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  def clusterSizeStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    clusterSizeStats(Tables.documents(spark, dir)).orderBy(col("cluster_size"))
 
   /** Cluster canonical selection by QUALITY instead of min id — the
     * curation policy choice dedupClusters leaves open: within each
@@ -1293,6 +1368,48 @@ object Dedup {
   private def jaccardOracle(tau: Double): String =
     jaccardPairsSql(tau) + " ORDER BY doc_a, doc_b"
 
+  /** lsh_recall_eval oracle: the MinHashSig recipe replicated in SQL
+    * (h1/h2 = first/second md5 words, sig_i = min (h1 + i·h2) mod
+    * 2^32 — the Kirsch–Mitzenmacher derivation MinHashSigSpec pins),
+    * band hashes as md5 over the '#'-joined decimal signature slice
+    * (string_agg ORDER BY i ≡ concat_ws over in-order elements), one
+    * candidate/found CTE pair per banding, counts unioned. */
+  private def lshRecallOracle(tau: Double, numHashes: Int,
+                              bandings: Seq[Int]): String = {
+    val mh =
+      s""",mh AS (
+         | SELECT doc_id, i,
+         |  min((CAST('0x'||substr(md5(s),1,8) AS BIGINT)
+         |     + i * CAST('0x'||substr(md5(s),9,8) AS BIGINT)) % 4294967296)
+         |   AS sig
+         | FROM sh3, UNNEST(range(0, $numHashes)) t(i) GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(tau)}))""".stripMargin
+    val per = bandings.map { b =>
+      val rpb = numHashes / b
+      s""",bands$b AS (
+         | SELECT doc_id, i // $rpb AS band,
+         |  md5(string_agg(CAST(sig AS VARCHAR), '#' ORDER BY i)) AS bh
+         | FROM mh GROUP BY doc_id, i // $rpb),
+         |cand$b AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands$b a JOIN bands$b b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |found$b AS (
+         | SELECT c.doc_a FROM cand$b c
+         |  JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)""".stripMargin
+    }.mkString
+    val sel = bandings.map { b =>
+      s"""SELECT $b AS bands, ${numHashes / b} AS rows_per_band,
+         | (SELECT CAST(count(*) AS BIGINT) FROM cand$b) AS n_cand,
+         | (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         | (SELECT CAST(count(*) AS BIGINT) FROM found$b) AS n_found,
+         | (10000 * (SELECT CAST(count(*) AS BIGINT) FROM found$b))
+         |   // (SELECT CAST(count(*) AS BIGINT) FROM truth) AS recall_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + shingleCteFrom("documents") + mh + per + "\n" + sel +
+      "\nORDER BY bands"
+  }
+
   /** Shingle CTEs over an arbitrary (doc_id, text) relation — `table`
     * is "documents" for the standalone oracles and the kept-docs CTE
     * for the composed corpus-prep oracle. */
@@ -1338,6 +1455,15 @@ object Dedup {
         |ORDER BY doc_small, doc_big""".stripMargin),
     // exhaustive ground truth: passes iff LSH candidate recall is 100%
     "dedup_minhash_lsh" -> (shingleCte + jaccardOracle(0.8)),
+    "lsh_recall_eval" -> lshRecallOracle(tau = 0.8, numHashes = 64,
+      bandings = Seq(16, 8, 4)),
+    "cluster_size_stats" -> ("WITH RECURSIVE " + shingleCteFrom("documents") +
+      componentsCteSql(0.7, "documents") +
+      """,szs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |        FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM szs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
     "dedup_simhash" -> (shingleCte +
       """,h AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS hv FROM sh3),
         |bits AS (SELECT doc_id, b,

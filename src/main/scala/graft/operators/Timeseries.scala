@@ -235,7 +235,78 @@ object Timeseries {
     ewmaSmooth(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("tus"), col("event_id"))
 
+  /** Out-of-order arrival audit — the measurement that SIZES a
+    * watermark instead of guessing it: treating event_id as the
+    * arrival (ingest) sequence and ts as event time, each event's
+    * lateness is how far the stream's running event-time high-water
+    * mark had already passed it on arrival (exactly the quantity
+    * `withWatermark` must bound for the event not to be dropped).
+    * Per event type: counts, late share in exact permille, max and
+    * total lateness in integer microseconds.
+    *
+    * Scale shape: the global running max is NEVER one window — the
+    * arrival sequence buckets by `event_id div bucketSize`; per-bucket
+    * maxima take an exclusive prefix-max in one window over the
+    * (tiny) bucket frame, rows combine it with an exclusive running
+    * max INSIDE their bucket (window bounded by bucketSize) — the
+    * packTokenBudgetGlobal / shuffle_shards two-phase discipline
+    * applied to a prefix MAX, and the oracle computes the same
+    * lateness with ONE global window, so two-phase ≡ global is the
+    * correctness check itself. */
+  def outOfOrderStats(events: DataFrame,
+                      bucketSize: Long = 1024L): DataFrame = {
+    require(bucketSize >= 1)
+    val ev = events.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"),
+      expr(s"event_id DIV $bucketSize").as("bkt"))
+    val wB = W.orderBy(col("bkt")).rowsBetween(W.unboundedPreceding, -1)
+    val prefix = ev.groupBy("bkt").agg(max("tus").as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wB))
+      .select("bkt", "pmax")
+    val wIn = W.partitionBy(col("bkt")).orderBy(col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val late = ev.join(prefix, "bkt")
+      .withColumn("rmax", max(col("tus")).over(wIn))
+      .withColumn("hwm", greatest(
+        coalesce(col("pmax"), lit(Long.MinValue)),
+        coalesce(col("rmax"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("hwm") === Long.MinValue, 0L) // first arrival overall
+          .otherwise(greatest(lit(0L), col("hwm") - col("tus"))))
+    late.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+      .select(col("event_type"), col("n"), col("n_late"),
+        expr("(1000 * n_late) div n").as("late_permille"),
+        col("max_late_us"), col("sum_late_us"))
+  }
+
+  def outOfOrderStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    outOfOrderStats(Tables.events(spark, dir)).orderBy(col("event_type"))
+
   val oracles: Map[String, String] = Map(
+    // ONE global window vs the operator's two-phase bucket scheme —
+    // the equivalence is the scale-correctness check
+    "out_of_order_stats" ->
+      """WITH e AS (
+        | SELECT event_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+        |l AS (
+        | SELECT event_type,
+        |  greatest(0, coalesce(
+        |   max(tus) OVER (ORDER BY event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - tus, 0)) AS late_us
+        | FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  (1000 * CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS late_permille,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(sum(late_us) AS BIGINT) AS sum_late_us
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "mad_outliers" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,
