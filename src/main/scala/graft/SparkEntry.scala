@@ -107,6 +107,7 @@ object SparkEntry {
     "temperature_sample"     -> (TextAnalysis.temperatureSampleQuery _),
     "text_quality"           -> (TextAnalysis.textQualityQuery _),
     "lang_id"                -> (TextAnalysis.langIdQuery _),
+    "lang_id_ngram"          -> (TextAnalysis.langIdNgramQuery _),
     "token_count"            -> (TextAnalysis.tokenCountQuery _),
     "doc_fingerprint"        -> (TextAnalysis.docFingerprintQuery _),
     "curation_summary"       -> (TextAnalysis.curationSummaryQuery _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "multimodal_patchgrid"   -> (Multimodal.multimodalPatchGridQuery _),
     "multimodal_audiochunks" -> (Multimodal.multimodalAudioChunkQuery _),
     "multimodal_decode_png"  -> (Multimodal.multimodalDecodePngQuery _),
+    "multimodal_phash"       -> (Multimodal.multimodalPhashQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

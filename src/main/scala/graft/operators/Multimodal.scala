@@ -175,6 +175,102 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual hash of a decoded image: (doc_id, dims, 64-bit dHash).
+    * Error rows carry (-1, -1, -1). */
+  case class ImageHash(doc_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Difference hash (dHash — the classic perceptual near-dup
+    * fingerprint): sample the decoded raster on a 9×8 nearest-neighbor
+    * grid (gx = c·w div 9, gy = r·h div 8 — integer math, no
+    * interpolation, so the oracle can recompute every sampled pixel
+    * arithmetically from the known fill rule) and set bit r·8+c when
+    * the left sample is darker than its right neighbor. Gradient
+    * signs survive brightness shifts and re-encoding — the property
+    * that makes Hamming-close dHashes an image near-dup signal where
+    * byte equality sees nothing.
+    *
+    * Same REAL-codec posture as [[decodeImages]]: the hash is computed
+    * from bytes through javax.imageio at the partition-batched
+    * boundary, undecodable payloads degrade to (-1, -1, -1) rows, and
+    * the oracle never sees the bytes — it recomputes the expected
+    * samples from the generation rule, so a green gate proves the
+    * codec round-trip preserved every sampled pixel. Downstream,
+    * hashes pair by the same 4×16-bit pigeonhole banding as SimHash
+    * ([[phashPairs]]): Hamming ≤ 3 forces one exact piece match. */
+  def imageDHash(assets: Dataset[PngAsset],
+                 batchSize: Int = 64): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (iis == null || !readers.hasNext) ImageHash(a.doc_id, -1, -1, -1L)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val img = r.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var hash = 0L
+              var row = 0
+              while (row < 8) {
+                val gy = row * h / 8
+                var c = 0
+                while (c < 8) {
+                  val p1 = raster.getSample(c * w / 9, gy, 0)
+                  val p2 = raster.getSample((c + 1) * w / 9, gy, 0)
+                  if (p1 < p2) hash |= 1L << (row * 8 + c)
+                  c += 1
+                }
+                row += 1
+              }
+              ImageHash(a.doc_id, w, h, hash)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                ImageHash(a.doc_id, -1, -1, -1L)
+            } finally r.dispose()
+          }
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs at Hamming ≤ maxHamming over 64-bit dHashes
+    * — Dedup.simhashPairs' pigeonhole banding on the image tier: 4
+    * pieces of 16 bits, Hamming ≤ 3 guarantees an exact piece match,
+    * candidates equi-join on (piece, value), popcount filters BEFORE
+    * the pair distinct. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding guarantees recall only to Hamming 3")
+    val pieces = 4
+    val pieceBits = 16
+    val pieceStructs = array((0 until pieces).map { i =>
+      struct(lit(i).as("pi"),
+        shiftright(col("dhash"), i * pieceBits)
+          .bitwiseAND(lit((1L << pieceBits) - 1)).as("pv"))
+    }: _*)
+    val banded = hashes.filter(col("width") > 0)
+      .select(col("doc_id"), col("dhash"), explode(pieceStructs).as("p"))
+      .select(col("doc_id"), col("dhash"), col("p.pi").as("pi"), col("p.pv").as("pv"))
+    val x = banded.toDF("doc_a", "ha", "pi_a", "pv_a")
+    val y = banded.toDF("doc_b", "hb", "pi_b", "pv_b")
+    x.join(y, x("pi_a") === y("pi_b") && x("pv_a") === y("pv_b") &&
+        x("doc_a") < y("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def multimodalPhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageDHash(withPngPayloads(Tables.documents(spark, dir))).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Resize planning: fit each asset into a square `target` box
     * preserving aspect ratio. floor((side*target)/longSide): the
     * operands are small exact ints, IEEE division is correctly
@@ -303,6 +399,29 @@ object Multimodal {
         |SELECT doc_id, 'png' AS format, width, height, px_sum,
         | (px_sum * 10000) // (width * height * 255) AS mean_bp
         |FROM px ORDER BY doc_id""".stripMargin,
+    // dHash samples recomputed arithmetically from the fill rule; the
+    // sign bit (r=7,c=7) adds the BIGINT min literal because DuckDB
+    // rejects 1<<63
+    "multimodal_phash" ->
+      """WITH dims AS (
+        | SELECT doc_id,
+        |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS width,
+        |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS height
+        | FROM documents),
+        |bits AS (
+        | SELECT doc_id, width, height, rr.r AS r, cc.c AS c,
+        |  (((cc.c * width) // 9) * 31 + ((rr.r * height) // 8) * 17
+        |    + doc_id * 7) % 256 AS p1,
+        |  ((((cc.c + 1) * width) // 9) * 31 + ((rr.r * height) // 8) * 17
+        |    + doc_id * 7) % 256 AS p2
+        | FROM dims, UNNEST(range(0, 8)) rr(r), UNNEST(range(0, 8)) cc(c))
+        |SELECT doc_id, width, height,
+        | CAST(sum(CASE WHEN p1 < p2 THEN
+        |   CASE WHEN r * 8 + c = 63 THEN -9223372036854775807 - 1
+        |        ELSE (1::BIGINT << CAST(r * 8 + c AS INTEGER)) END
+        |  ELSE 0 END) AS BIGINT) AS dhash
+        |FROM bits GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, width, height,
         | CAST(greatest(1, floor((width*224) / greatest(width, height))) AS INTEGER) AS out_w,

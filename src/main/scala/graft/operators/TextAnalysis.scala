@@ -146,6 +146,77 @@ object TextAnalysis {
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  private[operators] val langList = Seq("de", "en", "es", "fr", "zh")
+
+  /** Char-trigram generative language ID (the Cavnar–Trenkle 1994
+    * n-gram family at LM order, the dual of row 29's stopword
+    * heuristic): per-language add-1-smoothed trigram models TRAINED
+    * FROM the labeled corpus itself, each doc classified by argmax of
+    * Σ log p(tri | lang) over its trigram occurrences — no curated
+    * word list, so it generalizes to languages the stopword table
+    * doesn't cover and doubles as an accuracy eval against the label.
+    *
+    * Fixed-point discipline (the lm_surprisal contract): per-(lang,
+    * tri) log-prob rounded ONCE to integer micro-nats with the two ln
+    * terms in pinned order (ln(cnt+1) − ln(tot+V)); unseen trigrams
+    * score the language's smoothing floor (same expression at cnt=0);
+    * doc scores are BIGINT sums — bit-identical in any order; argmax
+    * ties break to the alphabetically first language via one in-row
+    * array_min over (−score, lang) structs.
+    *
+    * Scale shape: training is two map-side-combined aggregates ((lang,
+    * tri) counts + totals); the model collapses to ONE broadcast row
+    * of per-language tri→micro maps (the lm_surprisal trick — V·|langs|
+    * entries, model-sized), so CLASSIFICATION is map-only: trigrams,
+    * five in-row fold lookups, and the argmin — zero corpus-sized
+    * shuffles on the scoring path. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val tri3 = expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    val eligible = docs.filter(length(col("text")) >= 3)
+    val occ = eligible.select(col("lang"), explode(tri3).as("s3"))
+    val cnts = occ.groupBy("lang", "s3").agg(count(lit(1)).as("cnt"))
+    val tots = occ.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val vsz = occ.agg(count_distinct(col("s3")).as("vsz"))
+    val sv = cnts.join(tots, "lang").crossJoin(broadcast(vsz))
+      .select(col("lang"), col("s3"),
+        round((log(col("cnt") + 1) - log(col("tot") + col("vsz")))
+          * lit(1000000.0d)).cast("long").as("sv"))
+    val mCols = langList.map(l => map_from_entries(collect_list(
+      when(col("lang") === l, struct(col("s3"), col("sv"))))).as(s"m_$l"))
+    val modelRow = sv.groupBy(lit(1).as("g"))
+      .agg(mCols.head, mCols.tail: _*).drop("g")
+    val fCols = langList.map(l =>
+      max(when(col("lang") === l, col("fv"))).as(s"f_$l"))
+    val floorRow = tots.crossJoin(broadcast(vsz))
+      .select(col("lang"),
+        round((log(lit(1.0d)) - log(col("tot") + col("vsz")))
+          * lit(1000000.0d)).cast("long").as("fv"))
+      .groupBy(lit(1).as("g"))
+      .agg(fCols.head, fCols.tail: _*).drop("g")
+    val scored = eligible
+      .select(col("doc_id"), col("lang").as("true_lang"), tri3.as("tris"))
+      .crossJoin(broadcast(modelRow))
+      .crossJoin(broadcast(floorRow))
+    val scoreCols = langList.map { l =>
+      aggregate(col("tris"), lit(0L),
+        (acc, t) => acc + coalesce(element_at(col(s"m_$l"), t), col(s"f_$l")))
+        .as(s"sc_$l")
+    }
+    // a language absent from the training data has a NULL floor and
+    // therefore a NULL score: rank it LAST (the oracle's inner join on
+    // floors equivalently never lets an untrained language win)
+    val best = array_min(array(langList.map(l =>
+      struct(when(col(s"sc_$l").isNull, lit(Long.MaxValue))
+          .otherwise(lit(0L) - col(s"sc_$l")).as("ns"),
+        lit(l).as("lg"))): _*))
+    scored.select(col("doc_id") +: col("true_lang") +: scoreCols: _*)
+      .select(col("doc_id"), col("true_lang"), best.getField("lg").as("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("true_lang"))
+  }
+
+  def langIdNgramQuery(spark: SparkSession, dir: String): DataFrame =
+    langIdNgram(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- tokens
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
@@ -855,6 +926,45 @@ object TextAnalysis {
          |     / len(string_split(text,' ')), 4) AS stopword_ratio
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // same trained model replicated: add-1 trigram log-probs rounded
+    // once to micro-nats (ln terms in pinned order), unseen trigrams
+    // at the smoothing floor, argmax ties to the first language
+    "lang_id_ngram" ->
+      """WITH elig AS (SELECT * FROM documents WHERE length(text) >= 3),
+        |occ AS (
+        | SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, length(text) - 1),
+        |         i -> text[i:i+2])) AS s3
+        | FROM elig),
+        |cnts AS (SELECT lang, s3, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM occ GROUP BY 1, 2),
+        |tots AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+        |         FROM occ GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT s3) AS BIGINT) AS vsz FROM occ),
+        |model AS (
+        | SELECT lang, s3,
+        |  CAST(round((ln(cnt + 1) - ln(tot + vsz)) * 1000000.0) AS BIGINT) AS sv
+        | FROM cnts JOIN tots USING (lang) CROSS JOIN vv),
+        |floors AS (
+        | SELECT lang,
+        |  CAST(round((ln(1.0) - ln(tot + vsz)) * 1000000.0) AS BIGINT) AS fv
+        | FROM tots CROSS JOIN vv),
+        |pairs AS (
+        | SELECT d.doc_id, l.lang, sum(coalesce(m.sv, f.fv)) AS score
+        | FROM occ d
+        |  CROSS JOIN (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) l(lang)
+        |  LEFT JOIN model m ON m.lang = l.lang AND m.s3 = d.s3
+        |  JOIN floors f ON f.lang = l.lang
+        | GROUP BY 1, 2),
+        |pred AS (
+        | SELECT doc_id, lang AS pred_lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, lang) AS rn
+        |  FROM pairs) WHERE rn = 1)
+        |SELECT e.doc_id, e.lang AS true_lang, p.pred_lang,
+        |  e.lang = p.pred_lang AS correct
+        |FROM elig e JOIN pred p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "lang_id" -> {
       val scores = stopwords.map { case (lang, words) =>
         s"len(list_filter(w, t -> t IN ${inList(words)})) AS s_$lang"

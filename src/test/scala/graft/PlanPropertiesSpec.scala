@@ -78,7 +78,29 @@ class PlanPropertiesSpec extends SparkSpec {
     "ann_pq_topk",
     // 1-row doc-count scalar crossed onto the vocab-sized pair-rate
     // filter; wedge/closure hops are keyed equi-joins
-    "token_triangles")
+    "token_triangles",
+    // 1-row count frames (n_cand / n_found / n_true scalars) crossed
+    // into the |bandings|-row summary; candidates come from the band
+    // equi-join, truth from the prefix-filtered equi-join path
+    "lsh_recall_eval",
+    // composes the already-allowed bounded shapes (ann_cosine_topk +
+    // ann_ivf_topk per nProbe); the hit join is keyed, the summary
+    // aggregates are per-(nProbe, query)
+    "ann_recall_eval",
+    // cell assignment/probing cross the corpus with the MODEL-sized
+    // centroid table (ann_ivf_topk's shape, Q = corpus); candidate
+    // generation is the (cell, blk) equi-join, mutuality a keyed
+    // edge-frame self-join
+    "knn_graph",
+    // per-edge 1-row count scalars (n_rows/n_null × n_orphans)
+    // crossed into the |edges|-row report; orphan detection itself is
+    // a keyed left-anti join
+    "fk_integrity",
+    // ONE-row broadcast weight model crossed into the map-only scorer
+    "quality_logreg",
+    // 1-row V scalar + the one-row per-language trigram-map model and
+    // floor frames crossed into the map-only classifier
+    "lang_id_ngram")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
