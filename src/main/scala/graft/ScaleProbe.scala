@@ -235,7 +235,22 @@ object ScaleProbe {
       "doc_novelty"         -> (operators.CorpusStats.docNoveltyQuery _),
       "quality_logreg"      -> (operators.QualityModels.qualityLogregQuery _),
       "tokenizer_fertility" -> (operators.CorpusStats.tokenizerFertilityQuery _),
-      "ann_recall_eval"     -> (operators.Similarity.annRecallEvalQuery _))
+      "ann_recall_eval"     -> (operators.Similarity.annRecallEvalQuery _),
+      // r11 session 3b. lsh_recall_eval: copy-disjoint shingles keep
+      // truth pairs within-copy (n_true, n_cand, n_found all ~linear,
+      // recall_bp ~invariant — output stays 3 rows). cluster_size:
+      // |distinct sizes| ~constant, n_docs sums to the corpus.
+      // out_of_order: replicated events keep per-copy arrival
+      // structure; the two-phase prefix-max buckets grow linearly.
+      // phash: 80k REAL PNG encode+decode round-trips at 16x — the
+      // mapPartitions decode tier's linearity check. lang_id_ngram:
+      // prefixed tokens grow the trigram vocab ~f-fold — the
+      // one-broadcast-map-row stress, same as lm_surprisal's.
+      "lsh_recall_eval"     -> (operators.Dedup.lshRecallEvalQuery _),
+      "cluster_size_stats"  -> (operators.Dedup.clusterSizeStatsQuery _),
+      "out_of_order_stats"  -> (operators.Timeseries.outOfOrderStatsQuery _),
+      "multimodal_phash"    -> (operators.Multimodal.multimodalPhashQuery _),
+      "lang_id_ngram"       -> (operators.TextAnalysis.langIdNgramQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

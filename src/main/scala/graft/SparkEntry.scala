@@ -75,6 +75,9 @@ object SparkEntry {
     "typed_filter_map"       -> (SensorPipeline.typedFilterMapQuery _),
     "asof_join"              -> (AsofJoin.asofLatestOrderQuery _),
     "asof_join_forward"      -> (AsofJoin.asofNextOrderQuery _),
+    "asof_join_nearest"      -> (AsofJoin.asofNearestOrderQuery _),
+    "rolling_median"         -> (Timeseries.rollingMedianQuery _),
+    "zipf_fit"               -> (CorpusStats.zipfFitQuery _),
     // windows / state
     "tumbling_window"        -> (Windows.tumblingQuery _),
     "sliding_window"         -> (Windows.slidingQuery _),

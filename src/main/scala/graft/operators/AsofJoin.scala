@@ -130,7 +130,87 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of: each event matched to the temporally CLOSEST order
+    * of its customer, either side of the event — the sensor-fusion
+    * semantic (align to the closest reading) that completes the
+    * backward (row 36) / forward (row 126) family. Composed from BOTH
+    * directional passes — each is the proven merge-carry plan — then a
+    * per-event integer |Δt| comparison picks the winner; ties go
+    * backward (the earlier order), `src` names the side for
+    * auditability. Events with orders on neither side keep nulls.
+    *
+    * Scale shape: two key-partitioned merge-carry windows (the asof
+    * cost, twice) + one 1:1 equi-join on event_id of two event-sized
+    * frames — nothing new shuffles wider than the asof passes
+    * themselves. */
+  def asofNearestOrderQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ets"))
+    val dedup = W.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(spark, dir)
+      .withColumn("__rn", row_number().over(dedup))
+      .filter(col("__rn") === 1)
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("ots"),
+        // the join ts is not a payload column; carry a copy so the
+        // |Δt| comparison can see the matched order's time
+        unix_timestamp(col("o_orderdate")).as("o_ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    val back = asof(events, "user_id", "ets", orders, "o_custkey", "ots")
+      .select(col("event_id"), col("user_id"), col("ets"),
+        col("o_ts").as("bts"), col("o_orderkey").as("bkey"),
+        col("o_totalprice").as("bprice"))
+    val fwd = asof(events, "user_id", "ets", orders, "o_custkey", "ots",
+        forward = true)
+      .select(col("event_id"), col("o_ts").as("fts"),
+        col("o_orderkey").as("fkey"), col("o_totalprice").as("fprice"))
+    val pickBack = col("fkey").isNull ||
+      (col("bkey").isNotNull &&
+        (col("ets") - col("bts")) <= (col("fts") - col("ets")))
+    back.join(fwd, "event_id")
+      .select(col("event_id"), col("user_id"),
+        when(pickBack, col("bkey")).otherwise(col("fkey")).as("o_orderkey"),
+        round(when(pickBack, col("bprice")).otherwise(col("fprice")), 2)
+          .as("o_totalprice"),
+        when(col("bkey").isNull && col("fkey").isNull, lit(null).cast("string"))
+          .when(pickBack, lit("back")).otherwise(lit("fwd")).as("src"))
+      .orderBy(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "asof_join_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS ets
+        |           FROM events),
+        |o AS (
+        | SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS ots,
+        |  o_orderkey, o_totalprice
+        | FROM orders
+        | QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) = 1),
+        |b AS (
+        | SELECT e.event_id, e.user_id, e.ets, o.ots AS bts,
+        |  o.o_orderkey AS bkey, o.o_totalprice AS bprice
+        | FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ets >= o.ots),
+        |f AS (
+        | SELECT e.event_id, o.ots AS fts, o.o_orderkey AS fkey,
+        |  o.o_totalprice AS fprice
+        | FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ets <= o.ots)
+        |SELECT b.event_id, b.user_id,
+        | CASE WHEN f.fkey IS NULL OR (b.bkey IS NOT NULL
+        |        AND (b.ets - b.bts) <= (f.fts - b.ets))
+        |      THEN b.bkey ELSE f.fkey END AS o_orderkey,
+        | round(CASE WHEN f.fkey IS NULL OR (b.bkey IS NOT NULL
+        |        AND (b.ets - b.bts) <= (f.fts - b.ets))
+        |      THEN b.bprice ELSE f.fprice END, 2) AS o_totalprice,
+        | CASE WHEN b.bkey IS NULL AND f.fkey IS NULL THEN NULL
+        |      WHEN f.fkey IS NULL OR (b.bkey IS NOT NULL
+        |        AND (b.ets - b.bts) <= (f.fts - b.ets))
+        |      THEN 'back' ELSE 'fwd' END AS src
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     "asof_join_forward" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey,
         | round(o.o_totalprice, 2) AS o_totalprice

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => W}
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -185,6 +186,47 @@ object CorpusStats {
   def tokenizerFertilityQuery(spark: SparkSession, dir: String): DataFrame =
     tokenizerFertility(Tables.documents(spark, dir)).orderBy(col("lang"))
 
+  /** Zipf-law fit over the token frequency head — the distributional
+    * QC gate: natural text runs a log-log slope near −1; synthetic,
+    * boilerplate-heavy, or template corpora bend the curve, and the
+    * drift of slope_micro across crawls is the alarm. Least squares
+    * on (ln rank, ln count) over the top-N types, both coordinates
+    * rounded ONCE to integer micro-nats so every sum (n, Σx, Σy, Σxy,
+    * Σx²) is an exact BIGINT (|x| ≤ ln(10^9)·10^6 ≈ 2·10^7, N ≤ 100 ⇒
+    * products sit under 10^17); the slope/intercept are the two
+    * display floats, computed from exact integers in a pinned
+    * expression order (the cos_micro discipline).
+    *
+    * Scale shape: type counts are the map-side-combined vocab
+    * aggregate; the head is TakeOrdered (cnt desc, token) — never a
+    * vocab-wide window; the fit runs on ≤ N rows. */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 2 && topN <= 10000)
+    val cnts = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val top = cnts.orderBy(col("cnt").desc, col("t")).limit(topN)
+      .withColumn("rnk",
+        row_number().over(W.orderBy(col("cnt").desc, col("t"))))
+    val xy = top.select(
+      round(log(col("rnk")) * lit(1000000.0d)).cast("long").as("x"),
+      round(log(col("cnt")) * lit(1000000.0d)).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_fit"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * lit(1000000.0d)).cast("long").as("slope_micro"),
+        round((col("sy").cast("double")
+            - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * col("sx").cast("double"))
+            / col("n").cast("double")).cast("long").as("intercept_micro"))
+  }
+
+  def zipfFitQuery(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(spark, dir))
+
   val oracles: Map[String, String] = Map(
     "source_jaccard" ->
       """WITH toks AS (
@@ -209,6 +251,36 @@ object CorpusStats {
         | JOIN sizes sa ON i.source_a = sa.source
         | JOIN sizes sb ON i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // same once-rounded micro-nat coordinates; slope/intercept are the
+    // two display floats from exact integer sums in pinned order
+    "zipf_fit" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnts AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM tok GROUP BY 1),
+        |top AS (
+        | SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+        | FROM cnts ORDER BY cnt DESC, t LIMIT 100),
+        |xy AS (
+        | SELECT CAST(round(ln(rnk) * 1000000.0) AS BIGINT) AS x,
+        |        CAST(round(ln(cnt) * 1000000.0) AS BIGINT) AS y
+        | FROM top),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM xy)
+        |SELECT n AS n_fit,
+        | CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  AS slope_micro,
+        | CAST(round((CAST(sy AS DOUBLE)
+        |   - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+        |FROM s""".stripMargin,
 
     "doc_novelty" ->
       """WITH toks AS (

@@ -235,6 +235,35 @@ object Timeseries {
     ewmaSmooth(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("tus"), col("event_id"))
 
+  /** Trailing rolling MEDIAN over each user's last k events — the
+    * robust centerline next to ewma_smooth's exponential mean (one
+    * wild reading drags an EWMA for k steps; the median shrugs it
+    * off — the pairing mad_outliers makes corpus-wide, done per-user
+    * trailing). DISCRETE median in exact integer cents: the lower
+    * median element of the sorted frame list, never an average of two
+    * middles — no division, no .5 ties, bit-identical cross-engine.
+    *
+    * Scale shape: same single user-partitioned window as ewma (ONE
+    * shuffle+sort on user_id); the k-element frame list sorts in-row.
+    */
+  def rollingMedian(events: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-(k - 1), W.currentRow)
+    ev.withColumn("lst", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("tus"), col("cents"),
+        expr("element_at(array_sort(lst), cast((size(lst) + 1) / 2 as int))")
+          .as("median_cents"))
+  }
+
+  def rollingMedianQuery(spark: SparkSession, dir: String): DataFrame =
+    rollingMedian(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("tus"), col("event_id"))
+
   /** Out-of-order arrival audit — the measurement that SIZES a
     * watermark instead of guessing it: treating event_id as the
     * arrival (ingest) sequence and ts as event time, each event's
@@ -287,6 +316,21 @@ object Timeseries {
     outOfOrderStats(Tables.events(spark, dir)).orderBy(col("event_type"))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB list() over the same trailing frame; lower median via
+    // integer index into the sorted list
+    "rolling_median" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus,
+        |  CAST(round(value*100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (
+        | SELECT user_id, event_id, tus, cents,
+        |  list(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        | FROM ev)
+        |SELECT user_id, event_id, tus, cents,
+        |  list_sort(lst)[CAST((len(lst) + 1) // 2 AS INTEGER)] AS median_cents
+        |FROM l ORDER BY user_id, tus, event_id""".stripMargin,
+
     // ONE global window vs the operator's two-phase bucket scheme —
     // the equivalence is the scale-correctness check
     "out_of_order_stats" ->
