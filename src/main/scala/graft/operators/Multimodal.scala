@@ -118,8 +118,13 @@ object Multimodal {
             while (x < w) { raster.setSample(x, y, 0, grayAt(d, x, y)); x += 1 }
             y += 1
           }
+          // explicit MEMORY-cache output stream: the OutputStream
+          // overload would wrap a file-cache stream (one /tmp file per
+          // encode) under the default useCache
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try javax.imageio.ImageIO.write(img, "png", ios)
+          finally ios.close()
           PngAsset(d, w, h, bos.toByteArray)
         }
       }
@@ -132,38 +137,50 @@ object Multimodal {
     * undecodable payload degrades to a ("error", -1, ...) row instead
     * of failing the partition (a 100 TB crawl always contains corrupt
     * files; one bad payload must not kill the stage). */
+  /** In-memory ImageIO stream over a payload. MEMORY cache, explicitly:
+    * the default file cache writes one /tmp cache file PER IMAGE and —
+    * combined with an unclosed stream — exhausts the process fd limit
+    * on wide scans (the 16x ScaleProbe found exactly this: ~20k
+    * concurrent decodes died on "Too many open files"). Bytes are
+    * already in memory, so the disk cache bought nothing. Callers must
+    * still close() the stream. */
+  private def memStream(payload: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
   def decodeImages(assets: Dataset[PngAsset],
                    batchSize: Int = 64): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { a =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(a.payload))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (iis == null || !readers.hasNext)
-            DecodedImage(a.doc_id, "error", -1, -1, -1L, -1L)
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              val img = r.read(0)
-              val (w, h) = (img.getWidth, img.getHeight)
-              val raster = img.getRaster
-              var sum = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-                y += 1
-              }
-              DecodedImage(a.doc_id, r.getFormatName.toLowerCase, w, h,
-                sum, sum * 10000L / (w.toLong * h * 255L))
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                DecodedImage(a.doc_id, "error", -1, -1, -1L, -1L)
-            } finally r.dispose()
-          }
+          val iis = memStream(a.payload)
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              DecodedImage(a.doc_id, "error", -1, -1, -1L, -1L)
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val img = r.read(0)
+                val (w, h) = (img.getWidth, img.getHeight)
+                val raster = img.getRaster
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                DecodedImage(a.doc_id, r.getFormatName.toLowerCase, w, h,
+                  sum, sum * 10000L / (w.toLong * h * 255L))
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  DecodedImage(a.doc_id, "error", -1, -1, -1L, -1L)
+              } finally r.dispose()
+            }
+          } finally iis.close()
         }
       }
     }
@@ -203,36 +220,37 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { a =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(a.payload))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (iis == null || !readers.hasNext) ImageHash(a.doc_id, -1, -1, -1L)
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              val img = r.read(0)
-              val (w, h) = (img.getWidth, img.getHeight)
-              val raster = img.getRaster
-              var hash = 0L
-              var row = 0
-              while (row < 8) {
-                val gy = row * h / 8
-                var c = 0
-                while (c < 8) {
-                  val p1 = raster.getSample(c * w / 9, gy, 0)
-                  val p2 = raster.getSample((c + 1) * w / 9, gy, 0)
-                  if (p1 < p2) hash |= 1L << (row * 8 + c)
-                  c += 1
+          val iis = memStream(a.payload)
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) ImageHash(a.doc_id, -1, -1, -1L)
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val img = r.read(0)
+                val (w, h) = (img.getWidth, img.getHeight)
+                val raster = img.getRaster
+                var hash = 0L
+                var row = 0
+                while (row < 8) {
+                  val gy = row * h / 8
+                  var c = 0
+                  while (c < 8) {
+                    val p1 = raster.getSample(c * w / 9, gy, 0)
+                    val p2 = raster.getSample((c + 1) * w / 9, gy, 0)
+                    if (p1 < p2) hash |= 1L << (row * 8 + c)
+                    c += 1
+                  }
+                  row += 1
                 }
-                row += 1
-              }
-              ImageHash(a.doc_id, w, h, hash)
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                ImageHash(a.doc_id, -1, -1, -1L)
-            } finally r.dispose()
-          }
+                ImageHash(a.doc_id, w, h, hash)
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  ImageHash(a.doc_id, -1, -1, -1L)
+              } finally r.dispose()
+            }
+          } finally iis.close()
         }
       }
     }
