@@ -198,6 +198,8 @@ object SparkEntry {
     "multimodal_audiochunks" -> (Multimodal.multimodalAudioChunkQuery _),
     "multimodal_decode_png"  -> (Multimodal.multimodalDecodePngQuery _),
     "multimodal_phash"       -> (Multimodal.multimodalPhashQuery _),
+    "multimodal_phash_pairs" -> (Multimodal.multimodalPhashPairsQuery _),
+    "corpus_card"            -> (CorpusStats.corpusCardQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -227,6 +227,53 @@ object CorpusStats {
   def zipfFitQuery(spark: SparkSession, dir: String): DataFrame =
     zipfFit(Tables.documents(spark, dir))
 
+  /** The corpus DATA CARD — the one-stop summary every dataset release
+    * ships (docs, token mass, vocabulary, sources, languages, exact-dup
+    * mass, quality-gate pass rate) as tall (metric, value) rows so new
+    * metrics append without schema changes. All values exact BIGINTs;
+    * rates in integer basis points.
+    *
+    * Scale shape: one per-doc map pass feeds a single global aggregate
+    * (count/sum/countDistinct — all map-side combined or
+    * partial-aggregated by Spark's distinct planning); the vocabulary
+    * count is the one token-level aggregate; the card itself is a
+    * dozen rows from two 1-row frames. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      md5(col("text")).as("h"),
+      size(tokens(col("text"))).cast("long").as("nw"),
+      length(col("text")).cast("long").as("nc"),
+      col("source"), col("lang"),
+      when(TextAnalysis.qualityKeepExpr(col("text")), 1L).otherwise(0L).as("keep"))
+    val base = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("h")).as("n_distinct_texts"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum("nw").as("n_tokens"),
+      sum("nc").as("n_chars"),
+      sum("keep").as("n_quality_keep"))
+    val vocab = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).as("n_token_types"))
+    base.crossJoin(broadcast(vocab))
+      .selectExpr(
+        """stack(10,
+          | 'n_docs', n_docs,
+          | 'n_distinct_texts', n_distinct_texts,
+          | 'exact_dup_docs', n_docs - n_distinct_texts,
+          | 'n_sources', n_sources,
+          | 'n_langs', n_langs,
+          | 'n_tokens', n_tokens,
+          | 'n_chars', n_chars,
+          | 'n_token_types', n_token_types,
+          | 'mean_doc_tokens_milli', (1000 * n_tokens) div n_docs,
+          | 'quality_keep_bp', (10000 * n_quality_keep) div n_docs
+          |) AS (metric, value)""".stripMargin)
+  }
+
+  def corpusCardQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusCard(Tables.documents(spark, dir)).orderBy(col("metric"))
+
   val oracles: Map[String, String] = Map(
     "source_jaccard" ->
       """WITH toks AS (
@@ -251,6 +298,43 @@ object CorpusStats {
         | JOIN sizes sa ON i.source_a = sa.source
         | JOIN sizes sb ON i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "corpus_card" ->
+      """WITH pd AS (
+        | SELECT md5(text) AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  source, lang,
+        |  CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+        |        AND round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |                  AS DOUBLE) / length(text), 4) > 0.5
+        |       THEN 1 ELSE 0 END AS keep
+        | FROM documents),
+        |b AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(keep) AS BIGINT) AS n_quality_keep
+        | FROM pd),
+        |v AS (
+        | SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_token_types FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+        |SELECT metric, value FROM b, v, LATERAL (VALUES
+        | ('n_docs', n_docs),
+        | ('n_distinct_texts', n_distinct_texts),
+        | ('exact_dup_docs', n_docs - n_distinct_texts),
+        | ('n_sources', n_sources),
+        | ('n_langs', n_langs),
+        | ('n_tokens', n_tokens),
+        | ('n_chars', n_chars),
+        | ('n_token_types', n_token_types),
+        | ('mean_doc_tokens_milli', (1000 * n_tokens) // n_docs),
+        | ('quality_keep_bp', (10000 * n_quality_keep) // n_docs)
+        |) t(metric, value)
+        |ORDER BY metric""".stripMargin,
 
     // same once-rounded micro-nat coordinates; slope/intercept are the
     // two display floats from exact integer sums in pinned order

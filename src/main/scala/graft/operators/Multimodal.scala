@@ -289,6 +289,18 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The pair-mining half wired end to end: REAL decode → dHash →
+    * pigeonhole banding → Hamming ≤ 3 pairs. The oracle's truth set is
+    * the EXHAUSTIVE all-pairs popcount over the analytically-derived
+    * hashes, so a green gate proves both the codec round-trip AND that
+    * the banding missed nothing (its ≤ 3 recall guarantee, verified
+    * rather than asserted). */
+  def multimodalPhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashPairs(imageDHash(withPngPayloads(Tables.documents(spark, dir))).toDF())
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Resize planning: fit each asset into a square `target` box
     * preserving aspect ratio. floor((side*target)/longSide): the
     * operands are small exact ints, IEEE division is correctly
@@ -440,6 +452,32 @@ object Multimodal {
         |  ELSE 0 END) AS BIGINT) AS dhash
         |FROM bits GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    // exhaustive all-pairs popcount over the analytic hashes — the
+    // banding operator must find exactly this set (recall proof)
+    "multimodal_phash_pairs" ->
+      """WITH dims AS (
+        | SELECT doc_id,
+        |  CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS width,
+        |  CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS height
+        | FROM documents),
+        |bits AS (
+        | SELECT doc_id, rr.r AS r, cc.c AS c,
+        |  (((cc.c * width) // 9) * 31 + ((rr.r * height) // 8) * 17
+        |    + doc_id * 7) % 256 AS p1,
+        |  ((((cc.c + 1) * width) // 9) * 31 + ((rr.r * height) // 8) * 17
+        |    + doc_id * 7) % 256 AS p2
+        | FROM dims, UNNEST(range(0, 8)) rr(r), UNNEST(range(0, 8)) cc(c)),
+        |dh AS (
+        | SELECT doc_id, CAST(sum(CASE WHEN p1 < p2 THEN
+        |   CASE WHEN r * 8 + c = 63 THEN -9223372036854775807 - 1
+        |        ELSE (1::BIGINT << CAST(r * 8 + c AS INTEGER)) END
+        |  ELSE 0 END) AS BIGINT) AS dhash
+        | FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, width, height,
         | CAST(greatest(1, floor((width*224) / greatest(width, height))) AS INTEGER) AS out_w,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CorpusCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpusCard: hand-computed card on a crafted corpus") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "s1"),
+      (2L, "the cat sat on the mat", "en", "s2"), // exact dup text
+      (3L, "uno dos tres quatro cinco seis", "es", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = CorpusStats.corpusCard(docs)
+      .as[(String, Long)].collect().toMap
+    assert(card("n_docs") === 3L)
+    assert(card("n_distinct_texts") === 2L)
+    assert(card("exact_dup_docs") === 1L)
+    assert(card("n_sources") === 2L)
+    assert(card("n_langs") === 2L)
+    assert(card("n_tokens") === 6L + 6L + 6L)
+    assert(card("n_token_types") === 5L + 6L) // 'the' repeats within doc 1
+    assert(card("mean_doc_tokens_milli") === 6000L)
+    assert(card("quality_keep_bp") === 10000L)
+  }
+
+  test("corpusCard: quality gate failures lower quality_keep_bp") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "s1"),
+      (2L, "1 2 3 4 5 6", "en", "s1")) // alpha ratio 0: fails keep
+      .toDF("doc_id", "text", "lang", "source")
+    val card = CorpusStats.corpusCard(docs)
+      .as[(String, Long)].collect().toMap
+    assert(card("quality_keep_bp") === 5000L)
+  }
+
+  test("multimodalPhashPairs finds the exhaustive Hamming<=3 set end to end") {
+    import org.apache.spark.sql.functions._
+    // end-to-end banding output == exhaustive popcount over the hashes
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hashes = Multimodal.imageDHash(Multimodal.withPngPayloads(docs)).toDF()
+      .select("doc_id", "dhash").as[(Long, Long)].collect()
+    val exhaustive = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val banded = Multimodal.multimodalPhashPairsQuery(spark, "/root/testdata/sf0.001")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === exhaustive)
+  }
+}
