@@ -100,7 +100,10 @@ class PlanPropertiesSpec extends SparkSpec {
     "quality_logreg",
     // 1-row V scalar + the one-row per-language trigram-map model and
     // floor frames crossed into the map-only classifier
-    "lang_id_ngram")
+    "lang_id_ngram",
+    // two 1-row aggregate frames (global stats × vocab count) crossed
+    // into the 10-row card
+    "corpus_card")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
