@@ -78,6 +78,8 @@ object SparkEntry {
     "asof_join_nearest"      -> (AsofJoin.asofNearestOrderQuery _),
     "rolling_median"         -> (Timeseries.rollingMedianQuery _),
     "zipf_fit"               -> (CorpusStats.zipfFitQuery _),
+    "heaps_fit"              -> (CorpusStats.heapsFitQuery _),
+    "span_corruption_plan"   -> (TextAnalysis.spanCorruptionPlanQuery _),
     // windows / state
     "tumbling_window"        -> (Windows.tumblingQuery _),
     "sliding_window"         -> (Windows.slidingQuery _),

@@ -210,22 +210,70 @@ object CorpusStats {
     val xy = top.select(
       round(log(col("rnk")) * lit(1000000.0d)).cast("long").as("x"),
       round(log(col("cnt")) * lit(1000000.0d)).cast("long").as("y"))
+    fitMicro(xy, "n_fit", "slope_micro")
+  }
+
+  /** Shared least-squares tail over a micro-unit (x, y) frame: exact
+    * BIGINT sums, slope/intercept as the two display floats in pinned
+    * expression order. */
+  private def fitMicro(xy: DataFrame, nName: String,
+                       slopeName: String): DataFrame =
     xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .select(col("n").as("n_fit"),
+      .select(col("n").as(nName),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
             / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * lit(1000000.0d)).cast("long").as("slope_micro"),
+            * lit(1000000.0d)).cast("long").as(slopeName),
         round((col("sy").cast("double")
             - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
               / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
               * col("sx").cast("double"))
             / col("n").cast("double")).cast("long").as("intercept_micro"))
-  }
 
   def zipfFitQuery(spark: SparkSession, dir: String): DataFrame =
     zipfFit(Tables.documents(spark, dir))
+
+  /** Heaps'-law fit — vocabulary GROWTH QC, the companion curve to
+    * zipf_fit's frequency head: natural corpora grow V ∝ N^β with
+    * β ≈ 0.4–0.6; a saturating curve (β → 0) means a closed/template
+    * vocabulary, β → 1 means near-random token soup. The cumulative
+    * (tokens N_j, types V_j) curve is sampled at `points` doc_id
+    * thresholds: docs and type-first-appearances bucket by threshold
+    * (exact integer bucketing against the broadcast max id), the
+    * cumulatives are ONE window over the ≤ points-row bucket frame —
+    * the two-phase prefix-sum discipline, never a corpus-wide
+    * running total — and the β fit reuses the exact-integer
+    * least-squares tail. */
+  def heapsFit(docs: DataFrame, points: Int = 20): DataFrame = {
+    require(points >= 2 && points <= 10000)
+    val perDoc = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nw"))
+    val mx = perDoc.agg(max("doc_id").as("mx"))
+    val nj = perDoc.crossJoin(broadcast(mx))
+      .select(expr(s"(doc_id * $points) div (mx + 1) + 1").as("j"), col("nw"))
+      .groupBy("j").agg(sum("nw").as("s"))
+    val vb = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(min("doc_id").as("fdoc"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"(fdoc * $points) div (mx + 1) + 1").as("j"))
+      .groupBy("j").agg(count(lit(1)).as("c"))
+    // every first-appearance bucket holds a doc, so nj's key set covers
+    // vb's; the cumulative window runs over <= points rows (documented
+    // single-partition window, bounded by the points knob)
+    val wCum = W.orderBy(col("j")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = nj.join(vb, Seq("j"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .select(col("j"), sum(col("s")).over(wCum).as("nn"),
+        sum(col("c")).over(wCum).as("v"))
+    val xy = cum.filter(col("v") >= 1)
+      .select(round(log(col("nn")) * lit(1000000.0d)).cast("long").as("x"),
+        round(log(col("v")) * lit(1000000.0d)).cast("long").as("y"))
+    fitMicro(xy, "n_points", "beta_micro")
+  }
+
+  def heapsFitQuery(spark: SparkSession, dir: String): DataFrame =
+    heapsFit(Tables.documents(spark, dir))
 
   /** The corpus DATA CARD — the one-stop summary every dataset release
     * ships (docs, token mass, vocabulary, sources, languages, exact-dup
@@ -298,6 +346,47 @@ object CorpusStats {
         | JOIN sizes sa ON i.source_a = sa.source
         | JOIN sizes sb ON i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "heaps_fit" ->
+      """WITH pd AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        | FROM documents),
+        |mx AS (SELECT max(doc_id) AS mx FROM pd),
+        |nj AS (
+        | SELECT (doc_id * 20) // (mx + 1) + 1 AS j,
+        |        CAST(sum(nw) AS BIGINT) AS s
+        | FROM pd, mx GROUP BY 1),
+        |fd AS (
+        | SELECT t, min(doc_id) AS fdoc FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents) GROUP BY 1),
+        |vb AS (
+        | SELECT (fdoc * 20) // (mx + 1) + 1 AS j,
+        |        CAST(count(*) AS BIGINT) AS c
+        | FROM fd, mx GROUP BY 1),
+        |cum AS (
+        | SELECT nj.j, sum(nj.s) OVER (ORDER BY nj.j) AS nn,
+        |        sum(coalesce(vb.c, 0)) OVER (ORDER BY nj.j) AS v
+        | FROM nj LEFT JOIN vb ON nj.j = vb.j),
+        |xy AS (
+        | SELECT CAST(round(ln(nn) * 1000000.0) AS BIGINT) AS x,
+        |        CAST(round(ln(v) * 1000000.0) AS BIGINT) AS y
+        | FROM cum WHERE v >= 1),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM xy)
+        |SELECT n AS n_points,
+        | CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  AS beta_micro,
+        | CAST(round((CAST(sy AS DOUBLE)
+        |   - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+        |FROM s""".stripMargin,
 
     "corpus_card" ->
       """WITH pd AS (

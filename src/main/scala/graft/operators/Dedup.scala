@@ -391,6 +391,26 @@ object Dedup {
   def lshRecallEvalQuery(spark: SparkSession, dir: String): DataFrame =
     lshRecallEval(Tables.documents(spark, dir)).orderBy(col("bands"))
 
+  /** Closed-form banding chooser for the minhash path — the knob rule
+    * behind minhashLshPairs' defaults, the Jaccard sibling of
+    * Similarity.bandingFor: collision probability for a pair at
+    * Jaccard s under b bands of r = numHashes/b rows is
+    * 1-(1-s^r)^b, increasing in b (as is candidate volume); return
+    * the SMALLEST divisor banding whose predicted recall at `tau`
+    * meets the SLA — minimal candidates subject to recall. The
+    * prediction is checked against lshRecallEval's MEASURED recall in
+    * AuditOpsSpec, so the closed form and the artifact can't drift. */
+  def minhashBandingFor(tau: Double, targetRecall: Double = 0.95,
+                        numHashes: Int = 64): (Int, Int) = {
+    require(tau > 0 && tau < 1 && targetRecall > 0 && targetRecall < 1)
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    def recall(b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(tau, numHashes.toDouble / b), b.toDouble)
+    divisors.find(b => recall(b) >= targetRecall)
+      .map(b => (b, numHashes / b))
+      .getOrElse((numHashes, 1)) // max-recall fallback: 1-row bands
+  }
+
   /** 60-bit SimHash near-dup pairs at Hamming distance <= 3.
     *
     * Fingerprint: per-bit majority vote over the shingle set's 60-bit

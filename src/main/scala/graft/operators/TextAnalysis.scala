@@ -217,6 +217,42 @@ object TextAnalysis {
   def langIdNgramQuery(spark: SparkSession, dir: String): DataFrame =
     langIdNgram(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Span-corruption PLAN (the T5/UL2 denoising-objective prep, Raffel
+    * et al. 2020 §3.1.4): deterministic non-overlapping mask spans —
+    * each full `blockSize`-token block masks one `spanLen`-token span
+    * at an md5-derived in-block offset, so the mask rate is
+    * spanLen/blockSize (15% at the 3/20 defaults) and spans CANNOT
+    * overlap by construction (the property ad-hoc random span
+    * placement has to rejection-sample for); a doc's plan is a pure
+    * function of (doc_id, text) — reproducible across epochs, engines
+    * and retries, like every sampling decision in this library.
+    * Output one row per span: (doc_id, block, span_start, span_text).
+    * Docs shorter than one block emit nothing (nothing to mask at the
+    * target rate). Entirely map-only: blocks explode from an in-row
+    * sequence, offsets are in-row hashes, span text an in-row slice. */
+  def spanCorruptionPlan(docs: DataFrame, blockSize: Int = 20,
+                         spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1 && blockSize > spanLen)
+    val nBlocks = (size(tokens(col("text"))) / blockSize).cast("int")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        explode(when(nBlocks >= 1, sequence(lit(0), nBlocks - 1))
+          .otherwise(array().cast("array<int>"))).as("block"))
+      .withColumn("off",
+        (hash28(concat(col("doc_id").cast("string"), lit("#"),
+          col("block").cast("string")))
+          % (blockSize - spanLen + 1)).cast("int"))
+      .select(col("doc_id"), col("block"),
+        (col("block") * blockSize + col("off")).cast("long").as("span_start"),
+        concat_ws(" ", slice(col("toks"),
+          col("block") * blockSize + col("off") + 1, lit(spanLen)))
+          .as("span_text"))
+  }
+
+  def spanCorruptionPlanQuery(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptionPlan(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("block"))
+
   // ---------------------------------------------------------------- tokens
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
@@ -926,6 +962,24 @@ object TextAnalysis {
          |     / len(string_split(text,' ')), 4) AS stopword_ratio
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // same deterministic block/offset arithmetic over DuckDB lists
+    "span_corruption_plan" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (
+        | SELECT doc_id, t, unnest(range(0, len(t) // 20)) AS block
+        | FROM toks WHERE len(t) >= 20),
+        |o AS (
+        | SELECT doc_id, t, block,
+        |  CAST('0x' || substr(md5(doc_id || '#' || block), 1, 7) AS BIGINT)
+        |    % 18 AS off
+        | FROM b)
+        |SELECT doc_id, CAST(block AS INTEGER) AS block,
+        |  CAST(block * 20 + off AS BIGINT) AS span_start,
+        |  array_to_string(t[block*20 + off + 1 : block*20 + off + 3], ' ')
+        |    AS span_text
+        |FROM o ORDER BY doc_id, block""".stripMargin,
+
     // same trained model replicated: add-1 trigram log-probs rounded
     // once to micro-nats (ln terms in pinned order), unseen trigrams
     // at the smoothing floor, argmax ties to the first language
