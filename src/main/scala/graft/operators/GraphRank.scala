@@ -131,10 +131,17 @@ object GraphRank {
     * (deg, node) — no float, ties broken by node id, bit-identical
     * cross-engine. */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // materialize the edge set ONCE: the degree/orientation/wedge/
+    // closure joins below reference it six-plus ways, and without a
+    // checkpoint every reference replays the whole upstream edge-build
+    // subtree (for the token graph: the corpus co-occurrence self-join
+    // and its doc-count scalar — the audit showed 65 replicated
+    // broadcast subtrees in the executed plan)
     val und = edges.toDF("u", "v")
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
