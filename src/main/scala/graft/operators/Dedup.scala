@@ -369,13 +369,21 @@ object Dedup {
     require(bandings.nonEmpty &&
       bandings.forall(b => b >= 1 && numHashes % b == 0),
       s"every banding must divide numHashes=$numHashes: $bandings")
-    val docSets = docShingleSets(docs, 3)
-    val sig = docSets.select(col("doc_id"),
-      graft.functions.MinHashSig(col("sset"), numHashes).as("sig"))
+    // materialize the shared frames ONCE: the signature feeds every
+    // banding's candidate join, the truth set every banding's found
+    // join plus the n_true scalar — without checkpoints each of the
+    // |bandings|·2+1 references replays its whole corpus subtree (the
+    // plan audit counted 72 parquet scans in the 3-banding plan)
+    val sig = docShingleSets(docs, 3)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("sset"), numHashes).as("sig"))
+      .localCheckpoint()
     val truth = ngramJaccardPairs(docs, 3, tau).select("doc_a", "doc_b")
+      .localCheckpoint()
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val rows = bandings.map { b =>
-      val cand = minhashBandCandidates(sig, numHashes, b)
+      // each candidate frame is referenced twice (count + found join)
+      val cand = minhashBandCandidates(sig, numHashes, b).localCheckpoint()
       val found = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
       cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
