@@ -106,6 +106,7 @@ object SparkEntry {
     "event_pagerank"         -> (GraphRank.eventPageRankQuery _),
     "token_triangles"        -> (GraphRank.tokenTrianglesQuery _),
     "token_communities"      -> (GraphRank.tokenCommunitiesQuery _),
+    "token_kcore"            -> (GraphRank.tokenKcoreQuery _),
     // LLM-data-pipeline: text analysis
     "dedup_exact"            -> (TextAnalysis.dedupExactQuery _),
     "dedup_exact_norm"       -> (TextAnalysis.dedupExactNormQuery _),

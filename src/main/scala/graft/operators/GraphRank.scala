@@ -225,6 +225,57 @@ object GraphRank {
     labelPropagation(tokenCooccurrence(Tables.documents(spark, dir)))
       .orderBy(col("node"))
 
+  /** k-core decomposition membership (Seidman 1983) by iterative
+    * peeling — the graph family's QUALITY gate (a spam/boilerplate
+    * token cluster survives frequency filters but rarely survives the
+    * k-core of the co-occurrence graph; in curation the k-core is the
+    * "structurally embedded" vocabulary): repeatedly delete nodes of
+    * degree < k until the fixpoint. Deterministic BY STRUCTURE — the
+    * peel removes ALL under-k nodes each round (no removal order), so
+    * early-stop ≡ full unrolling, and the oracle replays exactly
+    * `maxIters` rounds to the same state whether convergence came
+    * early or not.
+    *
+    * Scale shape: each round is two map-side-combined degree counts +
+    * two key-based semi-joins — graph-sized, no windows, no driver
+    * graph; the edge frame localCheckpoints per round (the frontier
+    * discipline) and the convergence probe is one scalar count. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
+    require(k >= 1 && maxIters >= 1)
+    val und = edges.toDF("u", "v")
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x"))).distinct().localCheckpoint()
+    var e = und
+    var n = e.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("x").localCheckpoint()
+      val e2 = e.join(keep.toDF("u"), Seq("u"), "left_semi")
+        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2; n = n2; it += 1
+    }
+    val degF = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    nodes.join(degF, Seq("x"), "left")
+      .select(col("x").as("node"), col("d").isNotNull.as("in_core"),
+        coalesce(col("d"), lit(0L)).as("core_deg"))
+  }
+
+  def tokenKcoreQuery(spark: SparkSession, dir: String): DataFrame =
+    kCore(tokenCooccurrence(Tables.documents(spark, dir)).select("u", "v"),
+        k = 15)
+      .orderBy(col("node"))
+
   /** Oracle: the identical integer recurrence unrolled as r0..r10
     * CTEs — truncating `//` at the same three spots per iteration. */
   private def pagerankOracle(iters: Int): String = {
@@ -272,6 +323,36 @@ object GraphRank {
       |  WHERE 1000*w >= 630*ndocs)
       |""".stripMargin
 
+  /** k-core oracle: exactly `iters` peel rounds unrolled as e0..eN
+    * CTEs (early-stop ≡ full unroll because the peel is idempotent at
+    * the fixpoint), survivors by final-degree left join. */
+  private def kcoreOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= coocCte
+    // every e_{i+1} references e_i THREE ways (itself + two IN
+    // subqueries); DuckDB inlines plain CTEs, so 8 rounds would
+    // replicate the base scan 3^8 times — MATERIALIZED computes each
+    // round once (the SQL analog of the operator's localCheckpoint)
+    sb ++= ",e0 AS MATERIALIZED (SELECT u, v FROM ed)"
+    sb ++= """,nodes AS (SELECT DISTINCT x FROM (
+             |  SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s""",d$i AS MATERIALIZED (SELECT x, count(*) AS d FROM (
+                |  SELECT u AS x FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY 1),
+                |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE d >= $k),
+                |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
+                |  WHERE u IN (SELECT x FROM k$i) AND v IN (SELECT x FROM k$i))""".stripMargin
+    }
+    sb ++= s""",df AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+              |  SELECT u AS x FROM e$iters UNION ALL SELECT v FROM e$iters)
+              | GROUP BY 1)
+              |SELECT n.x AS node, df.x IS NOT NULL AS in_core,
+              |  coalesce(df.d, 0) AS core_deg
+              |FROM nodes n LEFT JOIN df ON n.x = df.x
+              |ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   /** Oracle: the identical synchronous rounds unrolled as l0..lN CTEs
     * — weighted counts, then argmax with (s DESC, lbl) tie order. */
   private def lpaOracle(iters: Int): String = {
@@ -303,6 +384,7 @@ object GraphRank {
   val oracles: Map[String, String] = Map(
     "event_pagerank" -> pagerankOracle(10),
     "token_communities" -> lpaOracle(5),
+    "token_kcore" -> kcoreOracle(k = 15, iters = 8),
     "token_triangles" -> (coocCte +
       """,dg AS (
         |  SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
