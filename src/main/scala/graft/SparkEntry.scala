@@ -146,6 +146,9 @@ object SparkEntry {
     "knn_graph"              -> (Similarity.knnGraphQuery _),
     "winnow_pairs"           -> (Winnowing.winnowPairsQuery _),
     "lsh_recall_eval"        -> (Dedup.lshRecallEvalQuery _),
+    "tau_sweep"              -> (Dedup.tauSweepQuery _),
+    "score_auc_eval"         -> (QualityModels.scoreAucEvalQuery _),
+    "embed_norm_qc"          -> (Similarity.embedNormQcQuery _),
     "cluster_size_stats"     -> (Dedup.clusterSizeStatsQuery _),
     "fk_integrity"           -> (IntegrityAudit.fkIntegrityQuery _),
     "out_of_order_stats"     -> (Timeseries.outOfOrderStatsQuery _),

@@ -399,6 +399,34 @@ object Dedup {
   def lshRecallEvalQuery(spark: SparkSession, dir: String): DataFrame =
     lshRecallEval(Tables.documents(spark, dir)).orderBy(col("bands"))
 
+  /** Pair-count-vs-τ SWEEP — the τ-sensitivity curve a dedup rollout
+    * reads before committing a threshold ("how much more would τ=0.6
+    * delete than τ=0.7?"): exact-Jaccard pairs are generated ONCE at
+    * the sweep's floor via the prefix-filtered path, histogrammed by
+    * rounded jac basis points, and each requested threshold reads its
+    * cumulative count off the (≤10001-row) histogram — one candidate
+    * pass for the whole curve, never one pass per threshold.
+    * Thresholds with zero pairs still emit a row (the curve's tail is
+    * data). */
+  def tauSweep(docs: DataFrame, k: Int = 3, tauMin: Double = 0.5,
+               taus: Seq[Int] = Seq(5000, 6000, 7000, 8000, 9000, 10000))
+      : DataFrame = {
+    val floorBp = math.round(tauMin * 10000)
+    require(taus.nonEmpty && taus.forall(_ >= floorBp),
+      s"every sweep threshold must be >= the floor $floorBp bp")
+    import docs.sparkSession.implicits._
+    val hist = ngramJaccardPairs(docs, k, tauMin)
+      .select(round(col("jac") * 10000).cast("long").as("jac_bp"))
+      .groupBy("jac_bp").agg(count(lit(1)).as("c"))
+    val t = taus.map(_.toLong).toDF("tau_bp")
+    broadcast(t).join(hist, col("jac_bp") >= col("tau_bp"), "left")
+      .groupBy("tau_bp")
+      .agg(coalesce(sum("c"), lit(0L)).as("n_pairs"))
+  }
+
+  def tauSweepQuery(spark: SparkSession, dir: String): DataFrame =
+    tauSweep(Tables.documents(spark, dir)).orderBy(col("tau_bp"))
+
   /** Closed-form banding chooser for the minhash path — the knob rule
     * behind minhashLshPairs' defaults, the Jaccard sibling of
     * Similarity.bandingFor: collision probability for a pair at
@@ -1485,6 +1513,17 @@ object Dedup {
     "dedup_minhash_lsh" -> (shingleCte + jaccardOracle(0.8)),
     "lsh_recall_eval" -> lshRecallOracle(tau = 0.8, numHashes = 64,
       bandings = Seq(16, 8, 4)),
+    // one exhaustive pair pass at the floor, counts per threshold
+    "tau_sweep" -> (shingleCte +
+      s""",pr AS (${jaccardPairsSql(0.5)}),
+        |h AS (SELECT CAST(round(jac * 10000) AS BIGINT) AS jac_bp,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM pr GROUP BY 1)
+        |SELECT t.tau_bp, CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_pairs
+        |FROM (VALUES (5000), (6000), (7000), (8000), (9000), (10000))
+        |  t(tau_bp)
+        | LEFT JOIN h ON h.jac_bp >= t.tau_bp
+        |GROUP BY t.tau_bp ORDER BY t.tau_bp""".stripMargin),
     "cluster_size_stats" -> ("WITH RECURSIVE " + shingleCteFrom("documents") +
       componentsCteSql(0.7, "documents") +
       """,szs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size

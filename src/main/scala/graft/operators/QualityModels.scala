@@ -441,6 +441,44 @@ object QualityModels {
     qualityLogreg(Tables.documents(spark, dir),
       defaultQualityWeights(spark)).orderBy(col("doc_id"))
 
+  /** EXACT AUC of the linear quality score against the Gopher rule
+    * gate as reference labels — "does the cheap learned score rank
+    * docs the way the curated rule set would keep them?", the
+    * calibration eval run before trusting a classifier to replace a
+    * rule stack. AUC is the Mann–Whitney U statistic normalized by
+    * P·N; U is computed EXACTLY in doubled integer units
+    * (u2 = 2·wins + ties, so the tie credit of ½ needs no fraction):
+    * group docs into a SCORE HISTOGRAM, take one exclusive cumulative
+    * of negatives over the histogram, and u2 = Σ nPos·(2·negBelow +
+    * negAtSame) — a BIGINT, bit-identical cross-engine; auc_bp =
+    * 10000·u2 div (2·P·N).
+    *
+    * Scale shape: the per-doc pass is two map-only scorers + a keyed
+    * join; the cumulative runs over the |distinct score| histogram
+    * (bounded by the integer feature space — the qualityFloor
+    * histogram discipline; at extreme score cardinality the same
+    * two-phase bucket prefix-sum as out_of_order_stats applies). */
+  def scoreAucEval(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val scores = qualityLogreg(docs, defaultQualityWeights(spark))
+      .select(col("doc_id"), col("score"))
+    val labels = gopherRules(docs).select(col("doc_id"), col("keep"))
+    val hist = scores.join(labels, "doc_id")
+      .groupBy("score")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("nn"))
+    val wCum = W.orderBy(col("score")).rowsBetween(W.unboundedPreceding, -1)
+    hist
+      .withColumn("neg_below", coalesce(sum(col("nn")).over(wCum), lit(0L)))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("neg_below") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("(10000 * u2) div (2 * n_pos * n_neg)").as("auc_bp"))
+  }
+
+  def scoreAucEvalQuery(spark: SparkSession, dir: String): DataFrame =
+    scoreAucEval(Tables.documents(spark, dir))
+
   val oracles: Map[String, String] = Map(
     // the same integer features and one-row model, weights as literals
     // (the oracle pins the DEFAULT model; a trained model reuses the
@@ -541,6 +579,56 @@ object QualityModels {
         |FROM ranked r ORDER BY r.doc_id""".stripMargin,
     // named per-rule flags, every comparison cross-multiplied — pure
     // integer arithmetic, bit-identical by construction
+    // the quality_logreg score and gopher keep fragments composed,
+    // then the same histogram/doubled-units U computation
+    "score_auc_eval" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  (10000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
+        |    // length(text) AS alpha_bp,
+        |  (10000 * len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','of','and','to','is','in'))))
+        |    // len(string_split(text, ' ')) AS stop_bp,
+        |  (10000 * len(list_distinct(string_split(text, ' '))))
+        |    // len(string_split(text, ' ')) AS ttr_bp
+        | FROM documents),
+        |sc AS (
+        | SELECT doc_id, -130000 + 8 * alpha_bp + 20 * stop_bp + 9 * ttr_bp
+        |   + 120 * n_words AS score
+        | FROM f),
+        |t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, len(toks) AS w, nc - len(toks) + 1 AS alpha,
+        |  len(list_distinct(toks)) AS nd,
+        |  len(list_filter(list_distinct(toks), s -> s IN
+        |   ('the','a','to','of','and','that','have','with'))) AS nstop,
+        |  list_max(list_transform(list_distinct(toks),
+        |   s -> len(list_filter(toks, x -> x = s)))) AS topc
+        | FROM t),
+        |lbl AS (
+        | SELECT doc_id,
+        |  ((w BETWEEN 15 AND 90) AND 4 * w <= alpha AND alpha <= 10 * w
+        |    AND nstop >= 2 AND 10 * nd >= 3 * w AND 5 * topc <= w) AS keep
+        | FROM m),
+        |hist AS (
+        | SELECT score,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        | FROM sc JOIN lbl USING (doc_id) GROUP BY 1),
+        |cum AS (
+        | SELECT np, nn,
+        |  coalesce(sum(nn) OVER (ORDER BY score
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        | FROM hist)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
+        |  (10000 * CAST(sum(np * (2 * neg_below + nn)) AS BIGINT))
+        |    // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) AS auc_bp
+        |FROM cum""".stripMargin,
     "gopher_rules" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc

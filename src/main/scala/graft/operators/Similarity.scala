@@ -1195,6 +1195,40 @@ object Similarity {
     knnGraph(Tables.embeddings(spark, dir))
       .orderBy(col("src"), col("rnk"))
 
+  // ---------------------------------------------------------------- vector QC
+
+  /** Embedding-table hygiene report, per label slice: row counts, the
+    * norm range in exact micro units, zero vectors (unembeddable
+    * inputs — they silently break cosine math), and vectors carrying a
+    * non-finite component (NaN/Inf from an overflowed encoder — one
+    * of them poisons every aggregate it touches). The vector-side
+    * admission gate next to the text side's corpus_card: run it
+    * BEFORE vectors enter the index.
+    *
+    * Scale shape: entirely map-only per row (norm fold + two in-row
+    * `exists` probes) + one map-side-combined per-label aggregate. */
+  def embedNormQc(emb: DataFrame): DataFrame =
+    emb.select(col("label"), toDoubleArray(col("embedding")).as("e"))
+      .withColumn("bad",
+        exists(col("e"), x => isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
+      // norm is only DEFINED for finite vectors: guard before the long
+      // cast so a NaN norm can't turn into an engine-dependent value
+      .select(col("label"), col("bad"),
+        when(col("bad"), lit(null).cast("long"))
+          .otherwise(round(l2norm(col("e")) * lit(1000000.0d)).cast("long"))
+          .as("norm_micro"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(when(!col("bad"), col("norm_micro"))).as("min_norm_micro"),
+        max(when(!col("bad"), col("norm_micro"))).as("max_norm_micro"),
+        sum(when(col("norm_micro") === 0 && !col("bad"), 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"))
+
+  def embedNormQcQuery(spark: SparkSession, dir: String): DataFrame =
+    embedNormQc(Tables.embeddings(spark, dir)).orderBy(col("label"))
+
   // ---------------------------------------------------------------- recall eval
 
   /** MEASURED recall@k of the IVF serving path against exact brute
@@ -1758,6 +1792,24 @@ object Similarity {
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
+    "embed_norm_qc" ->
+      """WITH v AS (
+        | SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        |r AS (
+        | SELECT label,
+        |  len(list_filter(e, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+        |  CASE WHEN len(list_filter(e, x -> isnan(x) OR isinf(x))) > 0
+        |   THEN NULL
+        |   ELSE CAST(round(sqrt(list_sum(list_transform(e, x -> x * x)))
+        |     * 1000000.0) AS BIGINT) END AS norm_micro
+        | FROM v)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(CASE WHEN NOT bad THEN norm_micro END) AS min_norm_micro,
+        |  max(CASE WHEN NOT bad THEN norm_micro END) AS max_norm_micro,
+        |  CAST(sum(CASE WHEN norm_micro = 0 AND NOT bad THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "ann_ivf_rerank_topk" -> annIvfRerankOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4, m = 12),
     "ann_ivf_from_index" -> annIvfFromIndexOracle(numQueries = 8, k = 3,
