@@ -250,7 +250,29 @@ object ScaleProbe {
       "cluster_size_stats"  -> (operators.Dedup.clusterSizeStatsQuery _),
       "out_of_order_stats"  -> (operators.Timeseries.outOfOrderStatsQuery _),
       "multimodal_phash"    -> (operators.Multimodal.multimodalPhashQuery _),
-      "lang_id_ngram"       -> (operators.TextAnalysis.langIdNgramQuery _))
+      "lang_id_ngram"       -> (operators.TextAnalysis.langIdNgramQuery _),
+      // r11 session 3c. rolling_median/asof_nearest: per-user frames
+      // constant as users scale — rows linear, walls ride the keyed
+      // window/merge passes. zipf/heaps: constant-size outputs; the
+      // prefixed replica vocab grows ~f-fold so both fits watch the
+      // vocab-aggregate walls. span_corruption: map-only, rows linear.
+      // corpus_card: 10 rows always. token_kcore: the per-mille edge
+      // rule dilutes under replication (graph_scale's territory) but
+      // the peel loop must stay flat-walled. tau_sweep: pairs stay
+      // within-copy, curve counts scale ~f. score_auc: 1 row, the
+      // histogram cumulative bounded by distinct scores. norm_qc:
+      // |labels|·f rows (replica offsets labels per copy).
+      // phash_pairs: copy-local dims/hashes; rows ~linear.
+      "rolling_median"      -> (operators.Timeseries.rollingMedianQuery _),
+      "zipf_fit"            -> (operators.CorpusStats.zipfFitQuery _),
+      "heaps_fit"           -> (operators.CorpusStats.heapsFitQuery _),
+      "span_corruption_plan" -> (operators.TextAnalysis.spanCorruptionPlanQuery _),
+      "corpus_card"         -> (operators.CorpusStats.corpusCardQuery _),
+      "token_kcore"         -> (operators.GraphRank.tokenKcoreQuery _),
+      "tau_sweep"           -> (operators.Dedup.tauSweepQuery _),
+      "score_auc_eval"      -> (operators.QualityModels.scoreAucEvalQuery _),
+      "embed_norm_qc"       -> (operators.Similarity.embedNormQcQuery _),
+      "multimodal_phash_pairs" -> (operators.Multimodal.multimodalPhashPairsQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -148,6 +148,7 @@ object SparkEntry {
     "lsh_recall_eval"        -> (Dedup.lshRecallEvalQuery _),
     "tau_sweep"              -> (Dedup.tauSweepQuery _),
     "score_auc_eval"         -> (QualityModels.scoreAucEvalQuery _),
+    "score_percentile_norm"  -> (QualityModels.scorePercentileNormQuery _),
     "embed_norm_qc"          -> (Similarity.embedNormQcQuery _),
     "cluster_size_stats"     -> (Dedup.clusterSizeStatsQuery _),
     "fk_integrity"           -> (IntegrityAudit.fkIntegrityQuery _),

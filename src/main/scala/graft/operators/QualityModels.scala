@@ -479,6 +479,40 @@ object QualityModels {
   def scoreAucEvalQuery(spark: SparkSession, dir: String): DataFrame =
     scoreAucEval(Tables.documents(spark, dir))
 
+  /** Per-source PERCENTILE normalization of the quality score — the
+    * comparability transform before mixing scores across domains (a
+    * raw 7200 bp means "excellent" on a boilerplate farm and "poor"
+    * on curated text; the percentile is the source-relative quantity
+    * mixture policies should threshold): pct_bp = 10000 · (# same-
+    * source docs with STRICTLY smaller score) div max(n_src − 1, 1) —
+    * a deterministic, tie-stable rule (equal scores share a
+    * percentile; no fractional average-rank).
+    *
+    * Scale shape: the qualityFloor histogram discipline — ONE
+    * (source, score) histogram, the cumulative window runs over the
+    * ≤10001-row per-source HISTOGRAM (never a per-source doc order),
+    * and docs pick up their percentile by a keyed join back. */
+  def scorePercentileNorm(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)")
+        .as("score_bp"))
+    val hist = scored.groupBy("source", "score_bp")
+      .agg(count(lit(1)).as("c"))
+    val wCum = W.partitionBy(col("source")).orderBy(col("score_bp"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val cum = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .join(totals, "source")
+      .select(col("source"), col("score_bp"),
+        expr("(10000 * below) div greatest(n_src - 1, 1)").as("pct_bp"))
+    scored.join(cum, Seq("source", "score_bp"))
+      .select("doc_id", "source", "score_bp", "pct_bp")
+  }
+
+  def scorePercentileNormQuery(spark: SparkSession, dir: String): DataFrame =
+    scorePercentileNorm(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
     // the same integer features and one-row model, weights as literals
     // (the oracle pins the DEFAULT model; a trained model reuses the
@@ -579,6 +613,28 @@ object QualityModels {
         |FROM ranked r ORDER BY r.doc_id""".stripMargin,
     // named per-rule flags, every comparison cross-multiplied — pure
     // integer arithmetic, bit-identical by construction
+    "score_percentile_norm" ->
+      """WITH sc AS (
+        | SELECT doc_id, source,
+        |  (10000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
+        |    // length(text) AS score_bp
+        | FROM documents),
+        |h AS (SELECT source, score_bp, CAST(count(*) AS BIGINT) AS c
+        |      FROM sc GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |        FROM sc GROUP BY 1),
+        |cum AS (
+        | SELECT source, score_bp,
+        |  coalesce(sum(c) OVER (PARTITION BY source ORDER BY score_bp
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        | FROM h)
+        |SELECT s.doc_id, s.source, s.score_bp,
+        |  (10000 * cum.below) // greatest(t.n_src - 1, 1) AS pct_bp
+        |FROM sc s
+        | JOIN cum ON s.source = cum.source AND s.score_bp = cum.score_bp
+        | JOIN tot t ON s.source = t.source
+        |ORDER BY s.doc_id""".stripMargin,
+
     // the quality_logreg score and gopher keep fragments composed,
     // then the same histogram/doubled-units U computation
     "score_auc_eval" ->
