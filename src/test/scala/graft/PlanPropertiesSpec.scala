@@ -103,7 +103,10 @@ class PlanPropertiesSpec extends SparkSpec {
     "lang_id_ngram",
     // two 1-row aggregate frames (global stats × vocab count) crossed
     // into the 10-row card
-    "corpus_card")
+    "corpus_card",
+    // the |taus|-row threshold frame theta-joins (jac_bp >= tau_bp)
+    // the bounded basis-point histogram — both sides model-sized
+    "tau_sweep")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
