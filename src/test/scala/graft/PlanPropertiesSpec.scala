@@ -106,7 +106,12 @@ class PlanPropertiesSpec extends SparkSpec {
     "corpus_card",
     // the |taus|-row threshold frame theta-joins (jac_bp >= tau_bp)
     // the bounded basis-point histogram — both sides model-sized
-    "tau_sweep")
+    "tau_sweep",
+    // inherits quality_logreg's ONE-row weight-model cross-join on the
+    // scoring leg; the U computation itself is histogram aggregates
+    "score_auc_eval",
+    // the 1-row max-doc-id scalar crossed into both bucket assignments
+    "heaps_fit")
 
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
