@@ -1106,6 +1106,56 @@ object Dedup {
 
   private val bloomViewSerial = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** MEASURED false-positive rate of the Bloom pre-filter at a given
+    * sizing — the knob eval behind decontam_bloom's bitsPerKey default
+    * (the recall evals' sibling for the precision-side knob; Bloom has
+    * no false negatives, so what the sizing buys is fewer non-member
+    * postings surviving to the exact verify join): one row of exact
+    * counts — postings, true members, passed, false positives, and
+    * fpr_bp over the NON-member population. Spec-measured rather than
+    * oracle-checked: the filter's bit pattern is Spark's
+    * implementation detail, unreplicable in SQL — the VERIFY join's
+    * output is what the oracle pins (decontam_bloom ≡ exact), this
+    * measures the intermediate volume that sizing controls. */
+  def bloomFprEval(corpus: DataFrame, benchmark: DataFrame, k: Int,
+                   estKeys: Long = 100000L,
+                   bitsPerKey: Int = 8): DataFrame = {
+    require(estKeys > 0 && bitsPerKey > 0)
+    val spark = corpus.sparkSession
+    val serial = bloomViewSerial.incrementAndGet()
+    val bv = s"graft_fpr_bench_$serial"
+    val cv = s"graft_fpr_corpus_$serial"
+    val benchDistinct = shingleSet(benchmark, k).select("s").distinct()
+      .localCheckpoint()
+    benchDistinct.createOrReplaceTempView(bv)
+    val postings = shingleSet(corpus, k).localCheckpoint()
+    postings.createOrReplaceTempView(cv)
+    val passed =
+      try spark.sql(
+        s"""SELECT doc_id, s FROM $cv
+           |WHERE might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(s),
+           |                           CAST($estKeys AS BIGINT),
+           |                           CAST(${estKeys * bitsPerKey} AS BIGINT))
+           |   FROM $bv),
+           |  xxhash64(s))""".stripMargin).localCheckpoint()
+      finally {
+        spark.catalog.dropTempView(bv)
+        spark.catalog.dropTempView(cv)
+      }
+    val member = postings.join(benchDistinct, "s")
+    val passedMember = passed.join(benchDistinct, "s")
+    postings.agg(count(lit(1)).as("n_postings"))
+      .crossJoin(member.agg(count(lit(1)).as("n_member")))
+      .crossJoin(passed.agg(count(lit(1)).as("n_passed")))
+      .crossJoin(passedMember.agg(count(lit(1)).as("n_passed_member")))
+      .select(lit(bitsPerKey).as("bits_per_key"), col("n_postings"),
+        col("n_member"), col("n_passed"),
+        (col("n_passed") - col("n_passed_member")).as("false_pos"),
+        expr("(10000 * (n_passed - n_passed_member))" +
+          " div greatest(n_postings - n_member, 1)").as("fpr_bp"))
+  }
+
   def decontaminateBloomQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     decontaminateBloom(docs.filter(col("doc_id") % 50 =!= 0),

@@ -46,6 +46,30 @@ class AuditOpsSpec extends SparkSpec {
     assert(out._2 > 0, "sf0.001 has planted pairs at tau 0.8")
   }
 
+  // ------------------------------------------------------- bloom_fpr_eval
+
+  test("bloomFprEval: no false negatives, FPR monotone in bits per key") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val rows = Seq(1, 4, 16).map { bits =>
+      Dedup.bloomFprEval(corpus, bench, k = 3, bitsPerKey = bits)
+        .select("bits_per_key", "n_postings", "n_member", "n_passed",
+          "false_pos", "fpr_bp")
+        .as[(Int, Long, Long, Long, Long, Long)].head()
+    }
+    rows.foreach { case (_, nPost, nMem, nPassed, fp, _) =>
+      assert(nPassed >= nMem, "Bloom must never drop a true member")
+      assert(fp === nPassed - nMem || fp >= 0)
+      assert(nPassed <= nPost)
+    }
+    val fprs = rows.map(_._6)
+    assert(fprs.zip(fprs.tail).forall { case (loose, tight) => loose >= tight },
+      s"more bits per key cannot raise the FPR: $fprs")
+    assert(fprs.last <= 300L,
+      s"16 bits/key should measure under ~3% FPR, got ${fprs.last} bp")
+  }
+
   // --------------------------------------------------- cluster_size_stats
 
   test("clusterSizeStats: sizes partition the corpus") {
