@@ -95,6 +95,7 @@ object SparkEntry {
     "gap_fill_daily"         -> (Timeseries.gapFillDailyQuery _),
     "outlier_events"         -> (Timeseries.outlierEventsQuery _),
     "mad_outliers"           -> (Timeseries.madOutliersQuery _),
+    "rate_spikes"            -> (Timeseries.rateSpikesQuery _),
     "ewma_smooth"            -> (Timeseries.ewmaSmoothQuery _),
     "resample_ohlc"          -> (Timeseries.resampleOhlcQuery _),
     "corpus_checksum"        -> (Cdc.corpusChecksumQuery _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "winnowing_fingerprint"  -> (Winnowing.winnowingFingerprintQuery _),
     "source_jaccard"         -> (CorpusStats.sourceJaccardQuery _),
     "embed_centroid_drift"   -> (CorpusStats.centroidDriftQuery _),
+    "embed_centroid_outliers" -> (CorpusStats.centroidOutliersQuery _),
     "knn_graph"              -> (Similarity.knnGraphQuery _),
     "winnow_pairs"           -> (Winnowing.winnowPairsQuery _),
     "lsh_recall_eval"        -> (Dedup.lshRecallEvalQuery _),

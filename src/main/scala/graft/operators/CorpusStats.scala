@@ -234,6 +234,45 @@ object CorpusStats {
   def zipfFitQuery(spark: SparkSession, dir: String): DataFrame =
     zipfFit(Tables.documents(spark, dir))
 
+  /** Per-vector distance-to-own-centroid outliers — label-quality QC
+    * over the embedding table ("is this vector mislabeled, or the
+    * label itself incoherent?"): each vector's cosine to its OWN
+    * label's centroid direction (the exact-integer centroid of
+    * componentSums, self included — the n-1 exclusion changes nothing
+    * at slice sizes worth monitoring and keeps the state shared with
+    * centroidDrift), reported as the once-rounded cosc_micro with
+    * `outlier` = cosc_micro < tauMicro. The flag compares the ROUNDED
+    * display value — identical on both engines by the same argument
+    * as every cos_micro here — so no 128-bit dot-squared is needed
+    * (τ-cross-multiplication would overflow decimal(38,0) at corpus
+    * scale since dot² carries the centroid's n² factor).
+    *
+    * Scale shape: one (label, dim) aggregate (model-sized), centroid
+    * frame broadcast back onto the exploded corpus, per-vector dot
+    * re-aggregated map-side. */
+  def centroidOutliers(emb: DataFrame, tauMicro: Long = 0L): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"),
+        posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("x") * lit(1000000.0d)).cast("long").as("xm"))
+    val cent = componentSums(emb).select(col("label"), col("dim"), col("c"))
+    val nc2 = cent.groupBy("label")
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("nc2"))
+    val per = q.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("xm").cast("decimal(38,0)") * col("c")).as("dot"),
+        sum(col("xm") * col("xm")).as("nv2"))
+    per.join(broadcast(nc2), "label")
+      .select(col("vec_id"), col("label"),
+        round(col("dot").cast("double")
+            / (sqrt(col("nv2").cast("double")) * sqrt(col("nc2").cast("double")))
+            * lit(1000000.0d)).cast("long").as("cosc_micro"))
+      .withColumn("outlier", col("cosc_micro") < tauMicro)
+  }
+
+  def centroidOutliersQuery(spark: SparkSession, dir: String): DataFrame =
+    centroidOutliers(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
   /** Heaps'-law fit — vocabulary GROWTH QC, the companion curve to
     * zipf_fit's frequency head: natural corpora grow V ∝ N^β with
     * β ≈ 0.4–0.6; a saturating curve (β → 0) means a closed/template
@@ -346,6 +385,37 @@ object CorpusStats {
         | JOIN sizes sa ON i.source_a = sa.source
         | JOIN sizes sb ON i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // drift's micro-component state reused: per-vector dot against
+    // the own-label centroid, HUGEINT products, rounded display flag
+    "embed_centroid_outliers" ->
+      """WITH q AS (
+        | SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i,
+        |        embedding::DOUBLE[] AS e
+        | FROM embeddings),
+        |qm AS (
+        | SELECT vec_id, label, i - 1 AS dim,
+        |        CAST(round(e[i] * 1000000.0) AS BIGINT) AS xm
+        | FROM q),
+        |cent AS (
+        | SELECT label, dim, CAST(sum(xm) AS HUGEINT) AS c
+        | FROM qm GROUP BY 1, 2),
+        |nc2 AS (SELECT label, sum(c * c) AS nc2 FROM cent GROUP BY 1),
+        |per AS (
+        | SELECT qm.vec_id, qm.label,
+        |  sum(CAST(qm.xm AS HUGEINT) * cent.c) AS dot,
+        |  sum(CAST(qm.xm AS HUGEINT) * qm.xm) AS nv2
+        | FROM qm JOIN cent ON qm.label = cent.label AND qm.dim = cent.dim
+        | GROUP BY 1, 2)
+        |SELECT p.vec_id, p.label,
+        |  CAST(round(CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(p.nv2 AS DOUBLE)) * sqrt(CAST(n.nc2 AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS cosc_micro,
+        |  CAST(round(CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(p.nv2 AS DOUBLE)) * sqrt(CAST(n.nc2 AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) < 0 AS outlier
+        |FROM per p JOIN nc2 n ON p.label = n.label
+        |ORDER BY vec_id""".stripMargin,
 
     "heaps_fit" ->
       """WITH pd AS (

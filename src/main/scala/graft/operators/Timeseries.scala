@@ -163,22 +163,26 @@ object Timeseries {
     * pass). The (med, MAD) frame (|types| rows) broadcasts back onto
     * the fact scan, so the flag is a map-only filter — the same
     * join-back discipline as outlierEvents/valueHistogram. */
+  /** DISCRETE per-type median off a (event_type, <valueCol>, cnt)
+    * histogram — the smallest value whose cumulative reaches
+    * (n+1) div 2. Shared by madOutliers (value medians) and
+    * rateSpikes (hourly-count medians). */
+  private def discreteMedian(h: DataFrame, valueCol: String): DataFrame = {
+    val cum = W.partitionBy(col("event_type")).orderBy(col(valueCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = W.partitionBy(col("event_type"))
+    h.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      .filter(lit(2) * col("cum") >= col("n") + 1)
+      .groupBy(col("event_type"))
+      .agg(min(col(valueCol)).as("med"))
+  }
+
   def madOutliers(events: DataFrame): DataFrame = {
     val ev = events.select(col("event_id"), col("event_type"),
       round(col("value") * 100, 0).cast("long").as("cents"))
     val hist = ev.groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
-
-    def discreteMedian(h: DataFrame, valueCol: String): DataFrame = {
-      val cum = W.partitionBy(col("event_type")).orderBy(col(valueCol))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val tot = W.partitionBy(col("event_type"))
-      h.withColumn("cum", sum(col("cnt")).over(cum))
-        .withColumn("n", sum(col("cnt")).over(tot))
-        .filter(lit(2) * col("cum") >= col("n") + 1)
-        .groupBy(col("event_type"))
-        .agg(min(col(valueCol)).as("med"))
-    }
 
     val meds = discreteMedian(hist, "cents")
       .withColumnRenamed("med", "med_cents")
@@ -200,6 +204,42 @@ object Timeseries {
   def madOutliersQuery(spark: SparkSession, dir: String): DataFrame =
     madOutliers(Tables.events(spark, dir))
       .orderBy(col("event_type"), col("event_id"))
+
+  /** Hourly event-RATE spike detection — mad_outliers' robust gate
+    * turned TEMPORAL ("did something unusual happen this hour?", the
+    * monitoring alarm for ingestion storms, bot bursts, outage
+    * silences): per type, hourly counts are scored by modified
+    * z-score against the type's own hourly-count median/MAD —
+    * 6745·|c−med| > 35000·MAD in BIGINTs, medians DISCRETE from the
+    * hourly-count histogram (never a sort). Every hour row is emitted
+    * with its `spike` flag (a quiet corpus with zero spikes is a
+    * finding, not an empty frame).
+    *
+    * Scale shape: the corpus appears once in the (type, hour)
+    * aggregate; everything downstream operates on hour-count frames
+    * (|types|·|hours|) and their bounded histograms. */
+  def rateSpikes(events: DataFrame): DataFrame = {
+    val hourly = events.select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt_h"))
+    val hist = hourly.groupBy(col("event_type"), col("cnt_h").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val meds = discreteMedian(hist, "v").withColumnRenamed("med", "med_cnt")
+    val adHist = hist.join(broadcast(meds), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("v") - col("med_cnt")).as("ad"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mads = discreteMedian(adHist, "ad").withColumnRenamed("med", "mad_cnt")
+    hourly.join(broadcast(meds), Seq("event_type"))
+      .join(broadcast(mads), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("cnt_h"),
+        col("med_cnt"), col("mad_cnt"),
+        (lit(6745L) * abs(col("cnt_h") - col("med_cnt")) >
+          lit(35000L) * col("mad_cnt")).as("spike"))
+  }
+
+  def rateSpikesQuery(spark: SparkSession, dir: String): DataFrame =
+    rateSpikes(Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("hour"))
 
   /** Trailing exponentially-weighted moving average, α = 1/2, as
     * EXACT integers: over the last K events of the same user (by the
@@ -316,6 +356,35 @@ object Timeseries {
     outOfOrderStats(Tables.events(spark, dir)).orderBy(col("event_type"))
 
   val oracles: Map[String, String] = Map(
+    // mad_outliers' discrete-median machinery over hourly counts
+    "rate_spikes" ->
+      """WITH hr AS (
+        | SELECT event_type,
+        |  (epoch_ns(ts)//1000) // 3600000000 AS hour FROM events),
+        |hc AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS cnt_h
+        |       FROM hr GROUP BY 1, 2),
+        |h AS (SELECT event_type, cnt_h AS v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM hc GROUP BY 1, 2),
+        |med AS (
+        | SELECT event_type, min(v) AS med_cnt FROM (
+        |  SELECT event_type, v,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |   sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h) WHERE 2 * cum >= n + 1 GROUP BY 1),
+        |ah AS (SELECT h.event_type, abs(h.v - m.med_cnt) AS ad,
+        |        CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |       FROM h JOIN med m USING (event_type) GROUP BY 1, 2),
+        |mad AS (
+        | SELECT event_type, min(ad) AS mad_cnt FROM (
+        |  SELECT event_type, ad,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY ad) AS cum,
+        |   sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM ah) WHERE 2 * cum >= n + 1 GROUP BY 1)
+        |SELECT hc.event_type, hc.hour, hc.cnt_h, m.med_cnt, d.mad_cnt,
+        |  6745 * abs(hc.cnt_h - m.med_cnt) > 35000 * d.mad_cnt AS spike
+        |FROM hc JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
+
     // DuckDB list() over the same trailing frame; lower median via
     // integer index into the sorted list
     "rolling_median" ->

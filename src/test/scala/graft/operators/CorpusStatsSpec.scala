@@ -68,6 +68,19 @@ class CorpusStatsSpec extends SparkSpec {
       ("yy", 1L, 3L, 2L, 2L, 1000L, 1500L)))
   }
 
+  test("centroidOutliers: the vector pointing away from its label flags") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0), // against its own label's direction
+      (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = CorpusStats.centroidOutliers(d)
+      .select("vec_id", "outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(3L) === true)
+    assert(!out(1L) && !out(2L) && !out(4L),
+      "aligned members and a singleton label never flag")
+  }
+
   test("centroidDrift: identical slices score cos 1e6, opposite -1e6") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
