@@ -272,7 +272,15 @@ object ScaleProbe {
       "tau_sweep"           -> (operators.Dedup.tauSweepQuery _),
       "score_auc_eval"      -> (operators.QualityModels.scoreAucEvalQuery _),
       "embed_norm_qc"       -> (operators.Similarity.embedNormQcQuery _),
-      "multimodal_phash_pairs" -> (operators.Multimodal.multimodalPhashPairsQuery _))
+      "multimodal_phash_pairs" -> (operators.Multimodal.multimodalPhashPairsQuery _),
+      // r11 session 3d. rate_spikes: replicated events double per-hour
+      // counts (same hours, f x events) — medians scale with f so the
+      // flag set stays within-copy-identical; rows constant (|types|·
+      // |hours|). centroid_outliers: labels offset per copy, each
+      // copy's geometry is copy 0's under an orthogonal transform —
+      // flags and cosc values must replicate exactly f-fold.
+      "rate_spikes"         -> (operators.Timeseries.rateSpikesQuery _),
+      "embed_centroid_outliers" -> (operators.CorpusStats.centroidOutliersQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
