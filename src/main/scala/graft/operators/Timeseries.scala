@@ -218,24 +218,43 @@ object Timeseries {
     * Scale shape: the corpus appears once in the (type, hour)
     * aggregate; everything downstream operates on hour-count frames
     * (|types|·|hours|) and their bounded histograms. */
-  def rateSpikes(events: DataFrame): DataFrame = {
-    val hourly = events.select(col("event_type"),
+  /** The per-type hourly (event_type, hour, cnt_h) frame — shared by
+    * the batch detector and the streaming monitor (the hourly count
+    * is a split-invariant sum, so the complete-mode streaming state
+    * equals this frame exactly). */
+  private[graft] def hourlyCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         expr("unix_micros(ts) DIV 3600000000").as("hour"))
       .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt_h"))
-    val hist = hourly.groupBy(col("event_type"), col("cnt_h").as("v"))
+
+  /** The nightly MODEL half of rate-spike detection: per-type hourly
+    * median + MAD off the hourly-count histogram. Model-sized
+    * (|types| rows) — the frame a live monitor broadcasts. */
+  private[graft] def rateMedMad(events: DataFrame): DataFrame = {
+    val hist = hourlyCounts(events)
+      .groupBy(col("event_type"), col("cnt_h").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val meds = discreteMedian(hist, "v").withColumnRenamed("med", "med_cnt")
     val adHist = hist.join(broadcast(meds), Seq("event_type"))
       .groupBy(col("event_type"), abs(col("v") - col("med_cnt")).as("ad"))
       .agg(sum(col("cnt")).as("cnt"))
     val mads = discreteMedian(adHist, "ad").withColumnRenamed("med", "mad_cnt")
-    hourly.join(broadcast(meds), Seq("event_type"))
-      .join(broadcast(mads), Seq("event_type"))
+    meds.join(mads, "event_type")
+  }
+
+  /** The flag rule over an hourly-count frame + the med/MAD model —
+    * ONE definition shared by batch detection and the live monitor so
+    * the alarm cannot drift between them. */
+  private[graft] def spikeFlags(hourly: DataFrame,
+                                medMad: DataFrame): DataFrame =
+    hourly.join(broadcast(medMad), Seq("event_type"))
       .select(col("event_type"), col("hour"), col("cnt_h"),
         col("med_cnt"), col("mad_cnt"),
         (lit(6745L) * abs(col("cnt_h") - col("med_cnt")) >
           lit(35000L) * col("mad_cnt")).as("spike"))
-  }
+
+  def rateSpikes(events: DataFrame): DataFrame =
+    spikeFlags(hourlyCounts(events), rateMedMad(events))
 
   def rateSpikesQuery(spark: SparkSession, dir: String): DataFrame =
     rateSpikes(Tables.events(spark, dir))
