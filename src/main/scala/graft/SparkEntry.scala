@@ -152,6 +152,8 @@ object SparkEntry {
     "score_auc_eval"         -> (QualityModels.scoreAucEvalQuery _),
     "score_percentile_norm"  -> (QualityModels.scorePercentileNormQuery _),
     "embed_norm_qc"          -> (Similarity.embedNormQcQuery _),
+    "embed_exact_dups"       -> (Similarity.embedExactDupsQuery _),
+    "meta_consistency"       -> (CorpusStats.metaConsistencyQuery _),
     "cluster_size_stats"     -> (Dedup.clusterSizeStatsQuery _),
     "fk_integrity"           -> (IntegrityAudit.fkIntegrityQuery _),
     "out_of_order_stats"     -> (Timeseries.outOfOrderStatsQuery _),

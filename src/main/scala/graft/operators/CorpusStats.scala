@@ -361,7 +361,38 @@ object CorpusStats {
   def corpusCardQuery(spark: SparkSession, dir: String): DataFrame =
     corpusCard(Tables.documents(spark, dir)).orderBy(col("metric"))
 
+  /** Metadata-consistency audit: the documents table CARRIES an
+    * n_chars column — does it actually equal length(text)? The
+    * denormalized-metadata drift check every warehouse load needs
+    * (an upstream re-crawl that edits text but not the cached counts
+    * silently poisons every length-based filter downstream): per
+    * source, doc counts and rows whose stored n_chars is NULL or
+    * disagrees with the text. Map-only + one per-source aggregate. */
+  def metaConsistency(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        (col("n_chars").isNull || col("text").isNull ||
+          col("n_chars") =!= length(col("text"))).as("bad"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        expr("(10000 * n_mismatch) div n_docs").as("mismatch_bp"))
+
+  def metaConsistencyQuery(spark: SparkSession, dir: String): DataFrame =
+    metaConsistency(Tables.documents(spark, dir)).orderBy(col("source"))
+
   val oracles: Map[String, String] = Map(
+    "meta_consistency" ->
+      """WITH b AS (
+        | SELECT source,
+        |  (n_chars IS NULL OR text IS NULL
+        |   OR n_chars <> length(text)) AS bad
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  (10000 * CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS mismatch_bp
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "source_jaccard" ->
       """WITH toks AS (
         | SELECT source, string_split(text, ' ') AS t FROM documents),

@@ -1229,6 +1229,30 @@ object Similarity {
   def embedNormQcQuery(spark: SparkSession, dir: String): DataFrame =
     embedNormQc(Tables.embeddings(spark, dir)).orderBy(col("label"))
 
+  /** EXACT-duplicate vector detection — the embedding mirror of
+    * dedup_exact (dedup'd text re-embedded twice, double-ingested
+    * shards, and constant-output encoder bugs all materialize as
+    * bit-identical vectors that silently double-weight every
+    * centroid, index cell, and nearest-neighbor list): vectors hash
+    * by the md5 of their once-rounded micro components joined as a
+    * canonical string (the same micro basis every exact-integer
+    * operator here shares — float bit-pattern equality without
+    * cross-engine float hashing), min id per hash group keeps, the
+    * rest flag as dups. Window partitions by the hash — groups are
+    * duplicate-set-sized, never corpus-sized. */
+  def embedExactDups(emb: DataFrame): DataFrame = {
+    val hash = md5(concat_ws(",",
+      transform(toDoubleArray(col("embedding")),
+        x => round(x * lit(1000000.0d)).cast("long"))))
+    val w = W.partitionBy(col("h"))
+    emb.select(col("vec_id"), hash.as("h"))
+      .select(col("vec_id"), min(col("vec_id")).over(w).as("keep_id"))
+      .withColumn("is_dup", col("vec_id") =!= col("keep_id"))
+  }
+
+  def embedExactDupsQuery(spark: SparkSession, dir: String): DataFrame =
+    embedExactDups(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- recall eval
 
   /** MEASURED recall@k of the IVF serving path against exact brute
@@ -1792,6 +1816,15 @@ object Similarity {
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
+    "embed_exact_dups" ->
+      """WITH h AS (
+        | SELECT vec_id,
+        |  md5(array_to_string(list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000.0) AS BIGINT)), ',')) AS hh
+        | FROM embeddings)
+        |SELECT vec_id, min(vec_id) OVER (PARTITION BY hh) AS keep_id,
+        |  vec_id <> min(vec_id) OVER (PARTITION BY hh) AS is_dup
+        |FROM h ORDER BY vec_id""".stripMargin,
     "embed_norm_qc" ->
       """WITH v AS (
         | SELECT label, embedding::DOUBLE[] AS e FROM embeddings),

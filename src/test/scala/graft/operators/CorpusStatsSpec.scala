@@ -68,6 +68,30 @@ class CorpusStatsSpec extends SparkSpec {
       ("yy", 1L, 3L, 2L, 2L, 1000L, 1500L)))
   }
 
+  test("metaConsistency: drifted and NULL n_chars rows count as mismatches") {
+    val d = Seq(
+      (1L, "abcde", "A", Some(5L)),   // consistent
+      (2L, "abcde", "A", Some(7L)),   // drifted
+      (3L, "abcde", "B", None))       // null metadata
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusStats.metaConsistency(d)
+      .select("source", "n_docs", "n_mismatch", "mismatch_bp")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq(("A", 2L, 1L, 5000L), ("B", 1L, 1L, 10000L)))
+  }
+
+  test("embedExactDups: bit-identical vectors collapse to one keeper") {
+    val d = Seq(
+      (5L, Array(0.25f, -0.5f), 0),
+      (2L, Array(0.25f, -0.5f), 0),   // exact dup, smaller id keeps
+      (9L, Array(0.25f, 0.5f), 1))    // sign differs: distinct
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedExactDups(d)
+      .select("vec_id", "keep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq.sorted
+    assert(out === Seq((2L, 2L, false), (5L, 2L, true), (9L, 9L, false)))
+  }
+
   test("centroidOutliers: the vector pointing away from its label flags") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
