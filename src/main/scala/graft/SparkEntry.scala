@@ -153,6 +153,7 @@ object SparkEntry {
     "score_percentile_norm"  -> (QualityModels.scorePercentileNormQuery _),
     "embed_norm_qc"          -> (Similarity.embedNormQcQuery _),
     "embed_exact_dups"       -> (Similarity.embedExactDupsQuery _),
+    "top_component"          -> (Similarity.topComponentQuery _),
     "meta_consistency"       -> (CorpusStats.metaConsistencyQuery _),
     "cluster_size_stats"     -> (Dedup.clusterSizeStatsQuery _),
     "fk_integrity"           -> (IntegrityAudit.fkIntegrityQuery _),

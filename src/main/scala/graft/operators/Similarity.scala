@@ -1253,6 +1253,58 @@ object Similarity {
   def embedExactDupsQuery(spark: SparkSession, dir: String): DataFrame =
     embedExactDups(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
+  /** Dominant direction of the embedding table by POWER ITERATION on
+    * the exact-integer second-moment matrix — the measurement behind
+    * the "all-but-the-top" postprocessing rule (Mu & Viswanath 2018:
+    * a fat top component is corpus-wide anisotropy — frequency
+    * artifacts, not meaning — and retrieval improves when it is
+    * projected out; this computes WHAT to project):
+    *
+    *  - components round ONCE to milli units, so every gram entry
+    *    m_ij = Σ x̃_i·x̃_j is an exact BIGINT (|x̃| ≤ ~10³ keeps the
+    *    sum in int64 past 10⁹ rows);
+    *  - the gram build is the ONE corpus pass: a dim²-fold in-row
+    *    explode feeding a map-side-combined (i, j) aggregate — output
+    *    dim² rows, model-sized;
+    *  - iterations run on the dim²-frame only: w = G·v with products
+    *    in decimal(38,0) (scale-safe), then v ← round(10⁴·w/max|w|)
+    *    — the max-norm rescale keeps next-round integers bounded, and
+    *    the one double division per component is the display-float
+    *    discipline (exact-integer inputs, correctly-rounded IEEE ops,
+    *    identical cross-engine); v state localCheckpoints per round.
+    *  - deterministic BY CONSTRUCTION: fixed seed v₀ = e₀·10⁴, fixed
+    *    iteration count — no RNG, no sign ambiguity, and the oracle
+    *    unrolls the identical recurrence as materialized CTEs. */
+  def topComponent(emb: DataFrame, iters: Int = 6,
+                   dim: Int = 64): DataFrame = {
+    require(iters >= 1 && dim >= 1)
+    import emb.sparkSession.implicits._
+    val qm = emb.select(transform(toDoubleArray(col("embedding")),
+      x => round(x * lit(1000.0d)).cast("long")).as("q"))
+    val gram = qm
+      .select(posexplode(col("q")).as(Seq("i", "xi")), col("q"))
+      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("m"))
+      .localCheckpoint()
+    var v = Seq.tabulate(dim)(j => (j, if (j == 0) 10000L else 0L))
+      .toDF("j", "v")
+    for (_ <- 1 to iters) {
+      val w = gram.join(v, "j")
+        .groupBy("i")
+        .agg(sum(col("m").cast("decimal(38,0)") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mw"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          round(col("w").cast("double") / col("mw").cast("double")
+            * lit(10000.0d)).cast("long").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("j").as("dim"), col("v").as("v_unit"))
+  }
+
+  def topComponentQuery(spark: SparkSession, dir: String): DataFrame =
+    topComponent(Tables.embeddings(spark, dir)).orderBy(col("dim"))
+
   // ---------------------------------------------------------------- recall eval
 
   /** MEASURED recall@k of the IVF serving path against exact brute
@@ -1578,6 +1630,38 @@ object Similarity {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** top_component oracle: the identical milli-gram + max-rescaled
+    * power recurrence unrolled as MATERIALIZED CTEs (plain CTE
+    * inlining would replay the gram per reference — the k-core
+    * lesson). */
+  private def topComponentOracle(iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH qm AS (
+      | SELECT list_transform(embedding::DOUBLE[],
+      |   x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
+      | FROM embeddings),
+      |px AS (SELECT q, unnest(range(1, len(q) + 1)) AS i FROM qm),
+      |pr AS (SELECT q, i, unnest(range(1, len(q) + 1)) AS j FROM px),
+      |g AS MATERIALIZED (
+      | SELECT i - 1 AS i, j - 1 AS j, CAST(sum(q[i] * q[j]) AS BIGINT) AS m
+      | FROM pr GROUP BY 1, 2),
+      |v0 AS MATERIALIZED (
+      | SELECT jj AS j, CASE WHEN jj = 0 THEN 10000 ELSE 0 END AS v
+      | FROM (SELECT unnest(range(0, $dim)) AS jj))""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",w$t AS MATERIALIZED (
+        | SELECT g.i, sum(CAST(g.m AS HUGEINT) * vp.v) AS w
+        | FROM g JOIN v${t - 1} vp ON g.j = vp.j GROUP BY 1),
+        |m$t AS MATERIALIZED (SELECT max(abs(w)) AS mw FROM w$t),
+        |v$t AS MATERIALIZED (
+        | SELECT i AS j, CAST(round(CAST(w AS DOUBLE) / CAST(mw AS DOUBLE)
+        |   * 10000.0) AS BIGINT) AS v
+        | FROM w$t, m$t)""".stripMargin
+    }
+    sb ++= s"\nSELECT j AS dim, v AS v_unit FROM v$iters ORDER BY dim"
+    sb.toString
+  }
+
   /** knn_graph oracle: annIvfOracle's CTE chain with the probe set
     * widened to the WHOLE corpus, plus the reciprocal-edge self-join
     * for the mutual flag. */
@@ -1816,6 +1900,7 @@ object Similarity {
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
+    "top_component" -> topComponentOracle(iters = 6, dim = 64),
     "embed_exact_dups" ->
       """WITH h AS (
         | SELECT vec_id,
