@@ -479,7 +479,7 @@ object QualityModels {
   def scoreAucEvalQuery(spark: SparkSession, dir: String): DataFrame =
     scoreAucEval(Tables.documents(spark, dir))
 
-  /** Per-source PERCENTILE normalization of the quality score — the
+  /** Per-source PERCENTILE normalization of a quality score — the
     * comparability transform before mixing scores across domains (a
     * raw 7200 bp means "excellent" on a boilerplate farm and "poor"
     * on curated text; the percentile is the source-relative quantity
@@ -488,14 +488,17 @@ object QualityModels {
     * a deterministic, tie-stable rule (equal scores share a
     * percentile; no fractional average-rank).
     *
+    * Takes any pre-SCORED frame (doc_id, source, score_bp) so it
+    * composes with whichever scorer produced it — qualityLogreg's
+    * `score`, textQuality, or the alpha-ratio default that
+    * scorePercentileNorm (the oracle entry) applies; the normalizer
+    * itself is scorer-agnostic.
+    *
     * Scale shape: the qualityFloor histogram discipline — ONE
     * (source, score) histogram, the cumulative window runs over the
     * ≤10001-row per-source HISTOGRAM (never a per-source doc order),
     * and docs pick up their percentile by a keyed join back. */
-  def scorePercentileNorm(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"), col("source"),
-      expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)")
-        .as("score_bp"))
+  def scorePercentileNormOf(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy("source", "score_bp")
       .agg(count(lit(1)).as("c"))
     val wCum = W.partitionBy(col("source")).orderBy(col("score_bp"))
@@ -509,6 +512,17 @@ object QualityModels {
     scored.join(cum, Seq("source", "score_bp"))
       .select("doc_id", "source", "score_bp", "pct_bp")
   }
+
+  /** The oracle entry: percentile-normalizes the ALPHA-RATIO score
+    * (10000·alpha_chars div chars — row 28's first quality feature),
+    * not qualityLogreg's composite; to normalize logreg scores, join
+    * qualityLogreg's (doc_id, score) back to the docs' source column
+    * and feed (doc_id, source, score AS score_bp) to
+    * scorePercentileNormOf. */
+  def scorePercentileNorm(docs: DataFrame): DataFrame =
+    scorePercentileNormOf(docs.select(col("doc_id"), col("source"),
+      expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)")
+        .as("score_bp")))
 
   def scorePercentileNormQuery(spark: SparkSession, dir: String): DataFrame =
     scorePercentileNorm(Tables.documents(spark, dir)).orderBy(col("doc_id"))

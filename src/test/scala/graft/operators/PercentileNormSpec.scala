@@ -36,6 +36,26 @@ class PercentileNormSpec extends SparkSpec {
     assert(out(1L) === 5000L, "one doc strictly below, n-1 = 2")
   }
 
+  test("scorePercentileNormOf composes with qualityLogreg's score") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "the cat sat on the mat and the dog ran", "A"),
+      (2L, "zz zz zz zz", "A"),
+      (3L, "a quick brown fox jumps over the lazy dog today", "A"))
+      .toDF("doc_id", "text", "source")
+    val scored = QualityModels
+      .qualityLogreg(d, QualityModels.defaultQualityWeights(spark))
+      .select(col("doc_id"), col("score").as("score_bp"))
+      .join(d.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "score_bp")
+    val out = QualityModels.scorePercentileNormOf(scored)
+      .select("doc_id", "pct_bp").as[(Long, Long)].collect().toMap
+    // three distinct logreg scores in one source -> percentiles 0/5000/10000
+    assert(out.values.toSeq.sorted === Seq(0L, 5000L, 10000L))
+    // the normalizer ranked by the LOGREG score (repetitive doc 2 lowest)
+    assert(out(2L) === 0L)
+  }
+
   test("singleton source gets pct 0 without dividing by zero") {
     val d = Seq((1L, "ab cd", "solo")).toDF("doc_id", "text", "source")
     val out = QualityModels.scorePercentileNorm(d)
