@@ -92,19 +92,33 @@ object CorpusStats {
     * Structured Streaming complete-mode query (streaming.DriftStream)
     * and the drift tail computes from the live state at any point. */
   private[graft] def componentSums(emb: DataFrame): DataFrame =
+    // posexplode_OUTER + the dim-0/xm-0 coalesce: a zero-length
+    // embedding array still contributes one (label, 0, 0) row, so the
+    // dim-0 group's n counts EVERY embeddings row of the label (the
+    // oracle's per-label size), not just rows with a non-empty vector
+    // — while adding 0 to the dim-0 component sum. Without this a
+    // label containing any empty array under-reported n_a/n_b vs the
+    // oracle and the streaming state consumer.
     emb.select(col("label"),
-        posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
-      .select(col("label"), col("dim"),
-        round(col("x") * lit(1000000.0d)).cast("long").as("xm"))
+        posexplode_outer(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("label"), coalesce(col("dim"), lit(0)).as("dim"),
+        coalesce(round(col("x") * lit(1000000.0d)).cast("long"), lit(0L))
+          .as("xm"))
       .groupBy("label", "dim")
       .agg(sum("xm").as("c"), count(lit(1)).as("n"))
 
   /** The model-sized drift tail over the (label, dim, c, n) sums. */
   private[graft] def driftFromSums(sums: DataFrame): DataFrame = {
     val cent = sums.select("label", "dim", "c")
+    // dim-0 rows exist for EVERY embeddings row post componentSums'
+    // outer explode, so this n is the label's full row count
     val sizes = sums.filter(col("dim") === 0).select(col("label"), col("n"))
     val norms = cent.groupBy("label")
       .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("n2"))
+      // a label whose vectors are ALL empty/zero has no centroid
+      // direction — drop it (the oracle's unnest-based cent CTE never
+      // materializes it either), rather than emit a NaN cosine
+      .filter(col("n2") > 0)
     val a = cent.toDF("label_a", "dim", "ca")
     val b = cent.toDF("label_b", "dimb", "cb")
     val dots = a.join(b, col("dim") === col("dimb") && col("label_a") < col("label_b"))

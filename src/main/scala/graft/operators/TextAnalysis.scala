@@ -164,19 +164,26 @@ object TextAnalysis {
     * ties break to the alphabetically first language via one in-row
     * array_min over (−score, lang) structs.
     *
-    * Scale shape: training is two map-side-combined aggregates ((lang,
-    * tri) counts + totals); the model collapses to ONE broadcast row
-    * of per-language tri→micro maps (the lm_surprisal trick — V·|langs|
-    * entries, model-sized), so CLASSIFICATION is map-only: trigrams,
-    * five in-row fold lookups, and the argmin — zero corpus-sized
-    * shuffles on the scoring path. */
+    * Scale shape: training is ONE corpus pass — a single map-side-
+    * combined (lang, tri) count, localCheckpointed at vocab size;
+    * per-language totals are Σcnt OVER that table and V a distinct
+    * count over it (the bigram_surprisal discipline: every derived
+    * statistic comes FROM the count table, never a corpus rescan — the
+    * trigram explode is the largest intermediate in the pipeline and
+    * is materialized exactly once). The model collapses to ONE
+    * broadcast row of per-language tri→micro maps (the lm_surprisal
+    * trick — V·|langs| entries, model-sized), so CLASSIFICATION is
+    * map-only: trigrams, five in-row fold lookups, and the argmin —
+    * zero corpus-sized shuffles on the scoring path. Total corpus
+    * scans: 2 (train + classify). */
   def langIdNgram(docs: DataFrame): DataFrame = {
     val tri3 = expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
     val eligible = docs.filter(length(col("text")) >= 3)
     val occ = eligible.select(col("lang"), explode(tri3).as("s3"))
     val cnts = occ.groupBy("lang", "s3").agg(count(lit(1)).as("cnt"))
-    val tots = occ.groupBy("lang").agg(count(lit(1)).as("tot"))
-    val vsz = occ.agg(count_distinct(col("s3")).as("vsz"))
+      .localCheckpoint()
+    val tots = cnts.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    val vsz = cnts.agg(count_distinct(col("s3")).as("vsz"))
     val sv = cnts.join(tots, "lang").crossJoin(broadcast(vsz))
       .select(col("lang"), col("s3"),
         round((log(col("cnt") + 1) - log(col("tot") + col("vsz")))

@@ -113,6 +113,35 @@ class PlanPropertiesSpec extends SparkSpec {
     // the 1-row max-doc-id scalar crossed into both bucket assignments
     "heaps_fit")
 
+  test("every query's parquet scan count stays within its recorded budget") {
+    // The r11 round's two biggest perf wins (token_triangles edge
+    // checkpoint, lsh_recall_eval checkpoints) were replicated-subtree
+    // blowups found by HUMAN plan reading — a reused frame without a
+    // checkpoint silently re-scans the corpus once per reference. This
+    // pins each query's "Scan parquet" count (FormattedMode explain,
+    // the same text PLANS.md renders) to the recorded budget, so the
+    // next reuse-without-checkpoint regression fails CI with the query
+    // name instead of waiting for an audit. Regenerate budgets after a
+    // DELIBERATE shape change: sbt "Test/runMain graft.ScanBudgetGen".
+    val dir = "/root/testdata/sf0.001"
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/scan_budgets.txt"))
+    val budgets = try src.getLines().filter(_.nonEmpty).map { l =>
+      val Array(n, c) = l.split(" "); n -> c.toInt
+    }.toMap finally src.close()
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = ScanBudgetGen.scanCount(fn(spark, dir))
+      budgets.get(name) match {
+        case None => Some(s"$name: NO BUDGET recorded ($n scans) — run " +
+          "sbt \"Test/runMain graft.ScanBudgetGen\"")
+        case Some(b) if n > b => Some(s"$name: $n scans > budget $b " +
+          "(replicated subtree? missing localCheckpoint on a reused frame?)")
+        case _ => None
+      }
+    }
+    assert(over.isEmpty, over.mkString("\n"))
+  }
+
   test("no unbounded nested-loop or cartesian join in any registered query") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
