@@ -66,13 +66,23 @@ object Dedup {
     * @param docSets (doc_id, sset: array<string>, n: long) */
   private def verifyJaccard(cand: DataFrame, docSets: DataFrame,
                             tau: Double): DataFrame =
+    verifyJaccardCounts(cand, docSets)
+      .withColumn("jac", col("c") / col("u"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+
+  /** The exact INTEGER basis of the verify step — |A∩B| and |A∪B| per
+    * candidate pair, unfiltered. Exposed separately so consumers that
+    * need exact rational comparisons (tauSweep's cross-multiplied
+    * histogram) share one verification pass with the float-thresholded
+    * pair operators instead of re-deriving from the rounded jac. */
+  private def verifyJaccardCounts(cand: DataFrame,
+                                  docSets: DataFrame): DataFrame =
     cand.select("doc_a", "doc_b")
       .join(docSets.toDF("ia", "set_a", "na"), col("doc_a") === col("ia"))
       .join(docSets.toDF("ib", "set_b", "nb"), col("doc_b") === col("ib"))
       .withColumn("c", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .withColumn("u", col("na") + col("nb") - col("c"))
 
   /** Exact Jaccard >= tau pairs via a PREFIX-FILTERED inverted index
     * (the AllPairs/PPJoin technique):
@@ -403,11 +413,17 @@ object Dedup {
     * reads before committing a threshold ("how much more would τ=0.6
     * delete than τ=0.7?"): exact-Jaccard pairs are generated ONCE at
     * the sweep's floor via the prefix-filtered path, histogrammed by
-    * rounded jac basis points, and each requested threshold reads its
-    * cumulative count off the (≤10001-row) histogram — one candidate
-    * pass for the whole curve, never one pass per threshold.
-    * Thresholds with zero pairs still emit a row (the curve's tail is
-    * data). */
+    * EXACT floored basis points — jac_bp = (10000·|A∩B|) div |A∪B|,
+    * BIGINT cross-multiplication, never the display-rounded jac — and
+    * each requested threshold reads its cumulative count off the
+    * (≤10001-row) histogram. By floor-division algebra,
+    * jac_bp >= tau_bp ⟺ 10000·c >= tau_bp·u ⟺ jac >= tau_bp/10000
+    * exactly in rationals, so n_pairs(τ) EQUALS the pair count
+    * ngramJaccardPairs(tau = τ/10000) deletes — the operator the curve
+    * claims to predict (a 0.69996 pair no longer rounds up into the
+    * 7000 bucket it would have survived). One candidate pass for the
+    * whole curve, never one pass per threshold. Thresholds with zero
+    * pairs still emit a row (the curve's tail is data). */
   def tauSweep(docs: DataFrame, k: Int = 3, tauMin: Double = 0.5,
                taus: Seq[Int] = Seq(5000, 6000, 7000, 8000, 9000, 10000))
       : DataFrame = {
@@ -415,13 +431,16 @@ object Dedup {
     require(taus.nonEmpty && taus.forall(_ >= floorBp),
       s"every sweep threshold must be >= the floor $floorBp bp")
     import docs.sparkSession.implicits._
-    val hist = ngramJaccardPairs(docs, k, tauMin)
-      .select(round(col("jac") * 10000).cast("long").as("jac_bp"))
-      .groupBy("jac_bp").agg(count(lit(1)).as("c"))
+    val hist = verifyJaccardCounts(
+        ngramCandidates(docs, k, tauMin, Long.MaxValue),
+        docShingleSets(docs, k).select("doc_id", "sset", "n"))
+      .filter(col("c") * 10000 >= col("u") * floorBp)
+      .select(expr("(10000 * c) div u").as("jac_bp"))
+      .groupBy("jac_bp").agg(count(lit(1)).as("cnt"))
     val t = taus.map(_.toLong).toDF("tau_bp")
     broadcast(t).join(hist, col("jac_bp") >= col("tau_bp"), "left")
       .groupBy("tau_bp")
-      .agg(coalesce(sum("c"), lit(0L)).as("n_pairs"))
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_pairs"))
   }
 
   def tauSweepQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1563,12 +1582,20 @@ object Dedup {
     "dedup_minhash_lsh" -> (shingleCte + jaccardOracle(0.8)),
     "lsh_recall_eval" -> lshRecallOracle(tau = 0.8, numHashes = 64,
       bandings = Seq(16, 8, 4)),
-    // one exhaustive pair pass at the floor, counts per threshold
+    // one exhaustive pair pass at the floor, EXACT cross-multiplied
+    // basis points (floor-division: jac_bp >= tau ⟺ 10000c >= tau·u),
+    // counts per threshold
     "tau_sweep" -> (shingleCte +
-      s""",pr AS (${jaccardPairsSql(0.5)}),
-        |h AS (SELECT CAST(round(jac * 10000) AS BIGINT) AS jac_bp,
+      s""",pr AS (
+        | SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(any_value(na.n) + any_value(nb.n) - count(*) AS BIGINT) AS u
+        | FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN sz3 na ON a.doc_id = na.doc_id
+        |  JOIN sz3 nb ON b.doc_id = nb.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |h AS (SELECT (10000 * c) // u AS jac_bp,
         |             CAST(count(*) AS BIGINT) AS c
-        |      FROM pr GROUP BY 1)
+        |      FROM pr WHERE 10000 * c >= 5000 * u GROUP BY 1)
         |SELECT t.tau_bp, CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_pairs
         |FROM (VALUES (5000), (6000), (7000), (8000), (9000), (10000))
         |  t(tau_bp)

@@ -736,7 +736,16 @@ object Similarity {
     * pair arises at most once downstream because a vector lives in
     * exactly one cell. */
   private def ivfIndex(emb: DataFrame, cents: DataFrame, numQueries: Int,
-                       nProbe: Int): (DataFrame, DataFrame) = {
+                       nProbe: Int): (DataFrame, DataFrame) =
+    ivfIndexOpt(emb, cents, Some(numQueries), nProbe)
+
+  /** numQueries = None means EVERY corpus vector is a query (the
+    * knnGraph corpus-as-queries contract) — no vec_id bound at all, so
+    * a Long id space (ids >= 2^31 from sharded ingest) still gets its
+    * full adjacency; an Int.MaxValue cap would silently drop those. */
+  private def ivfIndexOpt(emb: DataFrame, cents: DataFrame,
+                          numQueries: Option[Int],
+                          nProbe: Int): (DataFrame, DataFrame) = {
     val v = vectors(emb)
 
     // nearest centroid per vector: the shared assignToCells rule —
@@ -746,10 +755,13 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("e"))
 
     // query probes: top-nProbe centroids (bounded rows — window is
-    // fine; the crossJoin is queries-only, |Q|·C rows)
+    // fine; the crossJoin is queries-only, |Q|·C rows — or, in
+    // all-queries mode, |corpus|·C map-side before the per-vector
+    // window, the knnGraph build cost)
     val wProbe = W.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val probes = v.filter(col("vec_id") < numQueries)
+    val qside = numQueries.fold(v)(n => v.filter(col("vec_id") < n))
+    val probes = qside
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
       .withColumn("prnk", row_number().over(wProbe))
@@ -1170,7 +1182,7 @@ object Similarity {
                nProbe: Int = 4, numBlocks: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids && numBlocks >= 1)
     val cents = defaultCentroids(emb, numCentroids)
-    val (assigned, probes) = ivfIndex(emb, cents, Int.MaxValue, nProbe)
+    val (assigned, probes) = ivfIndexOpt(emb, cents, None, nProbe)
     val blocked = assigned
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("e").as("en"),
         pmod(col("vec_id"), lit(numBlocks.toLong)).as("blk"))

@@ -42,9 +42,14 @@ class Batch13Spec extends SparkSpec {
     val counts = out.map(_._2)
     assert(counts.zip(counts.tail).forall { case (lo, hi) => lo >= hi },
       "raising tau can only lose pairs")
-    // the floor threshold equals the full pair count at tau 0.5
-    val full = Dedup.ngramJaccardPairs(docs, 3, 0.5).count()
-    assert(counts.head === full)
+    // the sweep's exact cross-multiplied histogram makes each row
+    // EQUAL the deletion count of the operator it predicts: n_pairs(τ)
+    // == ngramJaccardPairs(tau = τ/10000).count(), at every threshold,
+    // not just the floor
+    out.foreach { case (tauBp, n) =>
+      val op = Dedup.ngramJaccardPairs(docs, 3, tauBp / 10000.0).count()
+      assert(n === op, s"sweep row $tauBp must equal the operator count")
+    }
   }
 
   test("embedNormQc: zero vectors and non-finite components are flagged apart") {
