@@ -193,6 +193,8 @@ object SparkEntry {
     "mmr_diversify"          -> (Similarity.mmrDiversifyQuery _),
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
+    "ann_ivf_topk_trained"   -> (Similarity.annIvfTopKTrainedQuery _),
+    "ann_recall_trained"     -> (Similarity.annRecallTrainedQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "embed_project_srp"      -> (Similarity.embedProjectSrpQuery _),
     "ann_int8_topk"          -> (Similarity.annInt8TopKQuery _),

@@ -824,6 +824,132 @@ object Similarity {
     annIvfTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 3)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** EXACT-INTEGER spherical k-means — [[trainIvfCentroids]]'s
+    * oracle-replicable twin, closing the gap where every oracle-green
+    * IVF query served from the deterministic first-C centroids while
+    * the trained path was only property-tested: this trainer is
+    * data-adaptive (real Lloyd iterations) AND bit-reproducible
+    * cross-engine, so a TRAINED serving path can be oracle-checked
+    * end-to-end (ann_ivf_topk_trained / ann_recall_trained).
+    *
+    * Determinism, step by step: vectors round ONCE to integer micro
+    * units; init is the md5-ordered deterministic sample (cid = the
+    * sample rank, 1..C); assignment is the serving path's own
+    * round(cos, 6)-then-cid tiebreak (micro ints pass through double
+    * exactly — |em| ≤ ~10^6, and the 64-term dot ≤ ~6.4·10^13 stays
+    * inside double's 2^53 exact-integer range, so the fold is exact
+    * in ANY order); the update floors the per-(cell, dim) mean —
+    * floor(Σem / n), an IEEE-exact divide of exact integers — back to
+    * micro ints. No float state ever crosses an iteration boundary.
+    *
+    * Scale shape: per iteration ONE corpus pass (the assignToCells
+    * crossJoin with the model-sized centroid broadcast + a map-side-
+    * combined 64-column aggregate); centroid frames are model-sized
+    * and localCheckpointed so iteration i+1 never replays 1..i. The
+    * exactness contract bounds per-(cell, dim) micro sums to 2^53 —
+    * holds to ~10^9 vectors per cell, beyond any sane cell occupancy
+    * (C grows with the corpus precisely to keep cells small).
+    *
+    * Returns (cid, ce: array<double>) — micro-valued components; the
+    * scale is irrelevant to every cosine consumer. Empty cells drop
+    * out (standard Lloyd degeneracy). */
+  def trainIvfCentroidsExact(emb: DataFrame, numCentroids: Int, iters: Int,
+                             dim: Int = 64): DataFrame = {
+    require(numCentroids >= 1 && iters >= 0)
+    val vm = vectors(emb).select(col("vec_id"),
+      transform(col("e"),
+        x => round(x * lit(1000000.0d)).cast("long")).as("em"))
+      .localCheckpoint()
+    val vAsD = vm.select(col("vec_id"),
+      transform(col("em"), _.cast("double")).as("e"))
+    // orderBy + limit plans as a distributed TakeOrderedAndProject;
+    // the rank window then runs over the C-row RESULT only (an
+    // unpartitioned window over a model-sized frame, never the corpus)
+    val wInit = W.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var cents = vm
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .withColumn("cid", row_number().over(wInit).cast("long"))
+      .select(col("cid"), col("em").as("cm"))
+      .localCheckpoint()
+    val sumCols = (0 until dim).map(i =>
+      sum(element_at(col("em"), i + 1)).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    for (_ <- 1 to iters) {
+      val cAsD = cents.select(col("cid"),
+        transform(col("cm"), _.cast("double")).as("ce"))
+      // e is the micro ints passed through double exactly — cast back
+      // in-row rather than re-joining the corpus for em
+      val assigned = assignToCells(vAsD, cAsD)
+        .select(col("cell"),
+          transform(col("e"), _.cast("long")).as("em"))
+      cents = assigned.groupBy("cell")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(col("cell").as("cid"),
+          array((0 until dim).map(i =>
+            floor(col(s"s$i").cast("double") / col("n")).cast("long")): _*)
+            .as("cm"))
+        .localCheckpoint()
+    }
+    cents.select(col("cid"),
+      transform(col("cm"), _.cast("double")).as("ce"))
+  }
+
+  /** IVF serving from TRAINED centroids, end-to-end oracle-checked —
+    * the exact-integer trainer's output through the UNCHANGED
+    * annIvfTopKWith serving plan. */
+  def annIvfTopKTrainedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annIvfTopKWith(emb, trainIvfCentroidsExact(emb, 16, 2),
+      numQueries = 8, k = 3, nProbe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Recall@k per nProbe for TRAINED vs DEFAULT (first-C) centroids —
+    * same queries, same k, same probe budgets, the exact brute-force
+    * top-k as truth; recall_bp aggregates over all queries so each
+    * (centroids, n_probe) row is one point on the quality-for-compute
+    * curve.
+    *
+    * Read the instrument honestly: at the test SFs the DEFAULT side is
+    * structurally advantaged because the query set (vec_id < Q) is a
+    * SUBSET of the first-C centroid sample — each query's top probe is
+    * its own cell at cos 1.0, which collects exactly the vectors most
+    * similar to it (measured sf0.01: default 9000-9250 bp vs trained
+    * 2250-5250 bp). What training actually buys at scale is CELL
+    * BALANCE — the per-probe scan bound: measured occupancy spread at
+    * sf0.01 is 20..42 for default vs 24..37 for trained. On a real
+    * corpus where queries are NOT the quantizer's own seeds, balance
+    * and recall move together; this eval is the measurement device,
+    * not a guarantee (the score_auc_eval discipline: report what the
+    * instrument reads). Both paths converge to recall 10000 at
+    * nProbe = C — spec-pinned. */
+  def annRecallTrained(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                       numCentroids: Int = 16, iters: Int = 2,
+                       nProbes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= numCentroids))
+    val exact = annCosineTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    def served(tag: String, cents: DataFrame): DataFrame =
+      nProbes.map { p =>
+        annIvfTopKWith(emb, cents, numQueries, k, p)
+          .select(lit(tag).as("centroids"), lit(p).as("n_probe"),
+            col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+    served("default", defaultCentroids(emb, numCentroids))
+      .unionByName(served("trained",
+        trainIvfCentroidsExact(emb, numCentroids, iters)))
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("centroids", "n_probe")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .select(col("centroids"), col("n_probe"), col("hits"),
+        expr(s"(10000 * hits) div ${k * numQueries}").as("recall_bp"))
+  }
+
+  def annRecallTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    annRecallTrained(Tables.embeddings(spark, dir))
+      .orderBy(col("centroids"), col("n_probe"))
+
   // ---------------------------------------------------------------- quantize
 
   /** Symmetric per-vector int8 quantization — the storage/bandwidth
@@ -1532,15 +1658,22 @@ object Similarity {
   /** Full oracle for the IVF path: centroids are the first C vectors,
     * so assignment, probing and ranking all replicate in SQL — the
     * whole serving pipeline is checked, not just row counts. */
-  private def annIvfOracle(numQueries: Int, k: Int, numCentroids: Int,
-                           nProbe: Int): String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
-       |ac AS (
+  /** The shared cosine SQL fragment: dot and norms as in-order
+    * list_sum folds, rounded to 6 dp — the CosineSimilarity parity
+    * contract. Valid over DOUBLE and BIGINT lists (micro ints pass
+    * through double exactly). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))
+       |   / (sqrt(list_sum(list_transform($a, x -> x*x)))
+       |      * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)""".stripMargin
+
+  /** The IVF serving CTE chain — assumes CTEs `v(vec_id, e)` and
+    * `cents(cid, ce)` are already defined, so the SAME serving SQL
+    * checks the default-centroid and trained-centroid paths. */
+  private def ivfServingSql(numQueries: Int, k: Int, nProbe: Int): String =
+    s"""ac AS (
        | SELECT v.vec_id, c.cid,
-       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
-       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
-       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       |  ${cosSql("v.e", "c.ce")} AS ccos
        | FROM v CROSS JOIN cents c),
        |assigned AS (
        | SELECT vec_id, cid AS cell FROM (
@@ -1558,15 +1691,123 @@ object Similarity {
        |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
        |scored AS (
        | SELECT c.query_id, c.neighbor_id,
-       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
-       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
-       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       |  ${cosSql("q.e", "x.e")} AS cos
        | FROM cand c JOIN v q ON c.query_id = q.vec_id
        |  JOIN v x ON c.neighbor_id = x.vec_id)
        |SELECT query_id, neighbor_id, cos, rnk FROM (
        | SELECT *, row_number() OVER (PARTITION BY query_id
        |                              ORDER BY cos DESC, neighbor_id) AS rnk
        | FROM scored) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  private def annIvfOracle(numQueries: Int, k: Int, numCentroids: Int,
+                           nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |${ivfServingSql(numQueries, k, nProbe)}""".stripMargin
+
+  /** trainIvfCentroidsExact replicated as SQL CTEs — micro rounding,
+    * md5-ordered init, per-iteration round(cos,6)/cid-tiebreak
+    * assignment and floored integer-mean update, ending in
+    * `cents(cid, ce)` ready for [[ivfServingSql]]. Assumes `v`. */
+  private def trainedCentsCtes(numCentroids: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""vm AS (SELECT vec_id,
+      | list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS em
+      | FROM v),
+      |tc0 AS (SELECT cid, cm FROM (
+      | SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |   vec_id) AS BIGINT) AS cid, em AS cm FROM vm)
+      | WHERE cid <= $numCentroids)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        |ta$t AS (SELECT m.vec_id, m.em, c.cid,
+        |  ${cosSql("m.em", "c.cm")} AS ccos
+        | FROM vm m CROSS JOIN tc${t - 1} c),
+        |ts$t AS (SELECT vec_id, em, cell FROM (
+        | SELECT vec_id, em, cid AS cell,
+        |  row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY ccos DESC, cid) AS rn
+        | FROM ta$t) WHERE rn = 1),
+        |tc$t AS (SELECT cell AS cid, list(cv ORDER BY i) AS cm FROM (
+        | SELECT cell, i,
+        |  CAST(floor(CAST(sum(em[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        | FROM ts$t, UNNEST(range(1, len(em)+1)) u(i) GROUP BY cell, i)
+        | GROUP BY cell)""".stripMargin
+    }
+    sb ++= s""",
+      |cents AS (SELECT cid, list_transform(cm, x -> CAST(x AS DOUBLE)) AS ce
+      | FROM tc$iters)""".stripMargin
+    sb.toString
+  }
+
+  private def annIvfTrainedOracle(numQueries: Int, k: Int, numCentroids: Int,
+                                  nProbe: Int, iters: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${trainedCentsCtes(numCentroids, iters)},
+       |${ivfServingSql(numQueries, k, nProbe)}""".stripMargin
+
+  /** ann_recall_trained oracle: both centroid tables tagged and
+    * unioned, one serving/ranking chain partitioned by tag, recall
+    * against the shared brute-force truth. */
+  private def annRecallTrainedOracle(numQueries: Int, k: Int,
+                                     numCentroids: Int, iters: Int,
+                                     nProbes: Seq[Int]): String = {
+    val maxP = nProbes.max
+    val vals = nProbes.map(p => s"($p)").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${trainedCentsCtes(numCentroids, iters)},
+       |dcents AS (SELECT vec_id AS cid, e AS ce FROM v
+       | WHERE vec_id < $numCentroids),
+       |allc AS (SELECT 'default' AS tag, cid, ce FROM dcents
+       | UNION ALL SELECT 'trained', cid, ce FROM cents),
+       |ac AS (
+       | SELECT c.tag, v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN allc c),
+       |assigned AS (
+       | SELECT tag, vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tag, vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT tag, vec_id AS query_id, cid AS probe, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tag, vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $maxP),
+       |exact_scored AS (
+       | SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |  ${cosSql("q.e", "x.e")} AS cos
+       | FROM v q JOIN v x ON q.vec_id < $numQueries AND q.vec_id <> x.vec_id),
+       |exact AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact_scored) WHERE rnk <= $k),
+       |cand AS (
+       | SELECT pr.tag, np.p AS n_probe, pr.query_id, a.vec_id AS neighbor_id
+       | FROM (VALUES $vals) np(p)
+       |  JOIN probes pr ON pr.rn <= np.p
+       |  JOIN assigned a ON a.tag = pr.tag AND a.cell = pr.probe
+       |   AND a.vec_id <> pr.query_id),
+       |scored AS (
+       | SELECT c.tag, c.n_probe, c.query_id, c.neighbor_id,
+       |  ${cosSql("q.e", "x.e")} AS cos
+       | FROM cand c JOIN v q ON c.query_id = q.vec_id
+       |  JOIN v x ON c.neighbor_id = x.vec_id),
+       |ranked AS (
+       | SELECT tag, n_probe, query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tag, n_probe, query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= $k)
+       |SELECT r.tag AS centroids, r.n_probe,
+       |  CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS hits,
+       |  (10000 * CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT)) // ${k * numQueries} AS recall_bp
+       |FROM ranked r LEFT JOIN exact e
+       | ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** Full oracle for the composed IVF × int8 × fp32-rerank path: the
     * IVF assignment/probing fragments are [[annIvfOracle]]'s, the
@@ -1909,6 +2150,10 @@ object Similarity {
     "ann_lsh_topk" -> annLshOracle(numQueries = 8, k = 3, numPlanes = 6),
     "ann_ivf_topk" -> annIvfOracle(numQueries = 8, k = 3,
       numCentroids = 16, nProbe = 4),
+    "ann_ivf_topk_trained" -> annIvfTrainedOracle(numQueries = 8, k = 3,
+      numCentroids = 16, nProbe = 4, iters = 2),
+    "ann_recall_trained" -> annRecallTrainedOracle(numQueries = 8, k = 5,
+      numCentroids = 16, iters = 2, nProbes = Seq(1, 2, 4)),
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),

@@ -87,6 +87,12 @@ class PlanPropertiesSpec extends SparkSpec {
     // ann_ivf_topk per nProbe); the hit join is keyed, the summary
     // aggregates are per-(nProbe, query)
     "ann_recall_eval",
+    // ann_ivf_topk's bounded centroid-cross shape with TRAINED
+    // centroids — the per-iteration training crossJoin broadcasts the
+    // model-sized centroid frame only
+    "ann_ivf_topk_trained",
+    // the recall eval's composed shapes over both centroid tables
+    "ann_recall_trained",
     // cell assignment/probing cross the corpus with the MODEL-sized
     // centroid table (ann_ivf_topk's shape, Q = corpus); candidate
     // generation is the (cell, blk) equi-join, mutuality a keyed

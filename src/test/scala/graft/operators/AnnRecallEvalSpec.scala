@@ -32,6 +32,41 @@ class AnnRecallEvalSpec extends SparkSpec {
     assert(out.values.forall(_.find(_._1 == 8).get._3 === 3L))
   }
 
+  test("trainIvfCentroidsExact: deterministic, micro-integer, model-sized") {
+    val c1 = Similarity.trainIvfCentroidsExact(emb, 8, 2)
+      .select("cid", "ce").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val c2 = Similarity.trainIvfCentroidsExact(emb, 8, 2)
+      .select("cid", "ce").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(c1.toSeq === c2.toSeq, "exact-integer training must be bit-stable")
+    assert(c1.length <= 8 && c1.nonEmpty)
+    // every component is an integer micro value passed through double
+    assert(c1.forall(_._2.forall(x => x == math.floor(x))),
+      "centroid components must be floored integer micro-means")
+  }
+
+  test("ann_recall_trained: both centroid sets converge to exact at nProbe = C") {
+    val out = Similarity.annRecallTrained(emb, numQueries = 4, k = 3,
+      numCentroids = 4, iters = 2, nProbes = Seq(4))
+      .select("centroids", "recall_bp").as[(String, Long)].collect()
+    assert(out.length === 2)
+    assert(out.forall(_._2 === 10000L),
+      "probing every cell is exact regardless of where centroids came from")
+  }
+
+  test("ann_recall_trained: recall monotone non-decreasing in nProbe per tag") {
+    val out = Similarity.annRecallTrained(emb, numQueries = 6, k = 3,
+      numCentroids = 8, iters = 2, nProbes = Seq(1, 2, 8))
+      .select("centroids", "n_probe", "hits")
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1)
+    assert(out.keySet === Set("default", "trained"))
+    out.values.foreach { rows =>
+      val byProbe = rows.sortBy(_._2).map(_._3)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        "widening the probe set can only add exact neighbors")
+    }
+  }
+
   test("hits counts are bounded by k and by the candidate count") {
     val out = Similarity.annRecallEval(emb, numQueries = 8, k = 5)
       .select("hits", "recall_bp").as[(Long, Long)].collect()
