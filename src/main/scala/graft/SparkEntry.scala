@@ -194,6 +194,7 @@ object SparkEntry {
     "ann_lsh_topk"           -> (Similarity.annLshTopKQuery _),
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "ann_ivf_topk_trained"   -> (Similarity.annIvfTopKTrainedQuery _),
+    "knn_graph_clusters"     -> (Similarity.knnGraphClustersQuery _),
     "ann_recall_trained"     -> (Similarity.annRecallTrainedQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "embed_project_srp"      -> (Similarity.embedProjectSrpQuery _),

@@ -1333,6 +1333,37 @@ object Similarity {
     knnGraph(Tables.embeddings(spark, dir))
       .orderBy(col("src"), col("rnk"))
 
+  /** Mutual-kNN CLUSTERING — the knn_graph consumer (row 180 names
+    * graph dedup as the artifact's purpose): keep only RECIPROCAL
+    * edges (both endpoints list each other — the similarity evidence
+    * one-directional kNN can fake when a hub vector is everyone's
+    * neighbor but reciprocates none of them), then label connected
+    * components over the mutual graph. Mutual-kNN components are the
+    * classic density-adaptive clustering (Brito et al. 1997): no
+    * global distance threshold, each vector's own neighborhood scale
+    * decides, so dense shards and sparse tails cluster on their own
+    * terms — the semantic grouping semdedup's fixed-C cells
+    * approximate.
+    *
+    * Scale shape: rides knnGraph's (cell, blk)-tiled candidate join,
+    * then the SHARED frontier-iterated connectedComponents over the
+    * mutual edge frame — at most n·k edges in, frontier-sized shuffles
+    * per round (the dedup_clusters discipline; singletons — vectors
+    * with no reciprocal neighbor — stay their own cluster). */
+  def knnGraphClusters(emb: DataFrame, k: Int = 5, numCentroids: Int = 16,
+                       nProbe: Int = 4, numBlocks: Int = 4): DataFrame = {
+    val pairs = knnGraph(emb, k, numCentroids, nProbe, numBlocks)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    Dedup.connectedComponents(
+        vectors(emb).select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("rep_id"),
+        col("cluster_size"), col("is_canonical"))
+  }
+
+  def knnGraphClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    knnGraphClusters(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- vector QC
 
   /** Embedding-table hygiene report, per label slice: row counts, the
@@ -1918,15 +1949,16 @@ object Similarity {
   /** knn_graph oracle: annIvfOracle's CTE chain with the probe set
     * widened to the WHOLE corpus, plus the reciprocal-edge self-join
     * for the mutual flag. */
-  private def knnGraphOracle(k: Int, numCentroids: Int,
-                             nProbe: Int): String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The kNN edge-frame CTE chain shared by the graph dump and the
+    * mutual-kNN clustering oracle. The corpus-sized cosine table and
+    * the edge frame are MATERIALIZED — the k-core lesson: a recursive
+    * consumer would otherwise replay the whole chain per reference. */
+  private def knnEdgesCtes(k: Int, numCentroids: Int, nProbe: Int): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
-       |ac AS (
+       |ac AS MATERIALIZED (
        | SELECT v.vec_id, c.cid,
-       |  round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
-       |   / (sqrt(list_sum(list_transform(v.e, x -> x*x)))
-       |      * sqrt(list_sum(list_transform(c.ce, x -> x*x)))), 6) AS ccos
+       |  ${cosSql("v.e", "c.ce")} AS ccos
        | FROM v CROSS JOIN cents c),
        |assigned AS (
        | SELECT vec_id, cid AS cell FROM (
@@ -1944,19 +1976,43 @@ object Similarity {
        |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
        |scored AS (
        | SELECT c.query_id, c.neighbor_id,
-       |  round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
-       |   / (sqrt(list_sum(list_transform(q.e, y -> y*y)))
-       |      * sqrt(list_sum(list_transform(x.e, y -> y*y)))), 6) AS cos
+       |  ${cosSql("q.e", "x.e")} AS cos
        | FROM cand c JOIN v q ON c.query_id = q.vec_id
        |  JOIN v x ON c.neighbor_id = x.vec_id),
-       |edges AS (
+       |edges AS MATERIALIZED (
        | SELECT query_id AS src, neighbor_id AS dst, cos, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY cos DESC, neighbor_id) AS rnk
-       |  FROM scored) WHERE rnk <= $k)
+       |  FROM scored) WHERE rnk <= $k)""".stripMargin
+
+  private def knnGraphOracle(k: Int, numCentroids: Int,
+                             nProbe: Int): String =
+    s"""WITH ${knnEdgesCtes(k, numCentroids, nProbe)}
        |SELECT e.src, e.dst, e.cos, e.rnk, (r.src IS NOT NULL) AS mutual
        |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
        |ORDER BY e.src, e.rnk""".stripMargin
+
+  /** knn_graph_clusters oracle: the shared edge chain, reciprocal
+    * filter, then min-label connected components as a recursive CTE
+    * (the dedup_clusters pattern over the mutual graph). */
+  private def knnGraphClustersOracle(k: Int, numCentroids: Int,
+                                     nProbe: Int): String =
+    s"""WITH RECURSIVE ${knnEdgesCtes(k, numCentroids, nProbe)},
+       |mut AS MATERIALIZED (
+       | SELECT e.src, e.dst FROM edges e
+       |  JOIN edges r ON r.src = e.dst AND r.dst = e.src
+       | WHERE e.src < e.dst),
+       |und AS (SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
+       |reach(n, l) AS (
+       | SELECT vec_id, vec_id FROM v
+       | UNION
+       | SELECT e.dst, r.l FROM reach r JOIN und e ON e.src = r.n),
+       |comp AS (SELECT n AS vec_id, min(l) AS rep_id FROM reach GROUP BY n),
+       |sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT c.vec_id, c.rep_id,
+       | CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       | c.vec_id = c.rep_id AS is_canonical
+       |FROM comp c JOIN sz USING (rep_id) ORDER BY vec_id""".stripMargin
 
   private def annIvfFromIndexOracle(numQueries: Int, k: Int,
                                     numCentroids: Int, nProbe: Int): String =
@@ -2155,6 +2211,8 @@ object Similarity {
     "ann_recall_trained" -> annRecallTrainedOracle(numQueries = 8, k = 5,
       numCentroids = 16, iters = 2, nProbes = Seq(1, 2, 4)),
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
+    "knn_graph_clusters" -> knnGraphClustersOracle(k = 5,
+      numCentroids = 16, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),

@@ -98,6 +98,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // generation is the (cell, blk) equi-join, mutuality a keyed
     // edge-frame self-join
     "knn_graph",
+    // inherits knn_graph's bounded centroid-cross shape; the mutual
+    // filter and CC rounds are keyed equi-joins on the edge frame
+    "knn_graph_clusters",
     // per-edge 1-row count scalars (n_rows/n_null × n_orphans)
     // crossed into the |edges|-row report; orphan detection itself is
     // a keyed left-anti join

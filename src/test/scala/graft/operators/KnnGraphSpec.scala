@@ -49,6 +49,48 @@ class KnnGraphSpec extends SparkSpec {
     assert(g.select("src").distinct().count() === emb.count())
   }
 
+  test("knnGraphClusters: partition covers every vector; labels are min-reachable") {
+    val out = Similarity.knnGraphClusters(emb, k = 3)
+      .select("vec_id", "rep_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length === emb.count())
+    // rep is the min member of its cluster, and sizes are consistent
+    val byRep = out.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep, "label must be the min member id")
+      assert(members.forall(_._3 === members.length.toLong))
+      assert(members.count(_._4) === 1, "exactly one canonical per cluster")
+    }
+  }
+
+  test("knnGraphClusters: a vector with no reciprocal edge is a singleton") {
+    val g = Similarity.knnGraph(emb, k = 3)
+      .select("src", "dst", "mutual").as[(Long, Long, Boolean)].collect()
+    val lonely = g.groupBy(_._1).collect {
+      case (src, edges) if edges.forall(!_._3) => src
+    }.toSet
+    val sizes = Similarity.knnGraphClusters(emb, k = 3)
+      .select("vec_id", "cluster_size").as[(Long, Long)].collect().toMap
+    lonely.foreach(v => assert(sizes(v) === 1L,
+      s"vector $v reciprocates nothing but landed in a cluster"))
+  }
+
+  test("knnGraphClusters: mutual components merge separated synthetic blobs correctly") {
+    // two orthogonal blobs: ids 0-3 near e1, ids 10-13 near e2 — the
+    // mutual graph cannot cross blobs, so components split exactly
+    val mk = (base: Int, ids: Seq[Long]) => ids.map { i =>
+      val v = Array.fill(4)(0.001f * i); v(base) = 1.0f
+      (i, v, base)
+    }
+    val d = (mk(0, Seq(0L, 1L, 2L, 3L)) ++ mk(1, Seq(10L, 11L, 12L, 13L)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnGraphClusters(d, k = 2, numCentroids = 2,
+        nProbe = 2)
+      .select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L, 3L).map(out) === Set(0L))
+    assert(Set(10L, 11L, 12L, 13L).map(out) === Set(10L))
+  }
+
   test("directed edges carry a descending-cosine rank per vertex") {
     val g = Similarity.knnGraph(emb, k = 3)
       .select("src", "rnk", "cos").as[(Long, Int, Double)].collect()
