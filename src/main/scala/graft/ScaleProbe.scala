@@ -41,6 +41,23 @@ object ScaleProbe {
       (perm, signs)
     }
 
+  /** Token co-occurrence edges under the REPLICA-LOCAL rule: the
+    * per-mille threshold is applied per copy slice (doc_id div 10^7,
+    * each slice against its OWN doc count), so corpus replication
+    * preserves every copy's edge set instead of diluting the global
+    * rate f-fold. On the 1x corpus this is exactly the standard rule
+    * (one slice). Copy token prefixes keep the unioned node spaces
+    * disjoint. */
+  private def perCopyTokenEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tags = docs.select(expr("doc_id div 10000000").as("c"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    tags.map { c =>
+        operators.GraphRank.tokenCooccurrence(
+          docs.filter(expr(s"doc_id div 10000000 = $c")))
+      }.reduce(_ unionByName _)
+  }
+
   private def replicate(spark: SparkSession, factor: Int): String = {
     val out = s"/tmp/graft_scale_f${factor}_v5"
     if (new java.io.File(s"$out/_done").exists()) return out
@@ -256,9 +273,18 @@ object ScaleProbe {
       // window/merge passes. zipf/heaps: constant-size outputs; the
       // prefixed replica vocab grows ~f-fold so both fits watch the
       // vocab-aggregate walls. span_corruption: map-only, rows linear.
-      // corpus_card: 10 rows always. token_kcore: the per-mille edge
-      // rule dilutes under replication (graph_scale's territory) but
-      // the peel loop must stay flat-walled. tau_sweep: pairs stay
+      // corpus_card: 10 rows always. token_kcore/triangles/
+      // communities (r12, verdict #5): the dir-based queries' edge
+      // rule references the GLOBAL doc count and dilutes f-fold under
+      // replication, so the standard probe now derives edges with the
+      // REPLICA-LOCAL rule — tokenCooccurrence per copy slice
+      // (doc_id div 10^7), each slice thresholded by its OWN doc
+      // count — and runs the REAL operators on the union: node rows
+      // must be exactly f x copy-0's and nonzero at 16x.
+      // event_pagerank runs dir-based: event types collapse across
+      // copies (weights scale f x uniformly, and rank ratios are
+      // invariant under uniform weight scaling) while per-user
+      // transition structure is copy-local. tau_sweep: pairs stay
       // within-copy, curve counts scale ~f. score_auc: 1 row, the
       // histogram cumulative bounded by distinct scores. norm_qc:
       // |labels|·f rows (replica offsets labels per copy).
@@ -268,7 +294,15 @@ object ScaleProbe {
       "heaps_fit"           -> (operators.CorpusStats.heapsFitQuery _),
       "span_corruption_plan" -> (operators.TextAnalysis.spanCorruptionPlanQuery _),
       "corpus_card"         -> (operators.CorpusStats.corpusCardQuery _),
-      "token_kcore"         -> (operators.GraphRank.tokenKcoreQuery _),
+      "token_kcore"         -> ((s: SparkSession, dir: String) =>
+        operators.GraphRank.kCore(
+          perCopyTokenEdges(s, dir).select("u", "v"), k = 15)),
+      "token_triangles"     -> ((s: SparkSession, dir: String) =>
+        operators.GraphRank.triangleCount(
+          perCopyTokenEdges(s, dir).select("u", "v"))),
+      "token_communities"   -> ((s: SparkSession, dir: String) =>
+        operators.GraphRank.labelPropagation(perCopyTokenEdges(s, dir))),
+      "event_pagerank"      -> (operators.GraphRank.eventPageRankQuery _),
       "tau_sweep"           -> (operators.Dedup.tauSweepQuery _),
       "score_auc_eval"      -> (operators.QualityModels.scoreAucEvalQuery _),
       "embed_norm_qc"       -> (operators.Similarity.embedNormQcQuery _),
@@ -444,14 +478,21 @@ object ScaleProbe {
     * within/cross copy (within must be ~f x the 1x run; cross is the
     * iid tail of in-cell pairs, a data property — see
     * cosineTailProbe). */
-  /** Triangle-count + label-propagation scaling on a TAG-replicated
-    * edge frame: copy-0's token co-occurrence edges duplicated f-fold
-    * into disjoint node spaces. This isolates the OPERATORS from the
-    * edge rule (whose per-mille rate deliberately dilutes under corpus
-    * replication — the scale-free property, not a bug): f disjoint
-    * copies of the same graph must yield exactly f× the node rows,
-    * f× the triangle total, and f× each community, with walls riding
-    * the linear edge volume. */
+  /** ALL FOUR graph operators (triangles, LPA, k-core, PageRank) on a
+    * TAG-replicated edge frame: copy-0's token co-occurrence edges
+    * duplicated f-fold into disjoint node spaces — the REPLICA-LOCAL
+    * absolute edge rule (r11 verdict #5). This isolates the OPERATORS
+    * from the per-mille edge rule (whose rate deliberately references
+    * the global doc count and so dilutes under corpus replication —
+    * the scale-free property, not a bug; under the standard replica
+    * the dir-based graph queries empty at f >= 4). f disjoint copies
+    * of the same graph must yield: f× the node rows and f× the
+    * triangle total; f× each community; f× the k-core membership
+    * (peeling never crosses copies); and for PageRank — whose teleport
+    * normalizes by the GLOBAL node count — per-node ranks shrink ~f×
+    * while the per-copy rank MULTISET stays identical across copies
+    * (distinct-rank count must not grow with f). Walls ride the
+    * linear edge volume. */
   private def graphScaleProbe(spark: SparkSession, f: Int): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val base = operators.GraphRank.tokenCooccurrence(docs).localCheckpoint()
@@ -470,10 +511,25 @@ object ScaleProbe {
       .agg(count(lit(1)).as("nodes"),
         countDistinct(col("community")).as("comms")).head()
     val lpaSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val kc = operators.GraphRank.kCore(edges.select("u", "v"), k = 15)
+      .agg(count(lit(1)).as("nodes"),
+        sum(when(col("in_core"), 1L).otherwise(0L)).as("in_core")).head()
+    val kcSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val pr = operators.GraphRank.pageRank(edges)
+      .agg(count(lit(1)).as("nodes"),
+        countDistinct(col("rank_micro")).as("dranks"),
+        sum(col("rank_micro")).as("mass")).head()
+    val prSec = (System.nanoTime() - t0) / 1e9
     println(f"[graph_scale] factor=$f%-3d triangles: nodes=${tri.getLong(0)} " +
       f"sum3x=${tri.getLong(1)} ${triSec}%6.2fs | " +
       f"lpa: nodes=${lpa.getLong(0)} communities=${lpa.getLong(1)} " +
-      f"${lpaSec}%6.2fs")
+      f"${lpaSec}%6.2fs | " +
+      f"kcore15: nodes=${kc.getLong(0)} in_core=${kc.getLong(1)} " +
+      f"${kcSec}%6.2fs | " +
+      f"pagerank: nodes=${pr.getLong(0)} dranks=${pr.getLong(1)} " +
+      f"mass=${pr.getLong(2)} ${prSec}%6.2fs")
   }
 
   private def semdedupCellsProbe(spark: SparkSession, f: Int): Unit = {
