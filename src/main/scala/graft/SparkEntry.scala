@@ -195,6 +195,8 @@ object SparkEntry {
     "ann_ivf_topk"           -> (Similarity.annIvfTopKQuery _),
     "ann_ivf_topk_trained"   -> (Similarity.annIvfTopKTrainedQuery _),
     "knn_graph_clusters"     -> (Similarity.knnGraphClustersQuery _),
+    "knn_graph_refine"       -> (Similarity.knnGraphRefineQuery _),
+    "knn_refine_recall"      -> (Similarity.knnRefineRecallQuery _),
     "ann_recall_trained"     -> (Similarity.annRecallTrainedQuery _),
     "embed_quantize_int8"    -> (Similarity.quantizeInt8Query _),
     "embed_project_srp"      -> (Similarity.embedProjectSrpQuery _),

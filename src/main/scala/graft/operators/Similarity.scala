@@ -1364,6 +1364,71 @@ object Similarity {
   def knnGraphClustersQuery(spark: SparkSession, dir: String): DataFrame =
     knnGraphClusters(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
+  /** One NN-DESCENT refinement round over the IVF-bounded kNN graph
+    * (Dong, Charikar & Li 2011: a neighbor of a neighbor is likely a
+    * neighbor): candidate set per vertex = its current neighbors ∪
+    * REVERSE neighbors ∪ two-hop neighbors, rescored exactly and
+    * re-ranked top-k. Recovers true neighbors the cell-bounded
+    * candidate generation missed — an edge crossing a cell boundary
+    * is reachable through any shared neighbor — WITHOUT touching the
+    * corpus-pair space: candidates are ≤ n·k(k+2) rows from keyed
+    * self-joins of the n·k edge frame, deterministic (no sampling),
+    * and one round is the measured sweet spot (knnRefineRecall).
+    *
+    * Scale shape: the edge frame localCheckpoints once (n·k rows); the
+    * two-hop expansion and both vector joins are keyed equi-joins —
+    * no broadcast of anything corpus-sized, no windows over hot keys
+    * (per-vertex candidate groups are ≤ k(k+2)). */
+  def knnGraphRefine(emb: DataFrame, k: Int = 5, numCentroids: Int = 16,
+                     nProbe: Int = 4, numBlocks: Int = 4): DataFrame = {
+    val base = knnGraph(emb, k, numCentroids, nProbe, numBlocks)
+      .select("src", "dst").localCheckpoint()
+    val rev = base.select(col("dst").as("src"), col("src").as("dst"))
+    val hop2 = base.toDF("src", "mid")
+      .join(base.toDF("mid", "dst"), "mid")
+      .select("src", "dst")
+    val cand = base.unionByName(rev).unionByName(hop2)
+      .filter(col("src") =!= col("dst")).distinct()
+    val v = vectors(emb)
+    val scored = cand
+      .join(v.toDF("src", "es"), "src")
+      .join(v.toDF("dst", "ed"), "dst")
+      .select(col("src").as("query_id"), col("dst").as("vec_id"),
+        round(CosineSimilarity(col("es"), col("ed")), 6).as("cos"))
+    topK(scored, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cos"), col("rnk"))
+  }
+
+  def knnGraphRefineQuery(spark: SparkSession, dir: String): DataFrame =
+    knnGraphRefine(Tables.embeddings(spark, dir))
+      .orderBy(col("src"), col("rnk"))
+
+  /** Edge-set recall of the IVF-bounded graph vs one NN-Descent round,
+    * against the exhaustive exact kNN graph — the uplift measurement
+    * that justifies (or refutes) the refinement pass at equal k. Truth
+    * is knnGraph at nProbe = C, which is spec-pinned ≡ brute force.
+    * Output: one row per stage with hits over n·k true edges. */
+  def knnRefineRecall(emb: DataFrame, k: Int = 5, numCentroids: Int = 16,
+                      nProbe: Int = 4): DataFrame = {
+    val truth = knnGraph(emb, k, numCentroids, numCentroids)
+      .select(col("src"), col("dst"), lit(true).as("hit"))
+    val staged = knnGraph(emb, k, numCentroids, nProbe)
+      .select(lit("ivf").as("stage"), col("src"), col("dst"))
+      .unionByName(knnGraphRefine(emb, k, numCentroids, nProbe)
+        .select(lit("refined").as("stage"), col("src"), col("dst")))
+    val nRow = vectors(emb).agg(count(lit(1)).as("n_vec"))
+    staged.join(truth, Seq("src", "dst"), "left")
+      .groupBy("stage")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nRow))
+      .select(col("stage"), col("hits"), col("n_vec"),
+        expr(s"(10000 * hits) div (n_vec * $k)").as("recall_bp"))
+  }
+
+  def knnRefineRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    knnRefineRecall(Tables.embeddings(spark, dir)).orderBy(col("stage"))
+
   // ---------------------------------------------------------------- vector QC
 
   /** Embedding-table hygiene report, per label slice: row counts, the
@@ -1992,6 +2057,61 @@ object Similarity {
        |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
        |ORDER BY e.src, e.rnk""".stripMargin
 
+  /** The NN-Descent one-round expansion CTEs — candidate set per
+    * vertex (neighbors ∪ reverse ∪ two-hop), exact rescore, top-k
+    * re-rank. Assumes [[knnEdgesCtes]]' `v` and `edges`. */
+  private def refinedEdgesCtes(k: Int): String =
+    s"""cnd AS (
+       | SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT dst, src FROM edges
+       |  UNION ALL SELECT a.src, b.dst FROM edges a
+       |   JOIN edges b ON a.dst = b.src
+       | ) WHERE src <> dst),
+       |rsc AS MATERIALIZED (
+       | SELECT c.src, c.dst,
+       |  ${cosSql("q.e", "x.e")} AS cos
+       | FROM cnd c JOIN v q ON c.src = q.vec_id
+       |  JOIN v x ON c.dst = x.vec_id),
+       |refined AS (
+       | SELECT src, dst, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src
+       |                               ORDER BY cos DESC, dst) AS rnk
+       |  FROM rsc) WHERE rnk <= $k)""".stripMargin
+
+  private def knnRefineOracle(k: Int, numCentroids: Int,
+                              nProbe: Int): String =
+    s"""WITH ${knnEdgesCtes(k, numCentroids, nProbe)},
+       |${refinedEdgesCtes(k)}
+       |SELECT src, dst, cos, rnk FROM refined ORDER BY src, rnk""".stripMargin
+
+  /** knn_refine_recall oracle: ivf and refined edge sets vs the
+    * EXHAUSTIVE exact kNN graph (all-pairs top-k — the truth the
+    * nProbe=C boundary spec pins on the Spark side). */
+  private def knnRefineRecallOracle(k: Int, numCentroids: Int,
+                                    nProbe: Int): String =
+    s"""WITH ${knnEdgesCtes(k, numCentroids, nProbe)},
+       |${refinedEdgesCtes(k)},
+       |truth AS MATERIALIZED (
+       | SELECT src, dst FROM (
+       |  SELECT q.vec_id AS src, x.vec_id AS dst,
+       |   ${cosSql("q.e", "x.e")} AS cos,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v q JOIN v x ON q.vec_id <> x.vec_id) WHERE rnk <= $k),
+       |st AS (SELECT 'ivf' AS stage, src, dst FROM edges
+       | UNION ALL SELECT 'refined', src, dst FROM refined),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM v)
+       |SELECT st.stage,
+       | CAST(sum(CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | nv.n_vec,
+       | (10000 * CAST(sum(CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // (nv.n_vec * $k) AS recall_bp
+       |FROM st LEFT JOIN truth t ON t.src = st.src AND t.dst = st.dst
+       | CROSS JOIN nv
+       |GROUP BY 1, nv.n_vec ORDER BY 1""".stripMargin
+
   /** knn_graph_clusters oracle: the shared edge chain, reciprocal
     * filter, then min-label connected components as a recursive CTE
     * (the dedup_clusters pattern over the mutual graph). */
@@ -2213,6 +2333,10 @@ object Similarity {
     "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
     "knn_graph_clusters" -> knnGraphClustersOracle(k = 5,
       numCentroids = 16, nProbe = 4),
+    "knn_graph_refine" -> knnRefineOracle(k = 5, numCentroids = 16,
+      nProbe = 4),
+    "knn_refine_recall" -> knnRefineRecallOracle(k = 5, numCentroids = 16,
+      nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),

@@ -101,6 +101,11 @@ class PlanPropertiesSpec extends SparkSpec {
     // inherits knn_graph's bounded centroid-cross shape; the mutual
     // filter and CC rounds are keyed equi-joins on the edge frame
     "knn_graph_clusters",
+    // same bounded shape; NN-Descent expansion and rescore are keyed
+    // equi-joins over the n·k edge frame
+    "knn_graph_refine",
+    // composes the above plus the 1-row n_vec scalar cross
+    "knn_refine_recall",
     // per-edge 1-row count scalars (n_rows/n_null × n_orphans)
     // crossed into the |edges|-row report; orphan detection itself is
     // a keyed left-anti join

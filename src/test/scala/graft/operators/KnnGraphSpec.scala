@@ -91,6 +91,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(Set(10L, 11L, 12L, 13L).map(out) === Set(10L))
   }
 
+  test("knnGraphRefine: candidates are a superset, so recall never drops") {
+    // top-k from a candidate SUPERSET can only gain true edges: any
+    // true-top-k edge surviving the base selection also survives the
+    // refined one (at most k-1 vectors beat it globally)
+    val out = Similarity.knnRefineRecall(emb, k = 3, numCentroids = 8,
+        nProbe = 2)
+      .select("stage", "hits").as[(String, Long)].collect().toMap
+    assert(out("refined") >= out("ivf"))
+  }
+
+  test("knnGraphRefine: refining the exact graph is a fixpoint") {
+    // base at nProbe = C is the exact graph; NN-Descent over it must
+    // return the same edge set (no true neighbor left to discover)
+    val base = Similarity.knnGraph(emb, k = 3, numCentroids = 4, nProbe = 4)
+      .select("src", "dst", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refined = Similarity.knnGraphRefine(emb, k = 3, numCentroids = 4,
+        nProbe = 4)
+      .select("src", "dst", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refined === base)
+  }
+
+  test("knnGraphRefine: still exactly k ranked edges per vertex") {
+    val g = Similarity.knnGraphRefine(emb, k = 2, numCentroids = 4,
+      nProbe = 4)
+    val counts = g.groupBy("src").count().select("count").as[Long].collect()
+    assert(counts.forall(_ === 2L))
+    assert(g.select("src").distinct().count() === emb.count())
+  }
+
   test("directed edges carry a descending-cosine rank per vertex") {
     val g = Similarity.knnGraph(emb, k = 3)
       .select("src", "rnk", "cos").as[(Long, Int, Double)].collect()
