@@ -1380,9 +1380,17 @@ object Similarity {
     * no broadcast of anything corpus-sized, no windows over hot keys
     * (per-vertex candidate groups are ≤ k(k+2)). */
   def knnGraphRefine(emb: DataFrame, k: Int = 5, numCentroids: Int = 16,
-                     nProbe: Int = 4, numBlocks: Int = 4): DataFrame = {
-    val base = knnGraph(emb, k, numCentroids, nProbe, numBlocks)
-      .select("src", "dst").localCheckpoint()
+                     nProbe: Int = 4, numBlocks: Int = 4): DataFrame =
+    knnGraphRefineFrom(emb,
+      knnGraph(emb, k, numCentroids, nProbe, numBlocks)
+        .select("src", "dst").localCheckpoint(), k)
+
+  /** The refinement round over an ALREADY-built (src, dst) edge frame
+    * — exposed so evaluators sharing the base graph (knnRefineRecall)
+    * refine the same materialized edges instead of rebuilding the IVF
+    * chain. */
+  private[graft] def knnGraphRefineFrom(emb: DataFrame, base: DataFrame,
+                                        k: Int): DataFrame = {
     val rev = base.select(col("dst").as("src"), col("src").as("dst"))
     val hop2 = base.toDF("src", "mid")
       .join(base.toDF("mid", "dst"), "mid")
@@ -1413,9 +1421,13 @@ object Similarity {
                       nProbe: Int = 4): DataFrame = {
     val truth = knnGraph(emb, k, numCentroids, numCentroids)
       .select(col("src"), col("dst"), lit(true).as("hit"))
-    val staged = knnGraph(emb, k, numCentroids, nProbe)
+    // ONE base-graph build: the ivf stage and the refinement both read
+    // the same materialized edge frame
+    val base = knnGraph(emb, k, numCentroids, nProbe)
+      .select("src", "dst").localCheckpoint()
+    val staged = base
       .select(lit("ivf").as("stage"), col("src"), col("dst"))
-      .unionByName(knnGraphRefine(emb, k, numCentroids, nProbe)
+      .unionByName(knnGraphRefineFrom(emb, base, k)
         .select(lit("refined").as("stage"), col("src"), col("dst")))
     val nRow = vectors(emb).agg(count(lit(1)).as("n_vec"))
     staged.join(truth, Seq("src", "dst"), "left")
