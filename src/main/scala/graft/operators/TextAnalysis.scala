@@ -170,12 +170,17 @@ object TextAnalysis {
     * count over it (the bigram_surprisal discipline: every derived
     * statistic comes FROM the count table, never a corpus rescan — the
     * trigram explode is the largest intermediate in the pipeline and
-    * is materialized exactly once). The model collapses to ONE
-    * broadcast row of per-language tri→micro maps (the lm_surprisal
-    * trick — V·|langs| entries, model-sized), so CLASSIFICATION is
-    * map-only: trigrams, five in-row fold lookups, and the argmin —
-    * zero corpus-sized shuffles on the scoring path. Total corpus
-    * scans: 2 (train + classify). */
+    * is materialized exactly once). The model collapses to a
+    * BROADCAST vocab-wide score table (V rows × |langs| columns, all
+    * floors pre-substituted so lookups never branch), and
+    * CLASSIFICATION is the codegen path: trigram explode → broadcast
+    * hash join → map-side-combined per-doc sum columns → in-row
+    * argmin. The r12 rework replaced five interpreted per-trigram map
+    * folds with this join (the classify stage was 60% of the wall at
+    * sf0.1 — interpreted HOF probes, the round-5 ANN lesson applied
+    * to the scorer); the one exchange carries doc-sized partial sums
+    * (n×5 longs), never the trigram stream. Total corpus scans: 2
+    * (train + classify). */
   def langIdNgram(docs: DataFrame): DataFrame = {
     val tri3 = expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
     val eligible = docs.filter(length(col("text")) >= 3)
@@ -188,10 +193,6 @@ object TextAnalysis {
       .select(col("lang"), col("s3"),
         round((log(col("cnt") + 1) - log(col("tot") + col("vsz")))
           * lit(1000000.0d)).cast("long").as("sv"))
-    val mCols = langList.map(l => map_from_entries(collect_list(
-      when(col("lang") === l, struct(col("s3"), col("sv"))))).as(s"m_$l"))
-    val modelRow = sv.groupBy(lit(1).as("g"))
-      .agg(mCols.head, mCols.tail: _*).drop("g")
     val fCols = langList.map(l =>
       max(when(col("lang") === l, col("fv"))).as(s"f_$l"))
     val floorRow = tots.crossJoin(broadcast(vsz))
@@ -200,23 +201,38 @@ object TextAnalysis {
           * lit(1000000.0d)).cast("long").as("fv"))
       .groupBy(lit(1).as("g"))
       .agg(fCols.head, fCols.tail: _*).drop("g")
-    val scored = eligible
-      .select(col("doc_id"), col("lang").as("true_lang"), tri3.as("tris"))
-      .crossJoin(broadcast(modelRow))
+    // vocab-wide score table, one row per trigram, one column per
+    // language, floors substituted where a language never saw the
+    // trigram — so the classify join needs no per-row branching.
+    // A language absent from training has NULL floor AND NULL sv:
+    // its column stays all-NULL, the per-doc sum is NULL, and the
+    // argmin ranks it last (the oracle's inner join on floors
+    // equivalently never lets an untrained language win).
+    val vCols = langList.map(l =>
+      max(when(col("lang") === l, col("sv"))).as(s"v_$l"))
+    val svw = sv.groupBy("s3")
+      .agg(vCols.head, vCols.tail: _*)
       .crossJoin(broadcast(floorRow))
-    val scoreCols = langList.map { l =>
-      aggregate(col("tris"), lit(0L),
-        (acc, t) => acc + coalesce(element_at(col(s"m_$l"), t), col(s"f_$l")))
-        .as(s"sc_$l")
-    }
-    // a language absent from the training data has a NULL floor and
-    // therefore a NULL score: rank it LAST (the oracle's inner join on
-    // floors equivalently never lets an untrained language win)
+      .select(col("s3") +: langList.map(l =>
+        coalesce(col(s"v_$l"), col(s"f_$l")).as(s"sv_$l")): _*)
+    val sumCols = langList.map(l => sum(col(s"sv_$l")).as(s"sc_$l"))
+    val scored = eligible
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(tri3).as("s3"))
+      .join(broadcast(svw), Seq("s3"), "left")
+      .crossJoin(broadcast(floorRow))
+      // an UNSEEN trigram (not in any language's training stream)
+      // scores every language's floor — same value the fold's
+      // element_at-miss branch produced
+      .select(col("doc_id") +: col("true_lang") +: langList.map(l =>
+        coalesce(col(s"sv_$l"), col(s"f_$l")).as(s"sv_$l")): _*)
+      .groupBy("doc_id", "true_lang")
+      .agg(sumCols.head, sumCols.tail: _*)
     val best = array_min(array(langList.map(l =>
       struct(when(col(s"sc_$l").isNull, lit(Long.MaxValue))
           .otherwise(lit(0L) - col(s"sc_$l")).as("ns"),
         lit(l).as("lg"))): _*))
-    scored.select(col("doc_id") +: col("true_lang") +: scoreCols: _*)
+    scored
       .select(col("doc_id"), col("true_lang"), best.getField("lg").as("pred_lang"))
       .withColumn("correct", col("pred_lang") === col("true_lang"))
   }
