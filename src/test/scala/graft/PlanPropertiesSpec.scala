@@ -143,17 +143,23 @@ class PlanPropertiesSpec extends SparkSpec {
     val budgets = try src.getLines().filter(_.nonEmpty).map { l =>
       val Array(n, c) = l.split(" "); n -> c.toInt
     }.toMap finally src.close()
-    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val n = ScanBudgetGen.scanCount(fn(spark, dir))
-      budgets.get(name) match {
-        case None => Some(s"$name: NO BUDGET recorded ($n scans) — run " +
-          "sbt \"Test/runMain graft.ScanBudgetGen\"")
-        case Some(b) if n > b => Some(s"$name: $n scans > budget $b " +
-          "(replicated subtree? missing localCheckpoint on a reused frame?)")
-        case _ => None
-      }
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> ScanBudgetGen.scanCount(fn(spark, dir))
     }
+    val over = ScanBudgetGen.violations(counts, budgets)
     assert(over.isEmpty, over.mkString("\n"))
+  }
+
+  test("scan budget gate: a deliberate exceed fails naming the query") {
+    val budgets = Map("ok_query" -> 2, "hot_query" -> 3)
+    val over = ScanBudgetGen.violations(
+      Seq("ok_query" -> 2, "hot_query" -> 7, "new_query" -> 1), budgets)
+    assert(over.length === 2)
+    assert(over.exists(m => m.startsWith("hot_query:") &&
+      m.contains("7 scans > budget 3")))
+    assert(over.exists(_.startsWith("new_query: NO BUDGET")))
+    assert(ScanBudgetGen.violations(Seq("ok_query" -> 1), budgets).isEmpty,
+      "a count under budget (an improvement) must not fail the gate")
   }
 
   test("no unbounded nested-loop or cartesian join in any registered query") {

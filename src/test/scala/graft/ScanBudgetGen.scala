@@ -19,6 +19,22 @@ object ScanBudgetGen {
       .findAllIn(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)).size
 
+  /** The budget rule, factored out so the failure path itself is
+    * unit-testable: a measured count above its recorded budget — or a
+    * query with no budget at all — returns a violation message naming
+    * the query. Empty result = gate passes. */
+  def violations(counts: Seq[(String, Int)],
+                 budgets: Map[String, Int]): Seq[String] =
+    counts.flatMap { case (name, n) =>
+      budgets.get(name) match {
+        case None => Some(s"$name: NO BUDGET recorded ($n scans) — run " +
+          "sbt \"Test/runMain graft.ScanBudgetGen\"")
+        case Some(b) if n > b => Some(s"$name: $n scans > budget $b " +
+          "(replicated subtree? missing localCheckpoint on a reused frame?)")
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1)
