@@ -314,7 +314,28 @@ object ScaleProbe {
       // copy's geometry is copy 0's under an orthogonal transform —
       // flags and cosc values must replicate exactly f-fold.
       "rate_spikes"         -> (operators.Timeseries.rateSpikesQuery _),
-      "embed_centroid_outliers" -> (operators.CorpusStats.centroidOutliersQuery _))
+      "embed_centroid_outliers" -> (operators.CorpusStats.centroidOutliersQuery _),
+      // r12. trained IVF: the exact-integer Lloyd pass is corpus×C
+      // per iteration (linear — C fixed, assignment map-side) and the
+      // served output stays the constant 24 rows; wall rides the two
+      // training scans (measured flat ~4s at 16x). recall_trained:
+      // constant 6 rows. knn family: graph rows exactly n·k (linear —
+      // measured 2000/8000/32000 for clusters, n·k for refine);
+      // cross-copy MUTUAL edges require reciprocal top-k membership
+      // through the orthogonal-transform cosine tail, so components
+      // stay ~copy-local; refine's candidate frame is bounded by
+      // n·k(k+2); refine_recall constant 2 rows. WALLS at fixed C=16
+      // ride the f² candidate volume (nProbe·n/C per vertex × n
+      // vertices — measured 7.3/9.2/66.8s for clusters at 1/4/16x):
+      // the same fixed-C regime semdedup_cells measures, and the same
+      // remedy — C grows with the corpus (C=16f keeps cells constant-
+      // sized and the volume linear). Rows are the correctness probe;
+      // the C knob is the wall's scale story.
+      "ann_ivf_topk_trained" -> (operators.Similarity.annIvfTopKTrainedQuery _),
+      "ann_recall_trained"  -> (operators.Similarity.annRecallTrainedQuery _),
+      "knn_graph_clusters"  -> (operators.Similarity.knnGraphClustersQuery _),
+      "knn_graph_refine"    -> (operators.Similarity.knnGraphRefineQuery _),
+      "knn_refine_recall"   -> (operators.Similarity.knnRefineRecallQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
