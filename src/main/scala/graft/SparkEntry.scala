@@ -175,6 +175,7 @@ object SparkEntry {
     "benchmark_decontam"     -> (Dedup.decontaminateQuery _),
     "decontam_report"        -> (Dedup.decontamReportQuery _),
     "decontam_bloom"         -> (Dedup.decontaminateBloomQuery _),
+    "decontam_spans"         -> (Dedup.decontamSpansQuery _),
     "incremental_dedup"      -> (Dedup.incrementalDedupQuery _),
     "segment_dedup"          -> (Dedup.segmentDedupQuery _),
     "dup_spans"              -> (Dedup.dupSpansQuery _),

@@ -1475,6 +1475,67 @@ object Dedup {
     dupSpansExact(Tables.documents(spark, dir), w = 8)
       .orderBy(col("doc_id"), col("s"), col("e"))
 
+  /** SPAN-LEVEL contamination audit — the published n-gram-RUN rule
+    * (GPT-3's decontamination, Brown et al. 2020 Appendix C, measured
+    * overlap by 13-gram collisions): where the set-overlap decontam
+    * family answers "does this doc share ANY shingles with a
+    * benchmark item", this reports HOW MUCH verbatim run — per
+    * (corpus doc, benchmark item) pair, maximal diagonal runs of
+    * consecutive matched w-token windows (the dup_spans_exact
+    * construction applied across the corpus/benchmark split: a run of
+    * r consecutive window matches at one alignment = r + w − 1
+    * verbatim tokens), keeping pairs whose longest run reaches
+    * `minRunTokens` (default 13). Output one row per contaminated
+    * pair: run count at threshold, the max run length, and the WORST
+    * run's corpus-side token span [s, e] (ties break to smallest s,
+    * then smallest alignment) — directly actionable for span redaction
+    * instead of whole-doc deletion.
+    *
+    * Scale shape: benchmark windows are MODEL-SIZED (eval suites,
+    * not corpora) and broadcast; the corpus window stream meets them
+    * in a map-side hash join on the window hash, so only true matches
+    * ever reach an exchange; the gaps-and-islands window partitions
+    * by (pair, alignment) — match-bounded groups, never a corpus-
+    * sized or hot-hash partition. */
+  def decontamSpans(corpus: DataFrame, benchmark: DataFrame, w: Int = 8,
+                    minRunTokens: Int = 13): DataFrame = {
+    require(w >= 2 && minRunTokens >= w,
+      s"need window >= 2 and minRunTokens >= w, got w=$w min=$minRunTokens")
+    val cw = windowHashes(corpus, w)
+      .select(col("doc_id").as("corpus_id"), col("p"), col("h"))
+    val bw = windowHashes(benchmark, w)
+      .select(col("doc_id").as("bench_id"), col("p").as("pb"),
+        col("h").as("hb"))
+    val byDiag = W.partitionBy(col("corpus_id"), col("bench_id"), col("diag"))
+      .orderBy(col("p"))
+    val runs = cw.join(broadcast(bw), col("h") === col("hb"))
+      .withColumn("diag", col("pb") - col("p"))
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDiag) === 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byDiag))
+      .groupBy(col("corpus_id"), col("bench_id"), col("diag"), col("g"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + w - 1).as("e"))
+      .withColumn("run_tokens", col("e") - col("s") + 1)
+      .filter(col("run_tokens") >= minRunTokens)
+    runs
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).as("max_run_tokens"),
+        max_by(struct(col("s"), col("e")),
+          struct(col("run_tokens"), (lit(0L) - col("s")).as("ns"),
+            (lit(0L) - col("diag")).as("nd"))).as("worst"))
+      .select(col("corpus_id"), col("bench_id"), col("n_runs"),
+        col("max_run_tokens"), col("worst.s").as("s"), col("worst.e").as("e"))
+  }
+
+  def decontamSpansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontamSpans(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+      .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** Ground-truth all-pairs trigram Jaccard (the oracle MAY be O(n²);
@@ -1900,6 +1961,49 @@ object Dedup {
     // keep df >= 2, reduce to containment-maximal intervals — an
     // INDEPENDENT algorithm from the engine's diagonal-run
     // construction (the oracle may be O(n·len²); the engine is not)
+    // the same diagonal gaps-and-islands as the operator, on raw
+    // window substrings (md5 is injective here modulo collisions —
+    // the dup_spans_exact precedent), across the %50 benchmark split
+    "decontam_spans" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text,' ') AS wl,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  array_to_string(list_slice(wl, i, i + 7), ' ') AS sub
+        | FROM toks, UNNEST(range(1, n - 8 + 2)) t(i)),
+        |m AS (
+        | SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  c.p, b.p - c.p AS diag
+        | FROM wins c JOIN wins b ON c.sub = b.sub
+        | WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+        |r AS (
+        | SELECT *, CASE WHEN p - lag(p) OVER (PARTITION BY corpus_id,
+        |   bench_id, diag ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk
+        | FROM m),
+        |g AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY corpus_id, bench_id, diag
+        |   ORDER BY p) AS grp
+        | FROM r),
+        |runs AS (
+        | SELECT corpus_id, bench_id, diag,
+        |  min(p) AS s, max(p) + 7 AS e, max(p) + 7 - min(p) + 1 AS run_tokens
+        | FROM g GROUP BY corpus_id, bench_id, diag, grp),
+        |f AS (SELECT * FROM runs WHERE run_tokens >= 13),
+        |pick AS (
+        | SELECT *, row_number() OVER (PARTITION BY corpus_id, bench_id
+        |   ORDER BY run_tokens DESC, s ASC, diag ASC) AS rn
+        | FROM f),
+        |agg AS (
+        | SELECT corpus_id, bench_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+        | FROM f GROUP BY 1, 2)
+        |SELECT a.corpus_id, a.bench_id, a.n_runs, a.max_run_tokens,
+        | CAST(p.s AS BIGINT) AS s, CAST(p.e AS BIGINT) AS e
+        |FROM agg a JOIN pick p ON p.corpus_id = a.corpus_id
+        | AND p.bench_id = a.bench_id AND p.rn = 1
+        |ORDER BY a.corpus_id, a.bench_id""".stripMargin,
     "dup_spans_exact" ->
       """WITH toks AS (
         | SELECT doc_id, string_split(text,' ') AS w,

@@ -397,6 +397,42 @@ class DedupSpec extends SparkSpec {
     assert(out("books") === (("books", 1L, 0L, 8L, 0L, 0L)))
   }
 
+  test("decontamSpans: flags a 13+-token verbatim run with its exact corpus span") {
+    val quote = (1 to 15).map(i => s"q$i").mkString(" ")   // 15-token bench span
+    val corpus = Seq(
+      (1L, s"lead in words $quote and a tail"),             // quote at tokens 4..18
+      (2L, "nothing shared with the benchmark here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$quote benchmark suffix")).toDF("doc_id", "text")
+    val out = Dedup.decontamSpans(corpus, bench, w = 8, minRunTokens = 13)
+      .select("corpus_id", "bench_id", "n_runs", "max_run_tokens", "s", "e")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 100L, 1L, 15L, 4L, 18L)))
+  }
+
+  test("decontamSpans: a run below minRunTokens is NOT contamination") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")    // 12 < 13 tokens
+    val corpus = Seq((1L, s"start $quote end")).toDF("doc_id", "text")
+    val bench = Seq((100L, s"$quote more")).toDF("doc_id", "text")
+    assert(Dedup.decontamSpans(corpus, bench, w = 8, minRunTokens = 13)
+      .count() === 0L)
+    // the SAME pair at threshold 12 is flagged: the rule is the knob
+    assert(Dedup.decontamSpans(corpus, bench, w = 8, minRunTokens = 12)
+      .count() === 1L)
+  }
+
+  test("decontamSpans: separate runs in one pair count apart, worst span wins") {
+    val r1 = (1 to 14).map(i => s"a$i").mkString(" ")
+    val r2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$r1 xx yy zz $r2")).toDF("doc_id", "text")  // r1 at 1..14, r2 at 18..37
+    val bench = Seq((100L, s"$r1 unrelated middle $r2")).toDF("doc_id", "text")
+    val out = Dedup.decontamSpans(corpus, bench, w = 8, minRunTokens = 13)
+      .select("n_runs", "max_run_tokens", "s", "e")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((2L, 20L, 18L, 37L)))
+  }
+
   test("dupSpans: docs shorter than the window report zero with correct n_tokens") {
     val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a b c d e")
     val out = Dedup.dupSpans(d, w = 4, minDf = 2)
