@@ -132,6 +132,7 @@ object SparkEntry {
     "upsample_mixture"       -> (TextAnalysis.upsampleMixtureQuery _),
     "stratified_sample"      -> (TextAnalysis.stratifiedSampleQuery _),
     "holdout_split"          -> (TextAnalysis.holdoutSplitQuery _),
+    "weighted_sample"        -> (TextAnalysis.weightedSampleQuery _),
     "shuffle_shards"         -> (TextAnalysis.shuffleShardsQuery _),
     "corpus_prep"            -> (CorpusPrep.corpusPrepQuery _),
     "bm25_topk"              -> (Retrieval.bm25TopKQuery _),

@@ -798,6 +798,41 @@ object TextAnalysis {
   def holdoutSplitQuery(spark: SparkSession, dir: String): DataFrame =
     holdoutSplit(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis 2006 exponential race: each doc draws
+    * u ∈ (0, 1] from the family's md5 bucket ((bucket+1)/2^32 — exact
+    * in double, no RNG state) and races with priority −ln(u)/w; the n
+    * SMALLEST priorities win, which selects proportionally to weight
+    * w without replacement — the principled way to thin a corpus
+    * toward quality (w here = the alpha-ratio quality score + 1)
+    * while every doc keeps a nonzero, weight-proportional chance.
+    * Unlike temperature_sample (per-SOURCE reweighting) this races
+    * DOCUMENTS; unlike stratifiedSample (per-stratum uniform thinning)
+    * the keep decision is weight-graded. Priorities round once to
+    * integer pico units (pinned op order: ln → ×10^12 → /w → round),
+    * ties break on doc_id — bit-stable across engines and runs, and a
+    * doc's priority never changes as the corpus grows.
+    *
+    * Scale shape: scoring is MAP-ONLY; the global top-n plans as
+    * TakeOrderedAndProject (per-partition heaps, no full sort
+    * shuffle); the rank window runs over the n-row RESULT only. */
+  def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
+    require(n >= 1)
+    val scored = docs.select(col("doc_id"), col("source"),
+        expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text) + 1")
+          .as("w_bp"))
+      .withColumn("priority",
+        round((lit(0.0d) - log((sampleBucket + 1).cast("double")
+            / lit(4294967296.0d)))
+          * lit(1.0e12d) / col("w_bp")).cast("long"))
+    val wr = W.orderBy(col("priority").asc, col("doc_id"))
+    scored.orderBy(col("priority").asc, col("doc_id")).limit(n)
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+  }
+
+  def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir)).orderBy(col("rnk"))
+
   /** Deterministic global training-order shuffle + shard assignment:
     * every doc gets a dense permutation index 0..n−1 in md5-key order
     * (full digest of the family's md5(doc_id) derivation; doc_id
@@ -1198,6 +1233,24 @@ object TextAnalysis {
          | FROM documents)
          |WHERE bucket < $sampleCaseSql
          |ORDER BY doc_id""".stripMargin,
+    // the identical exponential race in SQL: same bucket, same pinned
+    // op order (ln -> x1e12 -> /w -> round), same tie rule
+    "weighted_sample" ->
+      s"""WITH p AS (
+         | SELECT doc_id, source,
+         |  (10000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
+         |    // length(text) + 1 AS w_bp,
+         |  $sampleBucketSql AS bucket
+         | FROM documents),
+         |pr AS (
+         | SELECT doc_id, source, w_bp,
+         |  CAST(round((0 - ln((bucket + 1) / 4294967296.0))
+         |    * 1000000000000.0 / w_bp) AS BIGINT) AS priority
+         | FROM p),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |   ORDER BY priority ASC, doc_id) AS BIGINT) AS rnk FROM pr)
+         |SELECT doc_id, source, w_bp, priority, rnk FROM r
+         |WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "holdout_split" ->
       s"""SELECT doc_id, lang, source,
          | CASE WHEN b < ${4294967296L * 80 / 100} THEN 'train'

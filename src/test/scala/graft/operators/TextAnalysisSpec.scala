@@ -366,4 +366,48 @@ class TextAnalysisSpec extends SparkSpec {
     val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
     assert(sizes(0L) === 64 && sizes(4L) === 44)
   }
+
+  test("weightedSample: priorities are the exact exponential-race formula") {
+    val d = Seq((7L, "abc def", "w"), (8L, "12 34 56", "w"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.weightedSample(d, n = 2)
+      .select("doc_id", "w_bp", "priority").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def pri(id: Long, w: Long): Long =
+      math.round((0.0 - math.log((bucket(id) + 1).toDouble / 4294967296.0))
+        * 1.0e12 / w)
+    // doc 7: 6 of 7 chars alpha -> w = 8571 + 1; doc 8: 0 alpha -> w = 1
+    assert(out(7L)._2 === 8572L && out(8L)._2 === 1L)
+    assert(out(7L)._3 === pri(7L, 8572L))
+    assert(out(8L)._3 === pri(8L, 1L))
+  }
+
+  test("weightedSample: selection is weight-biased and deterministic") {
+    // 200 docs, half high-weight (all letters), half weight-1 (digits)
+    val d = (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "abcdef ghijk lmnop" else "123 456 789", "s")
+    }.toDF("doc_id", "text", "source")
+    val pick = TextAnalysis.weightedSample(d, n = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pick.size === 50)
+    val high = pick.count(_ % 2 == 0)
+    assert(high > 40, s"weight ~8900:1 must dominate the race, got $high/50")
+    val again = TextAnalysis.weightedSample(d, n = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === pick, "the race is deterministic")
+  }
+
+  test("weightedSample: ranks are dense 1..n in priority order") {
+    val d = (0L until 40L).map(i => (i, s"doc $i text here", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.weightedSample(d, n = 10)
+      .select("rnk", "priority").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 10L))
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq)
+  }
 }
