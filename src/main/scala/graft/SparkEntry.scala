@@ -219,6 +219,8 @@ object SparkEntry {
     "multimodal_phash"       -> (Multimodal.multimodalPhashQuery _),
     "multimodal_phash_pairs" -> (Multimodal.multimodalPhashPairsQuery _),
     "corpus_card"            -> (CorpusStats.corpusCardQuery _),
+    "bpe_train"              -> (BpeTrain.trainBpeQuery _),
+    "bpe_encode"             -> (BpeTrain.bpeEncodeQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).
@@ -234,5 +236,5 @@ object SparkEntry {
       Timeseries.oracles ++ ProductAnalytics.oracles ++
       Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles ++
       GraphRank.oracles ++ Winnowing.oracles ++ CorpusStats.oracles ++
-      IntegrityAudit.oracles
+      IntegrityAudit.oracles ++ BpeTrain.oracles
 }

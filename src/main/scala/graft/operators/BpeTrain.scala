@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Byte-pair-encoding TOKENIZER TRAINING over the corpus — the missing
+  * half of the token-counting family (row 30 counts with a fixed
+  * BPE-ish regex; this LEARNS the merge table a real tokenizer is
+  * built from; Sennrich, Haddow & Birch 2016): start from characters,
+  * repeatedly merge the globally most frequent adjacent symbol pair.
+  *
+  * The at-scale shape (the sentencepiece/subword-nmt discipline): the
+  * corpus collapses to the WORD-COUNT table in ONE pass — Heaps'
+  * law bounds it far below the corpus — and every merge round runs on
+  * that vocab-sized table only: pair counts are a map-side-combined
+  * aggregate weighted by word counts, the argmax is a 1-row
+  * TakeOrdered, and the merge applies as ONE literal string replace.
+  * The corpus itself is never rescanned after round 0.
+  *
+  * Determinism: symbol sequences are strings of `<sym>` cells (the
+  * corpus is validated free of the delimiter chars — loud failure
+  * otherwise); pair counting counts every adjacent index pair (the
+  * overlapping-run convention, documented); merging is the engine's
+  * leftmost non-overlapping literal replace — identical semantics in
+  * Spark and DuckDB, so TRAINING replays bit-for-bit in the oracle;
+  * argmax ties break (count desc, left asc, right asc).
+  *
+  * The per-round best pair is collected to the driver — ONE row per
+  * round, model-sized by definition (the trainIvfCentroids loop
+  * precedent), and the collected literals keep every subsequent plan
+  * fully codegen (no lambda touches the hot path). */
+object BpeTrain {
+
+  final case class BpeMerge(rank: Int, lsym: String, rsym: String,
+                            merged: String, pair_count: Long)
+
+  /** The one corpus pass: (word, cnt, wrapped) with each character as
+    * a `<c>` cell. Words containing the delimiter chars fail loudly —
+    * silent mis-merges are worse than a crash. */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("word",
+        when(col("word").rlike("[<>'\\\\]"),
+          raise_error(concat(lit("trainBpe: word contains delimiter/quote: "),
+            col("word")))).otherwise(col("word")))
+      .withColumn("wrapped", regexp_replace(col("word"), "(.)", "<$1>"))
+
+  private def symbols(wrapped: Column): Column =
+    split(regexp_replace(wrapped, "^<|>$", ""), "><")
+
+  /** Train `numMerges` merges; returns (rank, lsym, rsym, merged,
+    * pair_count) in merge order. Stops early if the corpus runs out
+    * of repeated pairs. */
+  def trainBpe(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1)
+    val spark = docs.sparkSession
+    var words = wordTable(docs).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var exhausted = false
+    for (m <- 1 to numMerges if !exhausted) {
+      val best = words
+        .select(col("cnt"), symbols(col("wrapped")).as("sy"))
+        // sequence(1, 0) counts DOWNWARD in Spark — guard 1-symbol
+        // words (the spanCorruptionPlan pattern)
+        .select(col("cnt"), explode(expr(
+          "transform(CASE WHEN size(sy) >= 2 THEN sequence(1, size(sy) - 1) " +
+            "ELSE CAST(array() AS array<int>) END, " +
+            "i -> struct(sy[i-1] AS l, sy[i] AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        out += BpeMerge(m, l, r, l + r, c)
+        words = words.withColumn("wrapped",
+            expr(s"replace(wrapped, '<' || '$l' || '><' || '$r' || '>', " +
+              s"'<' || '$l' || '$r' || '>')"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF()
+  }
+
+  def trainBpeQuery(spark: SparkSession, dir: String): DataFrame =
+    trainBpe(Tables.documents(spark, dir), numMerges = 8)
+      .orderBy(col("rank"))
+
+  /** Encode the corpus with a freshly trained merge table and report
+    * per-doc compression: whitespace words join the post-training
+    * vocab (each word's final symbol count = its `<` cells), so
+    * ENCODING is one keyed join against the Heaps-bounded vocab —
+    * documents are never re-segmented. compression_bp = 10000 ·
+    * n_bpe_symbols div n_chars (10000 = no compression; smaller is
+    * better). */
+  def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+    var words = wordTable(docs).localCheckpoint()
+    val merges = trainBpe(docs, numMerges).collect()
+    merges.foreach { row =>
+      val (l, r) = (row.getString(1), row.getString(2))
+      words = words.withColumn("wrapped",
+        expr(s"replace(wrapped, '<' || '$l' || '><' || '$r' || '>', " +
+          s"'<' || '$l' || '$r' || '>')"))
+    }
+    val ws = words.select(col("word"),
+      (length(col("wrapped"))
+        - length(expr("replace(wrapped, '<', '')"))).cast("long").as("n_syms"),
+      length(col("word")).cast("long").as("n_chars"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(ws, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_syms")).as("n_bpe_symbols"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_symbols"),
+        expr("(10000 * n_bpe_symbols) div n_chars").as("compression_bp"))
+  }
+
+  def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(spark, dir), numMerges = 8)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** The training rounds unrolled as SQL CTEs: w0 = the word table,
+    * then per round m: pair counts over w{m-1}'s symbol cells, the
+    * 1-row argmax b{m}, and w{m} = the literal replace. MATERIALIZED
+    * word tables (the k-core lesson — each is referenced twice). */
+  private def bpeRoundsCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS MATERIALIZED (
+      | SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+      |  regexp_replace(word, '(.)', '<\1>', 'g') AS wr
+      | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      | WHERE word <> '' GROUP BY word)""".stripMargin
+    for (m <- 1 to numMerges) {
+      sb ++= s""",
+        |p$m AS (
+        | SELECT sy[i] AS l, sy[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        | FROM (SELECT cnt, string_split(trim(wr, '<>'), '><') AS sy
+        |       FROM w${m - 1}),
+        |  UNNEST(range(1, len(sy))) t(i)
+        | GROUP BY 1, 2),
+        |b$m AS MATERIALIZED (
+        | SELECT l, r, c FROM p$m ORDER BY c DESC, l, r LIMIT 1),
+        |w$m AS MATERIALIZED (
+        | SELECT word, cnt,
+        |  replace(wr, '<' || b.l || '><' || b.r || '>',
+        |          '<' || b.l || b.r || '>') AS wr
+        | FROM w${m - 1} CROSS JOIN b$m b)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val rows = (1 to numMerges).map(m =>
+      s"SELECT $m AS rank, l AS lsym, r AS rsym, l || r AS merged, " +
+        s"c AS pair_count FROM b$m").mkString("\n UNION ALL ")
+    s"""WITH ${bpeRoundsCtes(numMerges)}
+       |SELECT * FROM (
+       | $rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  private def bpeEncodeOracle(numMerges: Int): String =
+    s"""WITH ${bpeRoundsCtes(numMerges)},
+       |ws AS (
+       | SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+       |  CAST(length(wr) - length(replace(wr, '<', '')) AS BIGINT) AS n_syms
+       | FROM w$numMerges),
+       |enc AS (
+       | SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents) WHERE word <> '')
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(ws.n_chars) AS BIGINT) AS n_chars,
+       | CAST(sum(ws.n_syms) AS BIGINT) AS n_bpe_symbols,
+       | (10000 * CAST(sum(ws.n_syms) AS BIGINT))
+       |   // CAST(sum(ws.n_chars) AS BIGINT) AS compression_bp
+       |FROM enc e JOIN ws ON e.word = ws.word
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainOracle(8),
+    "bpe_encode" -> bpeEncodeOracle(8))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainBpe: learns the textbook merges on a hand-checkable corpus") {
+    // the subword-nmt README corpus shape: 'low' x5, 'lower' x2,
+    // 'newest' x6, 'widest' x3 — by hand, pair counts round 1:
+    // (e,s)=9, (s,t)=9, (w,e)=8, (e,w)=6, ... tie (e,s)/(s,t) breaks
+    // lexicographically to (e,s)
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = BpeTrain.trainBpe(docs, 3)
+      .select("rank", "lsym", "rsym", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1, "e", "s", "es", 9L)))
+    // after es: (es,t)=9 wins (ties with nothing); then (w, est)?
+    assert(out(1) === ((2, "es", "t", "est", 9L)))
+    // round 3: 'newest'x6 gives (w,est)=6+... 'widest' has (d,est)=3,
+    // 'newest' (w,est)=6; (l,o)=7 from low/lower wins
+    assert(out(2) === ((3, "l", "o", "lo", 7L)))
+  }
+
+  test("trainBpe: merging is leftmost non-overlapping") {
+    // 'aaaa' x3: pairs (a,a) counted at 3 adjacent index positions x3
+    // = 9; after merging, 'aaaa' -> 'aa','aa' (leftmost pairing, not
+    // 'a','aa','a')
+    val docs = Seq((1L, Array.fill(3)("aaaa").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = BpeTrain.trainBpe(docs, 2)
+      .select("rank", "merged", "pair_count")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1, "aa", 9L)))
+    // round 2: each word is now 'aa','aa' -> pair (aa,aa) x1 x3 words
+    assert(out(1) === ((2, "aaaa", 3L)))
+  }
+
+  test("bpeEncode: compression accounting is exact per doc") {
+    val docs = Seq(
+      (1L, "newest newest lowest"),
+      (2L, "xy"))
+      .toDF("doc_id", "text")
+    val out = BpeTrain.bpeEncode(docs, 2)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_symbols", "compression_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // merges on this corpus: (e,s)=3 -> es; (es,t)=3 -> est
+    // 'newest' -> n,e,w,est (4 syms); 'lowest' -> l,o,w,est (4 syms)
+    assert(out(1L) === ((1L, 3L, 18L, 12L, 6666L)))
+    // 'xy' untouched: 2 syms of 2 chars
+    assert(out(2L) === ((2L, 1L, 2L, 2L, 10000L)))
+  }
+
+  test("trainBpe: stops early when no repeated pair remains") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // round 1 merges the lexicographically first count-1 pair (a,b);
+    // subsequent rounds still find count-1 pairs until words are
+    // single symbols: 'ab' -> ab, 'cd' -> cd after 2 merges; round 3
+    // has NO adjacent pairs left anywhere -> early stop at 2 rows
+    val out = BpeTrain.trainBpe(docs, 10)
+      .select("rank", "merged").as[(Int, String)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    assert(out.map(_._2).toSet === Set("ab", "cd"))
+  }
+}
