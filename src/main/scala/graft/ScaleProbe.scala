@@ -335,7 +335,21 @@ object ScaleProbe {
       "ann_recall_trained"  -> (operators.Similarity.annRecallTrainedQuery _),
       "knn_graph_clusters"  -> (operators.Similarity.knnGraphClustersQuery _),
       "knn_graph_refine"    -> (operators.Similarity.knnGraphRefineQuery _),
-      "knn_refine_recall"   -> (operators.Similarity.knnRefineRecallQuery _))
+      "knn_refine_recall"   -> (operators.Similarity.knnRefineRecallQuery _),
+      // r12 batch 2. decontam_spans: copies are token-prefixed, so a
+      // corpus doc can only share windows with its OWN copy's bench
+      // slice — contaminated pairs and their spans must be exactly
+      // f x copy-0's. weighted_sample: constant n=100 output; the
+      // race is map-only + TakeOrdered, wall must stay flat-ish as
+      // the corpus grows. bpe_train: the prefixed replica multiplies
+      // the WORD vocab ~f-fold, but 'c3_low' contains the same
+      // character pairs as 'low' shifted by the prefix — merges stay
+      // 8 rows; the probe watches the vocab-table round walls.
+      // bpe_encode: rows exactly linear (every doc).
+      "decontam_spans"      -> (operators.Dedup.decontamSpansQuery _),
+      "weighted_sample"     -> (operators.TextAnalysis.weightedSampleQuery _),
+      "bpe_train"           -> (operators.BpeTrain.trainBpeQuery _),
+      "bpe_encode"          -> (operators.BpeTrain.bpeEncodeQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
