@@ -1498,14 +1498,31 @@ object Dedup {
     * by (pair, alignment) — match-bounded groups, never a corpus-
     * sized or hot-hash partition. */
   def decontamSpans(corpus: DataFrame, benchmark: DataFrame, w: Int = 8,
-                    minRunTokens: Int = 13): DataFrame = {
+                    minRunTokens: Int = 13): DataFrame =
+    decontamSpansWithIndex(corpus, benchWindowIndex(benchmark, w), w,
+      minRunTokens)
+
+  /** The persisted nightly artifact the streaming form probes: the
+    * benchmark's positional window-hash frame (bench_id, pb, hb) —
+    * model-sized (eval suites), rebuilt only when benchmarks change. */
+  def benchWindowIndex(benchmark: DataFrame, w: Int): DataFrame =
+    windowHashes(benchmark, w)
+      .select(col("doc_id").as("bench_id"), col("p").as("pb"),
+        col("h").as("hb"))
+
+  /** decontamSpans against a PRECOMPUTED benchmark window index. Each
+    * output row depends only on its own corpus doc and the static
+    * index — embarrassingly parallel, so the foreachBatch streaming
+    * form is batch-identical under ANY micro-batch split
+    * (DecontamSpansStreamSpec pins this; the dupSpansRedactWithIndex
+    * contract applied across the corpus/benchmark split). */
+  def decontamSpansWithIndex(corpus: DataFrame, benchWins: DataFrame,
+                             w: Int = 8, minRunTokens: Int = 13): DataFrame = {
     require(w >= 2 && minRunTokens >= w,
       s"need window >= 2 and minRunTokens >= w, got w=$w min=$minRunTokens")
     val cw = windowHashes(corpus, w)
       .select(col("doc_id").as("corpus_id"), col("p"), col("h"))
-    val bw = windowHashes(benchmark, w)
-      .select(col("doc_id").as("bench_id"), col("p").as("pb"),
-        col("h").as("hb"))
+    val bw = benchWins
     val byDiag = W.partitionBy(col("corpus_id"), col("bench_id"), col("diag"))
       .orderBy(col("p"))
     val runs = cw.join(broadcast(bw), col("h") === col("hb"))
