@@ -816,17 +816,26 @@ object TextAnalysis {
     * Scale shape: scoring is MAP-ONLY; the global top-n plans as
     * TakeOrderedAndProject (per-partition heaps, no full sort
     * shuffle); the rank window runs over the n-row RESULT only. */
-  def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
-    require(n >= 1)
-    val scored = docs.select(col("doc_id"), col("source"),
+  /** The race's per-doc priorities WITHOUT the top-n cut — exposed
+    * because a doc's priority is a pure function of (doc_id, text):
+    * the streaming weighted reservoir (WeightedSampleStreamSpec)
+    * maintains top-n over any arrival order from exactly this frame,
+    * and min-n(A ∪ B) = min-n(min-n(A) ∪ B) makes the running
+    * reservoir batch-split invariant by algebra. */
+  private[graft] def weightedPriorities(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text) + 1")
           .as("w_bp"))
       .withColumn("priority",
         round((lit(0.0d) - log((sampleBucket + 1).cast("double")
             / lit(4294967296.0d)))
           * lit(1.0e12d) / col("w_bp")).cast("long"))
+
+  def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
+    require(n >= 1)
     val wr = W.orderBy(col("priority").asc, col("doc_id"))
-    scored.orderBy(col("priority").asc, col("doc_id")).limit(n)
+    weightedPriorities(docs)
+      .orderBy(col("priority").asc, col("doc_id")).limit(n)
       .withColumn("rnk", row_number().over(wr).cast("long"))
   }
 
