@@ -151,6 +151,8 @@ object SparkEntry {
     "lsh_recall_eval"        -> (Dedup.lshRecallEvalQuery _),
     "tau_sweep"              -> (Dedup.tauSweepQuery _),
     "score_auc_eval"         -> (QualityModels.scoreAucEvalQuery _),
+    "quality_train"          -> (QualityModels.qualityTrainQuery _),
+    "score_auc_trained"      -> (QualityModels.scoreAucTrainedQuery _),
     "score_percentile_norm"  -> (QualityModels.scorePercentileNormQuery _),
     "embed_norm_qc"          -> (Similarity.embedNormQcQuery _),
     "embed_exact_dups"       -> (Similarity.embedExactDupsQuery _),

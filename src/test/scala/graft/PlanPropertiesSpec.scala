@@ -124,6 +124,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // inherits quality_logreg's ONE-row weight-model cross-join on the
     // scoring leg; the U computation itself is histogram aggregates
     "score_auc_eval",
+    // the same shape with the TRAINED one-row weight frame (training
+    // itself aggregates with weights as plan literals — no join)
+    "score_auc_trained",
     // the 1-row max-doc-id scalar crossed into both bucket assignments
     "heaps_fit")
 

@@ -46,4 +46,43 @@ class QualityLogregSpec extends SparkSpec {
     val kept = out.filter("keep").count()
     assert(kept > 0 && kept < n, s"degenerate split: $kept of $n")
   }
+
+  test("qualityTrain: exact-integer GD is bit-stable across runs") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = QualityModels.qualityTrain(docs, iters = 3)
+      .collect().map(_.toSeq).toSeq
+    val b = QualityModels.qualityTrain(docs, iters = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.length === 3)
+  }
+
+  test("qualityTrain: trained weights beat the default model's AUC") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def auc(w: org.apache.spark.sql.DataFrame): Long =
+      QualityModels.scoreAucEvalWith(docs, w)
+        .select(col("auc_bp")).as[Long].head()
+    val trained = auc(QualityModels.trainedQualityWeights(docs))
+    val default = auc(QualityModels.defaultQualityWeights(spark))
+    assert(trained > default,
+      s"training must beat the hand-set weights: $trained vs $default")
+    assert(trained > 5000L, s"trained model must beat chance: $trained")
+  }
+
+  test("qualityTrain: a perfectly separable corpus reaches high AUC") {
+    // long wordy stopword-rich docs keep=true under gopher; terse
+    // repetitive ones fail several rules — GD should order them
+    val good = (1 to 60).map { i =>
+      val words = (1 to 40).map(j => s"w$i$j")
+      (i.toLong, ("the a to of and that have with " * 2 +
+        words.mkString(" ")).trim)
+    }
+    val bad = (61 to 120).map(i => (i.toLong, "zz zz zz zz zz"))
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val out = QualityModels.scoreAucEvalWith(docs,
+        QualityModels.trainedQualityWeights(docs))
+      .select("auc_bp").as[Long].head()
+    assert(out >= 9000L, s"separable data must train well, got $out")
+  }
 }
