@@ -349,7 +349,16 @@ object ScaleProbe {
       "decontam_spans"      -> (operators.Dedup.decontamSpansQuery _),
       "weighted_sample"     -> (operators.TextAnalysis.weightedSampleQuery _),
       "bpe_train"           -> (operators.BpeTrain.trainBpeQuery _),
-      "bpe_encode"          -> (operators.BpeTrain.bpeEncodeQuery _))
+      "bpe_encode"          -> (operators.BpeTrain.bpeEncodeQuery _),
+      // quality_train: constant 10 trajectory rows; each iteration is
+      // one map-side-combined 5-column aggregate over the checkpointed
+      // feature frame — wall must ride the linear corpus, trajectory
+      // VALUES change with the replica (more docs = bigger gradients
+      // under the same stepDiv — the documented full-batch contract).
+      // score_auc_trained: 1 row; the U histogram is bounded by
+      // distinct scores.
+      "quality_train"       -> (operators.QualityModels.qualityTrainQuery _),
+      "score_auc_trained"   -> (operators.QualityModels.scoreAucTrainedQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
