@@ -223,6 +223,7 @@ object SparkEntry {
     "corpus_card"            -> (CorpusStats.corpusCardQuery _),
     "bpe_train"              -> (BpeTrain.trainBpeQuery _),
     "bpe_encode"             -> (BpeTrain.bpeEncodeQuery _),
+    "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

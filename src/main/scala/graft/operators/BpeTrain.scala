@@ -103,7 +103,9 @@ object BpeTrain {
     * documents are never re-segmented. compression_bp = 10000 ·
     * n_bpe_symbols div n_chars (10000 = no compression; smaller is
     * better). */
-  def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+  /** The word table AFTER applying a freshly trained merge list in
+    * rank order — shared by the encoder and the vocab dump. */
+  private def trainedWordTable(docs: DataFrame, numMerges: Int): DataFrame = {
     var words = wordTable(docs).localCheckpoint()
     val merges = trainBpe(docs, numMerges).collect()
     merges.foreach { row =>
@@ -112,6 +114,11 @@ object BpeTrain {
         expr(s"replace(wrapped, '<' || '$l' || '><' || '$r' || '>', " +
           s"'<' || '$l' || '$r' || '>')"))
     }
+    words
+  }
+
+  def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+    val words = trainedWordTable(docs, numMerges)
     val ws = words.select(col("word"),
       (length(col("wrapped"))
         - length(expr("replace(wrapped, '<', '')"))).cast("long").as("n_syms"),
@@ -131,6 +138,26 @@ object BpeTrain {
   def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(Tables.documents(spark, dir), numMerges = 8)
       .orderBy(col("doc_id"))
+
+  /** The trained tokenizer's SHIPPING artifact — the symbol vocabulary
+    * with corpus statistics: per final symbol, how many distinct words
+    * contain it and its total weighted occurrence count (Σ word-count
+    * × in-word occurrences), with the single-char alphabet and the
+    * merge products flagged apart. Bounded by |alphabet| + numMerges
+    * symbols — model-sized by construction; computed entirely from
+    * the Heaps-bounded trained word table. */
+  def bpeVocab(docs: DataFrame, numMerges: Int): DataFrame =
+    trainedWordTable(docs, numMerges)
+      .select(col("word"), col("cnt"),
+        explode(symbols(col("wrapped"))).as("symbol"))
+      .groupBy("symbol")
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum(col("cnt")).as("n_occurrences"))
+      .withColumn("is_merged", length(col("symbol")) > 1)
+
+  def bpeVocabQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeVocab(Tables.documents(spark, dir), numMerges = 8)
+      .orderBy(col("n_occurrences").desc, col("symbol"))
 
   // ---------------------------------------------------------------- oracles
 
@@ -192,7 +219,19 @@ object BpeTrain {
        |FROM enc e JOIN ws ON e.word = ws.word
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  private def bpeVocabOracle(numMerges: Int): String =
+    s"""WITH ${bpeRoundsCtes(numMerges)},
+       |sy AS (
+       | SELECT word, cnt, unnest(string_split(trim(wr, '<>'), '><')) AS symbol
+       | FROM w$numMerges)
+       |SELECT symbol, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+       | CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+       | length(symbol) > 1 AS is_merged
+       |FROM sy GROUP BY symbol
+       |ORDER BY n_occurrences DESC, symbol""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),
-    "bpe_encode" -> bpeEncodeOracle(8))
+    "bpe_encode" -> bpeEncodeOracle(8),
+    "bpe_vocab" -> bpeVocabOracle(8))
 }

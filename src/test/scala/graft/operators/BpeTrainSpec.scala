@@ -56,6 +56,21 @@ class BpeTrainSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1L, 2L, 2L, 10000L)))
   }
 
+  test("bpeVocab: symbols partition every word's characters exactly") {
+    val docs = Seq((1L, "newest newest lowest")).toDF("doc_id", "text")
+    val out = BpeTrain.bpeVocab(docs, 2)
+      .select("symbol", "n_words", "n_occurrences", "is_merged")
+      .as[(String, Long, Long, Boolean)].collect()
+    val bySym = out.map(r => r._1 -> r).toMap
+    // merges: es, est; 'newest' (x2) -> n,e,w,est; 'lowest' -> l,o,w,est
+    assert(bySym("est") === (("est", 2L, 3L, true)))
+    assert(bySym("w") === (("w", 2L, 3L, false)))
+    assert(bySym("n") === (("n", 1L, 2L, false)))
+    // total symbol-weighted chars == corpus chars
+    val chars = out.map(r => r._1.length * r._3).sum
+    assert(chars === 2 * 6 + 6, "vocab must account for every character")
+  }
+
   test("trainBpe: stops early when no repeated pair remains") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // round 1 merges the lexicographically first count-1 pair (a,b);
