@@ -38,6 +38,17 @@ for name, sql in sorted(oracle.items()):
     diff_cols = []
     for c in got.columns:
         a, b = got[c], want[c]
+        # dtype gate: an int column on one side vs a float column on the
+        # other means the ORACLE SQL materialized a float (e.g. DuckDB
+        # HUGEINT -> float64 via Arrow) — the driver's typed hash WILL
+        # fail even if values are numerically equal (the r11/r12
+        # score_percentile_norm lesson). int32-vs-int64 width differences
+        # are driver-tolerated and deliberately allowed here.
+        if {a.dtype.kind, b.dtype.kind} == {"i", "f"} or \
+           {a.dtype.kind, b.dtype.kind} == {"u", "f"}:
+            diff_cols.append((c, -2,
+                f"dtype gate: spark {a.dtype} vs oracle {b.dtype}", ""))
+            continue
         try:
             if a.dtype.kind in "fc" or b.dtype.kind in "fc":
                 # driver hash-compares values: require bit-exact floats

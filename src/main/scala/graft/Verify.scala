@@ -67,8 +67,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (local dev only; the driver passes 2): comma-list
-    // of query names to dump, for fast single-query oracle iteration
-    val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(',').toSet)
+    // of query names to dump, for fast single-query oracle iteration —
+    // or "--sql-only" to write the FULL oracle_sql.json without running
+    // any query (the dev/oracle_types.py regeneration path)
+    val sqlOnly = args.drop(2).headOption.contains("--sql-only")
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.filterNot(_ == "--sql-only").map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,7 +85,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !sqlOnly && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try writeDeterministic(fn(spark, sfDir), s"$outDir/$name")
       catch { case e: Throwable =>

@@ -843,7 +843,8 @@ object QualityModels {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
         | FROM h)
         |SELECT s.doc_id, s.source, s.score_bp,
-        |  (10000 * cum.below) // greatest(t.n_src - 1, 1) AS pct_bp
+        |  CAST((10000 * cum.below) // greatest(t.n_src - 1, 1)
+        |       AS BIGINT) AS pct_bp
         |FROM sc s
         | JOIN cum ON s.source = cum.source AND s.score_bp = cum.score_bp
         | JOIN tot t ON s.source = t.source

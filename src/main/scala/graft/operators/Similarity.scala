@@ -262,12 +262,17 @@ object Similarity {
   private[graft] def cosineCandidates(emb: DataFrame,
                                       numQueries: Int): DataFrame = {
     val v = vectors(emb)
-    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    cosineCandidatesQ(v, v.filter(col("vec_id") < numQueries)
+      .toDF("query_id", "eq"))
+  }
+
+  /** The same candidate block for an EXPLICIT bounded query frame
+    * (query_id, eq) — the held-out-query evaluation path. */
+  private[graft] def cosineCandidatesQ(v: DataFrame, q: DataFrame): DataFrame =
     broadcast(q)
       .join(v, col("query_id") =!= col("vec_id"))
       .withColumn("cos",
         round(CosineSimilarity(col("eq"), col("e")), 6))
-  }
 
   def annCosineTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annCosineTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
@@ -747,7 +752,16 @@ object Similarity {
                           numQueries: Option[Int],
                           nProbe: Int): (DataFrame, DataFrame) = {
     val v = vectors(emb)
+    ivfIndexQ(v, cents, numQueries.fold(v)(n => v.filter(col("vec_id") < n)),
+      nProbe)
+  }
 
+  /** The IVF index for an EXPLICIT query-vector frame (vec_id, e) —
+    * the held-out-query evaluation path shares the exact serving
+    * plan (assignment rule, probe ranking, tiebreaks) with the
+    * vec_id-prefix defaults above. */
+  private def ivfIndexQ(v: DataFrame, cents: DataFrame, qside: DataFrame,
+                        nProbe: Int): (DataFrame, DataFrame) = {
     // nearest centroid per vector: the shared assignToCells rule —
     // aggregates combine map-side, so the C-fold row amplification
     // never crosses the exchange
@@ -760,7 +774,6 @@ object Similarity {
     // window, the knnGraph build cost)
     val wProbe = W.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val qside = numQueries.fold(v)(n => v.filter(col("vec_id") < n))
     val probes = qside
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
@@ -769,6 +782,17 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("cid").as("probe"))
     (assigned, probes)
+  }
+
+  /** IVF candidates for an explicit query frame — [[annIvfCandidates]]
+    * with the query set passed in rather than a vec_id prefix. */
+  private def annIvfCandidatesQ(v: DataFrame, cents: DataFrame,
+                                qv: DataFrame, nProbe: Int): DataFrame = {
+    val (assigned, probes) = ivfIndexQ(v, cents, qv, nProbe)
+    broadcast(probes)
+      .join(assigned, col("probe") === col("cell") &&
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
   }
 
   /** Offline spherical k-means (Lloyd) training for the IVF coarse
@@ -905,34 +929,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The HELD-OUT query frame (query_id, eq) for the trained-vs-
+    * default recall eval: queries disjoint from BOTH centroid samples,
+    * so neither serving path is its own quantizer's seed.
+    * Deterministic and oracle-replicable: drop the default sample
+    * (vec_id < C), anti-join away the trained init sample (the
+    * md5-ASC first C — trainIvfCentroidsExact's seed rule), then take
+    * the md5-DESC tail Q. Bounded (Q rows) by construction; the
+    * orderBy+limit plans as TakeOrderedAndProject and the anti-join
+    * broadcasts the C-row init sample. */
+  private[graft] def heldoutQueries(emb: DataFrame, numQueries: Int,
+                                    numCentroids: Int): DataFrame = {
+    val v = vectors(emb)
+    val tinit = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id"))
+    v.filter(col("vec_id") >= numCentroids)
+      .join(broadcast(tinit), Seq("vec_id"), "left_anti")
+      .orderBy(md5(col("vec_id").cast("string")).desc, col("vec_id").desc)
+      .limit(numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"))
+  }
+
   /** Recall@k per nProbe for TRAINED vs DEFAULT (first-C) centroids —
     * same queries, same k, same probe budgets, the exact brute-force
     * top-k as truth; recall_bp aggregates over all queries so each
     * (centroids, n_probe) row is one point on the quality-for-compute
     * curve.
     *
-    * Read the instrument honestly: at the test SFs the DEFAULT side is
-    * structurally advantaged because the query set (vec_id < Q) is a
-    * SUBSET of the first-C centroid sample — each query's top probe is
-    * its own cell at cos 1.0, which collects exactly the vectors most
-    * similar to it (measured sf0.01: default 9000-9250 bp vs trained
-    * 2250-5250 bp). What training actually buys at scale is CELL
-    * BALANCE — the per-probe scan bound: measured occupancy spread at
-    * sf0.01 is 20..42 for default vs 24..37 for trained. On a real
-    * corpus where queries are NOT the quantizer's own seeds, balance
-    * and recall move together; this eval is the measurement device,
-    * not a guarantee (the score_auc_eval discipline: report what the
-    * instrument reads). Both paths converge to recall 10000 at
-    * nProbe = C — spec-pinned. */
+    * Queries are HELD OUT from both centroid samples (r12 verdict #4:
+    * the old vec_id < Q query set was a SUBSET of the first-C default
+    * sample, so each query's top probe was its own cell at cos 1.0 —
+    * the instrument measured the artifact, default 9000-9250 bp vs
+    * trained 2250-5250 bp at sf0.01). With [[heldoutQueries]] neither
+    * path serves its own seed, so the rows read quantizer QUALITY:
+    * measured sf0.01 (C=16, k=5, Q=8 held-out): trained ≥ default at
+    * every probe budget — see NOTES_r13. Both paths still converge to
+    * recall 10000 at nProbe = C — spec-pinned. */
   def annRecallTrained(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
                        numCentroids: Int = 16, iters: Int = 2,
                        nProbes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= numCentroids))
-    val exact = annCosineTopK(emb, numQueries, k)
+    val v = vectors(emb)
+    // Q rows, referenced by every serving branch — checkpoint so the
+    // corpus-side TakeOrdered does not replay per branch
+    val hq = heldoutQueries(emb, numQueries, numCentroids).localCheckpoint()
+    val exact = topK(cosineCandidatesQ(v, hq), k)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
     def served(tag: String, cents: DataFrame): DataFrame =
       nProbes.map { p =>
-        annIvfTopKWith(emb, cents, numQueries, k, p)
+        topK(annIvfCandidatesQ(v, cents,
+          hq.select(col("query_id").as("vec_id"), col("eq").as("e")), p), k)
           .select(lit(tag).as("centroids"), lit(p).as("n_probe"),
             col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
@@ -1856,7 +1904,10 @@ object Similarity {
 
   /** ann_recall_trained oracle: both centroid tables tagged and
     * unioned, one serving/ranking chain partitioned by tag, recall
-    * against the shared brute-force truth. */
+    * against the shared brute-force truth. Queries are the HELD-OUT
+    * set — [[heldoutQueries]]'s rule replayed: drop vec_id < C, drop
+    * the md5-ASC first-C trained init sample, take the md5-DESC tail
+    * Q. */
   private def annRecallTrainedOracle(numQueries: Int, k: Int,
                                      numCentroids: Int, iters: Int,
                                      nProbes: Seq[Int]): String = {
@@ -1864,6 +1915,16 @@ object Similarity {
     val vals = nProbes.map(p => s"($p)").mkString(", ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |${trainedCentsCtes(numCentroids, iters)},
+       |tinit AS (SELECT vec_id FROM (
+       | SELECT vec_id, row_number() OVER (
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+       | WHERE rn <= $numCentroids),
+       |hq AS MATERIALIZED (
+       | SELECT vec_id FROM v
+       | WHERE vec_id >= $numCentroids
+       |  AND vec_id NOT IN (SELECT vec_id FROM tinit)
+       | ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+       | LIMIT $numQueries),
        |dcents AS (SELECT vec_id AS cid, e AS ce FROM v
        | WHERE vec_id < $numCentroids),
        |allc AS (SELECT 'default' AS tag, cid, ce FROM dcents
@@ -1881,11 +1942,12 @@ object Similarity {
        | SELECT tag, vec_id AS query_id, cid AS probe, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY tag, vec_id
        |                               ORDER BY ccos DESC, cid) AS rn
-       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $maxP),
+       |  FROM ac WHERE vec_id IN (SELECT vec_id FROM hq)) WHERE rn <= $maxP),
        |exact_scored AS (
        | SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |  ${cosSql("q.e", "x.e")} AS cos
-       | FROM v q JOIN v x ON q.vec_id < $numQueries AND q.vec_id <> x.vec_id),
+       | FROM v q JOIN v x ON q.vec_id <> x.vec_id
+       | WHERE q.vec_id IN (SELECT vec_id FROM hq)),
        |exact AS (
        | SELECT query_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -809,9 +809,15 @@ object TextAnalysis {
     * Unlike temperature_sample (per-SOURCE reweighting) this races
     * DOCUMENTS; unlike stratifiedSample (per-stratum uniform thinning)
     * the keep decision is weight-graded. Priorities round once to
-    * integer pico units (pinned op order: ln → ×10^12 → /w → round),
-    * ties break on doc_id — bit-stable across engines and runs, and a
-    * doc's priority never changes as the corpus grows.
+    * integer MICRO units (pinned op order: ln → ×10^6 → /w → round),
+    * ties break on doc_id — stable across engines and runs, and a
+    * doc's priority never changes as the corpus grows. Residual
+    * cross-engine assumption: JVM Math.log and DuckDB ln are each
+    * ~1-ulp libm implementations that agreed on every bucket value
+    * tested on this host pair; micro (not pico) scaling keeps a 1-ulp
+    * ln disagreement ~1e-9 of the rounding unit (the langIdNgram
+    * slack), so a flip would need a value sitting within ~1e-9 of a
+    * .5 boundary — same discipline, not a proof.
     *
     * Scale shape: scoring is MAP-ONLY; the global top-n plans as
     * TakeOrderedAndProject (per-partition heaps, no full sort
@@ -829,7 +835,7 @@ object TextAnalysis {
       .withColumn("priority",
         round((lit(0.0d) - log((sampleBucket + 1).cast("double")
             / lit(4294967296.0d)))
-          * lit(1.0e12d) / col("w_bp")).cast("long"))
+          * lit(1.0e6d) / col("w_bp")).cast("long"))
 
   def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
     require(n >= 1)
@@ -1243,7 +1249,7 @@ object TextAnalysis {
          |WHERE bucket < $sampleCaseSql
          |ORDER BY doc_id""".stripMargin,
     // the identical exponential race in SQL: same bucket, same pinned
-    // op order (ln -> x1e12 -> /w -> round), same tie rule
+    // op order (ln -> x1e6 -> /w -> round), same tie rule
     "weighted_sample" ->
       s"""WITH p AS (
          | SELECT doc_id, source,
@@ -1254,7 +1260,7 @@ object TextAnalysis {
          |pr AS (
          | SELECT doc_id, source, w_bp,
          |  CAST(round((0 - ln((bucket + 1) / 4294967296.0))
-         |    * 1000000000000.0 / w_bp) AS BIGINT) AS priority
+         |    * 1000000.0 / w_bp) AS BIGINT) AS priority
          | FROM p),
          |r AS (SELECT *, CAST(row_number() OVER (
          |   ORDER BY priority ASC, doc_id) AS BIGINT) AS rnk FROM pr)

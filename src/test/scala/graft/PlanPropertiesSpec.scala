@@ -135,10 +135,14 @@ class PlanPropertiesSpec extends SparkSpec {
     // checkpoint, lsh_recall_eval checkpoints) were replicated-subtree
     // blowups found by HUMAN plan reading — a reused frame without a
     // checkpoint silently re-scans the corpus once per reference. This
-    // pins each query's "Scan parquet" count (FormattedMode explain,
-    // the same text PLANS.md renders) to the recorded budget, so the
-    // next reuse-without-checkpoint regression fails CI with the query
-    // name instead of waiting for an audit. Regenerate budgets after a
+    // pins each query's "Scan parquet" count to the recorded budget, so
+    // the next reuse-without-checkpoint regression fails CI with the
+    // query name instead of waiting for an audit. Counting goes through
+    // totalScanCount (r13): a QueryExecutionListener accumulates scans
+    // over every execution CONSTRUCTION triggers, so the trainer /
+    // fixpoint loops whose localCheckpoints leave a scan-free final
+    // plan (budget 0 through r12 — unenforceable) are now gated on
+    // their real per-build scan totals. Regenerate budgets after a
     // DELIBERATE shape change: sbt "Test/runMain graft.ScanBudgetGen".
     val dir = "/root/testdata/sf0.001"
     val src = scala.io.Source.fromInputStream(
@@ -147,7 +151,7 @@ class PlanPropertiesSpec extends SparkSpec {
       val Array(n, c) = l.split(" "); n -> c.toInt
     }.toMap finally src.close()
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> ScanBudgetGen.scanCount(fn(spark, dir))
+      name -> ScanBudgetGen.totalScanCount(spark, fn(spark, dir))
     }
     val over = ScanBudgetGen.violations(counts, budgets)
     assert(over.isEmpty, over.mkString("\n"))

@@ -19,6 +19,40 @@ object ScanBudgetGen {
       .findAllIn(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)).size
 
+  /** Total "Scan parquet" count across EVERY execution the query's
+    * CONSTRUCTION triggers — trainer-loop collects, fixpoint
+    * localCheckpoints — plus the final plan itself.
+    *
+    * Why not just `scanCount(finalPlan)`: 15 queries (bpe_train,
+    * quality_train, the CC/graph fixpoint family) recorded budget 0
+    * because localCheckpoint TRUNCATES lineage — the final plan scans
+    * nothing, every real scan happened in jobs run during
+    * construction, and a reuse-without-checkpoint regression inside
+    * those loops was invisible to the gate (the r12 advisor finding).
+    * A QueryExecutionListener sees each of those executions (collect /
+    * checkpoint / count all dispatch through withAction); callbacks
+    * are async, so the bus is drained before reading the counter. */
+  def totalScanCount(spark: SparkSession,
+                     build: => org.apache.spark.sql.DataFrame): Int = {
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        seen.addAndGet("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode)).size)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = build
+      org.apache.spark.GraftBusDrain.drain(spark)
+      seen.get + scanCount(df)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   /** The budget rule, factored out so the failure path itself is
     * unit-testable: a measured count above its recorded budget — or a
     * query with no budget at all — returns a violation message naming
@@ -49,7 +83,7 @@ object ScanBudgetGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val n = scanCount(fn(spark, sfDir))
+      val n = totalScanCount(spark, fn(spark, sfDir))
       println(s"[scan-budget] $name $n")
       s"$name $n"
     }
