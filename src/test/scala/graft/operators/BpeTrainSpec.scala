@@ -71,6 +71,50 @@ class BpeTrainSpec extends SparkSpec {
     assert(chars === 2 * 6 + 6, "vocab must account for every character")
   }
 
+  test("local trainer == distributed round loop, merge for merge") {
+    // the r13 rewrite moved the merge loop driver-side; this pins the
+    // two implementations equal on real testdata at a merge count
+    // deep enough to hit count-1 ties and multi-char symbols
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val local = BpeTrain.trainBpe(docs, 20)
+      .select("rank", "lsym", "rsym", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = BpeTrain.trainBpeDistributed(docs, 20)
+      .select("rank", "lsym", "rsym", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local === dist)
+    assert(local.length === 20)
+  }
+
+  test("local trainer: 1000 merges on a production-shaped vocab") {
+    // r12 verdict #5: the old loop was one Spark job per merge —
+    // hours of scheduler latency at tokenizer-scale merge counts.
+    // The driver-side loop must handle >= 1000 merges in seconds.
+    // Fixture: 400 deterministic 8-char words (md5-derived), total
+    // symbols 3200, so >= 1000 merges exist by the sum-of-symbols
+    // argument (each merge removes >= 1 symbol, 3200 - 1000 > 400).
+    val words = (0 until 400).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$i".getBytes("UTF-8"))
+      (h.take(8).map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString
+        .foldLeft("")((acc, c) => acc + s"<$c>"), (i % 7 + 1).toLong)
+    }.toArray
+    val t0 = System.nanoTime()
+    val (merges, trained) = BpeTrain.trainMergesLocal(words, 1000)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    assert(merges.length === 1000, s"expected 1000 merges, got ${merges.length}")
+    // ranks dense, counts non-negative, merged = l + r throughout
+    assert(merges.map(_.rank) === (1 to 1000).toVector)
+    assert(merges.forall(m => m.merged == m.lsym + m.rsym && m.pair_count >= 1))
+    // character conservation: merging never loses a character
+    assert(trained.map(w => w.count(_ == '<')).sum <= 3200)
+    assert(trained.zip(words).forall { case (t, (w, _)) =>
+      t.replace("<", "").replace(">", "") == w.replace("<", "").replace(">", "") })
+    // generous CI bound; the measured wall (NOTES_r13) is ~100x under it
+    assert(wallMs < 30000, s"1000 merges took ${wallMs}ms")
+    info(s"1000 merges over 400 words: ${wallMs}ms")
+  }
+
   test("trainBpe: stops early when no repeated pair remains") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // round 1 merges the lexicographically first count-1 pair (a,b);
