@@ -606,10 +606,14 @@ object ScaleProbe {
       f"within=$within cross=$cross pair_wall=${wall}%.2fs")
   }
 
-  /** knn_graph at scale: output rows must be exactly n·k (linear);
-    * candidates/vertex at FIXED C grows like n/C (the f curve), while
-    * scaling C with the corpus holds it ~constant — the same knob
-    * story as IVF serving, measured on the graph build. */
+  /** knn_graph at scale: output rows must be exactly n·k (linear).
+    * Three candidate-volume curves, per vertex: FIXED C grows like
+    * n/C (the f curve — the r12 finding), C ∝ n holds it flat but
+    * makes the centroid broadcast corpus-proportional (rejected as
+    * the default — see adaptiveCentroids' scaladoc), and the DEFAULT
+    * C = ⌈√n⌉ — the total-work optimum — grows like √f. The graph
+    * wall is measured on the default, i.e. exactly what
+    * knnGraphQuery runs. */
   private def knnScaleProbe(spark: SparkSession, f: Int): Unit = {
     val dir = replicate(spark, f)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -621,14 +625,18 @@ object ScaleProbe {
       operators.Similarity.annIvfCandidates(
         emb, cents, numQueries = 64, nProbe = 4).count() / 64
     }
+    val adaptiveC = operators.Similarity.adaptiveCentroids(n)
     val fixed = candPerVertex(16)
     val scaled = candPerVertex(16 * f)
+    val adaptive = candPerVertex(adaptiveC)
     val t0 = System.nanoTime()
     val rows = operators.Similarity.knnGraph(emb, k = 5,
-      numCentroids = 16 * f, nProbe = 4).count()
+      numCentroids = adaptiveC, nProbe = 4).count()
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[scale-knn] factor=$f%-3d n=$n rows=$rows (bar ${n * 5}) " +
-      f"cand_per_vertex_fixedC16=$fixed scaledC${16 * f}=$scaled " +
+      f"cand_per_vertex_fixedC16=$fixed (f curve) " +
+      f"linearC${16 * f}=$scaled (flat bar) " +
+      f"defaultC$adaptiveC=$adaptive (sqrt-f curve) " +
       f"graph_wall=${wall}%.2fs")
   }
 

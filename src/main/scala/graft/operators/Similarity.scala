@@ -1377,9 +1377,32 @@ object Similarity {
       .drop("m")
   }
 
-  def knnGraphQuery(spark: SparkSession, dir: String): DataFrame =
-    knnGraph(Tables.embeddings(spark, dir))
+  /** Default IVF cell count as a function of corpus size (r12 verdict
+    * #7 — the C ∝ n knob was documented but manual): C(n) =
+    * clamp(⌈√n⌉, 16, 65536). √n is the minimizer of the two-term IVF
+    * cost n·C (assignment: every vector scores every centroid) +
+    * nProbe·n²/C (probing: candidates per vertex × n) — total
+    * 2n^1.5·√nProbe — and, unlike C ∝ n (which would make per-vertex
+    * candidates flat), it keeps the centroid frame o(n): the 65536 cap
+    * × 32 floats ≈ 16 MB, so the broadcast side of the assignment join
+    * stays model-sized (the PlanPropertiesSpec BNLJ contract). C ∝ n
+    * would push the quadratic into assignment and broadcast a
+    * corpus-proportional frame — rejected; callers who want flat
+    * per-vertex volume pass numCentroids explicitly.
+    *
+    * Cross-engine exact: IEEE-754 sqrt is correctly rounded in both
+    * the JVM and DuckDB, ceil of it is integral, so the oracle's
+    * `ceil(sqrt(count(*)))` computes the identical C. */
+  def adaptiveCentroids(n: Long): Int = {
+    val c = math.ceil(math.sqrt(n.toDouble)).toLong
+    math.min(65536L, math.max(16L, c)).toInt
+  }
+
+  def knnGraphQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnGraph(emb, numCentroids = adaptiveCentroids(vectors(emb).count()))
       .orderBy(col("src"), col("rnk"))
+  }
 
   /** Mutual-kNN CLUSTERING — the knn_graph consumer (row 180 names
     * graph dedup as the artifact's purpose): keep only RECIPROCAL
@@ -1409,8 +1432,12 @@ object Similarity {
         col("cluster_size"), col("is_canonical"))
   }
 
-  def knnGraphClustersQuery(spark: SparkSession, dir: String): DataFrame =
-    knnGraphClusters(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+  def knnGraphClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnGraphClusters(emb,
+        numCentroids = adaptiveCentroids(vectors(emb).count()))
+      .orderBy(col("vec_id"))
+  }
 
   /** One NN-DESCENT refinement round over the IVF-bounded kNN graph
     * (Dong, Charikar & Li 2011: a neighbor of a neighbor is likely a
@@ -1456,9 +1483,12 @@ object Similarity {
         col("cos"), col("rnk"))
   }
 
-  def knnGraphRefineQuery(spark: SparkSession, dir: String): DataFrame =
-    knnGraphRefine(Tables.embeddings(spark, dir))
+  def knnGraphRefineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnGraphRefine(emb,
+        numCentroids = adaptiveCentroids(vectors(emb).count()))
       .orderBy(col("src"), col("rnk"))
+  }
 
   /** Edge-set recall of the IVF-bounded graph vs one NN-Descent round,
     * against the exhaustive exact kNN graph — the uplift measurement
@@ -1486,8 +1516,12 @@ object Similarity {
         expr(s"(10000 * hits) div (n_vec * $k)").as("recall_bp"))
   }
 
-  def knnRefineRecallQuery(spark: SparkSession, dir: String): DataFrame =
-    knnRefineRecall(Tables.embeddings(spark, dir)).orderBy(col("stage"))
+  def knnRefineRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnRefineRecall(emb,
+        numCentroids = adaptiveCentroids(vectors(emb).count()))
+      .orderBy(col("stage"))
+  }
 
   // ---------------------------------------------------------------- vector QC
 
@@ -2092,9 +2126,17 @@ object Similarity {
     * mutual-kNN clustering oracle. The corpus-sized cosine table and
     * the edge frame are MATERIALIZED — the k-core lesson: a recursive
     * consumer would otherwise replay the whole chain per reference. */
-  private def knnEdgesCtes(k: Int, numCentroids: Int, nProbe: Int): String =
+  /** The oracle's replica of [[adaptiveCentroids]] — ceil(sqrt(n))
+    * clamped to [16, 65536], computed over the same corpus; IEEE sqrt
+    * and ceil are bit-identical across engines on integer inputs. */
+  private val adaptiveCentroidsSql: String =
+    "(SELECT least(65536, greatest(16, CAST(ceil(sqrt(CAST(count(*) " +
+      "AS DOUBLE))) AS BIGINT))) FROM v)"
+
+  private def knnEdgesCtes(k: Int, nProbe: Int): String =
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $numCentroids),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $adaptiveCentroidsSql),
        |ac AS MATERIALIZED (
        | SELECT v.vec_id, c.cid,
        |  ${cosSql("v.e", "c.ce")} AS ccos
@@ -2124,9 +2166,8 @@ object Similarity {
        |                               ORDER BY cos DESC, neighbor_id) AS rnk
        |  FROM scored) WHERE rnk <= $k)""".stripMargin
 
-  private def knnGraphOracle(k: Int, numCentroids: Int,
-                             nProbe: Int): String =
-    s"""WITH ${knnEdgesCtes(k, numCentroids, nProbe)}
+  private def knnGraphOracle(k: Int, nProbe: Int): String =
+    s"""WITH ${knnEdgesCtes(k, nProbe)}
        |SELECT e.src, e.dst, e.cos, e.rnk, (r.src IS NOT NULL) AS mutual
        |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
        |ORDER BY e.src, e.rnk""".stripMargin
@@ -2153,18 +2194,16 @@ object Similarity {
        |                               ORDER BY cos DESC, dst) AS rnk
        |  FROM rsc) WHERE rnk <= $k)""".stripMargin
 
-  private def knnRefineOracle(k: Int, numCentroids: Int,
-                              nProbe: Int): String =
-    s"""WITH ${knnEdgesCtes(k, numCentroids, nProbe)},
+  private def knnRefineOracle(k: Int, nProbe: Int): String =
+    s"""WITH ${knnEdgesCtes(k, nProbe)},
        |${refinedEdgesCtes(k)}
        |SELECT src, dst, cos, rnk FROM refined ORDER BY src, rnk""".stripMargin
 
   /** knn_refine_recall oracle: ivf and refined edge sets vs the
     * EXHAUSTIVE exact kNN graph (all-pairs top-k — the truth the
     * nProbe=C boundary spec pins on the Spark side). */
-  private def knnRefineRecallOracle(k: Int, numCentroids: Int,
-                                    nProbe: Int): String =
-    s"""WITH ${knnEdgesCtes(k, numCentroids, nProbe)},
+  private def knnRefineRecallOracle(k: Int, nProbe: Int): String =
+    s"""WITH ${knnEdgesCtes(k, nProbe)},
        |${refinedEdgesCtes(k)},
        |truth AS MATERIALIZED (
        | SELECT src, dst FROM (
@@ -2189,9 +2228,8 @@ object Similarity {
   /** knn_graph_clusters oracle: the shared edge chain, reciprocal
     * filter, then min-label connected components as a recursive CTE
     * (the dedup_clusters pattern over the mutual graph). */
-  private def knnGraphClustersOracle(k: Int, numCentroids: Int,
-                                     nProbe: Int): String =
-    s"""WITH RECURSIVE ${knnEdgesCtes(k, numCentroids, nProbe)},
+  private def knnGraphClustersOracle(k: Int, nProbe: Int): String =
+    s"""WITH RECURSIVE ${knnEdgesCtes(k, nProbe)},
        |mut AS MATERIALIZED (
        | SELECT e.src, e.dst FROM edges e
        |  JOIN edges r ON r.src = e.dst AND r.dst = e.src
@@ -2404,13 +2442,10 @@ object Similarity {
       numCentroids = 16, nProbe = 4, iters = 2),
     "ann_recall_trained" -> annRecallTrainedOracle(numQueries = 8, k = 5,
       numCentroids = 16, iters = 2, nProbes = Seq(1, 2, 4)),
-    "knn_graph" -> knnGraphOracle(k = 5, numCentroids = 16, nProbe = 4),
-    "knn_graph_clusters" -> knnGraphClustersOracle(k = 5,
-      numCentroids = 16, nProbe = 4),
-    "knn_graph_refine" -> knnRefineOracle(k = 5, numCentroids = 16,
-      nProbe = 4),
-    "knn_refine_recall" -> knnRefineRecallOracle(k = 5, numCentroids = 16,
-      nProbe = 4),
+    "knn_graph" -> knnGraphOracle(k = 5, nProbe = 4),
+    "knn_graph_clusters" -> knnGraphClustersOracle(k = 5, nProbe = 4),
+    "knn_graph_refine" -> knnRefineOracle(k = 5, nProbe = 4),
+    "knn_refine_recall" -> knnRefineRecallOracle(k = 5, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),

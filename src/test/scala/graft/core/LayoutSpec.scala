@@ -126,4 +126,48 @@ class LayoutSpec extends SparkSpec {
       .distinct().count()
     assert(spread > 4)
   }
+
+  test("AQE skew join splits a hot key carrying half the fact rows (skew=true)") {
+    // SURVEY §3's standing claim — "join skew handled by AQE skew join" —
+    // pinned with the mechanism by name: one hot key carries 50% of the
+    // fact side, the dim side is too big to broadcast (threshold -1), and
+    // the FINAL adaptive plan must mark the sort-merge join skew=true
+    // (OptimizeSkewedJoin split the oversized partition). Thresholds are
+    // scaled to test-sized shuffles; production keeps the defaults.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val old = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+      // 200k fact rows: 100k on hot key 0, 100k spread over 1000 cold
+      // keys; md5-hex payloads keep shuffle blocks incompressible so the
+      // hot partition's bytes actually exceed the scaled threshold
+      val facts = spark.range(200000L).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dims = spark.range(1000L).select(col("id").as("k"),
+        md5(concat(lit("d"), col("id").cast("string"))).as("dv"))
+
+      val joined = facts.join(dims, "k")
+      // execute THIS frame's own QueryExecution (count() would spawn a
+      // separate one and leave this plan un-finalized, isFinalPlan=false)
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must split the hot-key partition (skew=true):\n$plan")
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
