@@ -224,6 +224,8 @@ object SparkEntry {
     "bpe_train"              -> (BpeTrain.trainBpeQuery _),
     "bpe_encode"             -> (BpeTrain.bpeEncodeQuery _),
     "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
+    "mixture_plan"           -> (MixturePlan.mixturePlanQuery _),
+    "vocab_coverage"         -> (CorpusStats.vocabCoverageQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).
@@ -239,5 +241,5 @@ object SparkEntry {
       Timeseries.oracles ++ ProductAnalytics.oracles ++
       Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles ++
       GraphRank.oracles ++ Winnowing.oracles ++ CorpusStats.oracles ++
-      IntegrityAudit.oracles ++ BpeTrain.oracles
+      IntegrityAudit.oracles ++ BpeTrain.oracles ++ MixturePlan.oracles
 }

@@ -200,6 +200,47 @@ object CorpusStats {
   def tokenizerFertilityQuery(spark: SparkSession, dir: String): DataFrame =
     tokenizerFertility(Tables.documents(spark, dir)).orderBy(col("lang"))
 
+  /** Vocabulary COVERAGE at a candidate vocab size — the sizing QC a
+    * tokenizer/embedding-table decision needs next to fertility (cost
+    * per token) and Heaps (how fast the vocab grows): fix the top-V
+    * corpus tokens as the vocabulary and measure each document's
+    * out-of-vocabulary rate. Docs with high OOV under the production V
+    * are the ones the tokenizer will shred into bytes/UNKs.
+    *
+    * Vocabulary rule: top V by (count desc, token asc) over nonempty
+    * whitespace tokens — ties at the boundary break on binary token
+    * order, total order, cross-engine identical.
+    *
+    * Scale shape — the lm_surprisal discipline: vocab counts are one
+    * map-side-combined aggregate; the top-V set collapses to ONE
+    * broadcast map row (V ≪ corpus; lookups are O(1) map probes, not
+    * array scans); the doc scan is map-only, folding each token array
+    * against the map — no explode of the corpus, no per-doc groupBy.
+    * oov_bp = 10000·oov div n_tok in BIGINTs, rounded never. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+    require(vocabSize >= 1)
+    val toks = docs.select(explode(tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val wTop = W.orderBy(col("cnt").desc, col("t"))
+    val vrow = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= vocabSize)
+      .agg(map_from_entries(collect_list(struct(col("t"), lit(true))))
+        .as("vset"))
+    docs.crossJoin(broadcast(vrow))
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= "").as("toks"), col("vset"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(filter(col("toks"),
+          t => not(element_at(col("vset"), t).isNotNull)))
+          .cast("long").as("oov"))
+      .withColumn("oov_bp", expr("(10000 * oov) div greatest(n_tok, 1)"))
+  }
+
+  def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   /** Zipf-law fit over the token frequency head — the distributional
     * QC gate: natural text runs a log-log slope near −1; synthetic,
     * boilerplate-heavy, or template corpora bend the curve, and the
@@ -607,6 +648,31 @@ object CorpusStats {
         |  (1000 * CAST(sum(n_chars) AS BIGINT))
         |    // CAST(sum(re_tokens) AS BIGINT) AS chars_per_tok_milli
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // top-V vocab (count desc, token asc — the boundary tie rule),
+    // per-doc OOV fold against the vocab LIST
+    "vocab_coverage" ->
+      """WITH tk AS (
+        | SELECT t, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        | WHERE t <> '' GROUP BY t),
+        |vocab AS MATERIALIZED (
+        | SELECT t FROM (
+        |  SELECT t, row_number() OVER (ORDER BY cnt DESC, t) AS rn FROM tk)
+        | WHERE rn <= 500),
+        |vl AS (SELECT list(t) AS vs FROM vocab),
+        |per AS (
+        | SELECT d.doc_id,
+        |  len(list_filter(string_split(d.text, ' '),
+        |      x -> x <> '')) AS n_tok,
+        |  len(list_filter(string_split(d.text, ' '),
+        |      x -> x <> '' AND NOT list_contains(vl.vs, x))) AS oov
+        | FROM documents d CROSS JOIN vl)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | CAST(oov AS BIGINT) AS oov,
+        | (10000 * CAST(oov AS BIGINT))
+        |   // greatest(CAST(n_tok AS BIGINT), 1) AS oov_bp
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     // the same once-rounded micro components, HUGEINT sums/products,
     // and the display-only IEEE sqrt tail

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Mixture EPOCH PLANNING — the waterfilling solver that turns a
+  * target source mixture into concrete per-source repeat factors.
+  *
+  * `upsample_mixture` APPLIES given per-group weights; this operator
+  * COMPUTES them: given target proportions w_s (basis points), a token
+  * budget B, and a max-epoch cap E (no source may repeat more than E
+  * times — the standard overfit guard for small high-weight sources),
+  * solve
+  *
+  *   planned_s = min(E · T_s, w_s / W_u · B_remaining)
+  *
+  * by classic waterfilling: provisionally allot budget proportional to
+  * target weight; any source whose allotment exceeds E epochs is
+  * frozen at the cap and its surplus redistributes over the still-
+  * uncapped weights; repeat until no new source caps. Freezing a
+  * source only ever RAISES the others' allotments, so cap decisions
+  * are monotone and the loop terminates in ≤ |sources| rounds.
+  *
+  * Scale shape: ONE map-side-combined groupBy collapses the corpus to
+  * a |sources|-row frame; the solver iterates driver-side over that
+  * model-sized table (mixture components are curated groups — tens to
+  * hundreds — not web domains; the quality_train / bpe_train collected-
+  * model precedent) and the result ships back as a broadcast-sized
+  * plan. The corpus itself is touched exactly once, map-only.
+  *
+  * Exactness: all integer, truncating division, identical in Spark and
+  * DuckDB; epoch micro-units are computed with the split formula
+  * (p div t)·10⁶ + ((p mod t)·10⁶) div t, exact in BIGINT for any
+  * per-source token count below ~9.2e12 (the cap product t·E_micro
+  * bounds t below ~2.3e12 at E=4 — a multi-trillion-token single
+  * source; ~100 TB corpora sit well under both). The oracle replays
+  * the waterfilling rounds as unrolled MATERIALIZED CTEs (20 rounds =
+  * the |sources| bound; converged rounds are idempotent, so over-
+  * unrolling is harmless and the Scala loop asserts the bound). */
+object MixturePlan {
+
+  final case class SourcePlan(source: String, n_docs: Long,
+      src_tokens: Long, target_bp: Long, capped: Boolean,
+      planned_tokens: Long, epochs_micro: Long, achieved_bp: Long)
+
+  /** Exact epochs in micro units without the p·10⁶ overflow. */
+  private def epochsMicro(planned: Long, t: Long): Long =
+    (planned / t) * 1000000L + ((planned % t) * 1000000L) / t
+
+  /** The driver-side waterfilling loop over the collected source
+    * table; exposed for the spec's hand-computed cascades. */
+  private[graft] def solve(rows: Seq[(String, Long, Long, Long)],
+                           budget: Long,
+                           maxEpochsMicro: Long): Seq[SourcePlan] = {
+    require(rows.nonEmpty && rows.forall(_._3 > 0),
+      "every source needs at least one token")
+    require(budget > 0 && maxEpochsMicro > 0)
+    val capped = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var rounds = 0
+    var newly = true
+    while (newly) {
+      rounds += 1
+      require(rounds <= 20,
+        "waterfilling exceeded 20 rounds — the oracle unroll bound")
+      val un = rows.filter(r => !capped.contains(r._1))
+      val wu = un.map(_._4).sum
+      val brem = budget - capped.valuesIterator.sum
+      newly = false
+      if (un.nonEmpty && wu > 0) un.foreach { case (s, _, t, w) =>
+        val ideal = (w * brem) / wu
+        if (epochsMicro(ideal, t) > maxEpochsMicro) {
+          capped += s -> (t * maxEpochsMicro) / 1000000L
+          newly = true
+        }
+      }
+    }
+    val wu = rows.filter(r => !capped.contains(r._1)).map(_._4).sum
+    val brem = budget - capped.valuesIterator.sum
+    val planned = rows.map { case (s, _, t, w) =>
+      s -> capped.getOrElse(s, if (wu > 0) (w * brem) / wu else 0L)
+    }.toMap
+    val tot = planned.valuesIterator.sum
+    rows.map { case (s, nd, t, w) =>
+      val p = planned(s)
+      SourcePlan(s, nd, t, w, capped.contains(s), p, epochsMicro(p, t),
+        if (tot > 0) (p * 10000L) / tot else 0L)
+    }
+  }
+
+  /** Plan the mixture: `targetBp` is a column over `source` giving the
+    * target weight in basis points; budget defaults to
+    * `budgetFactor` × the corpus's whitespace-token total. */
+  def mixturePlan(docs: DataFrame, targetBp: org.apache.spark.sql.Column,
+                  budgetFactor: Long = 3L,
+                  budgetTokens: Option[Long] = None,
+                  maxEpochsMicro: Long = 4000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .withColumn("w", targetBp.cast("long"))
+      .select("source", "n_docs", "t", "w")
+      .as[(String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val budget = budgetTokens.getOrElse(budgetFactor * rows.map(_._3).sum)
+    solve(rows, budget, maxEpochsMicro).toDF()
+  }
+
+  /** Standing query config: target_bp cycles 200/400/600/800 by the
+    * numeric source index (sums to 10000 over the 20 test sources),
+    * budget 3× the corpus, epoch cap 4.0 — the high-weight classes
+    * exceed the cap and cascade, exercising multi-round waterfilling
+    * on the real data. */
+  def mixturePlanQuery(spark: SparkSession, dir: String): DataFrame =
+    mixturePlan(Tables.documents(spark, dir),
+        expr("(CAST(substring(source, 4) AS BIGINT) % 4 + 1) * 200"))
+      .orderBy(col("source"))
+
+  private val roundsSql: String = {
+    val rounds = (1 to 20).map { k =>
+      s"""r$k AS MATERIALIZED (
+         | SELECT source, n_docs, t, w,
+         |  CASE WHEN capped THEN planned
+         |   WHEN (CAST(w * brem AS BIGINT) // wu) // t * 1000000
+         |     + ((CAST(w * brem AS BIGINT) // wu) % t) * 1000000 // t
+         |     > 4000000
+         |    THEN CAST(t * 4000000 AS BIGINT) // 1000000
+         |   ELSE NULL END AS planned,
+         |  capped OR ((CAST(w * brem AS BIGINT) // wu) // t * 1000000
+         |     + ((CAST(w * brem AS BIGINT) // wu) % t) * 1000000 // t
+         |     > 4000000) AS capped
+         | FROM (SELECT r.*,
+         |   (SELECT b FROM tot)
+         |     - COALESCE((SELECT CAST(sum(planned) AS BIGINT)
+         |                 FROM r${k - 1} WHERE capped), 0) AS brem,
+         |   COALESCE((SELECT CAST(sum(w) AS BIGINT)
+         |             FROM r${k - 1} WHERE NOT capped), 1) AS wu
+         |  FROM r${k - 1} r))""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
+  private[graft] val oracles: Map[String, String] = Map(
+    "mixture_plan" ->
+      s"""WITH src AS MATERIALIZED (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+         | FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(3 * sum(t) AS BIGINT) AS b FROM src),
+         |r0 AS (SELECT source, n_docs, t,
+         |  CAST((CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 200
+         |       AS BIGINT) AS w,
+         |  CAST(NULL AS BIGINT) AS planned, FALSE AS capped FROM src),
+         |$roundsSql,
+         |fin AS (
+         | SELECT source, n_docs, t, w, capped,
+         |  CASE WHEN capped THEN planned
+         |       ELSE CAST(w * brem AS BIGINT) // wu END AS planned
+         | FROM (SELECT r.*,
+         |   (SELECT b FROM tot)
+         |     - COALESCE((SELECT CAST(sum(planned) AS BIGINT)
+         |                 FROM r20 WHERE capped), 0) AS brem,
+         |   COALESCE((SELECT CAST(sum(w) AS BIGINT)
+         |             FROM r20 WHERE NOT capped), 1) AS wu
+         |  FROM r20 r)),
+         |tp AS (SELECT CAST(sum(planned) AS BIGINT) AS tot_planned FROM fin)
+         |SELECT source, n_docs, CAST(t AS BIGINT) AS src_tokens,
+         | CAST(w AS BIGINT) AS target_bp, capped,
+         | CAST(planned AS BIGINT) AS planned_tokens,
+         | CAST(planned // t * 1000000
+         |      + (planned % t) * 1000000 // t AS BIGINT) AS epochs_micro,
+         | CAST(planned * 10000 // tp.tot_planned AS BIGINT) AS achieved_bp
+         |FROM fin CROSS JOIN tp ORDER BY source""".stripMargin
+  )
+}

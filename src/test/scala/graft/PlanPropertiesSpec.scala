@@ -47,6 +47,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row vocab-map frame (the broadcast unigram model) crossed into
     // the map-only doc scan
     "lm_surprisal",
+    // 1-row top-V vocab-set map (lm_surprisal's shape) crossed into
+    // the map-only per-doc OOV fold
+    "vocab_coverage",
     // same shape one order up: 1-row bigram-map model + the 1-row
     // distinct-unigram-count (V) scalar crossed into the model build
     "bigram_surprisal",

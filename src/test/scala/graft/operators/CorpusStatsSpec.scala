@@ -141,4 +141,34 @@ class CorpusStatsSpec extends SparkSpec {
       .select("cos_micro").as[Long].collect().toSeq
     assert(out === Seq(1000000L))
   }
+
+  test("vocabCoverage: top-V tie rule and per-doc OOV, hand-computed") {
+    // counts: a=3, b=1, c=5x... build: d1 "a a b", d2 "a c", d3 "c c c c"
+    // totals a:3, c:5, b:1 -> V=2 vocab = {c(5), a(3)}; boundary tie
+    // case below uses V=2 with b/c tied at 1 -> token asc picks b
+    val docs = Seq(
+      (1L, "a a b", "en", "s", 0L),
+      (2L, "a c", "en", "s", 0L),
+      (3L, "c c c c", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusStats.vocabCoverage(docs, vocabSize = 2)
+      .orderBy("doc_id")
+      .select("n_tok", "oov", "oov_bp").as[(Long, Long, Long)]
+      .collect().toSeq
+    // vocab = {c, a}: d1 oov=1 (b) of 3 -> 3333; d2 oov=0; d3 oov=0
+    assert(out === Seq((3L, 1L, 3333L), (2L, 0L, 0L), (4L, 0L, 0L)))
+  }
+
+  test("vocabCoverage: boundary tie breaks on token asc; empties ignored") {
+    // counts: a=2, b=1, c=1 -> V=2 vocab = {a, b} (b < c at count 1)
+    val docs = Seq(
+      (1L, "a  a b", "en", "s", 0L), // double space -> empty token dropped
+      (2L, "c", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusStats.vocabCoverage(docs, vocabSize = 2)
+      .orderBy("doc_id")
+      .select("n_tok", "oov", "oov_bp").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq((3L, 0L, 0L), (1L, 1L, 10000L)))
+  }
 }
