@@ -226,6 +226,8 @@ object SparkEntry {
     "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
     "mixture_plan"           -> (MixturePlan.mixturePlanQuery _),
     "vocab_coverage"         -> (CorpusStats.vocabCoverageQuery _),
+    "ann_matryoshka_recall"  -> (Similarity.annMatryoshkaRecallQuery _),
+    "decontam_redact"        -> (Dedup.decontamRedactQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

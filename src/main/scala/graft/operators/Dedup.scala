@@ -1516,8 +1516,12 @@ object Dedup {
     * form is batch-identical under ANY micro-batch split
     * (DecontamSpansStreamSpec pins this; the dupSpansRedactWithIndex
     * contract applied across the corpus/benchmark split). */
-  def decontamSpansWithIndex(corpus: DataFrame, benchWins: DataFrame,
-                             w: Int = 8, minRunTokens: Int = 13): DataFrame = {
+  /** Every contaminated run (corpus_id, bench_id, diag, s, e,
+    * run_tokens) at the minRunTokens threshold — the shared core of
+    * the audit (decontamSpansWithIndex) and the surgical redactor
+    * (decontamRedactWithIndex). */
+  private def decontamRuns(corpus: DataFrame, benchWins: DataFrame,
+                           w: Int, minRunTokens: Int): DataFrame = {
     require(w >= 2 && minRunTokens >= w,
       s"need window >= 2 and minRunTokens >= w, got w=$w min=$minRunTokens")
     val cw = windowHashes(corpus, w)
@@ -1525,7 +1529,7 @@ object Dedup {
     val bw = benchWins
     val byDiag = W.partitionBy(col("corpus_id"), col("bench_id"), col("diag"))
       .orderBy(col("p"))
-    val runs = cw.join(broadcast(bw), col("h") === col("hb"))
+    cw.join(broadcast(bw), col("h") === col("hb"))
       .withColumn("diag", col("pb") - col("p"))
       .withColumn("brk",
         when(col("p") - lag(col("p"), 1).over(byDiag) === 1, lit(0L))
@@ -1535,6 +1539,11 @@ object Dedup {
       .agg(min(col("p")).as("s"), (max(col("p")) + w - 1).as("e"))
       .withColumn("run_tokens", col("e") - col("s") + 1)
       .filter(col("run_tokens") >= minRunTokens)
+  }
+
+  def decontamSpansWithIndex(corpus: DataFrame, benchWins: DataFrame,
+                             w: Int = 8, minRunTokens: Int = 13): DataFrame = {
+    val runs = decontamRuns(corpus, benchWins, w, minRunTokens)
     runs
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_runs"),
@@ -1551,6 +1560,59 @@ object Dedup {
     decontamSpans(docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0))
       .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
+  /** SURGICAL decontamination — remove the contaminated runs, keep the
+    * document (the published alternative to whole-doc dropping when a
+    * long doc carries one quoted benchmark item: decontam_spans/
+    * benchmark_decontam answer "is it contaminated", this one ships
+    * the cleaned text). Every token position covered by ANY
+    * ≥ minRunTokens run against ANY benchmark doc is removed; the doc
+    * reassembles in original token order (dup_spans_redact's rebuild
+    * applied to the corpus/benchmark split).
+    *
+    * Scale shape: the run detection is the audit's broadcast
+    * (model-sized benchmark index) join; coverage positions explode
+    * from RUNS (contamination-sized, not corpus-sized); the rebuild
+    * touches each corpus token once and re-groups by doc_id — the
+    * dup_spans_redact precedent. */
+  def decontamRedact(corpus: DataFrame, benchmark: DataFrame, w: Int = 8,
+                     minRunTokens: Int = 13): DataFrame =
+    decontamRedactWithIndex(corpus, benchWindowIndex(benchmark, w), w,
+      minRunTokens)
+
+  def decontamRedactWithIndex(corpus: DataFrame, benchWins: DataFrame,
+                              w: Int = 8, minRunTokens: Int = 13): DataFrame = {
+    val covered = decontamRuns(corpus, benchWins, w, minRunTokens)
+      .select(col("corpus_id").as("doc_id"),
+        explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    val toks = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val positioned = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val kept = positioned
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos").as("i"),
+            col("tok").as("t")))),
+          x => x.getField("t"))).as("cleaned_text"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  def decontamRedactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontamRedact(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- oracles
@@ -2021,6 +2083,55 @@ object Dedup {
         |FROM agg a JOIN pick p ON p.corpus_id = a.corpus_id
         | AND p.bench_id = a.bench_id AND p.rn = 1
         |ORDER BY a.corpus_id, a.bench_id""".stripMargin,
+
+    // decontam_spans' run chain + dup_spans_redact's rebuild, over the
+    // corpus side of the %50 split
+    "decontam_redact" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text,' ') AS wl,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  array_to_string(list_slice(wl, i, i + 7), ' ') AS sub
+        | FROM toks, UNNEST(range(1, n - 8 + 2)) t(i)),
+        |m AS (
+        | SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  c.p, b.p - c.p AS diag
+        | FROM wins c JOIN wins b ON c.sub = b.sub
+        | WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+        |r AS (
+        | SELECT *, CASE WHEN p - lag(p) OVER (PARTITION BY corpus_id,
+        |   bench_id, diag ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk
+        | FROM m),
+        |g AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY corpus_id, bench_id, diag
+        |   ORDER BY p) AS grp
+        | FROM r),
+        |runs AS (
+        | SELECT corpus_id, min(p) AS s, max(p) + 7 AS e
+        | FROM g GROUP BY corpus_id, bench_id, diag, grp
+        | HAVING max(p) + 7 - min(p) + 1 >= 13),
+        |cov AS (
+        | SELECT DISTINCT corpus_id AS doc_id, CAST(i AS BIGINT) AS pos
+        | FROM runs, UNNEST(range(s, e + 1)) t(i)),
+        |ptoks AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos, wl[i] AS tok
+        | FROM toks, UNNEST(range(1, n + 1)) t(i)
+        | WHERE doc_id % 50 <> 0),
+        |kept AS (
+        | SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(p.tok, ' ' ORDER BY p.pos) AS cleaned_text
+        | FROM ptoks p LEFT JOIN cov c
+        |  ON p.doc_id = c.doc_id AND p.pos = c.pos
+        | WHERE c.pos IS NULL
+        | GROUP BY p.doc_id)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        | COALESCE(k.n_kept, 0) AS n_kept,
+        | COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |WHERE t.doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "dup_spans_exact" ->
       """WITH toks AS (
         | SELECT doc_id, string_split(text,' ') AS w,

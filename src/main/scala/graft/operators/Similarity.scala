@@ -1669,6 +1669,59 @@ object Similarity {
     annRecallEval(Tables.embeddings(spark, dir))
       .orderBy(col("n_probe"), col("query_id"))
 
+  /** Matryoshka (MRL — Kusupati et al. 2022) dimension-tier recall:
+    * brute-force cosine top-k using only the FIRST d dimensions, per
+    * tier d, against the full-dimension truth — the measured
+    * accuracy-vs-cost curve that decides how many leading dims a
+    * serving index actually needs (an MRL-trained encoder front-loads
+    * information, so low tiers stay useful; this instrument is how
+    * you check YOUR embeddings before truncating them).
+    *
+    * Scale shape: ONE corpus scan — every (query, vector) pair scores
+    * ALL tiers in-row (prefix cosines share the broadcast-query scan),
+    * then unpivots to (dims, query, vec, cos) so the per-tier top-k is
+    * a single window pass; the edge frame (|tiers|·|Q|·k rows) is
+    * localCheckpointed before the truth self-join (the k-core lesson —
+    * a recursive consumer would replay the corpus scan).
+    *
+    * The top tier IS the truth, so its row reports recall_bp = 10000
+    * by construction — the eval's self-check. */
+  def annMatryoshkaRecall(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                          tiers: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(tiers.nonEmpty && tiers == tiers.sorted && tiers.forall(_ >= 1),
+      "tiers must be ascending positive dims")
+    val v = vectors(emb)
+    val q = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ tiers.map { d =>
+        round(CosineSimilarity(slice(col("eq"), 1, d), slice(col("e"), 1, d)),
+          6).as(s"cos_$d")
+      }: _*)
+    val long = cand.selectExpr("query_id", "vec_id",
+      s"stack(${tiers.size}, " +
+        tiers.map(d => s"CAST($d AS BIGINT), cos_$d").mkString(", ") +
+        ") AS (dims, cos)")
+    val w = W.partitionBy(col("dims"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val edges = long
+      .select(col("dims"), col("query_id"), col("vec_id").as("neighbor_id"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+      .localCheckpoint()
+    val truth = edges.filter(col("dims") === tiers.max.toLong)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    val nq = q.agg(count(lit(1)).as("n_q"))
+    edges.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dims")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("dims"), col("hits"),
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
+  }
+
+  def annMatryoshkaRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    annMatryoshkaRecall(Tables.embeddings(spark, dir)).orderBy(col("dims"))
+
   // ---------------------------------------------------------------- projection
 
   /** Deterministic ±1 sign matrix for signed random projection, from
@@ -1856,6 +1909,49 @@ object Similarity {
     s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))
        |   / (sqrt(list_sum(list_transform($a, x -> x*x)))
        |      * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)""".stripMargin
+
+  /** cosSql over the first `d` components only — same sequential
+    * accumulation order as CosineSimilarity over slice(·, 1, d). */
+  private def cosSliceSql(a: String, b: String, d: Int): String =
+    s"""round(list_sum(list_transform(range(1, ${d + 1}), i -> $a[i]*$b[i]))
+       |   / (sqrt(list_sum(list_transform($a[1:$d], x -> x*x)))
+       |      * sqrt(list_sum(list_transform($b[1:$d], x -> x*x)))), 6)""".stripMargin
+
+  /** ann_matryoshka_recall oracle: one MATERIALIZED candidate block
+    * scoring every tier in-row, UNION-ALL unpivot, per-tier top-k,
+    * hits vs the top-tier truth. */
+  private def annMatryoshkaOracle(numQueries: Int, k: Int,
+                                  tiers: Seq[Int]): String = {
+    val tierCols = tiers.map(d =>
+      s"${cosSliceSql("q.eq", "x.e", d)} AS cos_$d").mkString(",\n  ")
+    val unpivot = tiers.map(d =>
+      s"SELECT query_id, vec_id, CAST($d AS BIGINT) AS dims, cos_$d AS cos FROM cand")
+      .mkString("\n UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS eq FROM v
+       |      WHERE vec_id < $numQueries),
+       |cand AS MATERIALIZED (
+       | SELECT q.query_id, x.vec_id,
+       |  $tierCols
+       | FROM q JOIN v x ON x.vec_id <> q.query_id),
+       |long AS ($unpivot),
+       |edges AS MATERIALIZED (
+       | SELECT dims, query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY dims, query_id
+       |                               ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM long) WHERE rnk <= $k),
+       |truth AS (SELECT query_id, vec_id FROM edges
+       |          WHERE dims = ${tiers.max}),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q)
+       |SELECT e.dims, CAST(sum(CASE WHEN t.query_id IS NOT NULL
+       |  THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL
+       |  THEN 1 ELSE 0 END) AS BIGINT)) // (nq.n_q * $k) AS recall_bp
+       |FROM edges e LEFT JOIN truth t
+       | ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+       | CROSS JOIN nq
+       |GROUP BY e.dims, nq.n_q ORDER BY dims""".stripMargin
+  }
 
   /** The IVF serving CTE chain — assumes CTEs `v(vec_id, e)` and
     * `cents(cid, ce)` are already defined, so the SAME serving SQL
@@ -2448,6 +2544,8 @@ object Similarity {
     "knn_refine_recall" -> knnRefineRecallOracle(k = 5, nProbe = 4),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
+    "ann_matryoshka_recall" -> annMatryoshkaOracle(numQueries = 8, k = 5,
+      tiers = Seq(8, 16, 32, 64)),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),
     "embed_exact_dups" ->
       """WITH h AS (

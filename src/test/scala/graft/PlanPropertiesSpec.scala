@@ -18,6 +18,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // bounded query-side broadcast (fixed query set), band filter
     // applied in-scan — same legitimate shape as ann_cosine_topk
     "ann_hard_negatives",
+    // bounded-query broadcast scan scoring every dim tier in-row
+    // (ann_cosine_topk's shape; one corpus pass serves all tiers)
+    "ann_matryoshka_recall",
     // query-side cell assignment crosses the bounded query set with
     // the model-sized centroid table; index probing is an equi-join
     // on cell — same bounded shape as ann_ivf_topk

@@ -72,4 +72,29 @@ class AnnRecallEvalSpec extends SparkSpec {
       .select("hits", "recall_bp").as[(Long, Long)].collect()
     assert(out.forall { case (h, bp) => h >= 0 && h <= 5 && bp === h * 2000 })
   }
+
+  test("matryoshka: prefix tier misses a neighbor the full dims rank first") {
+    // q=(1,0); vec1=(1,1) prefix-cos 1.0, full-cos 0.707107;
+    // vec2=(2,0) prefix-cos 1.0, full-cos 1.0. Tier d=1 ties at 1.0 and
+    // vec_id asc picks vec1 (a MISS); tier d=2 (the truth) picks vec2.
+    val toy = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 1.0f), 0),
+      (2L, Array(2.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.annMatryoshkaRecall(toy, numQueries = 1, k = 1,
+        tiers = Seq(1, 2))
+      .orderBy("dims")
+      .select("dims", "hits", "recall_bp").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq((1L, 0L, 0L), (2L, 1L, 10000L)))
+  }
+
+  test("matryoshka: top tier is its own truth — recall 10000 always") {
+    val out = Similarity.annMatryoshkaRecall(emb, numQueries = 4, k = 3,
+        tiers = Seq(16, 64))
+      .orderBy("dims")
+      .select("dims", "recall_bp").as[(Long, Long)].collect().toSeq
+    assert(out.last === ((64L, 10000L)))
+    assert(out.head._2 >= 0L && out.head._2 <= 10000L)
+  }
 }

@@ -410,6 +410,31 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 100L, 1L, 15L, 4L, 18L)))
   }
 
+  test("decontamRedact: removes exactly the contaminated run, keeps the rest") {
+    val quote = (1 to 15).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"lead in words $quote and a tail"),          // quote at tokens 4..18
+      (2L, "nothing shared with the benchmark here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$quote benchmark suffix")).toDF("doc_id", "text")
+    val out = Dedup.decontamRedact(corpus, bench, w = 8, minRunTokens = 13)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.head === ((1L, 21L, 6L, "lead in words and a tail")))
+    assert(out(1) === ((2L, 8L, 8L,
+      "nothing shared with the benchmark here at all")))
+  }
+
+  test("decontamRedact: a sub-threshold overlap removes nothing") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")  // 12 < 13 tokens
+    val corpus = Seq((1L, s"start $quote end")).toDF("doc_id", "text")
+    val bench = Seq((100L, s"$quote more")).toDF("doc_id", "text")
+    val out = Dedup.decontamRedact(corpus, bench, w = 8, minRunTokens = 13)
+      .select("n_tokens", "n_kept").as[(Long, Long)].head()
+    assert(out === ((14L, 14L)))
+  }
+
   test("decontamSpans: a run below minRunTokens is NOT contamination") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")    // 12 < 13 tokens
     val corpus = Seq((1L, s"start $quote end")).toDF("doc_id", "text")
