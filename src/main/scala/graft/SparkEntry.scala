@@ -228,6 +228,7 @@ object SparkEntry {
     "vocab_coverage"         -> (CorpusStats.vocabCoverageQuery _),
     "ann_matryoshka_recall"  -> (Similarity.annMatryoshkaRecallQuery _),
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),
+    "quality_calibration"    -> (QualityModels.qualityCalibrationQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

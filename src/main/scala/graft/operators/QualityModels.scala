@@ -573,6 +573,57 @@ object QualityModels {
     scoreAucEvalWith(docs, trainedQualityWeights(docs))
   }
 
+  /** CALIBRATION curve of the trained quality classifier — AUC says
+    * the model RANKS well; calibration says whether its probabilities
+    * MEAN anything (a score used as a mixture weight or sampling
+    * temperature needs calibrated mass, not just order): bin docs by
+    * predicted keep-probability decile, report each bin's mean
+    * predicted probability vs the OBSERVED Gopher-keep rate and the
+    * |gap| — the reliability-diagram rows whose n-weighted gap sum is
+    * ECE (Naeini et al. 2015).
+    *
+    * The probability is the TRAINING link itself in integer micro
+    * units: p_micro = clamp(500000 + S div 40000, 0, 10⁶) — the same
+    * hard sigmoid clamp(½ + S/4·10¹⁰) the GD loop optimized
+    * (transcendental-free; div truncates toward zero identically in
+    * both engines), so the curve audits exactly the quantity the
+    * trainer fit. Bins are RANGE-NORMALIZED over the observed
+    * [min, max] of p_micro (the GD margins are small against the
+    * sigmoid scale, so fixed probability deciles would collapse into
+    * one bin — range bins keep the diagram informative however narrow
+    * the model's probability band is; the narrowness itself shows in
+    * mean_pred_bp's span).
+    *
+    * Scale shape: two map-only scorers + a keyed join, then ONE
+    * map-side-combined 10-row groupBy; the (min, max) is a 1-row
+    * scalar aggregate broadcast back — nothing corpus-sized ever
+    * shuffles; the trained weights are the collected model row
+    * (quality_train's contract). */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val scores = qualityLogreg(docs, trainedQualityWeights(docs))
+      .select(col("doc_id"), col("score"))
+    val labels = gopherRules(docs).select(col("doc_id"), col("keep"))
+    val p = scores.join(labels, "doc_id")
+      .withColumn("p_micro", greatest(lit(0L),
+        least(lit(1000000L), lit(500000L) + expr("score div 40000"))))
+    val bounds = p.agg(min(col("p_micro")).as("mn"),
+      max(col("p_micro")).as("mx"))
+    p.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(expr("((p_micro - mn) * 10) div (mx - mn + 1)"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p_micro")).as("sp"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n_docs"),
+        expr("sp div (100 * n_docs)").as("mean_pred_bp"),
+        expr("(10000 * n_pos) div n_docs").as("obs_pos_bp"))
+      .withColumn("gap_bp", abs(col("mean_pred_bp") - col("obs_pos_bp")))
+  }
+
+  def qualityCalibrationQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibration(Tables.documents(spark, dir)).orderBy(col("bin"))
+
   /** Per-source PERCENTILE normalization of a quality score — the
     * comparability transform before mixing scores across domains (a
     * raw 7200 bp means "excellent" on a boilerplate farm and "poor"
@@ -723,10 +774,41 @@ object QualityModels {
        |    AS auc_bp
        |FROM cum""".stripMargin
 
+  private def qualityCalibrationOracle(iters: Int, stepDiv: Long): String =
+    s"""WITH ${qtrainCtes(iters, stepDiv)},
+       |sc AS (
+       | SELECT f.doc_id, w.b * 1000 + w.wa * f.alpha_bp + w.ws * f.stop_bp
+       |  + w.wt * f.ttr_bp + w.wl * f.n_words AS score
+       | FROM f CROSS JOIN w$iters w),
+       |p AS (
+       | SELECT sc.doc_id,
+       |  greatest(0, least(1000000, 500000 + score // 40000)) AS p_micro,
+       |  l.keep
+       | FROM sc JOIN lbl l USING (doc_id)),
+       |bounds AS (SELECT CAST(min(p_micro) AS BIGINT) AS mn,
+       |  CAST(max(p_micro) AS BIGINT) AS mx FROM p),
+       |b AS (
+       | SELECT least(((p_micro - bounds.mn) * 10)
+       |   // (bounds.mx - bounds.mn + 1), 9) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(p_micro) AS BIGINT) AS sp,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       | FROM p CROSS JOIN bounds GROUP BY 1)
+       |SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+       | CAST(sp // (100 * n_docs) AS BIGINT) AS mean_pred_bp,
+       | CAST((10000 * n_pos) // n_docs AS BIGINT) AS obs_pos_bp,
+       | CAST(abs(sp // (100 * n_docs) - (10000 * n_pos) // n_docs)
+       |      AS BIGINT) AS gap_bp
+       |FROM b ORDER BY bin""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "quality_train" -> qualityTrainOracle(iters = 10,
       stepDiv = 10000000L),
     "score_auc_trained" -> scoreAucTrainedOracle(iters = 10,
+      stepDiv = 10000000L),
+    // trained-weight replay + the integer hard-sigmoid link, 10-bin
+    // reliability rows
+    "quality_calibration" -> qualityCalibrationOracle(iters = 10,
       stepDiv = 10000000L),
     // the same integer features and one-row model, weights as literals
     // (the oracle pins the DEFAULT model; a trained model reuses the

@@ -53,6 +53,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row top-V vocab-set map (lm_surprisal's shape) crossed into
     // the map-only per-doc OOV fold
     "vocab_coverage",
+    // 1-row (min, max) probability-bounds scalar crossed back for the
+    // range-normalized reliability bins
+    "quality_calibration",
     // same shape one order up: 1-row bigram-map model + the 1-row
     // distinct-unigram-count (V) scalar crossed into the model build
     "bigram_surprisal",

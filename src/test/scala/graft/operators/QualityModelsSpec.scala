@@ -212,6 +212,32 @@ class QualityModelsSpec extends SparkSpec {
     assert(zero.forall(_ === 0L))
   }
 
+  test("qualityCalibration: bins partition the corpus; predictions monotone") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = QualityModels.qualityCalibration(docs)
+      .orderBy("bin")
+      .select("bin", "n_docs", "mean_pred_bp", "obs_pos_bp", "gap_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2).sum === 500L, "every doc lands in exactly one bin")
+    assert(out.map(_._1) === out.map(_._1).sorted)
+    // range bins are p-ordered, so mean predicted prob is monotone
+    val preds = out.map(_._3)
+    assert(preds.zip(preds.tail).forall { case (a, b) => a <= b })
+    assert(out.forall { case (_, n, p, o, g) =>
+      n >= 1 && g === math.abs(p - o) && o >= 0 && o <= 10000 })
+  }
+
+  test("qualityCalibration: a constant-score corpus collapses to one bin") {
+    // identical docs -> identical features -> one p value; mx = mn and
+    // the range binning must not divide by zero
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, "aaa bbb aaa ccc ddd eee fff ggg", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualityModels.qualityCalibration(docs)
+      .select("bin", "n_docs").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 6L)))
+  }
+
   implicit private class Map2Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
