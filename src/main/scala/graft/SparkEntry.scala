@@ -229,6 +229,7 @@ object SparkEntry {
     "ann_matryoshka_recall"  -> (Similarity.annMatryoshkaRecallQuery _),
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),
     "quality_calibration"    -> (QualityModels.qualityCalibrationQuery _),
+    "ann_ivf_pq_topk"        -> (Similarity.annIvfPqTopKQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -1215,19 +1215,17 @@ object Similarity {
     * broadcast ADC table on (sub, cid) and map-side-combines the
     * numSub partial sums — no shuffle ever carries a vector wider
     * than its codes. */
-  def annPqTopK(emb: DataFrame, numQueries: Int, k: Int,
-                numSub: Int = 8, subDim: Int = 8,
-                numCodes: Int = 16): DataFrame = {
-    require(numQueries >= 1 && k >= 1, s"bad numQueries=$numQueries/k=$k")
-    require(numSub >= 1 && subDim >= 1 && numCodes >= 1,
-      s"bad PQ shape $numSub x $subDim x $numCodes")
-    val v = vectors(emb)
+  /** The PQ model parts over (vec_id, e): per-subspace codebook
+    * slices, nearest-code assignments (the M-byte codes), and
+    * reconstructed-norm micro sums — shared by the flat ADC scan
+    * (annPqTopK) and the IVF-pruned serving stack (annIvfPqTopK). */
+  private def pqParts(v: DataFrame, numSub: Int, subDim: Int,
+                      numCodes: Int): (DataFrame, DataFrame, DataFrame) = {
     val subs = explode(sequence(lit(0), lit(numSub - 1)))
     def subSlice(e: Column) = slice(e, col("sub") * subDim + 1, lit(subDim))
     val cb = v.filter(col("vec_id") < numCodes)
       .select(col("vec_id").as("cid"), subs.as("sub"), col("e"))
       .select(col("sub"), col("cid"), subSlice(col("e")).as("c"))
-
     val enc = v.select(col("vec_id"), subs.as("sub"), col("e"))
       .select(col("vec_id"), col("sub"), subSlice(col("e")).as("x"))
       .join(broadcast(cb), Seq("sub"))
@@ -1236,31 +1234,104 @@ object Similarity {
           - lit(2.0d) * dot(col("x"), col("c")), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("d2r"), col("cid"))).as("cid"))
-
     val r2 = enc.join(broadcast(cb), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
       .agg(sum(round(dot(col("c"), col("c")) * lit(1000000.0d)).cast("long"))
         .as("r2m"))
+    (cb, enc, r2)
+  }
 
+  /** Per-query ADC lookup tables (query_id, sub, cid, qn, tm) — the
+    * micro-integer dot of each query's sub-slice with every code. */
+  private def pqQueryTab(v: DataFrame, cb: DataFrame, numQueries: Int,
+                         subDim: Int): DataFrame = {
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         l2norm(col("e")).as("qn"))
-    val tab = q.crossJoin(cb)
+    q.crossJoin(cb)
       .select(col("query_id"), col("sub"), col("cid"), col("qn"),
         round(dot(slice(col("eq"), col("sub") * subDim + 1, lit(subDim)),
           col("c")) * lit(1000000.0d)).cast("long").as("tm"))
+  }
 
+  /** The ADC cosine from summed table entries + reconstructed norm. */
+  private def pqAdcCos(dm: Column, qn: Column, r2m: Column): Column =
+    when(r2m <= 0 || qn === 0.0d, lit(0.0d))
+      .otherwise(round((dm / lit(1000000.0d)) /
+        (qn * sqrt(r2m / lit(1000000.0d))), 6))
+
+  def annPqTopK(emb: DataFrame, numQueries: Int, k: Int,
+                numSub: Int = 8, subDim: Int = 8,
+                numCodes: Int = 16): DataFrame = {
+    require(numQueries >= 1 && k >= 1, s"bad numQueries=$numQueries/k=$k")
+    require(numSub >= 1 && subDim >= 1 && numCodes >= 1,
+      s"bad PQ shape $numSub x $subDim x $numCodes")
+    val v = vectors(emb)
+    val (cb, enc, r2) = pqParts(v, numSub, subDim, numCodes)
+    val tab = pqQueryTab(v, cb, numQueries, subDim)
     val sc = enc.join(broadcast(tab), Seq("sub", "cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
     val cand = sc.join(r2, "vec_id")
-      .withColumn("cos",
-        when(col("r2m") <= 0 || col("qn") === 0.0d, lit(0.0d))
-          .otherwise(round((col("dm") / lit(1000000.0d)) /
-            (col("qn") * sqrt(col("r2m") / lit(1000000.0d))), 6)))
+      .withColumn("cos", pqAdcCos(col("dm"), col("qn"), col("r2m")))
     topK(cand, k)
   }
+
+  /** The full production serving stack — IVF prune → PQ-ADC scan →
+    * exact rerank (the FAISS IVFADC/IVFPQ composition, Jégou et al.
+    * 2011): stage 1 bounds candidates to the probed cells (never the
+    * corpus), stage 2 scores those candidates from the M-byte codes
+    * and the query's code tables — no full-width vector is touched
+    * per candidate — and stage 3 rescores only the top-m shortlist in
+    * exact fp32 so reported scores are true cosines.
+    *
+    * Scale shape: the candidate join is the IVF equi-join on cell;
+    * ADC scoring joins candidates to the code frame (M rows per
+    * vector) against a BROADCAST query table (|Q|·M·numCodes rows —
+    * model-sized); the rerank touches m vectors per query. At corpus
+    * scale the win over annIvfRerankTopK's int8 shortlist is
+    * bandwidth: M bytes per candidate instead of the full int8
+    * vector. */
+  def annIvfPqTopK(emb: DataFrame, numQueries: Int = 8, m: Int = 12,
+                   k: Int = 3, numCentroids: Int = 16, nProbe: Int = 4,
+                   numSub: Int = 8, subDim: Int = 8,
+                   numCodes: Int = 16): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    val v = vectors(emb)
+    val (assigned, probes) = ivfIndex(
+      emb, defaultCentroids(emb, numCentroids), numQueries, nProbe)
+    val candIds = broadcast(probes.select(col("query_id"), col("probe")))
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val (cb, enc, r2) = pqParts(v, numSub, subDim, numCodes)
+    val tab = pqQueryTab(v, cb, numQueries, subDim)
+    val sc = candIds.join(enc, "vec_id")
+      .join(broadcast(tab), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
+    val wm = W.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val shortlist = sc.join(r2, "vec_id")
+      .withColumn("pcos", pqAdcCos(col("dm"), col("qn"), col("r2m")))
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wm).as("prnk"))
+      .filter(col("prnk") <= m)
+      .select("query_id", "vec_id")
+    val qf = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = v
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    topK(cand, k)
+  }
+
+  def annIvfPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqTopK(Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
 
   def annPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
@@ -1917,6 +1988,97 @@ object Similarity {
        |   / (sqrt(list_sum(list_transform($a[1:$d], x -> x*x)))
        |      * sqrt(list_sum(list_transform($b[1:$d], x -> x*x)))), 6)""".stripMargin
 
+  /** ann_ivf_pq_topk oracle: the IVF candidate chain + the PQ code/
+    * table chain + ADC shortlist + exact rerank, composed verbatim
+    * from the two standalone oracles. */
+  private def annIvfPqOracle(numQueries: Int, m: Int, k: Int,
+                             numCentroids: Int, nProbe: Int, numSub: Int,
+                             subDim: Int, numCodes: Int): String =
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |cb AS (
+       | SELECT s.s AS sub, v.vec_id AS cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS c
+       | FROM v, sub s WHERE v.vec_id < $numCodes),
+       |cx AS (
+       | SELECT v.vec_id, s.s AS sub,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS x
+       | FROM v, sub s),
+       |enc AS (
+       | SELECT vec_id, sub, cid FROM (
+       |  SELECT cx.vec_id, cx.sub, cb.cid,
+       |   row_number() OVER (PARTITION BY cx.vec_id, cx.sub ORDER BY
+       |    round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cx.x[i]))
+       |      + list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cb.c[i]*cb.c[i]))
+       |      - 2*list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cb.c[i])),
+       |     6), cb.cid) AS rn
+       |  FROM cx JOIN cb ON cx.sub = cb.sub) WHERE rn = 1),
+       |r2 AS (
+       | SELECT e.vec_id,
+       |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
+       |      AS BIGINT)) AS r2m
+       | FROM enc e JOIN cb ON e.sub = cb.sub AND e.cid = cb.cid GROUP BY 1),
+       |q AS (
+       | SELECT vec_id AS query_id, e,
+       |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+       | FROM v WHERE vec_id < $numQueries),
+       |tab AS (
+       | SELECT q.query_id, cb.sub, cb.cid, q.qn,
+       |  CAST(round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |    i -> q.e[cb.sub*$subDim + i] * cb.c[i])) * 1000000) AS BIGINT)
+       |   AS tm
+       | FROM q, cb),
+       |sc AS (
+       | SELECT c.query_id, c.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
+       | FROM candi c JOIN enc e ON c.vec_id = e.vec_id
+       |  JOIN tab t ON t.query_id = c.query_id AND t.sub = e.sub
+       |   AND t.cid = e.cid
+       | GROUP BY 1, 2),
+       |short AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT sc.query_id, sc.vec_id,
+       |   row_number() OVER (PARTITION BY sc.query_id ORDER BY
+       |    CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+       |         ELSE round((sc.dm / 1000000.0)
+       |              / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END DESC,
+       |    sc.vec_id) AS prnk
+       |  FROM sc JOIN r2 ON sc.vec_id = r2.vec_id) WHERE prnk <= $m),
+       |rr AS (
+       | SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  ${cosSql("qv.e", "x.e")} AS cos
+       | FROM short s JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v x ON s.vec_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM rr) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** ann_matryoshka_recall oracle: one MATERIALIZED candidate block
     * scoring every tier in-row, UNION-ALL unpivot, per-tier top-k,
     * hits vs the top-tier truth. */
@@ -2546,6 +2708,9 @@ object Similarity {
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "ann_matryoshka_recall" -> annMatryoshkaOracle(numQueries = 8, k = 5,
       tiers = Seq(8, 16, 32, 64)),
+    "ann_ivf_pq_topk" -> annIvfPqOracle(numQueries = 8, m = 12, k = 3,
+      numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
+      numCodes = 16),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),
     "embed_exact_dups" ->
       """WITH h AS (

@@ -32,6 +32,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // centroid table (same bounded shape as ann_ivf_topk); the
     // shortlist and rerank stages are keyed equi-joins
     "ann_ivf_rerank_topk",
+    // the IVF+PQ serving stack: ann_ivf_topk's centroid cross +
+    // ann_pq_topk's bounded query x model-sized codebook table; the
+    // ADC scan and rerank are keyed equi-joins
+    "ann_ivf_pq_topk",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max

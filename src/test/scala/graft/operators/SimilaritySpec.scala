@@ -678,4 +678,35 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted === rs.sortBy(r => (-r._3, r._2)).toSeq)
     }
   }
+
+  test("annIvfPqTopK: probing every cell with a corpus-wide shortlist " +
+      "degrades to exact brute force") {
+    // the stack's boundary contract: nProbe = C makes stage 1 a no-op,
+    // m >= |corpus| makes the ADC shortlist a no-op, and the exact
+    // rerank is then brute-force cosine top-k — the same boundary pin
+    // ann_ivf/knn_graph carry
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stacked = Similarity.annIvfPqTopK(e, numQueries = 4, m = 500,
+        k = 3, numCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.annCosineTopK(e, numQueries = 4, k = 3)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(stacked === exact)
+  }
+
+  test("annIvfPqTopK: reported scores are true fp32 cosines, ranks dense") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.annIvfPqTopK(e, numQueries = 4, m = 8, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 4 * 3)
+    // every reported (query, neighbor, cos) matches the exact scorer
+    val truth = Similarity.annCosineTopK(e, numQueries = 4, k = 499)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.forall(r => truth((r._1, r._2)) === r._3),
+      "rerank must report exact cosines, not ADC estimates")
+  }
 }
