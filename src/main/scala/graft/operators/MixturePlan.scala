@@ -89,18 +89,24 @@ object MixturePlan {
     }
   }
 
-  /** Plan the mixture: `targetBp` is a column over `source` giving the
-    * target weight in basis points; budget defaults to
-    * `budgetFactor` × the corpus's whitespace-token total. */
-  def mixturePlan(docs: DataFrame, targetBp: org.apache.spark.sql.Column,
-                  budgetFactor: Long = 3L,
-                  budgetTokens: Option[Long] = None,
-                  maxEpochsMicro: Long = 4000000L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rows = docs.groupBy(col("source"))
+  /** The per-source accounting state (source, n_docs, t) — integer
+    * sums, so it doubles as a streaming complete-mode aggregation
+    * (MixtureStream): the state is |sources| rows however many docs
+    * flowed, and re-planning reads it without rescanning the corpus. */
+  def sourceTokenSums(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("t"))
+
+  /** The solver tail over a (source, n_docs, t) state frame —
+    * model-sized by the sourceTokenSums contract. */
+  def planFromSums(state: DataFrame, targetBp: org.apache.spark.sql.Column,
+                   budgetFactor: Long = 3L,
+                   budgetTokens: Option[Long] = None,
+                   maxEpochsMicro: Long = 4000000L): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val rows = state
       .withColumn("w", targetBp.cast("long"))
       .select("source", "n_docs", "t", "w")
       .as[(String, Long, Long, Long)]
@@ -108,6 +114,16 @@ object MixturePlan {
     val budget = budgetTokens.getOrElse(budgetFactor * rows.map(_._3).sum)
     solve(rows, budget, maxEpochsMicro).toDF()
   }
+
+  /** Plan the mixture: `targetBp` is a column over `source` giving the
+    * target weight in basis points; budget defaults to
+    * `budgetFactor` × the corpus's whitespace-token total. */
+  def mixturePlan(docs: DataFrame, targetBp: org.apache.spark.sql.Column,
+                  budgetFactor: Long = 3L,
+                  budgetTokens: Option[Long] = None,
+                  maxEpochsMicro: Long = 4000000L): DataFrame =
+    planFromSums(sourceTokenSums(docs), targetBp, budgetFactor,
+      budgetTokens, maxEpochsMicro)
 
   /** Standing query config: target_bp cycles 200/400/600/800 by the
     * numeric source index (sums to 10000 over the 20 test sources),
