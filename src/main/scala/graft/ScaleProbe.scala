@@ -358,7 +358,33 @@ object ScaleProbe {
       // score_auc_trained: 1 row; the U histogram is bounded by
       // distinct scores.
       "quality_train"       -> (operators.QualityModels.qualityTrainQuery _),
-      "score_auc_trained"   -> (operators.QualityModels.scoreAucTrainedQuery _))
+      "score_auc_trained"   -> (operators.QualityModels.scoreAucTrainedQuery _),
+      // r13 additions. mixture_plan: constant |sources| rows — the
+      // replica keeps the same 20 source names, so the state frame and
+      // the plan never grow; the wall rides the one linear corpus
+      // collapse. vocab_coverage: rows exactly linear (per doc); the
+      // prefixed replica multiplies the vocab f-fold, so the top-V map
+      // row stays 500 entries and selection just shifts — probing the
+      // one-broadcast-row assumption like lm_surprisal. decontam_redact:
+      // copy-disjoint windows keep contaminated runs within-copy —
+      // output rows exactly linear (every corpus doc), removed-token
+      // mass exactly f x copy-0's. matryoshka: constant 4 tier rows;
+      // wall rides the single bounded-query corpus scan. calibration:
+      // <= 10 bins, two linear scorers + the tiny groupBy — and at
+      // f >= 4 the diagram measurably collapses to ONE bin: the
+      // full-batch gradients grow f-fold under the same stepDiv
+      // (quality_train's documented replica contract), the hard
+      // sigmoid saturates to one clamped probability, and the
+      // range-normalized binning hits exactly the constant-score
+      // one-bin edge the spec pins. Expected, not a defect.
+      // ivf_pq: constant 24 rows; candidate volume rides nProbe·n/C
+      // like the parent IVF tier, ADC cost per candidate is M lookups.
+      "mixture_plan"        -> (operators.MixturePlan.mixturePlanQuery _),
+      "vocab_coverage"      -> (operators.CorpusStats.vocabCoverageQuery _),
+      "decontam_redact"     -> (operators.Dedup.decontamRedactQuery _),
+      "ann_matryoshka_recall" -> (operators.Similarity.annMatryoshkaRecallQuery _),
+      "quality_calibration" -> (operators.QualityModels.qualityCalibrationQuery _),
+      "ann_ivf_pq_topk"     -> (operators.Similarity.annIvfPqTopKQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
