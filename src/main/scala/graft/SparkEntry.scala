@@ -230,6 +230,8 @@ object SparkEntry {
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),
     "quality_calibration"    -> (QualityModels.qualityCalibrationQuery _),
     "ann_ivf_pq_topk"        -> (Similarity.annIvfPqTopKQuery _),
+    "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
+    "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -1215,19 +1215,25 @@ object Similarity {
     * broadcast ADC table on (sub, cid) and map-side-combines the
     * numSub partial sums — no shuffle ever carries a vector wider
     * than its codes. */
-  /** The PQ model parts over (vec_id, e): per-subspace codebook
-    * slices, nearest-code assignments (the M-byte codes), and
-    * reconstructed-norm micro sums — shared by the flat ADC scan
-    * (annPqTopK) and the IVF-pruned serving stack (annIvfPqTopK). */
-  private def pqParts(v: DataFrame, numSub: Int, subDim: Int,
-                      numCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** The default (data-seeded) PQ codebook: the first numCodes
+    * vectors' sub-slices. */
+  private def pqDefaultCodebook(v: DataFrame, numSub: Int, subDim: Int,
+                                numCodes: Int): DataFrame = {
     val subs = explode(sequence(lit(0), lit(numSub - 1)))
-    def subSlice(e: Column) = slice(e, col("sub") * subDim + 1, lit(subDim))
-    val cb = v.filter(col("vec_id") < numCodes)
+    v.filter(col("vec_id") < numCodes)
       .select(col("vec_id").as("cid"), subs.as("sub"), col("e"))
-      .select(col("sub"), col("cid"), subSlice(col("e")).as("c"))
+      .select(col("sub"), col("cid"),
+        slice(col("e"), col("sub") * subDim + 1, lit(subDim)).as("c"))
+  }
+
+  /** Encode + reconstructed norms against an EXPLICIT codebook
+    * (sub, cid, c) — shared by the default and trained paths. */
+  private def pqPartsWith(v: DataFrame, cb: DataFrame, numSub: Int,
+                          subDim: Int): (DataFrame, DataFrame) = {
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
     val enc = v.select(col("vec_id"), subs.as("sub"), col("e"))
-      .select(col("vec_id"), col("sub"), subSlice(col("e")).as("x"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("e"), col("sub") * subDim + 1, lit(subDim)).as("x"))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d2r",
         round(dot(col("x"), col("x")) + dot(col("c"), col("c"))
@@ -1238,21 +1244,164 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sum(round(dot(col("c"), col("c")) * lit(1000000.0d)).cast("long"))
         .as("r2m"))
+    (enc, r2)
+  }
+
+  /** The PQ model parts over (vec_id, e): per-subspace codebook
+    * slices, nearest-code assignments (the M-byte codes), and
+    * reconstructed-norm micro sums — shared by the flat ADC scan
+    * (annPqTopK) and the IVF-pruned serving stack (annIvfPqTopK). */
+  private def pqParts(v: DataFrame, numSub: Int, subDim: Int,
+                      numCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cb = pqDefaultCodebook(v, numSub, subDim, numCodes)
+    val (enc, r2) = pqPartsWith(v, cb, numSub, subDim)
     (cb, enc, r2)
   }
 
+  /** TRAINED PQ codebooks — per-subspace Lloyd iterations in EXACT
+    * integer micro units, the trainIvfCentroidsExact determinism
+    * discipline pointed at the PQ objective (L2 on sub-slices, not
+    * cosine): micro-int subvectors (|x| ≲ 2·10⁶ after floored means),
+    * squared distances are BIGINT sums ≤ ~3.5·10¹³ (zip_with fold, no
+    * doubles anywhere in assignment), argmin ties (d2 asc, cid asc),
+    * update = per-(sub, cid, dim) FLOORED integer mean — so training
+    * itself replays bit-for-bit in the DuckDB oracle. All numSub
+    * k-means run as ONE keyed job per iteration: assignment is a
+    * broadcast join on `sub` (the codebook frame is numSub·numCodes
+    * rows — model-sized), the update one map-side-combined groupBy.
+    * Init: the md5-ordered first numCodes vectors' sub-slices (the IVF
+    * trainer's sampling rule). Empty codewords drop out of later
+    * rounds in both engines identically. Exact while per-(sub,cid)
+    * assigned mass stays under ~9·10⁹ vectors (the sum-of-micro 2^53
+    * bound). Codewords ship back in fp scale via the exact /10⁶. */
+  def pqTrainCodebook(emb: DataFrame, numSub: Int = 8, subDim: Int = 8,
+                      numCodes: Int = 16, iters: Int = 2): DataFrame = {
+    require(numSub >= 1 && subDim >= 1 && numCodes >= 1 && iters >= 0)
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
+    val vms = vectors(emb)
+      .select(col("vec_id"),
+        transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("em"))
+      .select(col("vec_id"), subs.as("sub"), col("em"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("em"), col("sub") * subDim + 1, lit(subDim)).as("xm"))
+      .localCheckpoint()
+    val wInit = W.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val init = vectors(emb).select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCodes)
+      .withColumn("cid", row_number().over(wInit).cast("long"))
+    var cents = vms.join(broadcast(init), "vec_id")
+      .select(col("sub"), col("cid"), col("xm").as("cm"))
+      .localCheckpoint()
+    val sumCols = (0 until subDim).map(i =>
+      sum(element_at(col("xm"), i + 1)).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    for (_ <- 1 to iters) {
+      val assigned = vms.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", aggregate(
+          zip_with(col("xm"), col("cm"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, y) => acc + y))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+          first(col("xm")).as("xm"))
+      cents = assigned.groupBy("sub", "cid")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(col("sub"), col("cid"),
+          array((0 until subDim).map(i =>
+            floor(col(s"s$i").cast("double") / col("n")).cast("long")): _*)
+            .as("cm"))
+        .localCheckpoint()
+    }
+    cents.select(col("sub"), col("cid"),
+      transform(col("cm"), x => x.cast("double") / lit(1000000.0d)).as("c"))
+  }
+
+  /** The flat ADC top-k chain against an explicit codebook and an
+    * explicit (query_id, eq) frame — shared by the default-codebook
+    * query, the trained one, and the held-out recall eval. */
+  private def pqAdcTopKQ(v: DataFrame, cb: DataFrame, q: DataFrame,
+                         k: Int, numSub: Int, subDim: Int): DataFrame = {
+    val (enc, r2) = pqPartsWith(v, cb, numSub, subDim)
+    val tab = pqQueryTabQ(q, cb, subDim)
+    val sc = enc.join(broadcast(tab), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
+    val cand = sc.join(r2, "vec_id")
+      .withColumn("cos", pqAdcCos(col("dm"), col("qn"), col("r2m")))
+    topK(cand, k)
+  }
+
+  private def pqAdcTopK(v: DataFrame, cb: DataFrame, numQueries: Int,
+                        k: Int, numSub: Int, subDim: Int): DataFrame =
+    pqAdcTopKQ(v, cb, v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq")),
+      k, numSub, subDim)
+
+  /** ann_pq_trained: the flat ADC scan served from TRAINED codebooks
+    * — same bytes per vector, better codewords. */
+  def annPqTrained(emb: DataFrame, numQueries: Int = 8, k: Int = 3,
+                   numSub: Int = 8, subDim: Int = 8, numCodes: Int = 16,
+                   iters: Int = 2): DataFrame =
+    pqAdcTopK(vectors(emb),
+      pqTrainCodebook(emb, numSub, subDim, numCodes, iters),
+      numQueries, k, numSub, subDim)
+
+  def annPqTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    annPqTrained(Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Does TRAINING the codebook buy recall at equal bytes? Default
+    * (data-seeded) vs Lloyd-trained ADC top-k, both against the exact
+    * fp32 truth — the measured justification (or refutation) of the
+    * training pass, the ann_recall_trained instrument pointed at PQ.
+    *
+    * Queries are HELD OUT (the r12 de-artifacting rule): disjoint from
+    * BOTH the default codebook sample (vec_id < numCodes — those
+    * queries' subvectors ARE default codewords, encoding losslessly
+    * and handing the default an artifactual win) and the trained init
+    * sample (the md5-ASC first numCodes). */
+  def pqTrainRecall(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                    numSub: Int = 8, subDim: Int = 8, numCodes: Int = 16,
+                    iters: Int = 2): DataFrame = {
+    val v = vectors(emb)
+    val hq = heldoutQueries(emb, numQueries, numCodes).localCheckpoint()
+    val truth = topK(cosineCandidatesQ(v, hq), k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      .localCheckpoint()
+    def served(tag: String, cb: DataFrame) =
+      pqAdcTopKQ(v, cb, hq, k, numSub, subDim)
+        .select(lit(tag).as("codebook"), col("query_id"),
+          col("neighbor_id"))
+    served("default", pqDefaultCodebook(v, numSub, subDim, numCodes))
+      .unionByName(served("trained",
+        pqTrainCodebook(emb, numSub, subDim, numCodes, iters)))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("codebook")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .select(col("codebook"), col("hits"),
+        expr(s"(10000 * hits) div ${numQueries * k}").as("recall_bp"))
+  }
+
+  def pqTrainRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    pqTrainRecall(Tables.embeddings(spark, dir)).orderBy(col("codebook"))
+
   /** Per-query ADC lookup tables (query_id, sub, cid, qn, tm) — the
-    * micro-integer dot of each query's sub-slice with every code. */
-  private def pqQueryTab(v: DataFrame, cb: DataFrame, numQueries: Int,
-                         subDim: Int): DataFrame = {
-    val q = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("eq"),
-        l2norm(col("e")).as("qn"))
-    q.crossJoin(cb)
+    * micro-integer dot of each query's sub-slice with every code.
+    * `q` is an explicit (query_id, eq) frame. */
+  private def pqQueryTabQ(q: DataFrame, cb: DataFrame,
+                          subDim: Int): DataFrame =
+    q.select(col("query_id"), col("eq"), l2norm(col("eq")).as("qn"))
+      .crossJoin(cb)
       .select(col("query_id"), col("sub"), col("cid"), col("qn"),
         round(dot(slice(col("eq"), col("sub") * subDim + 1, lit(subDim)),
           col("c")) * lit(1000000.0d)).cast("long").as("tm"))
-  }
+
+  private def pqQueryTab(v: DataFrame, cb: DataFrame, numQueries: Int,
+                         subDim: Int): DataFrame =
+    pqQueryTabQ(v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("eq")), cb, subDim)
 
   /** The ADC cosine from summed table entries + reconstructed norm. */
   private def pqAdcCos(dm: Column, qn: Column, r2m: Column): Column =
@@ -1988,6 +2137,169 @@ object Similarity {
        |   / (sqrt(list_sum(list_transform($a[1:$d], x -> x*x)))
        |      * sqrt(list_sum(list_transform($b[1:$d], x -> x*x)))), 6)""".stripMargin
 
+  /** Per-subspace Lloyd replay — assumes CTEs `v(vec_id, e)` and
+    * `sub(s)`; emits `cbt(sub, cid, c)`. Mirrors pqTrainCodebook:
+    * micro-int subvectors, BIGINT L2 argmin (d2 asc, cid asc),
+    * floored integer means, exact /10⁶ back to fp scale. */
+  private def pqTrainCtes(subDim: Int, numCodes: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""vmi AS (SELECT vec_id,
+      | list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS em
+      | FROM v),
+      |vms AS MATERIALIZED (SELECT vec_id, s.s AS sub,
+      | list_transform(range(1, ${subDim + 1}),
+      |                j -> em[s.s*$subDim + j]) AS xm
+      | FROM vmi, sub s),
+      |pinit AS (SELECT vec_id, CAST(row_number() OVER (
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid
+      | FROM v),
+      |pc0 AS (SELECT m.sub, p.cid, m.xm AS cm
+      | FROM vms m JOIN pinit p USING (vec_id)
+      | WHERE p.cid <= $numCodes)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        |pa$t AS (SELECT m.vec_id, m.sub, m.xm, c.cid,
+        |  list_sum(list_transform(range(1, ${subDim + 1}),
+        |    i -> (m.xm[i]-c.cm[i])*(m.xm[i]-c.cm[i]))) AS d2
+        | FROM vms m JOIN pc${t - 1} c ON m.sub = c.sub),
+        |ps$t AS (SELECT sub, cid, xm FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |   ORDER BY d2, cid) AS rn FROM pa$t) WHERE rn = 1),
+        |pc$t AS MATERIALIZED (
+        | SELECT sub, cid, list(cv ORDER BY i) AS cm FROM (
+        |  SELECT sub, cid, i,
+        |   CAST(floor(CAST(sum(xm[i]) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+        |  FROM ps$t, UNNEST(range(1, ${subDim + 1})) u(i)
+        |  GROUP BY sub, cid, i)
+        | GROUP BY sub, cid)""".stripMargin
+    }
+    sb ++= s""",
+      |cbt AS (SELECT sub, cid, list_transform(cm, x -> x/1000000.0) AS c
+      | FROM pc$iters)""".stripMargin
+    sb.toString
+  }
+
+  /** The ADC chain against codebook CTE `cbName`, CTE names suffixed
+    * by `sfx` — assumes `v`, `sub`, `cx(vec_id, sub, x)` and
+    * `q(query_id, e, qn)`. Emits cand$sfx(query_id, neighbor_id, cos). */
+  private def pqAdcCtes(cbName: String, sfx: String, subDim: Int): String =
+    s"""enc$sfx AS (
+       | SELECT vec_id, sub, cid FROM (
+       |  SELECT cx.vec_id, cx.sub, cb.cid,
+       |   row_number() OVER (PARTITION BY cx.vec_id, cx.sub ORDER BY
+       |    round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cx.x[i]))
+       |      + list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cb.c[i]*cb.c[i]))
+       |      - 2*list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cb.c[i])),
+       |     6), cb.cid) AS rn
+       |  FROM cx JOIN $cbName cb ON cx.sub = cb.sub) WHERE rn = 1),
+       |r2$sfx AS (
+       | SELECT e.vec_id,
+       |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
+       |      AS BIGINT)) AS r2m
+       | FROM enc$sfx e JOIN $cbName cb ON e.sub = cb.sub AND e.cid = cb.cid
+       | GROUP BY 1),
+       |tab$sfx AS (
+       | SELECT q.query_id, cb.sub, cb.cid, q.qn,
+       |  CAST(round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |    i -> q.e[cb.sub*$subDim + i] * cb.c[i])) * 1000000) AS BIGINT)
+       |   AS tm
+       | FROM q, $cbName cb),
+       |sc$sfx AS (
+       | SELECT t.query_id, e.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
+       | FROM enc$sfx e JOIN tab$sfx t ON e.sub = t.sub AND e.cid = t.cid
+       | WHERE t.query_id <> e.vec_id GROUP BY 1, 2),
+       |cand$sfx AS (
+       | SELECT sc.query_id, sc.vec_id AS neighbor_id,
+       |  CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+       |       ELSE round((sc.dm / 1000000.0)
+       |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
+       | FROM sc$sfx sc JOIN r2$sfx r2 ON sc.vec_id = r2.vec_id)""".stripMargin
+
+  private def pqSharedCtes(numQueries: Int, numSub: Int, subDim: Int,
+                           heldoutFrom: Option[Int] = None): String = {
+    val qCte = heldoutFrom match {
+      case None =>
+        s"""q AS (
+           | SELECT vec_id AS query_id, e,
+           |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+           | FROM v WHERE vec_id < $numQueries)""".stripMargin
+      case Some(numCodes) =>
+        s"""tinit AS (SELECT vec_id FROM (
+           | SELECT vec_id, row_number() OVER (
+           |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+           | WHERE rn <= $numCodes),
+           |q AS MATERIALIZED (
+           | SELECT vec_id AS query_id, e,
+           |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+           | FROM v
+           | WHERE vec_id >= $numCodes
+           |  AND vec_id NOT IN (SELECT vec_id FROM tinit)
+           | ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+           | LIMIT $numQueries)""".stripMargin
+    }
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |$qCte,
+       |cx AS (
+       | SELECT v.vec_id, s.s AS sub,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS x
+       | FROM v, sub s)""".stripMargin
+  }
+
+  private def annPqTrainedOracle(numQueries: Int, k: Int, numSub: Int,
+                                 subDim: Int, numCodes: Int,
+                                 iters: Int): String =
+    s"""WITH ${pqSharedCtes(numQueries, numSub, subDim)},
+       |${pqTrainCtes(subDim, numCodes, iters)},
+       |${pqAdcCtes("cbt", "", subDim)}
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  private def pqTrainRecallOracle(numQueries: Int, k: Int, numSub: Int,
+                                  subDim: Int, numCodes: Int,
+                                  iters: Int): String =
+    s"""WITH ${pqSharedCtes(numQueries, numSub, subDim,
+             heldoutFrom = Some(numCodes))},
+       |cbd AS (
+       | SELECT s.s AS sub, v.vec_id AS cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS c
+       | FROM v, sub s WHERE v.vec_id < $numCodes),
+       |${pqTrainCtes(subDim, numCodes, iters)},
+       |${pqAdcCtes("cbd", "_d", subDim)},
+       |${pqAdcCtes("cbt", "_t", subDim)},
+       |served AS (
+       | SELECT 'default' AS codebook, query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rnk FROM cand_d)
+       | WHERE rnk <= $k
+       | UNION ALL
+       | SELECT 'trained', query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rnk FROM cand_t)
+       | WHERE rnk <= $k),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT qv.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY qv.vec_id
+       |     ORDER BY ${cosSql("qv.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v qv JOIN v x ON qv.vec_id <> x.vec_id
+       |  WHERE qv.vec_id IN (SELECT query_id FROM q)) WHERE rnk <= $k)
+       |SELECT s.codebook,
+       | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // ${numQueries * k} AS recall_bp
+       |FROM served s LEFT JOIN truth t
+       | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ann_ivf_pq_topk oracle: the IVF candidate chain + the PQ code/
     * table chain + ADC shortlist + exact rerank, composed verbatim
     * from the two standalone oracles. */
@@ -2711,6 +3023,10 @@ object Similarity {
     "ann_ivf_pq_topk" -> annIvfPqOracle(numQueries = 8, m = 12, k = 3,
       numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
       numCodes = 16),
+    "ann_pq_trained" -> annPqTrainedOracle(numQueries = 8, k = 3,
+      numSub = 8, subDim = 8, numCodes = 16, iters = 2),
+    "pq_train_recall" -> pqTrainRecallOracle(numQueries = 8, k = 5,
+      numSub = 8, subDim = 8, numCodes = 16, iters = 2),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),
     "embed_exact_dups" ->
       """WITH h AS (

@@ -89,6 +89,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // model-sized codebook (numSub·numCodes rows); encoding and
     // scoring are (sub, cid)-keyed equi-joins
     "ann_pq_topk",
+    // the same bounded ADC shape served from TRAINED codebooks (the
+    // Lloyd loop itself is sub-keyed equi-joins + groupBys), and the
+    // default-vs-trained recall eval running it twice
+    "ann_pq_trained", "pq_train_recall",
     // 1-row doc-count scalar crossed onto the vocab-sized pair-rate
     // filter; wedge/closure hops are keyed equi-joins
     "token_triangles",

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
@@ -694,6 +696,55 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "cos", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(stacked === exact)
+  }
+
+  test("pqTrainCodebook: iters=0 returns the md5-sampled init slices") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqTrainCodebook(e, numSub = 4, subDim = 16,
+        numCodes = 3, iters = 0)
+      .select("sub", "cid").as[(Int, Long)].collect().toSet
+    assert(cb === (for (s <- 0 until 4; c <- 1 to 3) yield (s, c.toLong)).toSet)
+  }
+
+  test("pqTrainCodebook: Lloyd rounds never increase quantization error") {
+    // the k-means monotonicity guarantee, measured on real data: total
+    // integer L2 error of the nearest-code assignment must be
+    // non-increasing in the iteration count
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def err(iters: Int): Long = {
+      val cb = Similarity.pqTrainCodebook(e, iters = iters)
+        .select(col("sub"), col("cid"),
+          transform(col("c"), x => round(x * lit(1000000.0d)).cast("long"))
+            .as("cm"))
+      val vms = Similarity.vectors(e)
+        .select(col("vec_id"),
+          transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
+            .as("em"))
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("em"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("em"), col("sub") * 8 + 1, lit(8)).as("xm"))
+      vms.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", aggregate(
+          zip_with(col("xm"), col("cm"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, y) => acc + y))
+        .groupBy("vec_id", "sub").agg(min(col("d2")).as("d2"))
+        .agg(sum("d2")).as[Long].head()
+    }
+    val e0 = err(0); val e1 = err(1); val e2 = err(2)
+    assert(e1 <= e0 && e2 <= e1,
+      s"Lloyd error must be monotone non-increasing: $e0 -> $e1 -> $e2")
+    assert(e2 < e0, "two rounds must actually improve on the init")
+  }
+
+  test("pqTrainRecall: held-out queries, two tagged rows, sane bp") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.pqTrainRecall(e)
+      .select("codebook", "hits", "recall_bp")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq("default", "trained"))
+    assert(out.forall { case (_, h, bp) =>
+      h >= 0 && h <= 40 && bp === h * 250 })
   }
 
   test("annIvfPqTopK: reported scores are true fp32 cosines, ranks dense") {
