@@ -1227,7 +1227,14 @@ object Similarity {
   }
 
   /** Encode + reconstructed norms against an EXPLICIT codebook
-    * (sub, cid, c) — shared by the default and trained paths. */
+    * (sub, cid, c) — shared by the default and trained paths. The
+    * code frame IS the PQ index (M small ints per vector): it
+    * localCheckpoints so its two consumers (the ADC scan and the
+    * reconstructed norms) and any rerank stage read the materialized
+    * index instead of replaying the corpus encode — the production
+    * shape, where the index is built once and served many times (the
+    * ann_ivf_from_index contract; without this the composed IVF+PQ
+    * plan replayed the corpus scan 26 times). */
   private def pqPartsWith(v: DataFrame, cb: DataFrame, numSub: Int,
                           subDim: Int): (DataFrame, DataFrame) = {
     val subs = explode(sequence(lit(0), lit(numSub - 1)))
@@ -1240,6 +1247,7 @@ object Similarity {
           - lit(2.0d) * dot(col("x"), col("c")), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("d2r"), col("cid"))).as("cid"))
+      .localCheckpoint()
     val r2 = enc.join(broadcast(cb), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
       .agg(sum(round(dot(col("c"), col("c")) * lit(1000000.0d)).cast("long"))
