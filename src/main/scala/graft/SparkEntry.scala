@@ -232,6 +232,7 @@ object SparkEntry {
     "ann_ivf_pq_topk"        -> (Similarity.annIvfPqTopKQuery _),
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
     "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),
+    "lm_heldout_eval"        -> (QualityModels.lmHeldoutEvalQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

@@ -573,6 +573,68 @@ object QualityModels {
     scoreAucEvalWith(docs, trainedQualityWeights(docs))
   }
 
+  /** HELD-OUT evaluation of the unigram LM — the train/test discipline
+    * the surprisal scorers themselves need (lm_surprisal trains and
+    * scores on the SAME stream, so its numbers can't reveal
+    * overfitting; this instrument can): the model trains on the md5
+    * holdout TRAIN split only (holdoutSplit's exact bucket rule), then
+    * every split is scored with it — per split, token volume, OOV
+    * share, and mean surprisal in micro-nats. test-vs-train mean gap =
+    * the generalization gap; the OOV rate is the vocabulary's
+    * coverage decay on unseen data.
+    *
+    * OOV tokens score as count-1 types (s_unk = ln(total) micro — the
+    * classic unseen≈hapax backstop): deterministic, one extra rounded
+    * transcendental of the SAME class lm_surprisal already carries.
+    *
+    * Scale shape: lm_surprisal's — train counts map-side-combined, the
+    * model ONE broadcast map row + one scalar, scoring map-only per
+    * doc, then a 3-row split aggregate. */
+  def lmHeldoutEval(docs: DataFrame, trainPct: Int = 80,
+                    valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val trainT = 4294967296L * trainPct / 100
+    val valT = 4294967296L * (trainPct + valPct) / 100
+    val tagged = docs.select(col("doc_id"), col("text"),
+      when(TextAnalysis.sampleBucket < trainT, "train")
+        .when(TextAnalysis.sampleBucket < valT, "val")
+        .otherwise("test").as("split"))
+    val toks = tagged.filter(col("split") === "train")
+      .select(explode(tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val model = vocab
+      .agg(sum(col("cnt")).as("total"),
+        collect_list(struct(col("t"), col("cnt"))).as("entries"))
+      .select(
+        map_from_entries(transform(col("entries"), e =>
+          struct(e.getField("t"),
+            round((log(col("total")) - log(e.getField("cnt")))
+              * lit(1000000.0d)).cast("long")))).as("smap"),
+        round(log(col("total")) * lit(1000000.0d)).cast("long").as("unk"))
+    tagged.crossJoin(broadcast(model))
+      .select(col("split"), tokens(col("text")).as("toks"),
+        col("smap"), col("unk"))
+      .select(col("split"),
+        size(col("toks")).cast("long").as("n_toks"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(col("smap"), t), col("unk")))
+          .as("s_micro"),
+        size(filter(col("toks"),
+          t => element_at(col("smap"), t).isNull)).cast("long").as("oov"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("oov")).as("oov_tokens"),
+        sum(col("s_micro")).as("sm"))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        col("oov_tokens"),
+        expr("(10000 * oov_tokens) div n_tokens").as("oov_bp"),
+        expr("sm div n_tokens").as("mean_micro"))
+  }
+
+  def lmHeldoutEvalQuery(spark: SparkSession, dir: String): DataFrame =
+    lmHeldoutEval(Tables.documents(spark, dir)).orderBy(col("split"))
+
   /** CALIBRATION curve of the trained quality classifier — AUC says
     * the model RANKS well; calibration says whether its probabilities
     * MEAN anything (a score used as a mixture weight or sampling
@@ -810,6 +872,45 @@ object QualityModels {
     // reliability rows
     "quality_calibration" -> qualityCalibrationOracle(iters = 10,
       stepDiv = 10000000L),
+    // train-split unigram model + unseen≈hapax backstop, 3 split rows
+    "lm_heldout_eval" ->
+      s"""WITH sp AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN b < ${4294967296L * 80 / 100} THEN 'train'
+         |       WHEN b < ${4294967296L * 90 / 100} THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id, text,
+         |        ${TextAnalysis.sampleBucketSql} AS b FROM documents)),
+         |tok AS (
+         | SELECT unnest(string_split(text, ' ')) AS t FROM sp
+         | WHERE split = 'train'),
+         |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM tok GROUP BY 1),
+         |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         |smap AS MATERIALIZED (
+         | SELECT t, CAST(round((ln(total) - ln(cnt)) * 1000000) AS BIGINT)
+         |   AS s
+         | FROM vocab CROSS JOIN total),
+         |unk AS (SELECT CAST(round(ln(total) * 1000000) AS BIGINT) AS u
+         |        FROM total),
+         |atok AS (
+         | SELECT split, doc_id, unnest(string_split(text, ' ')) AS t
+         | FROM sp),
+         |per_doc AS (
+         | SELECT a.split, a.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(COALESCE(m.s, (SELECT u FROM unk))) AS BIGINT)
+         |   AS s_micro,
+         |  CAST(sum(CASE WHEN m.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS oov
+         | FROM atok a LEFT JOIN smap m USING (t) GROUP BY 1, 2)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         | CAST(sum(oov) AS BIGINT) AS oov_tokens,
+         | (10000 * CAST(sum(oov) AS BIGINT))
+         |   // CAST(sum(n_toks) AS BIGINT) AS oov_bp,
+         | CAST(sum(s_micro) AS BIGINT)
+         |   // CAST(sum(n_toks) AS BIGINT) AS mean_micro
+         |FROM per_doc GROUP BY split ORDER BY split""".stripMargin,
     // the same integer features and one-row model, weights as literals
     // (the oracle pins the DEFAULT model; a trained model reuses the
     // operator unchanged)

@@ -54,6 +54,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row vocab-map frame (the broadcast unigram model) crossed into
     // the map-only doc scan
     "lm_surprisal",
+    // the same 1-row model (train-split vocab map + unk scalar)
+    // crossed into the split-tagged doc scan
+    "lm_heldout_eval",
     // 1-row top-V vocab-set map (lm_surprisal's shape) crossed into
     // the map-only per-doc OOV fold
     "vocab_coverage",

@@ -238,6 +238,32 @@ class QualityModelsSpec extends SparkSpec {
     assert(out === Seq((0L, 6L)))
   }
 
+  test("lmHeldoutEval: splits partition the corpus; OOV only off-train") {
+    // find a genuinely-test doc under the md5 bucket rule, give it a
+    // token no train doc carries, and the test row must count it OOV
+    // at the unk (hapax) surcharge while train stays OOV-free
+    val base = (1L to 60L).map(i => (i, "common words here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val splits = TextAnalysis.holdoutSplit(base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val testId = (1L to 60L).find(splits(_) == "test").get
+    val docs = (1L to 60L).map { i =>
+      val t = if (i == testId) "common words here plus zzunseen"
+              else "common words here"
+      (i, t, "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualityModels.lmHeldoutEval(docs)
+      .orderBy("split")
+      .select("split", "n_docs", "n_tokens", "oov_tokens", "mean_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.map(_._2).sum === 60L, "splits partition the docs")
+    assert(out("train")._4 === 0L, "train tokens are in-vocab by definition")
+    assert(out("test")._4 === 2L, "'plus' and 'zzunseen' are OOV")
+    // every train doc is identical, so train mean = per-token type mix
+    assert(out("train")._5 > 0L)
+  }
+
   implicit private class Map2Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
