@@ -233,6 +233,7 @@ object SparkEntry {
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
     "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),
     "lm_heldout_eval"        -> (QualityModels.lmHeldoutEvalQuery _),
+    "embed_matryoshka_truncate" -> (Similarity.embedMatryoshkaTruncateQuery _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables by name).

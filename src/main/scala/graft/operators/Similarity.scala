@@ -1950,6 +1950,36 @@ object Similarity {
   def annMatryoshkaRecallQuery(spark: SparkSession, dir: String): DataFrame =
     annMatryoshkaRecall(Tables.embeddings(spark, dir)).orderBy(col("dims"))
 
+  /** The TRANSFORM ann_matryoshka_recall gates: truncate every vector
+    * to its first `d` dims and re-normalize to unit length, shipped in
+    * exact integer micro units (component = round(x/‖x₁..d‖ · 10⁶),
+    * each rounded ONCE; the norm itself in micro for QC). The 4×
+    * storage/bandwidth cut a serving index takes AFTER the recall eval
+    * approves d — run the eval first; this materializes the decision.
+    * Zero-norm prefixes (unembeddable at tier d) emit all-zero
+    * components with norm_micro = 0 — the embed_norm_qc flag carries
+    * over rather than a NaN. Map-only, one corpus pass; the array
+    * ships as the CSV convention (embed_quantize_int8's). */
+  def embedMatryoshkaTruncate(emb: DataFrame, d: Int = 16): DataFrame = {
+    require(d >= 1)
+    val t = slice(col("e"), 1, d)
+    val nrm = sqrt(aggregate(transform(t, x => x * x), lit(0.0d),
+      (acc, x) => acc + x))
+    vectors(emb)
+      .select(col("vec_id"), t.as("t"), nrm.as("nrm"))
+      .select(col("vec_id"), lit(d.toLong).as("dims"),
+        round(col("nrm") * lit(1000000.0d)).cast("long").as("norm_micro"),
+        concat_ws(",", transform(col("t"), x =>
+          when(col("nrm") === 0.0d, lit(0L))
+            .otherwise(round(x / col("nrm") * lit(1000000.0d))
+              .cast("long")))).as("t_csv"))
+  }
+
+  def embedMatryoshkaTruncateQuery(spark: SparkSession,
+                                   dir: String): DataFrame =
+    embedMatryoshkaTruncate(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id"))
+
   // ---------------------------------------------------------------- projection
 
   /** Deterministic ±1 sign matrix for signed random projection, from
@@ -3028,6 +3058,21 @@ object Similarity {
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "ann_matryoshka_recall" -> annMatryoshkaOracle(numQueries = 8, k = 5,
       tiers = Seq(8, 16, 32, 64)),
+    // the truncate-and-renorm transform at d=16: same fold order for
+    // the prefix norm, each unit component rounded once to micro
+    "embed_matryoshka_truncate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |t AS (
+        | SELECT vec_id, e[1:16] AS t,
+        |  sqrt(list_sum(list_transform(e[1:16], x -> x*x))) AS nrm
+        | FROM v)
+        |SELECT vec_id, CAST(16 AS BIGINT) AS dims,
+        | CAST(round(nrm * 1000000.0) AS BIGINT) AS norm_micro,
+        | array_to_string(list_transform(t, x ->
+        |   CASE WHEN nrm = 0 THEN 0
+        |        ELSE CAST(round(x / nrm * 1000000.0) AS BIGINT) END),
+        |  ',') AS t_csv
+        |FROM t ORDER BY vec_id""".stripMargin,
     "ann_ivf_pq_topk" -> annIvfPqOracle(numQueries = 8, m = 12, k = 3,
       numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
       numCodes = 16),

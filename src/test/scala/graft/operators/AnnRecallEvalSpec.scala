@@ -89,6 +89,19 @@ class AnnRecallEvalSpec extends SparkSpec {
     assert(out === Seq((1L, 0L, 0L), (2L, 1L, 10000L)))
   }
 
+  test("embedMatryoshkaTruncate: unit norm in micro, zero-prefix safe") {
+    val toy = Seq(
+      (1L, Array(3.0f, 4.0f, 9.9f), 0),     // prefix (3,4): norm 5
+      (2L, Array(0.0f, 0.0f, 1.0f), 0))     // zero prefix at d=2
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedMatryoshkaTruncate(toy, d = 2)
+      .orderBy("vec_id")
+      .select("dims", "norm_micro", "t_csv")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.head === ((2L, 5000000L, "600000,800000")))
+    assert(out(1) === ((2L, 0L, "0,0")))
+  }
+
   test("matryoshka: top tier is its own truth — recall 10000 always") {
     val out = Similarity.annMatryoshkaRecall(emb, numQueries = 4, k = 3,
         tiers = Seq(16, 64))
