@@ -217,16 +217,36 @@ object CorpusStats {
     * array scans); the doc scan is map-only, folding each token array
     * against the map — no explode of the corpus, no per-doc groupBy.
     * oov_bp = 10000·oov div n_tok in BIGINTs, rounded never. */
-  def vocabCoverage(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+  /** The top-V vocabulary collapsed to ONE map row — the frozen
+    * artifact the batch coverage report and the streaming admission
+    * gate (VocabGateStream) both score against. */
+  def vocabSetRow(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
     require(vocabSize >= 1)
     val toks = docs.select(explode(tokens(col("text"))).as("t"))
       .filter(col("t") =!= "")
     val wTop = W.orderBy(col("cnt").desc, col("t"))
-    val vrow = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    toks.groupBy("t").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= vocabSize)
       .agg(map_from_entries(collect_list(struct(col("t"), lit(true))))
         .as("vset"))
+  }
+
+  /** Per-doc OOV accounting against a (vset) one-row frame — shared by
+    * the batch report and the streaming gate so the two CANNOT drift. */
+  def oovScored(docs: DataFrame, vrow: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(vrow))
+      .select(docs.columns.map(col) :+
+        filter(tokens(col("text")), t => t =!= "").as("__toks") :+
+        col("vset"): _*)
+      .withColumn("n_tok", size(col("__toks")).cast("long"))
+      .withColumn("oov", size(filter(col("__toks"),
+        t => not(element_at(col("vset"), t).isNotNull))).cast("long"))
+      .withColumn("oov_bp", expr("(10000 * oov) div greatest(n_tok, 1)"))
+      .drop("__toks", "vset")
+
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val vrow = vocabSetRow(docs, vocabSize)
     docs.crossJoin(broadcast(vrow))
       .select(col("doc_id"),
         filter(tokens(col("text")), t => t =!= "").as("toks"), col("vset"))
