@@ -144,13 +144,34 @@ object BpeTrain {
     (out.result(), wrapped)
   }
 
+  /** The Heaps-law contract's load-bearing bound: collectedWordTable
+    * refuses to collect a distinct-word table above this many rows
+    * (override via maxDistinctWords). 5M short strings is a few
+    * hundred MB of driver heap — comfortably model-sized; a corpus
+    * whose vocabulary blows past it (ID/hash/URL-heavy text growing
+    * ~linearly in corpus size) is violating the assumption the whole
+    * driver-side trainer rests on, and must fail LOUDLY (the
+    * raise_error delimiter discipline) instead of OOMing the driver.
+    * The graceful fallback is [[trainBpeDistributed]], which never
+    * collects the table. */
+  private[graft] val defaultMaxDistinctWords: Long = 5000000L
+
   /** One corpus pass + collect of the Heaps-bounded word table — the
     * shared entry for the local trainer and the trained-table
-    * consumers. */
-  private def collectedWordTable(docs: DataFrame): Array[(String, Long, String)] =
-    wordTable(docs).select(col("word"), col("cnt"), col("wrapped"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    * consumers. The table is localCheckpointed so the guard count and
+    * the collect read ONE materialization, not two corpus scans. */
+  private def collectedWordTable(docs: DataFrame,
+      maxWords: Long = defaultMaxDistinctWords): Array[(String, Long, String)] = {
+    val wt = wordTable(docs).select(col("word"), col("cnt"), col("wrapped"))
+      .localCheckpoint()
+    val n = wt.count()
+    require(n <= maxWords,
+      s"trainBpe: $n distinct words exceeds the Heaps-contract bound " +
+        s"$maxWords — this corpus's vocabulary is not collect-safe; " +
+        "use trainBpeDistributed (never collects the word table) or " +
+        "raise maxDistinctWords deliberately")
+    wt.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+  }
 
   /** Train `numMerges` merges; returns (rank, lsym, rsym, merged,
     * pair_count) in merge order. Stops early if the corpus runs out

@@ -152,8 +152,8 @@ object MixturePlan {
          |   (SELECT b FROM tot)
          |     - COALESCE((SELECT CAST(sum(planned) AS BIGINT)
          |                 FROM r${k - 1} WHERE capped), 0) AS brem,
-         |   COALESCE((SELECT CAST(sum(w) AS BIGINT)
-         |             FROM r${k - 1} WHERE NOT capped), 1) AS wu
+         |   greatest(COALESCE((SELECT CAST(sum(w) AS BIGINT)
+         |             FROM r${k - 1} WHERE NOT capped), 1), 1) AS wu
          |  FROM r${k - 1} r))""".stripMargin
     }
     rounds.mkString(",\n")
@@ -179,8 +179,8 @@ object MixturePlan {
          |   (SELECT b FROM tot)
          |     - COALESCE((SELECT CAST(sum(planned) AS BIGINT)
          |                 FROM r20 WHERE capped), 0) AS brem,
-         |   COALESCE((SELECT CAST(sum(w) AS BIGINT)
-         |             FROM r20 WHERE NOT capped), 1) AS wu
+         |   greatest(COALESCE((SELECT CAST(sum(w) AS BIGINT)
+         |             FROM r20 WHERE NOT capped), 1), 1) AS wu
          |  FROM r20 r)),
          |tp AS (SELECT CAST(sum(planned) AS BIGINT) AS tot_planned FROM fin)
          |SELECT source, n_docs, CAST(t AS BIGINT) AS src_tokens,

@@ -984,14 +984,17 @@ object Similarity {
           .select(lit(tag).as("centroids"), lit(p).as("n_probe"),
             col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
+    // divide by the ACTUAL held-out count (see pqTrainRecall's note)
+    val nq = hq.agg(count(lit(1)).as("n_q"))
     served("default", defaultCentroids(emb, numCentroids))
       .unionByName(served("trained",
         trainIvfCentroidsExact(emb, numCentroids, iters)))
       .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
       .groupBy("centroids", "n_probe")
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
       .select(col("centroids"), col("n_probe"), col("hits"),
-        expr(s"(10000 * hits) div ${k * numQueries}").as("recall_bp"))
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
   }
 
   def annRecallTrainedQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1375,6 +1378,12 @@ object Similarity {
                     iters: Int = 2): DataFrame = {
     val v = vectors(emb)
     val hq = heldoutQueries(emb, numQueries, numCodes).localCheckpoint()
+    // recall_bp divides by the ACTUAL held-out count, not numQueries·k:
+    // heldoutQueries returns fewer than numQueries rows when the corpus
+    // barely exceeds numCodes + the init sample, and a constant
+    // denominator would silently deflate recall and break the
+    // nProbe=C→10000 convergence invariant (r13 ADVICE)
+    val nq = hq.agg(count(lit(1)).as("n_q"))
     val truth = topK(cosineCandidatesQ(v, hq), k)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
       .localCheckpoint()
@@ -1388,8 +1397,9 @@ object Similarity {
       .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .groupBy("codebook")
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
       .select(col("codebook"), col("hits"),
-        expr(s"(10000 * hits) div ${numQueries * k}").as("recall_bp"))
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
   }
 
   def pqTrainRecallQuery(spark: SparkSession, dir: String): DataFrame =
@@ -2328,15 +2338,17 @@ object Similarity {
        |   row_number() OVER (PARTITION BY qv.vec_id
        |     ORDER BY ${cosSql("qv.e", "x.e")} DESC, x.vec_id) AS rnk
        |  FROM v qv JOIN v x ON qv.vec_id <> x.vec_id
-       |  WHERE qv.vec_id IN (SELECT query_id FROM q)) WHERE rnk <= $k)
+       |  WHERE qv.vec_id IN (SELECT query_id FROM q)) WHERE rnk <= $k),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q)
        |SELECT s.codebook,
        | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
        |  AS BIGINT) AS hits,
        | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
-       |  AS BIGINT)) // ${numQueries * k} AS recall_bp
+       |  AS BIGINT)) // (nq.n_q * $k) AS recall_bp
        |FROM served s LEFT JOIN truth t
        | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       | CROSS JOIN nq
+       |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
 
   /** ann_ivf_pq_topk oracle: the IVF candidate chain + the PQ code/
     * table chain + ADC shortlist + exact rerank, composed verbatim
@@ -2610,15 +2622,17 @@ object Similarity {
        | SELECT tag, n_probe, query_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY tag, n_probe, query_id
        |                               ORDER BY cos DESC, neighbor_id) AS rnk
-       |  FROM scored) WHERE rnk <= $k)
+       |  FROM scored) WHERE rnk <= $k),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM hq)
        |SELECT r.tag AS centroids, r.n_probe,
        |  CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
        |   AS BIGINT) AS hits,
        |  (10000 * CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
-       |   AS BIGINT)) // ${k * numQueries} AS recall_bp
+       |   AS BIGINT)) // (nq.n_q * $k) AS recall_bp
        |FROM ranked r LEFT JOIN exact e
        | ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       | CROSS JOIN nq
+       |GROUP BY 1, 2, nq.n_q ORDER BY 1, 2""".stripMargin
   }
 
   /** Full oracle for the composed IVF × int8 × fp32-rerank path: the

@@ -809,15 +809,20 @@ object TextAnalysis {
     * Unlike temperature_sample (per-SOURCE reweighting) this races
     * DOCUMENTS; unlike stratifiedSample (per-stratum uniform thinning)
     * the keep decision is weight-graded. Priorities round once to
-    * integer MICRO units (pinned op order: ln → ×10^6 → /w → round),
-    * ties break on doc_id — stable across engines and runs, and a
-    * doc's priority never changes as the corpus grows. Residual
-    * cross-engine assumption: JVM Math.log and DuckDB ln are each
-    * ~1-ulp libm implementations that agreed on every bucket value
-    * tested on this host pair; micro (not pico) scaling keeps a 1-ulp
-    * ln disagreement ~1e-9 of the rounding unit (the langIdNgram
-    * slack), so a flip would need a value sitting within ~1e-9 of a
-    * .5 boundary — same discipline, not a proof.
+    * integer NANO units (pinned op order: ln → ×10^9 → /w → round);
+    * ties break on the exact-integer md5 BUCKET before doc_id, so
+    * whatever quantization collapses is re-decided by the race's own
+    * randomness, not id order (at the old micro scale ~0.5% of docs
+    * with w near 10⁴ landed on priority 0 and the doc_id tiebreak
+    * biased selection toward low ids — the r13 ADVICE finding).
+    * Stable across engines and runs, and a doc's priority never
+    * changes as the corpus grows. Residual cross-engine assumption:
+    * JVM Math.log and DuckDB ln are each ~1-ulp libm implementations
+    * that agreed on every bucket value tested on this host pair; nano
+    * scaling still leaves a 1-ulp ln disagreement ~1e-6 of the
+    * rounding unit (the langIdNgram slack), so a flip would need a
+    * value sitting within ~1e-6 of a .5 boundary — same discipline,
+    * not a proof.
     *
     * Scale shape: scoring is MAP-ONLY; the global top-n plans as
     * TakeOrderedAndProject (per-partition heaps, no full sort
@@ -829,20 +834,21 @@ object TextAnalysis {
     * and min-n(A ∪ B) = min-n(min-n(A) ∪ B) makes the running
     * reservoir batch-split invariant by algebra. */
   private[graft] def weightedPriorities(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"), sampleBucket.as("bucket"),
         expr("(10000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text) + 1")
           .as("w_bp"))
       .withColumn("priority",
-        round((lit(0.0d) - log((sampleBucket + 1).cast("double")
+        round((lit(0.0d) - log((col("bucket") + 1).cast("double")
             / lit(4294967296.0d)))
-          * lit(1.0e6d) / col("w_bp")).cast("long"))
+          * lit(1.0e9d) / col("w_bp")).cast("long"))
 
   def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
     require(n >= 1)
-    val wr = W.orderBy(col("priority").asc, col("doc_id"))
+    val wr = W.orderBy(col("priority").asc, col("bucket"), col("doc_id"))
     weightedPriorities(docs)
-      .orderBy(col("priority").asc, col("doc_id")).limit(n)
+      .orderBy(col("priority").asc, col("bucket"), col("doc_id")).limit(n)
       .withColumn("rnk", row_number().over(wr).cast("long"))
+      .select("doc_id", "source", "w_bp", "priority", "rnk")
   }
 
   def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1258,12 +1264,12 @@ object TextAnalysis {
          |  $sampleBucketSql AS bucket
          | FROM documents),
          |pr AS (
-         | SELECT doc_id, source, w_bp,
+         | SELECT doc_id, source, w_bp, bucket,
          |  CAST(round((0 - ln((bucket + 1) / 4294967296.0))
-         |    * 1000000.0 / w_bp) AS BIGINT) AS priority
+         |    * 1000000000.0 / w_bp) AS BIGINT) AS priority
          | FROM p),
          |r AS (SELECT *, CAST(row_number() OVER (
-         |   ORDER BY priority ASC, doc_id) AS BIGINT) AS rnk FROM pr)
+         |   ORDER BY priority ASC, bucket, doc_id) AS BIGINT) AS rnk FROM pr)
          |SELECT doc_id, source, w_bp, priority, rnk FROM r
          |WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "holdout_split" ->

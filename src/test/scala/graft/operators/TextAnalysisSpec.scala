@@ -380,7 +380,7 @@ class TextAnalysisSpec extends SparkSpec {
     }
     def pri(id: Long, w: Long): Long =
       math.round((0.0 - math.log((bucket(id) + 1).toDouble / 4294967296.0))
-        * 1.0e6 / w)
+        * 1.0e9 / w)
     // doc 7: 6 of 7 chars alpha -> w = 8571 + 1; doc 8: 0 alpha -> w = 1
     assert(out(7L)._2 === 8572L && out(8L)._2 === 1L)
     assert(out(7L)._3 === pri(7L, 8572L))

@@ -28,15 +28,16 @@ class WeightedSampleStreamSpec extends SparkSpec {
   private def runStream(batches: Seq[Seq[(Long, String, String)]])
       : Seq[(Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
-    var reservoir: DataFrame = Seq.empty[(Long, String, Long, Long)]
-      .toDF("doc_id", "source", "w_bp", "priority")
+    var reservoir: DataFrame = Seq.empty[(Long, String, Long, Long, Long)]
+      .toDF("doc_id", "source", "bucket", "w_bp", "priority")
     val ms = MemoryStream[(Long, String, String)]
     val q = ms.toDF().toDF("doc_id", "text", "source").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         reservoir = reservoir
           .unionByName(TextAnalysis.weightedPriorities(batch)
-            .select("doc_id", "source", "w_bp", "priority"))
-          .orderBy(col("priority").asc, col("doc_id")).limit(n)
+            .select("doc_id", "source", "bucket", "w_bp", "priority"))
+          .orderBy(col("priority").asc, col("bucket"), col("doc_id"))
+          .limit(n)
           .localCheckpoint()
         ()
       }
