@@ -230,6 +230,9 @@ object SparkEntry {
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),
     "quality_calibration"    -> (QualityModels.qualityCalibrationQuery _),
     "ann_ivf_pq_topk"        -> (Similarity.annIvfPqTopKQuery _),
+    "ann_ivf_pq_trained"     -> (Similarity.annIvfPqTrainedQuery _),
+    "ann_ivf_pq_residual"    -> (Similarity.annIvfPqResidualTopKQuery _),
+    "pq_residual_recall"     -> (Similarity.pqResidualRecallQuery _),
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
     "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),
     "lm_heldout_eval"        -> (QualityModels.lmHeldoutEvalQuery _),

@@ -1460,21 +1460,22 @@ object Similarity {
     * scale the win over annIvfRerankTopK's int8 shortlist is
     * bandwidth: M bytes per candidate instead of the full int8
     * vector. */
-  def annIvfPqTopK(emb: DataFrame, numQueries: Int = 8, m: Int = 12,
-                   k: Int = 3, numCentroids: Int = 16, nProbe: Int = 4,
-                   numSub: Int = 8, subDim: Int = 8,
-                   numCodes: Int = 16): DataFrame = {
+  /** The composed serving chain with EXPLICIT model tables (coarse
+    * centroids + PQ codebook) — one plan for the data-seeded default
+    * (annIvfPqTopK) and the fully-trained compose (annIvfPqTrained),
+    * so training swaps the MODELS, never the serving semantics. */
+  def annIvfPqTopKWith(emb: DataFrame, cents: DataFrame, cb: DataFrame,
+                       numQueries: Int, m: Int, k: Int, nProbe: Int,
+                       numSub: Int, subDim: Int): DataFrame = {
     require(m >= k, s"shortlist m=$m must be >= k=$k")
-    require(nProbe >= 1 && nProbe <= numCentroids,
-      s"nProbe must be in [1, numCentroids], got $nProbe")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val v = vectors(emb)
-    val (assigned, probes) = ivfIndex(
-      emb, defaultCentroids(emb, numCentroids), numQueries, nProbe)
+    val (assigned, probes) = ivfIndex(emb, cents, numQueries, nProbe)
     val candIds = broadcast(probes.select(col("query_id"), col("probe")))
       .join(assigned.select(col("vec_id"), col("cell")),
         col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")
-    val (cb, enc, r2) = pqParts(v, numSub, subDim, numCodes)
+    val (enc, r2) = pqPartsWith(v, cb, numSub, subDim)
     val tab = pqQueryTab(v, cb, numQueries, subDim)
     val sc = candIds.join(enc, "vec_id")
       .join(broadcast(tab), Seq("query_id", "sub", "cid"))
@@ -1496,9 +1497,275 @@ object Similarity {
     topK(cand, k)
   }
 
+  def annIvfPqTopK(emb: DataFrame, numQueries: Int = 8, m: Int = 12,
+                   k: Int = 3, numCentroids: Int = 16, nProbe: Int = 4,
+                   numSub: Int = 8, subDim: Int = 8,
+                   numCodes: Int = 16): DataFrame = {
+    require(nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    annIvfPqTopKWith(emb, defaultCentroids(emb, numCentroids),
+      pqDefaultCodebook(vectors(emb), numSub, subDim, numCodes),
+      numQueries, m, k, nProbe, numSub, subDim)
+  }
+
   def annIvfPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfPqTopK(Tables.embeddings(spark, dir))
       .orderBy(col("query_id"), col("rnk"))
+
+  /** ann_ivf_pq_trained — the serving stack trained END-TO-END (r13
+    * verdict #2): BOTH model tiers come from their exact-integer
+    * trainers — the coarse quantizer from [[trainIvfCentroidsExact]]
+    * (micro-int Lloyd, oracle-replayable) and the PQ codebooks from
+    * [[pqTrainCodebook]] (per-subspace integer Lloyd on the L2
+    * objective) — composed through the UNCHANGED annIvfPqTopKWith
+    * serving plan. The r13 compose served data-seeded models by
+    * choice (its oracle pinned the compose); this entry's oracle
+    * replays BOTH trainers AND the serving chain, so a green row
+    * certifies the production stack end to end: train coarse → train
+    * PQ → assign → probe → encode → ADC → rerank. At iters=0 both
+    * trainers return their md5-sample seeds and the compose is pinned
+    * ≡ annIvfPqTopKWith on those seed tables (AnnIvfPqTrainedSpec). */
+  def annIvfPqTrained(emb: DataFrame, numQueries: Int = 8, m: Int = 12,
+                      k: Int = 3, numCentroids: Int = 16, nProbe: Int = 4,
+                      numSub: Int = 8, subDim: Int = 8, numCodes: Int = 16,
+                      iters: Int = 2): DataFrame = {
+    require(nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    annIvfPqTopKWith(emb,
+      trainIvfCentroidsExact(emb, numCentroids, iters),
+      pqTrainCodebook(emb, numSub, subDim, numCodes, iters),
+      numQueries, m, k, nProbe, numSub, subDim)
+  }
+
+  def annIvfPqTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqTrained(Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
+
+  // ------------------------------------------------- residual IVFADC
+
+  /** (vec_id, em) micro-integer view — vectors rounded ONCE to 10⁻⁶
+    * units; all residual-PQ arithmetic stays in BIGINT from here. */
+  private def microVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
+        .as("em"))
+
+  /** The residual-PQ index over an assigned frame: codes
+    * (vec_id, cell, sub, cid) and reconstruction slices
+    * xhat(cell, sub, cid, xh) — the TRUE FAISS IVFADC semantic (Jégou
+    * et al. 2011 §III): PQ encodes the RESIDUAL x − q_coarse(x), not x.
+    * Residuals concentrate near zero once the coarse quantizer has
+    * soaked up the between-cell variance, so the same M×numCodes bytes
+    * spend their resolution on a far smaller ball — the recall-at-
+    * equal-bytes win pqResidualRecall measures.
+    *
+    * Exactness: micro-int vectors minus micro-int centroids give BIGINT
+    * residuals; encode argmin is a BIGINT L2 (no rounding anywhere),
+    * ties to the smallest code id; reconstruction x̂ = c_cell + ŵ stays
+    * BIGINT. Bounds: |x̂| ≤ 3·10⁶ per component ⇒ recon norm² ≤
+    * 64·9·10¹² < 2⁵³ (exact in double for the final IEEE sqrt) and every
+    * ADC dot ≤ 2·10¹⁴ — far inside BIGINT.
+    *
+    * Scale shape: the codebook is numSub·numCodes rows (seeded from
+    * the residuals of vectors [seedFrom, seedFrom + numCodes) —
+    * pqDefaultCodebook's prefix convention SHIFTED past the centroid
+    * sample, because a centroid vector's residual against its own
+    * cell is exactly ZERO: seeding from vec_id < numCodes when those
+    * ids are also the default centroids yields an all-zero codebook
+    * and the "residual" scores degenerate to bare cell centroids —
+    * caught by pqResidualRecall's first measurement); encoding is one
+    * pass over the assigned corpus with a broadcast codebook join and
+    * a map-side-combined per-(vec, sub) argmin; xhat is
+    * C·numSub·numCodes rows — model-sized — built entirely from
+    * broadcast frames. */
+  private def residualPqParts(assigned: DataFrame, cents: DataFrame,
+                              numSub: Int, subDim: Int, numCodes: Int,
+                              seedFrom: Int): (DataFrame, DataFrame) = {
+    val cm = cents.select(col("cid").as("cell"),
+      transform(col("ce"), x => round(x * lit(1000000.0d)).cast("long"))
+        .as("cm"))
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
+    val rm = assigned
+      .select(col("vec_id"), col("cell"),
+        transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("em"))
+      .join(broadcast(cm), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("em"), col("cm"), (x, c) => x - c).as("rm"))
+    val cb = rm.filter(col("vec_id") >= seedFrom &&
+        col("vec_id") < seedFrom + numCodes)
+      .select(col("vec_id").as("cid"), subs.as("sub"), col("rm"))
+      .select(col("sub"), col("cid"),
+        slice(col("rm"), col("sub") * subDim + 1, lit(subDim)).as("wm"))
+    val codes = rm
+      .select(col("vec_id"), col("cell"), subs.as("sub"), col("rm"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        slice(col("rm"), col("sub") * subDim + 1, lit(subDim)).as("x"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", aggregate(
+        zip_with(col("x"), col("wm"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, y) => acc + y))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      .localCheckpoint()
+    val xhat = cm
+      .select(col("cell"), subs.as("sub"), col("cm"))
+      .select(col("cell"), col("sub"),
+        slice(col("cm"), col("sub") * subDim + 1, lit(subDim)).as("cs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("cell"), col("sub"), col("cid"),
+        zip_with(col("cs"), col("wm"), (a, b) => a + b).as("xh"))
+    (codes, xhat)
+  }
+
+  /** The residual-ADC cosine: BIGINT dot and norms², finished by one
+    * IEEE sqrt+divide both engines compute identically (operands are
+    * exact integers < 2⁵³ passed through double exactly). */
+  private def resAdcCos(dm: Column, q2m: Column, r2m: Column): Column =
+    when(r2m <= 0 || q2m <= 0, lit(0.0d))
+      .otherwise(round(dm.cast("double")
+        / (sqrt(q2m.cast("double")) * sqrt(r2m.cast("double"))), 6))
+
+  /** The per-(query, cell) ADC tables + candidate scoring shared by
+    * the serving query and the recall eval: `qm` is (query_id, qm,
+    * q2m), `candIds` the IVF-probed (query_id, vec_id) pairs. Emits
+    * (query_id, vec_id, cos) — the ADC estimate, BEFORE any rerank. */
+  private def residualAdcScores(candIds: DataFrame, codes: DataFrame,
+                                xhat: DataFrame, qm: DataFrame,
+                                subDim: Int): DataFrame = {
+    val rr = xhat.select(col("cell"), col("sub"), col("cid"),
+      aggregate(col("xh"), lit(0L), (acc, y) => acc + y * y).as("rr"))
+    val r2 = codes.join(broadcast(rr), Seq("cell", "sub", "cid"))
+      .groupBy("vec_id").agg(sum(col("rr")).as("r2m"))
+    val tab = qm.crossJoin(broadcast(xhat))
+      .select(col("query_id"), col("q2m"), col("cell"), col("sub"),
+        col("cid"),
+        aggregate(
+          zip_with(slice(col("qm"), col("sub") * subDim + 1, lit(subDim)),
+            col("xh"), (a, b) => a * b),
+          lit(0L), (acc, y) => acc + y).as("tm"))
+    candIds.join(codes.select("vec_id", "cell", "sub", "cid"), "vec_id")
+      .join(broadcast(tab), Seq("query_id", "cell", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), first(col("q2m")).as("q2m"))
+      .join(r2, "vec_id")
+      .withColumn("cos", resAdcCos(col("dm"), col("q2m"), col("r2m")))
+      .select("query_id", "vec_id", "cos")
+  }
+
+  /** ann_ivf_pq_residual — IVFADC serving with RESIDUAL-encoded PQ
+    * (r13 verdict #1): assign → residual → encode → per-(query, cell)
+    * ADC → shortlist → exact fp32 rerank. Identical IVF probe chain
+    * and rerank tail to annIvfPqTopK; only the code semantics change
+    * (codes address residuals, so the ADC tables carry the cell
+    * centroid inside x̂ = c + ŵ and become per-(query, cell) —
+    * |Q|·C·M·numCodes rows, still model-sized and broadcast). */
+  def annIvfPqResidualTopK(emb: DataFrame, numQueries: Int = 8,
+                           m: Int = 12, k: Int = 3, numCentroids: Int = 16,
+                           nProbe: Int = 4, numSub: Int = 8,
+                           subDim: Int = 8, numCodes: Int = 16): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    val v = vectors(emb)
+    val cents = defaultCentroids(emb, numCentroids)
+    val (assigned, probes) = ivfIndex(emb, cents, numQueries, nProbe)
+    val candIds = broadcast(probes.select(col("query_id"), col("probe")))
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val (codes, xhat) = residualPqParts(assigned, cents, numSub, subDim,
+      numCodes, seedFrom = numCentroids)
+    val qm = microVectors(v.filter(col("vec_id") < numQueries))
+      .select(col("vec_id").as("query_id"), col("em").as("qm"))
+      .withColumn("q2m",
+        aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
+    val wm = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val shortlist = residualAdcScores(candIds, codes, xhat, qm, subDim)
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wm).as("prnk"))
+      .filter(col("prnk") <= m)
+      .select("query_id", "vec_id")
+    val qf = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = v
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    topK(cand, k)
+  }
+
+  def annIvfPqResidualTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqResidualTopK(Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Does RESIDUAL encoding buy recall at equal bytes? Raw-vector PQ
+    * vs residual PQ, BOTH inside the same IVF probe chain (same cells,
+    * same candidates, same M×numCodes bytes per vector), top-k served
+    * directly from the ADC estimate — no rerank, so the row measures
+    * the CODES, not the fp32 tail — against the exact brute-force
+    * truth on HELD-OUT queries (disjoint from the centroid sample and
+    * both codebook seed samples; the r12 de-artifacting rule). The
+    * literature (Jégou 2011 Fig.2) promises the residual win; on
+    * isotropic synthetics the honest measured answer may be a null —
+    * either way the row records it. */
+  def pqResidualRecall(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                       numCentroids: Int = 16, nProbe: Int = 4,
+                       numSub: Int = 8, subDim: Int = 8,
+                       numCodes: Int = 16): DataFrame = {
+    val v = vectors(emb)
+    val cents = defaultCentroids(emb, numCentroids)
+    // held out past BOTH seed prefixes: the centroid sample [0, C) and
+    // the residual-codebook sample [C, C + numCodes)
+    val hq = heldoutQueries(emb, numQueries,
+      numCentroids + numCodes).localCheckpoint()
+    val nq = hq.agg(count(lit(1)).as("n_q"))
+    val truth = topK(cosineCandidatesQ(v, hq), k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      .localCheckpoint()
+    val (assigned, probes) = ivfIndexQ(v, cents,
+      hq.select(col("query_id").as("vec_id"), col("eq").as("e")), nProbe)
+    val candIds = broadcast(probes.select(col("query_id"), col("probe")))
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+      .localCheckpoint()
+    // raw branch: flat PQ codes, scored only on the probed candidates
+    val cbRaw = pqDefaultCodebook(v, numSub, subDim, numCodes)
+    val (encRaw, r2Raw) = pqPartsWith(v, cbRaw, numSub, subDim)
+    val tabRaw = pqQueryTabQ(hq, cbRaw, subDim)
+    val rawScored = candIds.join(encRaw, "vec_id")
+      .join(broadcast(tabRaw), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
+      .join(r2Raw, "vec_id")
+      .withColumn("cos", pqAdcCos(col("dm"), col("qn"), col("r2m")))
+    // residual branch: same candidates, residual codes
+    val (codes, xhat) = residualPqParts(assigned, cents, numSub, subDim,
+      numCodes, seedFrom = numCentroids)
+    val qmh = hq
+      .select(col("query_id"),
+        transform(col("eq"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("qm"))
+      .withColumn("q2m",
+        aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
+    val resScored = residualAdcScores(candIds, codes, xhat, qmh, subDim)
+    def served(tag: String, scored: DataFrame) =
+      topK(scored, k)
+        .select(lit(tag).as("encoding"), col("query_id"),
+          col("neighbor_id"))
+    served("raw", rawScored)
+      .unionByName(served("residual", resScored))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("encoding")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("encoding"), col("hits"),
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
+  }
+
+  def pqResidualRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    pqResidualRecall(Tables.embeddings(spark, dir)).orderBy(col("encoding"))
 
   def annPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
@@ -2350,6 +2617,89 @@ object Similarity {
        | CROSS JOIN nq
        |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
 
+  /** The composed IVF+PQ serving chain as CTE SQL — assumes CTEs `v`,
+    * `sub`, a centroid table `cents(cid, ce)` and a codebook
+    * `$cbName(sub, cid, c)` are already defined, so ONE serving replay
+    * checks both the data-seeded compose (ann_ivf_pq_topk) and the
+    * fully-trained one (ann_ivf_pq_trained). */
+  private def ivfPqServeSql(numQueries: Int, m: Int, k: Int, nProbe: Int,
+                            subDim: Int, cbName: String): String =
+    s"""ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |cx AS (
+       | SELECT v.vec_id, s.s AS sub,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS x
+       | FROM v, sub s),
+       |enc AS (
+       | SELECT vec_id, sub, cid FROM (
+       |  SELECT cx.vec_id, cx.sub, cb.cid,
+       |   row_number() OVER (PARTITION BY cx.vec_id, cx.sub ORDER BY
+       |    round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cx.x[i]))
+       |      + list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cb.c[i]*cb.c[i]))
+       |      - 2*list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cb.c[i])),
+       |     6), cb.cid) AS rn
+       |  FROM cx JOIN $cbName cb ON cx.sub = cb.sub) WHERE rn = 1),
+       |r2 AS (
+       | SELECT e.vec_id,
+       |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
+       |      AS BIGINT)) AS r2m
+       | FROM enc e JOIN $cbName cb ON e.sub = cb.sub AND e.cid = cb.cid
+       | GROUP BY 1),
+       |q AS (
+       | SELECT vec_id AS query_id, e,
+       |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+       | FROM v WHERE vec_id < $numQueries),
+       |tab AS (
+       | SELECT q.query_id, cb.sub, cb.cid, q.qn,
+       |  CAST(round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |    i -> q.e[cb.sub*$subDim + i] * cb.c[i])) * 1000000) AS BIGINT)
+       |   AS tm
+       | FROM q, $cbName cb),
+       |sc AS (
+       | SELECT c.query_id, c.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
+       | FROM candi c JOIN enc e ON c.vec_id = e.vec_id
+       |  JOIN tab t ON t.query_id = c.query_id AND t.sub = e.sub
+       |   AND t.cid = e.cid
+       | GROUP BY 1, 2),
+       |short AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT sc.query_id, sc.vec_id,
+       |   row_number() OVER (PARTITION BY sc.query_id ORDER BY
+       |    CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+       |         ELSE round((sc.dm / 1000000.0)
+       |              / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END DESC,
+       |    sc.vec_id) AS prnk
+       |  FROM sc JOIN r2 ON sc.vec_id = r2.vec_id) WHERE prnk <= $m),
+       |rr AS (
+       | SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  ${cosSql("qv.e", "x.e")} AS cos
+       | FROM short s JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v x ON s.vec_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM rr) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** ann_ivf_pq_topk oracle: the IVF candidate chain + the PQ code/
     * table chain + ADC shortlist + exact rerank, composed verbatim
     * from the two standalone oracles. */
@@ -2358,6 +2708,114 @@ object Similarity {
                              subDim: Int, numCodes: Int): String =
     s"""WITH v AS (
        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $numCentroids),
+       |cb AS (
+       | SELECT s.s AS sub, v.vec_id AS cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS c
+       | FROM v, sub s WHERE v.vec_id < $numCodes),
+       |${ivfPqServeSql(numQueries, m, k, nProbe, subDim, "cb")}""".stripMargin
+
+  /** ann_ivf_pq_trained oracle: BOTH exact-integer trainers replayed
+    * (trainedCentsCtes = the micro-int Lloyd coarse quantizer,
+    * pqTrainCtes = the per-subspace integer Lloyd codebooks), feeding
+    * the SAME serving chain the untrained compose pins. */
+  private def annIvfPqTrainedOracle(numQueries: Int, m: Int, k: Int,
+                                    numCentroids: Int, nProbe: Int,
+                                    numSub: Int, subDim: Int,
+                                    numCodes: Int, iters: Int): String =
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |${trainedCentsCtes(numCentroids, iters)},
+       |${pqTrainCtes(subDim, numCodes, iters)},
+       |${ivfPqServeSql(numQueries, m, k, nProbe, subDim, "cbt")}""".stripMargin
+
+  /** The residual-PQ model CTE chain — assumes `v`, `sub`, `cents`,
+    * `assigned(vec_id, cell)`. Emits renc (codes), xh (reconstruction
+    * slices), rrt/resr2 (recon norms) — micro-int BIGINT throughout,
+    * mirroring residualPqParts step for step. */
+  private def residualPqCtes(numSub: Int, subDim: Int, numCodes: Int,
+                             seedFrom: Int): String =
+    s"""vm AS (SELECT vec_id,
+       | list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS em
+       | FROM v),
+       |cmm AS (SELECT cid AS cell,
+       | list_transform(ce, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS cm
+       | FROM cents),
+       |resrm AS MATERIALIZED (
+       | SELECT m.vec_id, a.cell,
+       |  list_transform(range(1, len(m.em)+1), i -> m.em[i] - c.cm[i]) AS rm
+       | FROM vm m JOIN assigned a USING (vec_id)
+       |  JOIN cmm c ON a.cell = c.cell),
+       |rcb AS (
+       | SELECT s.s AS sub, r.vec_id AS cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> r.rm[s.s*$subDim + j]) AS wm
+       | FROM resrm r, sub s
+       | WHERE r.vec_id >= $seedFrom AND r.vec_id < ${seedFrom + numCodes}),
+       |rx AS (
+       | SELECT r.vec_id, r.cell, s.s AS sub,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> r.rm[s.s*$subDim + j]) AS x
+       | FROM resrm r, sub s),
+       |renc AS MATERIALIZED (
+       | SELECT vec_id, cell, sub, cid FROM (
+       |  SELECT rx.vec_id, rx.cell, rx.sub, rcb.cid,
+       |   row_number() OVER (PARTITION BY rx.vec_id, rx.sub ORDER BY
+       |    list_sum(list_transform(range(1, ${subDim + 1}),
+       |      i -> (rx.x[i]-rcb.wm[i])*(rx.x[i]-rcb.wm[i]))), rcb.cid) AS rn
+       |  FROM rx JOIN rcb ON rx.sub = rcb.sub) WHERE rn = 1),
+       |xh AS (
+       | SELECT c.cell, w.sub, w.cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 i -> c.cm[w.sub*$subDim + i] + w.wm[i]) AS xh
+       | FROM cmm c CROSS JOIN rcb w),
+       |rrt AS (SELECT cell, sub, cid,
+       | CAST(list_sum(list_transform(xh, x -> x*x)) AS BIGINT) AS rr
+       | FROM xh),
+       |resr2 AS (
+       | SELECT e.vec_id, CAST(sum(t.rr) AS BIGINT) AS r2m
+       | FROM renc e JOIN rrt t ON e.cell = t.cell AND e.sub = t.sub
+       |  AND e.cid = t.cid
+       | GROUP BY 1)""".stripMargin
+
+  /** The residual-ADC candidate scoring — assumes candi(query_id,
+    * vec_id), renc, xh, resr2, and a query frame `$qName(query_id, qm,
+    * q2m)`. Emits rescand$sfx(query_id, vec_id, cos). */
+  private def residualScoreCtes(qName: String, sfx: String,
+                                subDim: Int): String =
+    s"""restab$sfx AS (
+       | SELECT q.query_id, q.q2m, x.cell, x.sub, x.cid,
+       |  CAST(list_sum(list_transform(range(1, ${subDim + 1}),
+       |    i -> q.qm[x.sub*$subDim + i] * x.xh[i])) AS BIGINT) AS tm
+       | FROM $qName q CROSS JOIN xh x),
+       |ressc$sfx AS (
+       | SELECT c.query_id, c.vec_id, CAST(sum(t.tm) AS BIGINT) AS dm,
+       |  min(t.q2m) AS q2m
+       | FROM candi c JOIN renc e ON c.vec_id = e.vec_id
+       |  JOIN restab$sfx t ON t.query_id = c.query_id AND t.cell = e.cell
+       |   AND t.sub = e.sub AND t.cid = e.cid
+       | GROUP BY 1, 2),
+       |rescand$sfx AS (
+       | SELECT sc.query_id, sc.vec_id,
+       |  CASE WHEN r2.r2m <= 0 OR sc.q2m <= 0 THEN 0.0
+       |       ELSE round(CAST(sc.dm AS DOUBLE)
+       |            / (sqrt(CAST(sc.q2m AS DOUBLE))
+       |               * sqrt(CAST(r2.r2m AS DOUBLE))), 6) END AS cos
+       | FROM ressc$sfx sc JOIN resr2 r2 ON sc.vec_id = r2.vec_id)""".stripMargin
+
+  /** ann_ivf_pq_residual oracle: assignment → residual → encode →
+    * per-(query, cell) ADC → shortlist → exact rerank, all replayed. */
+  private def annIvfPqResidualOracle(numQueries: Int, m: Int, k: Int,
+                                     numCentroids: Int, nProbe: Int,
+                                     numSub: Int, subDim: Int,
+                                     numCodes: Int): String =
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
        |cents AS (SELECT vec_id AS cid, e AS ce FROM v
        |          WHERE vec_id < $numCentroids),
        |ac AS (
@@ -2378,7 +2836,79 @@ object Similarity {
        | SELECT p.query_id, a.vec_id
        | FROM probes p JOIN assigned a
        |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |${residualPqCtes(numSub, subDim, numCodes, seedFrom = numCentroids)},
+       |qres AS (
+       | SELECT query_id, qm,
+       |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
+       | FROM (SELECT vec_id AS query_id,
+       |   list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qm
+       |  FROM v WHERE vec_id < $numQueries)),
+       |${residualScoreCtes("qres", "", subDim)},
+       |short AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY cos DESC, vec_id) AS prnk
+       |  FROM rescand) WHERE prnk <= $m),
+       |rrk AS (
+       | SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  ${cosSql("qv.e", "x.e")} AS cos
+       | FROM short s JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v x ON s.vec_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM rrk) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** pq_residual_recall oracle: held-out queries, ONE IVF candidate
+    * set, the raw-PQ ADC branch and the residual branch served top-k
+    * from their code estimates, recall vs brute-force truth. */
+  private def pqResidualRecallOracle(numQueries: Int, k: Int,
+                                     numCentroids: Int, nProbe: Int,
+                                     numSub: Int, subDim: Int,
+                                     numCodes: Int): String = {
+    val hqBound = numCentroids + numCodes
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $numCentroids),
+       |tinit AS (SELECT vec_id FROM (
+       | SELECT vec_id, row_number() OVER (
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+       | WHERE rn <= $hqBound),
+       |hq AS MATERIALIZED (
+       | SELECT vec_id FROM v
+       | WHERE vec_id >= $hqBound
+       |  AND vec_id NOT IN (SELECT vec_id FROM tinit)
+       | ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+       | LIMIT $numQueries),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id IN (SELECT vec_id FROM hq))
+       | WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT qv.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY qv.vec_id
+       |     ORDER BY ${cosSql("qv.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v qv JOIN v x ON qv.vec_id <> x.vec_id
+       |  WHERE qv.vec_id IN (SELECT vec_id FROM hq)) WHERE rnk <= $k),
        |cb AS (
        | SELECT s.s AS sub, v.vec_id AS cid,
        |  list_transform(range(1, ${subDim + 1}),
@@ -2406,40 +2936,57 @@ object Similarity {
        |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
        |      AS BIGINT)) AS r2m
        | FROM enc e JOIN cb ON e.sub = cb.sub AND e.cid = cb.cid GROUP BY 1),
-       |q AS (
-       | SELECT vec_id AS query_id, e,
-       |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
-       | FROM v WHERE vec_id < $numQueries),
+       |qraw AS (
+       | SELECT v.vec_id AS query_id, v.e,
+       |  sqrt(list_sum(list_transform(v.e, x -> x*x))) AS qn
+       | FROM v WHERE v.vec_id IN (SELECT vec_id FROM hq)),
        |tab AS (
        | SELECT q.query_id, cb.sub, cb.cid, q.qn,
        |  CAST(round(list_sum(list_transform(range(1, ${subDim + 1}),
        |    i -> q.e[cb.sub*$subDim + i] * cb.c[i])) * 1000000) AS BIGINT)
        |   AS tm
-       | FROM q, cb),
-       |sc AS (
+       | FROM qraw q, cb),
+       |rawsc AS (
        | SELECT c.query_id, c.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
        | FROM candi c JOIN enc e ON c.vec_id = e.vec_id
        |  JOIN tab t ON t.query_id = c.query_id AND t.sub = e.sub
        |   AND t.cid = e.cid
        | GROUP BY 1, 2),
-       |short AS (
-       | SELECT query_id, vec_id FROM (
-       |  SELECT sc.query_id, sc.vec_id,
-       |   row_number() OVER (PARTITION BY sc.query_id ORDER BY
-       |    CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
-       |         ELSE round((sc.dm / 1000000.0)
-       |              / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END DESC,
-       |    sc.vec_id) AS prnk
-       |  FROM sc JOIN r2 ON sc.vec_id = r2.vec_id) WHERE prnk <= $m),
-       |rr AS (
-       | SELECT s.query_id, s.vec_id AS neighbor_id,
-       |  ${cosSql("qv.e", "x.e")} AS cos
-       | FROM short s JOIN v qv ON s.query_id = qv.vec_id
-       |  JOIN v x ON s.vec_id = x.vec_id)
-       |SELECT query_id, neighbor_id, cos, rnk FROM (
-       | SELECT *, row_number() OVER (PARTITION BY query_id
-       |                              ORDER BY cos DESC, neighbor_id) AS rnk
-       | FROM rr) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |rawcand AS (
+       | SELECT sc.query_id, sc.vec_id,
+       |  CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+       |       ELSE round((sc.dm / 1000000.0)
+       |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
+       | FROM rawsc sc JOIN r2 ON sc.vec_id = r2.vec_id),
+       |${residualPqCtes(numSub, subDim, numCodes, seedFrom = numCentroids)},
+       |qres AS (
+       | SELECT query_id, qm,
+       |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
+       | FROM (SELECT vec_id AS query_id,
+       |   list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qm
+       |  FROM v WHERE vec_id IN (SELECT vec_id FROM hq))),
+       |${residualScoreCtes("qres", "_r", subDim)},
+       |served AS (
+       | SELECT 'raw' AS encoding, query_id, vec_id AS neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) AS rnk FROM rawcand)
+       | WHERE rnk <= $k
+       | UNION ALL
+       | SELECT 'residual', query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) AS rnk FROM rescand_r)
+       | WHERE rnk <= $k),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM hq)
+       |SELECT s.encoding,
+       | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // (nq.n_q * $k) AS recall_bp
+       |FROM served s LEFT JOIN truth t
+       | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       | CROSS JOIN nq
+       |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
+  }
 
   /** ann_matryoshka_recall oracle: one MATERIALIZED candidate block
     * scoring every tier in-row, UNION-ALL unpivot, per-tier top-k,
@@ -3088,6 +3635,15 @@ object Similarity {
         |  ',') AS t_csv
         |FROM t ORDER BY vec_id""".stripMargin,
     "ann_ivf_pq_topk" -> annIvfPqOracle(numQueries = 8, m = 12, k = 3,
+      numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
+      numCodes = 16),
+    "ann_ivf_pq_trained" -> annIvfPqTrainedOracle(numQueries = 8, m = 12,
+      k = 3, numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
+      numCodes = 16, iters = 2),
+    "ann_ivf_pq_residual" -> annIvfPqResidualOracle(numQueries = 8,
+      m = 12, k = 3, numCentroids = 16, nProbe = 4, numSub = 8,
+      subDim = 8, numCodes = 16),
+    "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
       numCodes = 16),
     "ann_pq_trained" -> annPqTrainedOracle(numQueries = 8, k = 3,

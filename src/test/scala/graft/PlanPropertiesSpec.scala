@@ -36,6 +36,16 @@ class PlanPropertiesSpec extends SparkSpec {
     // ann_pq_topk's bounded query x model-sized codebook table; the
     // ADC scan and rerank are keyed equi-joins
     "ann_ivf_pq_topk",
+    // the same serving stack with BOTH model tables trained — the
+    // trainers' own crossJoins broadcast model-sized frames only
+    "ann_ivf_pq_trained",
+    // residual IVFADC: the centroid cross (assignment) + the bounded
+    // query x model-sized xhat table; encoding and ADC scoring are
+    // (cell, sub, cid)-keyed equi-joins
+    "ann_ivf_pq_residual",
+    // the raw-vs-residual recall eval composing the two shapes above
+    // over one candidate set + the 1-row held-out-count scalar
+    "pq_residual_recall",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max

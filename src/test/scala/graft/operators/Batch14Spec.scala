@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch-14 specs: residual-encoded IVFADC (hand-computed encode/ADC
+  * semantics + the exact-recovery boundary) and the fully-trained
+  * IVF+PQ compose (iters=0 ≡ the md5 seed tables). */
+class Batch14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Hand case (numSub=1, subDim=2): one cell (centroid v0), residual
+    * codebook seeded from v1, v2. v3's residual (-0.1, 0.1) is nearer
+    * v1's (-0.2, 0.6) than v2's (-0.4, -0.8), so v3 encodes AS v1 and
+    * its reconstruction x̂3 = c + w1 = v1 exactly — the ADC estimate
+    * for v3 equals cos(q, v1), which ties with v1 itself and loses the
+    * m=1 shortlist on the vec_id tiebreak, while m=2 lets the exact
+    * rerank restore v3 (true cos 0.9939) to the top. */
+  private val handVecs = Seq(
+    (0L, Array(1.0f, 0.0f)),    // centroid + query
+    (1L, Array(0.8f, 0.6f)),    // seed 1 -> w1 = (-0.2, 0.6) micro
+    (2L, Array(0.6f, -0.8f)),   // seed 2 -> w2 = (-0.4, -0.8) micro
+    (3L, Array(0.9f, 0.1f)))    // encodes to code 1 (x̂ = v1)
+
+  test("residual IVFADC: hand-computed encode, ADC tie, rerank recovery") {
+    val emb = handVecs.toDF("vec_id", "embedding")
+    def serve(m: Int) = Similarity.annIvfPqResidualTopK(emb,
+      numQueries = 1, m = m, k = 1, numCentroids = 1, nProbe = 1,
+      numSub = 1, subDim = 2, numCodes = 2)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // m=1: the ADC shortlist keeps only the tie-broken winner v1
+    assert(serve(1) === Seq((0L, 1L, 0.8, 1)))
+    // m=2: v3 enters the shortlist (ADC tie with v1) and the exact
+    // rerank puts it first — cos(v0, v3) = 0.9 / sqrt(0.82)
+    val m2 = serve(2)
+    assert(m2.head._2 === 3L && m2.head._4 === 1)
+    assert(math.abs(m2.head._3 - 0.9 / math.sqrt(0.82)) < 1e-6)
+  }
+
+  test("residual IVFADC: nProbe=C, m=corpus degrades to exact brute force") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val exact = Similarity.annCosineTopK(emb, numQueries = 4, k = 3)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val res = Similarity.annIvfPqResidualTopK(emb, numQueries = 4,
+      m = 100000, k = 3, numCentroids = 16, nProbe = 16)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(res === exact,
+      "full probing + full shortlist + exact rerank must equal brute force")
+  }
+
+  test("pqResidualRecall: rows are the two encodings with a shared denominator") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val rows = Similarity.pqResidualRecall(emb)
+      .select("encoding", "hits", "recall_bp")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) === Seq("raw", "residual"))
+    rows.foreach { case (_, hits, bp) =>
+      assert(hits >= 0 && bp >= 0 && bp <= 10000)
+      assert(bp === (10000L * hits) / (8L * 5L),
+        "denominator must be the actual held-out count (8 at this sf)")
+    }
+  }
+
+  test("trained compose at iters=0 serves from the md5 seed tables") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // the iters=0 trainers must return the md5-ordered seed samples
+    val ids = Similarity.vectors(emb).select(col("vec_id"))
+      .as[Long].collect()
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sample = ids.sortBy(id => (md5hex(id), id)).take(16).toSeq
+    val cents0 = Similarity.trainIvfCentroidsExact(emb, 16, iters = 0)
+    val centIds = cents0.select("cid").as[Long].collect().sorted.toSeq
+    assert(centIds === (1L to 16L),
+      "iters=0 centroids carry sample ranks 1..C as cids")
+    // each seed centroid is its sample vector's micro rounding
+    val vm = Similarity.vectors(emb)
+      .select(col("vec_id"),
+        transform(col("e"),
+          x => round(x * lit(1000000.0d)).cast("long")).as("em"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ce = cents0.select(col("cid"),
+        transform(col("ce"), _.cast("long")).as("cm"))
+      .as[(Long, Seq[Long])].collect().toMap
+    sample.zipWithIndex.foreach { case (id, i) =>
+      assert(ce(i + 1L) === vm(id),
+        s"seed centroid ${i + 1} must be vector $id's micro rounding")
+    }
+    // and the compose at iters=0 == serving from those explicit tables
+    val viaTrained = Similarity.annIvfPqTrained(emb, iters = 0)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaWith = Similarity.annIvfPqTopKWith(emb,
+      Similarity.trainIvfCentroidsExact(emb, 16, 0),
+      Similarity.pqTrainCodebook(emb, 8, 8, 16, 0),
+      numQueries = 8, m = 12, k = 3, nProbe = 4, numSub = 8, subDim = 8)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaTrained === viaWith)
+  }
+}
