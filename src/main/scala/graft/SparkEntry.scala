@@ -229,6 +229,7 @@ object SparkEntry {
     "ann_matryoshka_recall"  -> (Similarity.annMatryoshkaRecallQuery _),
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),
     "quality_calibration"    -> (QualityModels.qualityCalibrationQuery _),
+    "quality_calibrated"     -> (QualityModels.qualityCalibratedQuery _),
     "ann_ivf_pq_topk"        -> (Similarity.annIvfPqTopKQuery _),
     "ann_ivf_pq_trained"     -> (Similarity.annIvfPqTrainedQuery _),
     "ann_ivf_pq_residual"    -> (Similarity.annIvfPqResidualTopKQuery _),

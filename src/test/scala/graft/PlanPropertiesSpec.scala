@@ -73,6 +73,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row (min, max) probability-bounds scalar crossed back for the
     // range-normalized reliability bins
     "quality_calibration",
+    // the same bin chain; PAV runs driver-side on the collected
+    // ≤10-row bin table and ships back as a literal frame
+    "quality_calibrated",
     // same shape one order up: 1-row bigram-map model + the 1-row
     // distinct-unigram-count (V) scalar crossed into the model build
     "bigram_surprisal",

@@ -67,6 +67,42 @@ class Batch14Spec extends SparkSpec {
     }
   }
 
+  test("pavPools: hand-computed pooling, leftmost-first, ties stand") {
+    // monotone input: untouched
+    assert(QualityModels.pavPools(Seq((10L, 1L), (10L, 5L), (10L, 9L)))
+      === Seq((0, 0, 10L, 1L), (1, 1, 10L, 5L), (2, 2, 10L, 9L)))
+    // single violation pools the pair: rates 0.8, 0.2 -> pooled 0.5
+    assert(QualityModels.pavPools(Seq((10L, 8L), (10L, 2L)))
+      === Seq((0, 1, 20L, 10L)))
+    // cascade: [0.9, 0.5, 0.1] -> leftmost merge (0.9,0.5)=0.7, then
+    // 0.7 > 0.1 merges again -> one pool of rate 0.5
+    assert(QualityModels.pavPools(Seq((10L, 9L), (10L, 5L), (10L, 1L)))
+      === Seq((0, 2, 30L, 15L)))
+    // equal rates are NOT violations (strict comparison)
+    assert(QualityModels.pavPools(Seq((10L, 4L), (20L, 8L)))
+      === Seq((0, 0, 10L, 4L), (1, 1, 20L, 8L)))
+    // weighted pooling: (n=1,p=1 rate 1.0) then (n=99,p=0) -> 1/100
+    assert(QualityModels.pavPools(Seq((1L, 1L), (99L, 0L)))
+      === Seq((0, 1, 100L, 1L)))
+  }
+
+  test("qualityCalibrated: monotone fit, reduced mean gap vs the diagram") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val cal = QualityModels.qualityCalibrated(docs)
+      .select("bin", "n_docs", "obs_pos_bp", "cal_bp", "gap_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the calibrated curve is non-decreasing in the bin order — the
+    // isotonic contract raw mean_pred violates on this model
+    assert(cal.map(_._4).zip(cal.map(_._4).tail)
+      .forall { case (a, b) => a <= b }, "cal_bp must be monotone")
+    assert(cal.forall { case (_, _, obs, calv, gap) =>
+      gap === math.abs(calv - obs) })
+    val diag = QualityModels.qualityCalibration(docs)
+      .select("gap_bp").as[Long].collect()
+    assert(cal.map(_._5).sum / cal.length < diag.sum / diag.length,
+      "PAV must reduce the mean reliability gap")
+  }
+
   test("trained compose at iters=0 serves from the md5 seed tables") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     // the iters=0 trainers must return the md5-ordered seed samples
