@@ -165,6 +165,8 @@ object SparkEntry {
     "tokenizer_fertility"    -> (CorpusStats.tokenizerFertilityQuery _),
     "ann_recall_eval"        -> (Similarity.annRecallEvalQuery _),
     "bigram_surprisal"       -> (QualityModels.bigramSurprisalQuery _),
+    "bigram_surprisal_kn"    -> (QualityModels.bigramSurprisalKnQuery _),
+    "lm_heldout_bigram"      -> (QualityModels.lmHeldoutBigramQuery _),
     "vocab_kl_drift"         -> (QualityModels.vocabKlDriftQuery _),
     // LLM-data-pipeline: near-dup detection
     "dedup_ngram_jaccard"    -> (Dedup.ngramJaccardQuery _),

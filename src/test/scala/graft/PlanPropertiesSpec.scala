@@ -79,6 +79,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // same shape one order up: 1-row bigram-map model + the 1-row
     // distinct-unigram-count (V) scalar crossed into the model build
     "bigram_surprisal",
+    // the backoff variant: the same 1-row (N, V) totals scalar crossed
+    // into the model build / the scored bigram stream
+    "bigram_surprisal_kn", "lm_heldout_bigram",
     // 1-row totals frame (tot_base, tot_new, V) crossed onto the
     // vocab-sized counts frame
     "vocab_kl_drift",

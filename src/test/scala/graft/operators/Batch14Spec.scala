@@ -67,6 +67,62 @@ class Batch14Spec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisalKn: hand-computed rational formula on a tiny corpus") {
+    // corpus: "a b a b" and "b c" -> bigrams: (a b)x2, (b a)x1, (b c)x1
+    // prefix counts: a->2 (types 1), b->2 (types 2); unigrams:
+    // a:2 b:3 c:1, N=6, V=3
+    val d = Seq((1L, "a b a b", "s"), (2L, "b c", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = QualityModels.bigramSurprisalKn(d)
+      .select("doc_id", "n_bigrams", "surprisal_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def s(c12: Long, c1: Long, t1types: Long, u2: Long): Long = {
+      val nv = 6L + 3L
+      math.round((math.log((4L * c1 * nv).toDouble)
+        - math.log(((4L * c12 - 3L) * nv + 3L * t1types * (u2 + 1)).toDouble))
+        * 1.0e6)
+    }
+    val sAB = s(2, 2, 1, 3) // p(b|a): c12=2, c1=2, T1=1, u(b)=3
+    val sBA = s(1, 2, 2, 2) // p(a|b): c12=1, c1=2, T1=2, u(a)=2
+    val sBC = s(1, 2, 2, 1) // p(c|b): c12=1, c1=2, T1=2, u(c)=1
+    assert(out(1L) === ((1L, 3L, 2 * sAB + sBA)))
+    assert(out(2L) === ((2L, 1L, sBC)))
+  }
+
+  test("lmHeldoutBigram: backoff beats add-1 where V is large and test " +
+      "bigrams are seen-but-rare (the CCNet case)") {
+    // Every train doc carries the shared phrase PLUS five unique hapax
+    // words, blowing V up; held-out docs are the phrase alone. Add-1
+    // then crushes every seen phrase bigram toward 1/V while absolute
+    // discounting keeps p ≈ (c12 − D)/c1 — the measured reason CCNet
+    // gates with a backoff LM, demonstrated rather than asserted.
+    // (On the closed-vocab sf testdata both models see every test
+    // bigram and the split means differ only in noise — see NOTES_r14.)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val trainT = 4294967296L * 80 / 100
+    val phrase = "the cat sat on the mat"
+    val docs = (0L until 200L).map { i =>
+      val text = if (bucket(i) < trainT)
+        s"$phrase u${i}a u${i}b u${i}c u${i}d u${i}e"
+      else phrase
+      (i, text, "s")
+    }.toDF("doc_id", "text", "source")
+    val rows = QualityModels.lmHeldoutBigram(docs)
+      .select("model", "split", "n_bigrams", "unseen_bigrams", "mean_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    val add1 = byKey(("add1", "test")); val kn = byKey(("backoff", "test"))
+    assert(add1._3 === kn._3, "both models score the same bigram stream")
+    assert(add1._4 === 0L, "phrase bigrams are all seen in train")
+    assert(kn._5 * 3 < add1._5,
+      s"backoff (${kn._5}) must beat add-1 (${add1._5}) decisively " +
+        "on seen-but-rare bigrams under a large vocabulary")
+  }
+
   test("pavPools: hand-computed pooling, leftmost-first, ties stand") {
     // monotone input: untouched
     assert(QualityModels.pavPools(Seq((10L, 1L), (10L, 5L), (10L, 9L)))
