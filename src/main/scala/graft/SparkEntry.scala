@@ -220,6 +220,7 @@ object SparkEntry {
     "multimodal_patchgrid"   -> (Multimodal.multimodalPatchGridQuery _),
     "multimodal_audiochunks" -> (Multimodal.multimodalAudioChunkQuery _),
     "multimodal_decode_png"  -> (Multimodal.multimodalDecodePngQuery _),
+    "multimodal_decode_jpeg" -> (Multimodal.multimodalDecodeJpegQuery _),
     "multimodal_phash"       -> (Multimodal.multimodalPhashQuery _),
     "multimodal_phash_pairs" -> (Multimodal.multimodalPhashPairsQuery _),
     "corpus_card"            -> (CorpusStats.corpusCardQuery _),

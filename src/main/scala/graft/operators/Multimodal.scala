@@ -192,6 +192,66 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Generate real JPEG payloads — the second REAL codec tier (r13
+    * verdict #5): same md5 dimension rule and [[grayAt]] fill as the
+    * PNG path, encoded through the JDK's JPEG writer at an explicit
+    * high quality (MODE_EXPLICIT, 0.95 — the default 0.75 wastes
+    * fidelity the decode-error spec would then have to absorb).
+    * Reuses the PngAsset shape: the payload column is opaque bytes
+    * whatever the codec — exactly the multimodal column contract.
+    *
+    * JPEG is LOSSY, which changes what is oracle-checkable: the
+    * container format and dimensions survive exactly (pinned by the
+    * multimodal_decode_jpeg oracle), but pixel values do not, so the
+    * pixel-sum check moves to a TOLERANCE-BANDED spec
+    * (MultimodalJpegSpec bounds the mean per-pixel reconstruction
+    * error) — the row-78 approx-percentile precedent. */
+  def withJpegPayloads(docs: DataFrame,
+                       quality: Float = 0.95f): Dataset[PngAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        (hash60(col("text")) % 32 + 16).cast("int").as("width"),
+        (hash60(concat(col("text"), lit("#h"))) % 32 + 16).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (d, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, grayAt(d, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          try {
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(quality)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          } finally { writer.dispose(); ios.close() }
+          PngAsset(d, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** multimodal_decode_jpeg: the REAL JPEG round-trip through the same
+    * [[decodeImages]] boundary. The oracle pins what a lossy codec
+    * must still preserve exactly — container format (sniffed from the
+    * bytes) and dimensions (from the decoded raster); pixel fidelity
+    * is spec-bounded, not hash-pinned. */
+  def multimodalDecodeJpegQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeImages(withJpegPayloads(Tables.documents(spark, dir))).toDF()
+      .select("doc_id", "format", "width", "height")
+      .orderBy(col("doc_id"))
+  }
+
   /** Perceptual hash of a decoded image: (doc_id, dims, 64-bit dHash).
     * Error rows carry (-1, -1, -1). */
   case class ImageHash(doc_id: Long, width: Int, height: Int, dhash: Long)
@@ -478,6 +538,15 @@ object Multimodal {
         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // lossy codec: the oracle pins the exactly-preserved fields only
+    // (format sniffed from bytes, dims from the decoded raster); the
+    // pixel-sum fidelity check is tolerance-banded in MultimodalJpegSpec
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        | CAST(CAST('0x'||substr(md5(text),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS width,
+        | CAST(CAST('0x'||substr(md5(text||'#h'),1,15) AS BIGINT) % 32 + 16 AS INTEGER) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, width, height,
         | CAST(greatest(1, floor((width*224) / greatest(width, height))) AS INTEGER) AS out_w,
