@@ -228,6 +228,7 @@ object SparkEntry {
     "bpe_encode"             -> (BpeTrain.bpeEncodeQuery _),
     "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
     "mixture_plan"           -> (MixturePlan.mixturePlanQuery _),
+    "mixture_plan_domains"   -> (MixturePlan.mixturePlanDomainsQuery _),
     "vocab_coverage"         -> (CorpusStats.vocabCoverageQuery _),
     "ann_matryoshka_recall"  -> (Similarity.annMatryoshkaRecallQuery _),
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),

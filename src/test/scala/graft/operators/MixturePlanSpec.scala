@@ -67,4 +67,48 @@ class MixturePlanSpec extends SparkSpec {
     assert(out.map(_.capped).toSeq === Seq(true, true, false))
     assert(out.map(_.n_docs).toSeq === Seq(1L, 1L, 1L))
   }
+
+  test("mixturePlanDomains: a domains >> components corpus collapses " +
+      "map-side and the solver input stays |components|-sized") {
+    // 3000 docs fan out over up to 500 domains mapping into 5
+    // components — the web-scale shape: the solver must only ever see
+    // the component rows, with the domain fan recorded as n_domains
+    val docs = (0L until 3000L)
+      .map(i => (i, s"tok a b c doc$i", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (dd, dim) = MixturePlan.domainComponents(docs,
+      numDomains = 500, numComponents = 5)
+    val nDomains = dd.select("domain").distinct().count()
+    assert(nDomains > 100 && nDomains <= 500, s"got $nDomains domains")
+    assert(dim.count() === nDomains, "dim is |domains|-sized")
+    assert(dim.select("component").distinct().count() <= 5)
+
+    val out = MixturePlan.mixturePlanDomains(docs,
+        numDomains = 500, numComponents = 5)
+      .orderBy("component")
+      .select("component", "n_domains", "n_docs", "src_tokens",
+        "target_bp", "capped", "planned_tokens")
+      .as[(String, Long, Long, Long, Long, Boolean, Long)].collect()
+    assert(out.length <= 5, "solver input must stay |components|-sized")
+    assert(out.map(_._2).sum === nDomains,
+      "every domain lands in exactly one component")
+    assert(out.map(_._3).sum === 3000L)
+
+    // the plan must equal solve() on the hand-aggregated component sums
+    val sums = dd.join(dim, "domain")
+      .groupBy("component")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size(split(col("text"), " "))
+            .cast("long")).as("t"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val rows = sums.map { case (c, n, t) =>
+      (c, n, t, (c.drop(4).toLong % 4 + 1) * 200L)
+    }
+    val expected = MixturePlan.solve(rows, 3L * rows.map(_._3).sum,
+      4000000L).map(p => p.source -> p.planned_tokens).toMap
+    out.foreach { case (c, _, _, _, _, _, planned) =>
+      assert(planned === expected(c), s"$c plan must match solve()")
+    }
+  }
 }
