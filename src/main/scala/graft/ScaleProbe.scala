@@ -396,7 +396,8 @@ object ScaleProbe {
       "semdedup_cells" -> (() => factors.foreach(f => semdedupCellsProbe(spark, f))),
       "graph_scale" -> (() => factors.foreach(f => graphScaleProbe(spark, f))),
       "knn_scale" -> (() => factors.foreach(f => knnScaleProbe(spark, f))),
-      "drift_scale" -> (() => factors.foreach(f => driftScaleProbe(spark, f))))
+      "drift_scale" -> (() => factors.foreach(f => driftScaleProbe(spark, f))),
+      "bpe_big" -> (() => bpeBigProbe()))
     val unknownNames = nameFilter
       .filterNot(n => probes.exists(_._1 == n) || specials.contains(n))
     require(unknownNames.isEmpty,
@@ -1038,5 +1039,51 @@ object ScaleProbe {
         f"unsalted=$unsaltedMax salted($salts)=$saltedMax; " +
         f"join+agg wall unsalted=${plain}%.2fs salted=${salted}%.2fs (AQE off, no broadcast)")
     } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
+  }
+
+  /** bpe_big: the r13-verdict-#7 probe — is the driver-side BPE merge
+    * loop viable at PRODUCTION word-table scale (~10⁵-10⁶ distinct
+    * words, thousands of merges), or does the Heaps-bounded-collect
+    * contract hide a driver-side wall? Synthesizes a Zipfian word
+    * table (rank-r count ≈ 10⁶/r — the shape a real crawl's vocab
+    * has) entirely driver-side (no Spark: the probe measures the LOOP,
+    * the corpus pass is the already-probed wordTable aggregate) and
+    * times the naive re-count trainer vs the indexed incremental one
+    * at increasing scales. Wall + retained-heap delta are printed;
+    * NOTES_r14 records the round's numbers. */
+  private def bpeBigProbe(): Unit = {
+    def table(nWords: Int): Array[(String, Long)] = {
+      val rnd = new scala.util.Random(42)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (seen.size < nWords) {
+        val len = 3 + rnd.nextInt(10)
+        seen += (1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      seen.toArray.zipWithIndex.map { case (w, i) =>
+        (w.map(c => s"<$c>").mkString, math.max(1L, 1000000L / (i + 1)))
+      }
+    }
+    val rt = Runtime.getRuntime
+    def run(tag: String, rows: Array[(String, Long)], merges: Int,
+            f: (Array[(String, Long)], Int) => (Vector[_], Array[String]))
+        : Unit = {
+      System.gc()
+      val mem0 = rt.totalMemory - rt.freeMemory
+      val t0 = System.nanoTime
+      val (out, _) = f(rows, merges)
+      val wall = (System.nanoTime - t0) / 1e9
+      System.gc()
+      val mem1 = rt.totalMemory - rt.freeMemory
+      println(f"[bpe_big] $tag%-8s words=${rows.length}%-7d " +
+        f"merges=$merges%-5d done=${out.length}%-5d wall=$wall%8.2fs " +
+        f"heapDelta=${(mem1 - mem0).toDouble / (1 << 20)}%7.1fMB")
+    }
+    val t10k = table(10000)
+    run("naive", t10k, 1000, operators.BpeTrain.trainMergesLocal)
+    run("indexed", t10k, 1000, operators.BpeTrain.trainMergesLocalIndexed)
+    val t100k = table(100000)
+    run("indexed", t100k, 5000, operators.BpeTrain.trainMergesLocalIndexed)
+    val t300k = table(300000)
+    run("indexed", t300k, 5000, operators.BpeTrain.trainMergesLocalIndexed)
   }
 }

@@ -144,6 +144,111 @@ object BpeTrain {
     (out.result(), wrapped)
   }
 
+  /** The INDEXED driver-side trainer — identical semantics to
+    * [[trainMergesLocal]] (spec-pinned merge-for-merge), different
+    * complexity class: the naive loop re-counts EVERY word's pairs
+    * every round (O(merges × table) — fine at the 400-word test
+    * vocab, ~13 minutes at a production 100k-word table × 5k merges,
+    * the r13 verdict-#7 probe's finding), where this one keeps
+    *
+    *   - a global pair-count map updated INCREMENTALLY: a merge only
+    *     touches the words that actually contain the merged pair
+    *     (Zipf makes that a tiny fraction of the table per round),
+    *   - a pair → word-ids index (lazily stale, adjacency re-checked
+    *     at use) to find those words without scanning, and
+    *   - a lazy-deletion max-heap for the argmax (count desc, then
+    *     l/r ascending in UTF-8 byte order — the engines' tiebreak):
+    *     stale entries pop and are discarded against the live count,
+    *
+    * which is the subword-nmt/sentencepiece trainer shape. Measured
+    * (ScaleProbe `bpe_big`): 100k-word Zipf table, 5k merges in
+    * seconds — see NOTES_r14. */
+  private[graft] def trainMergesLocalIndexed(rows: Array[(String, Long)],
+      numMerges: Int): (Vector[BpeMerge], Array[String]) = {
+    val cnts = rows.map(_._2)
+    val words: Array[Array[String]] = rows.map(r => cells(r._1))
+    val pairCount = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    final case class HE(c: Long, l: String, r: String)
+    val heap = new java.util.PriorityQueue[HE](11,
+      new java.util.Comparator[HE] {
+        def compare(a: HE, b: HE): Int = {
+          if (a.c != b.c) return java.lang.Long.compare(b.c, a.c)
+          if (a.l != b.l) return if (utf8Lt(a.l, b.l)) -1 else 1
+          if (a.r != b.r) return if (utf8Lt(a.r, b.r)) -1 else 1
+          0
+        }
+      })
+    def bump(k: (String, String), delta: Long, w: Int): Unit = {
+      val nc = pairCount.getOrElse(k, 0L) + delta
+      if (nc <= 0L) pairCount.remove(k) else pairCount.update(k, nc)
+      if (delta > 0) {
+        pairWords.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += w
+        if (nc > 0L) heap.add(HE(nc, k._1, k._2))
+      } else if (nc > 0L) heap.add(HE(nc, k._1, k._2))
+    }
+    def forPairs(w: Int)(f: ((String, String)) => Unit): Unit = {
+      val sy = words(w)
+      var i = 0
+      while (i < sy.length - 1) { f((sy(i), sy(i + 1))); i += 1 }
+    }
+    var w = 0
+    while (w < words.length) {
+      forPairs(w)(k => bump(k, cnts(w), w))
+      w += 1
+    }
+    val out = Vector.newBuilder[BpeMerge]
+    var m = 1
+    var exhausted = false
+    while (m <= numMerges && !exhausted) {
+      // pop to the first LIVE entry (lazy deletion)
+      var top: HE = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCount.getOrElse((e.l, e.r), 0L) == e.c) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val k = (top.l, top.r)
+        out += BpeMerge(m, top.l, top.r, top.l + top.r, top.c)
+        val affected = pairWords.remove(k)
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        affected.foreach { wi =>
+          if (seen.add(wi)) {
+            val sy = words(wi)
+            var has = false
+            var i = 0
+            while (!has && i < sy.length - 1) {
+              if (sy(i) == top.l && sy(i + 1) == top.r) has = true
+              i += 1
+            }
+            if (has) {
+              forPairs(wi)(p => bump(p, -cnts(wi), wi))
+              // leftmost non-overlapping merge — the literal-replace rule
+              val nw = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < sy.length) {
+                if (j < sy.length - 1 && sy(j) == top.l &&
+                    sy(j + 1) == top.r) {
+                  nw += top.l + top.r; j += 2
+                } else { nw += sy(j); j += 1 }
+              }
+              words(wi) = nw.toArray
+              forPairs(wi)(p => bump(p, cnts(wi), wi))
+            }
+          }
+        }
+        pairCount.remove(k)
+        m += 1
+      }
+    }
+    (out.result(), words.map(_.map(s => "<" + s + ">").mkString))
+  }
+
   /** The Heaps-law contract's load-bearing bound: collectedWordTable
     * refuses to collect a distinct-word table above this many rows
     * (override via maxDistinctWords). 5M short strings is a few
@@ -160,7 +265,7 @@ object BpeTrain {
     * shared entry for the local trainer and the trained-table
     * consumers. The table is localCheckpointed so the guard count and
     * the collect read ONE materialization, not two corpus scans. */
-  private def collectedWordTable(docs: DataFrame,
+  private[graft] def collectedWordTable(docs: DataFrame,
       maxWords: Long = defaultMaxDistinctWords): Array[(String, Long, String)] = {
     val wt = wordTable(docs).select(col("word"), col("cnt"), col("wrapped"))
       .localCheckpoint()
@@ -181,7 +286,8 @@ object BpeTrain {
     require(numMerges >= 1)
     val spark = docs.sparkSession
     val rows = collectedWordTable(docs)
-    val (merges, _) = trainMergesLocal(rows.map(r => (r._3, r._2)), numMerges)
+    val (merges, _) =
+      trainMergesLocalIndexed(rows.map(r => (r._3, r._2)), numMerges)
     import spark.implicits._
     merges.toDF()
   }
@@ -244,7 +350,8 @@ object BpeTrain {
   private def trainedWordTable(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     val rows = collectedWordTable(docs)
-    val (_, trained) = trainMergesLocal(rows.map(r => (r._3, r._2)), numMerges)
+    val (_, trained) =
+      trainMergesLocalIndexed(rows.map(r => (r._3, r._2)), numMerges)
     import spark.implicits._
     rows.indices.map(i => (rows(i)._1, rows(i)._2, trained(i)))
       .toDF("word", "cnt", "wrapped")

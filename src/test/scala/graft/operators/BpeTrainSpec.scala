@@ -86,6 +86,28 @@ class BpeTrainSpec extends SparkSpec {
     assert(local.length === 20)
   }
 
+  test("indexed trainer == naive local trainer, merges AND final words") {
+    // the r14 incremental trainer (pair-count deltas + lazy-deletion
+    // heap) must be an execution-strategy change only: identical merge
+    // list (counts, tiebreaks, exhaustion) and identical final wrapped
+    // word table, on real testdata deep enough to hit ties, repeated
+    // symbols and overlapping runs
+    val rows = BpeTrain
+      .collectedWordTable(graft.core.Tables.documents(spark,
+        "/root/testdata/sf0.001"))
+      .map(r => (r._3, r._2))
+    val (mN, wN) = BpeTrain.trainMergesLocal(rows, 200)
+    val (mI, wI) = BpeTrain.trainMergesLocalIndexed(rows, 200)
+    assert(mI === mN)
+    assert(wI.toSeq === wN.toSeq)
+    // overlapping-run edge: "aaaa" merges (a,a) count 3 then (aa,aa)
+    val tiny = Array(("<a><a><a><a>", 1L))
+    val (mT, wT) = BpeTrain.trainMergesLocalIndexed(tiny, 3)
+    val (mTn, wTn) = BpeTrain.trainMergesLocal(tiny, 3)
+    assert(mT === mTn && wT.toSeq === wTn.toSeq)
+    assert(mT.head.pair_count === 3L, "overlapping convention: aaaa has 3 (a,a)")
+  }
+
   test("local trainer: 1000 merges on a production-shaped vocab") {
     // r12 verdict #5: the old loop was one Spark job per merge —
     // hours of scheduler latency at tokenizer-scale merge counts.
