@@ -634,12 +634,16 @@ object Dedup {
     // drops only the stats capture.
     import org.apache.spark.sql.GraftBridge.localCheckpointFlat
     val edges = localCheckpointFlat(rawEdges.repartition(p, col("src")))
+    // labels carry a transient `chg` flag: did this row's label change
+    // in the LAST batch? The frontier is then a zero-join FILTER on
+    // the one checkpointed frame instead of a separately-materialized
+    // frame — the whole point of the r14 batched loop (below).
     var labels = localCheckpointFlat(
-      nodes.select(col("doc_id").as("v"), col("doc_id").as("l"))
+      nodes.select(col("doc_id").as("v"), col("doc_id").as("l"),
+          lit(true).as("chg"))
         .repartition(p, col("v")))
     // round 0: every vertex is "changed" (carries its own id as label)
-    var frontier = labels
-    var frontierN = frontier.count()
+    var frontierN = labels.count()
     val stats = scala.collection.mutable.ArrayBuffer[Long]()
     var it = 0
     // Per-round cost discipline: the SMALL (frontier-derived) side of
@@ -647,40 +651,63 @@ object Dedup {
     // hash map from it and STREAMS the big co-partitioned frame — a
     // sort-merge join would re-sort all n labels every round, an
     // O(n log n) per-round tax delta iteration exists to avoid.
+    //
+    // BATCHED rounds (r14, the knn_graph_clusters CC-tail fix): TWO
+    // label-propagation rounds run per materialization. Profiling at
+    // sf0.1 showed the knn mutual graph converging in ~20 rounds of
+    // ≤1100-row frontiers at ~0.16s/round — pure job-scheduling +
+    // checkpoint overhead, not data. The batch composes round∘round
+    // into ONE checkpointed plan, and the labels frame carries a
+    // transient `chg` flag (did this row's label improve in the
+    // batch?) so the next frontier is a zero-join FILTER on that one
+    // materialized frame and the loop runs exactly one checkpoint +
+    // one count per TWO rounds (the first cut of this batching kept a
+    // second materialization for the frontier and re-computed the
+    // batch lineage for it — measurably slower than the unbatched
+    // loop). Fixpoint semantics are unchanged: labels stay monotone,
+    // chg-frontier ⊇ last-sub-round-changes only ever re-proposes
+    // labels that already propagated (redundant proposals cannot
+    // change a min), and frontierN == 0 still means NO label changed
+    // in the batch — the exact fixpoint. `stats` records per-BATCH
+    // changed-row counts.
     while (frontierN > 0 && it < maxIters) {
       val tRound = System.nanoTime()
-      // proposals reachable from last round's changes only
-      val cand = edges
-        .join(frontier.toDF("fv", "fl").hint("shuffle_hash"),
-          col("src") === col("fv"))
-        .select(col("dst").as("v"), col("fl").as("cl"))
-        .groupBy("v").agg(min("cl").as("cl"))
-      // rows that actually improve (labels side is co-partitioned on v
-      // — only the frontier-sized cand frame moves)
-      val improved = cand.hint("shuffle_hash").join(labels, "v")
-        .filter(col("cl") < col("l"))
-        .select(col("v"), col("cl"))
-      // pointer jumping: follow the new label one more hop through the
-      // label map. l(cl) always exists (every label is a node id) and
-      // is <= cl by monotonicity; least() guards the invariant anyway.
-      val jumped = localCheckpointFlat(
-        improved.hint("shuffle_hash")
-          .join(labels.toDF("jv", "jl"), col("cl") === col("jv"), "left")
-          .select(col("v"), least(col("cl"), coalesce(col("jl"), col("cl"))).as("l"))
-          .repartition(p, col("v")))
-      frontierN = jumped.count()
-      stats += frontierN
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc-debug] round=$it frontier=$frontierN " +
-          f"wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
-      if (frontierN > 0) {
-        labels = localCheckpointFlat(labels
+      val subRounds = math.min(2, maxIters - it)
+      var lab = labels.select(col("v"), col("l"), lit(false).as("chg"))
+      var front = labels.filter(col("chg")).select(col("v"), col("l"))
+      for (_ <- 1 to subRounds) {
+        // proposals reachable from the previous (sub-)round's changes only
+        val cand = edges
+          .join(front.toDF("fv", "fl").hint("shuffle_hash"),
+            col("src") === col("fv"))
+          .select(col("dst").as("v"), col("fl").as("cl"))
+          .groupBy("v").agg(min("cl").as("cl"))
+        // rows that actually improve (labels side is co-partitioned on v
+        // — only the frontier-sized cand frame moves)
+        val improved = cand.hint("shuffle_hash").join(lab, "v")
+          .filter(col("cl") < col("l"))
+          .select(col("v"), col("cl"))
+        // pointer jumping: follow the new label one more hop through the
+        // label map. l(cl) always exists (every label is a node id) and
+        // is <= cl by monotonicity; least() guards the invariant anyway.
+        val jumped = improved.hint("shuffle_hash")
+          .join(lab.toDF("jv", "jl", "jc"), col("cl") === col("jv"), "left")
+          .select(col("v"),
+            least(col("cl"), coalesce(col("jl"), col("cl"))).as("l"))
+        lab = lab.toDF("v", "l", "chg")
           .join(jumped.toDF("cv", "nl").hint("shuffle_hash"),
             col("v") === col("cv"), "left")
-          .select(col("v"), coalesce(col("nl"), col("l")).as("l")))
-        frontier = jumped
+          .select(col("v"), coalesce(col("nl"), col("l")).as("l"),
+            (col("chg") || col("nl").isNotNull).as("chg"))
+        front = jumped
       }
-      it += 1
+      labels = localCheckpointFlat(lab)
+      frontierN = labels.filter(col("chg")).count()
+      stats += frontierN
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc-debug] round=$it subRounds=$subRounds " +
+          f"frontier=$frontierN wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
+      it += subRounds
     }
     require(frontierN == 0,
       s"component diameter exceeds maxIters=$maxIters propagation rounds")
