@@ -384,7 +384,30 @@ object ScaleProbe {
       "decontam_redact"     -> (operators.Dedup.decontamRedactQuery _),
       "ann_matryoshka_recall" -> (operators.Similarity.annMatryoshkaRecallQuery _),
       "quality_calibration" -> (operators.QualityModels.qualityCalibrationQuery _),
-      "ann_ivf_pq_topk"     -> (operators.Similarity.annIvfPqTopKQuery _))
+      "ann_ivf_pq_topk"     -> (operators.Similarity.annIvfPqTopKQuery _),
+      // r14 additions. ivf_pq_residual: constant 24 rows — candidate
+      // volume rides nProbe·n/C like the parent, the residual encode
+      // is one extra linear pass, the xhat/ADC tables stay model-sized
+      // (C·M·numCodes). bigram_surprisal_kn: rows exactly linear; the
+      // prefixed replica multiplies bigram AND unigram vocab f-fold so
+      // all three model aggregates grow f-fold — the map-row broadcast
+      // assumption probed at its worst. lm_heldout_bigram: constant 6
+      // rows; wall rides the split-tagged explode + vocab-keyed joins
+      // (all linear). decode_jpeg: map-only codec pass, rows exactly
+      // linear — probes the per-partition writer-init amortization.
+      // mixture_plan_domains: constant |components| rows; the dim
+      // grows with DISTINCT domains (sub-linear: doc_id-derived ids
+      // collide across copies only in copy 0's range — new copies add
+      // new ids, so domains grow ~linearly but stay << docs), the
+      // solver input stays 12 rows. quality_calibrated: calibration's
+      // shape + the driver-side ≤10-row PAV — the f>=4 one-bin
+      // collapse documented for quality_calibration applies verbatim.
+      "ann_ivf_pq_residual" -> (operators.Similarity.annIvfPqResidualTopKQuery _),
+      "bigram_surprisal_kn" -> (operators.QualityModels.bigramSurprisalKnQuery _),
+      "lm_heldout_bigram"   -> (operators.QualityModels.lmHeldoutBigramQuery _),
+      "multimodal_decode_jpeg" -> (operators.Multimodal.multimodalDecodeJpegQuery _),
+      "mixture_plan_domains" -> (operators.MixturePlan.mixturePlanDomainsQuery _),
+      "quality_calibrated"  -> (operators.QualityModels.qualityCalibratedQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
