@@ -403,6 +403,10 @@ object ScaleProbe {
       // shape + the driver-side ≤10-row PAV — the f>=4 one-bin
       // collapse documented for quality_calibration applies verbatim.
       "ann_ivf_pq_residual" -> (operators.Similarity.annIvfPqResidualTopKQuery _),
+      // fully-trained residual compose: same constant-24-row shape,
+      // wall adds the two Lloyd loops (each a per-iteration corpus
+      // pass with model-sized broadcasts)
+      "ann_ivf_pq_residual_trained" -> (operators.Similarity.annIvfPqResidualTrainedQuery _),
       "bigram_surprisal_kn" -> (operators.QualityModels.bigramSurprisalKnQuery _),
       "lm_heldout_bigram"   -> (operators.QualityModels.lmHeldoutBigramQuery _),
       "multimodal_decode_jpeg" -> (operators.Multimodal.multimodalDecodeJpegQuery _),

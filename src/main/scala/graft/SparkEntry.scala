@@ -237,7 +237,9 @@ object SparkEntry {
     "ann_ivf_pq_topk"        -> (Similarity.annIvfPqTopKQuery _),
     "ann_ivf_pq_trained"     -> (Similarity.annIvfPqTrainedQuery _),
     "ann_ivf_pq_residual"    -> (Similarity.annIvfPqResidualTopKQuery _),
+    "ann_ivf_pq_residual_trained" -> (Similarity.annIvfPqResidualTrainedQuery _),
     "pq_residual_recall"     -> (Similarity.pqResidualRecallQuery _),
+    "pq_residual_trained_recall" -> (Similarity.pqResidualTrainedRecallQuery _),
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
     "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),
     "lm_heldout_eval"        -> (QualityModels.lmHeldoutEvalQuery _),

@@ -1285,20 +1285,24 @@ object Similarity {
     * rounds in both engines identically. Exact while per-(sub,cid)
     * assigned mass stays under ~9·10⁹ vectors (the sum-of-micro 2^53
     * bound). Codewords ship back in fp scale via the exact /10⁶. */
-  def pqTrainCodebook(emb: DataFrame, numSub: Int = 8, subDim: Int = 8,
-                      numCodes: Int = 16, iters: Int = 2): DataFrame = {
+  /** The per-subspace integer Lloyd CORE over an arbitrary micro-int
+    * frame (vec_id, em: array<long>) — ONE loop for the raw-vector
+    * codebooks (pqTrainCodebook) and the residual ones
+    * (pqTrainResidualCodebook): slices to (vec_id, sub, xm), inits
+    * from the md5-ordered first numCodes vec_ids, iterates BIGINT-L2
+    * assignment (ties cid asc) + floored integer means. Returns
+    * (sub, cid, cm: array<long>) in the INPUT's integer scale. */
+  private def pqLloydOnMicro(vm: DataFrame, numSub: Int, subDim: Int,
+                             numCodes: Int, iters: Int): DataFrame = {
     require(numSub >= 1 && subDim >= 1 && numCodes >= 1 && iters >= 0)
     val subs = explode(sequence(lit(0), lit(numSub - 1)))
-    val vms = vectors(emb)
-      .select(col("vec_id"),
-        transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
-          .as("em"))
+    val vms = vm
       .select(col("vec_id"), subs.as("sub"), col("em"))
       .select(col("vec_id"), col("sub"),
         slice(col("em"), col("sub") * subDim + 1, lit(subDim)).as("xm"))
       .localCheckpoint()
     val wInit = W.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val init = vectors(emb).select(col("vec_id"))
+    val init = vm.select(col("vec_id"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCodes)
       .withColumn("cid", row_number().over(wInit).cast("long"))
@@ -1324,9 +1328,19 @@ object Similarity {
             .as("cm"))
         .localCheckpoint()
     }
-    cents.select(col("sub"), col("cid"),
-      transform(col("cm"), x => x.cast("double") / lit(1000000.0d)).as("c"))
+    cents
   }
+
+  def pqTrainCodebook(emb: DataFrame, numSub: Int = 8, subDim: Int = 8,
+                      numCodes: Int = 16, iters: Int = 2): DataFrame =
+    pqLloydOnMicro(
+      vectors(emb).select(col("vec_id"),
+        transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("em")),
+      numSub, subDim, numCodes, iters)
+      .select(col("sub"), col("cid"),
+        transform(col("cm"), x => x.cast("double") / lit(1000000.0d))
+          .as("c"))
 
   /** The flat ADC top-k chain against an explicit codebook and an
     * explicit (query_id, eq) frame — shared by the default-codebook
@@ -1578,25 +1592,57 @@ object Similarity {
     * a map-side-combined per-(vec, sub) argmin; xhat is
     * C·numSub·numCodes rows — model-sized — built entirely from
     * broadcast frames. */
-  private def residualPqParts(assigned: DataFrame, cents: DataFrame,
-                              numSub: Int, subDim: Int, numCodes: Int,
-                              seedFrom: Int): (DataFrame, DataFrame) = {
-    val cm = cents.select(col("cid").as("cell"),
+  /** Micro-int centroid frame (cell, cm) from a RAW-scale centroid
+    * table (components ≤ 1 — defaultCentroids). The trained exact
+    * trainer's output is ALREADY micro-valued and must cast, not
+    * re-scale (residuals are scale-sensitive where cosines are not —
+    * see annIvfPqResidualTrained). */
+  private def microCentsOf(cents: DataFrame): DataFrame =
+    cents.select(col("cid").as("cell"),
       transform(col("ce"), x => round(x * lit(1000000.0d)).cast("long"))
         .as("cm"))
-    val subs = explode(sequence(lit(0), lit(numSub - 1)))
-    val rm = assigned
+
+  /** (vec_id, cell, rm) — each assigned vector's BIGINT micro residual
+    * against its cell centroid. */
+  private def residualFrame(assigned: DataFrame, cm: DataFrame): DataFrame =
+    assigned
       .select(col("vec_id"), col("cell"),
         transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
           .as("em"))
       .join(broadcast(cm), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("em"), col("cm"), (x, c) => x - c).as("rm"))
-    val cb = rm.filter(col("vec_id") >= seedFrom &&
+
+  /** Data-seeded residual codebook: the residuals of vectors
+    * [seedFrom, seedFrom + numCodes), sub-sliced. */
+  private def residualSeedCodebook(rm: DataFrame, numSub: Int, subDim: Int,
+                                   numCodes: Int, seedFrom: Int): DataFrame = {
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
+    rm.filter(col("vec_id") >= seedFrom &&
         col("vec_id") < seedFrom + numCodes)
       .select(col("vec_id").as("cid"), subs.as("sub"), col("rm"))
       .select(col("sub"), col("cid"),
         slice(col("rm"), col("sub") * subDim + 1, lit(subDim)).as("wm"))
+  }
+
+  /** TRAINED residual codebook — the integer Lloyd core pointed at
+    * the residual frame: codewords minimize within-cell-residual L2,
+    * which is exactly what FAISS's IVFADC trains (PQ on residuals).
+    * Output stays in micro-int scale (sub, cid, wm). */
+  def pqTrainResidualCodebook(rm: DataFrame, numSub: Int = 8,
+                              subDim: Int = 8, numCodes: Int = 16,
+                              iters: Int = 2): DataFrame =
+    pqLloydOnMicro(rm.select(col("vec_id"), col("rm").as("em")),
+      numSub, subDim, numCodes, iters)
+      .select(col("sub"), col("cid"), col("cm").as("wm"))
+
+  /** Encode + reconstruction slices against an explicit residual
+    * codebook (sub, cid, wm): codes (vec_id, cell, sub, cid) and
+    * xhat(cell, sub, cid, xh = c_sub + ŵ). */
+  private def residualEncodeXhat(rm: DataFrame, cm: DataFrame,
+                                 cb: DataFrame, numSub: Int,
+                                 subDim: Int): (DataFrame, DataFrame) = {
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
     val codes = rm
       .select(col("vec_id"), col("cell"), subs.as("sub"), col("rm"))
       .select(col("vec_id"), col("cell"), col("sub"),
@@ -1616,6 +1662,15 @@ object Similarity {
       .select(col("cell"), col("sub"), col("cid"),
         zip_with(col("cs"), col("wm"), (a, b) => a + b).as("xh"))
     (codes, xhat)
+  }
+
+  private def residualPqParts(assigned: DataFrame, cents: DataFrame,
+                              numSub: Int, subDim: Int, numCodes: Int,
+                              seedFrom: Int): (DataFrame, DataFrame) = {
+    val cm = microCentsOf(cents)
+    val rm = residualFrame(assigned, cm)
+    val cb = residualSeedCodebook(rm, numSub, subDim, numCodes, seedFrom)
+    residualEncodeXhat(rm, cm, cb, numSub, subDim)
   }
 
   /** The residual-ADC cosine: BIGINT dot and norms², finished by one
@@ -1766,6 +1821,124 @@ object Similarity {
 
   def pqResidualRecallQuery(spark: SparkSession, dir: String): DataFrame =
     pqResidualRecall(Tables.embeddings(spark, dir)).orderBy(col("encoding"))
+
+  /** ann_ivf_pq_residual_trained — the COMPLETE FAISS IVFADC
+    * production semantic, every tier trained: exact-integer Lloyd
+    * coarse centroids (trainIvfCentroidsExact), residuals against
+    * THOSE centroids, and a residual codebook from the integer Lloyd
+    * core pointed at the residual frame (pqTrainResidualCodebook) —
+    * codewords minimize within-cell residual L2, which is what buys
+    * recall-at-equal-bytes over both raw-PQ and seeded-residual PQ.
+    * Serving is the unchanged residual-ADC chain + exact rerank.
+    *
+    * Scale caveat, explicit: the trained trainer's centroid output is
+    * ALREADY micro-valued, so the residual uses CAST, not ×10⁶ —
+    * cosines are scale-invariant but residuals are not; mixing the
+    * scales silently destroys the codes (guarded by the iters=0
+    * boundary spec, whose seed tables exercise exactly this path). */
+  def annIvfPqResidualTrained(emb: DataFrame, numQueries: Int = 8,
+                              m: Int = 12, k: Int = 3,
+                              numCentroids: Int = 16, nProbe: Int = 4,
+                              numSub: Int = 8, subDim: Int = 8,
+                              numCodes: Int = 16, iters: Int = 2): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids], got $nProbe")
+    val v = vectors(emb)
+    val cents = trainIvfCentroidsExact(emb, numCentroids, iters)
+    val (assigned, probes) = ivfIndex(emb, cents, numQueries, nProbe)
+    val candIds = broadcast(probes.select(col("query_id"), col("probe")))
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    // trained centroids are micro-valued doubles: CAST to micro longs
+    val cm = cents.select(col("cid").as("cell"),
+      transform(col("ce"), _.cast("long")).as("cm"))
+    val rm = residualFrame(assigned, cm).localCheckpoint()
+    val cb = pqTrainResidualCodebook(rm, numSub, subDim, numCodes, iters)
+    val (codes, xhat) = residualEncodeXhat(rm, cm, cb, numSub, subDim)
+    val qm = microVectors(v.filter(col("vec_id") < numQueries))
+      .select(col("vec_id").as("query_id"), col("em").as("qm"))
+      .withColumn("q2m",
+        aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
+    val wm = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val shortlist = residualAdcScores(candIds, codes, xhat, qm, subDim)
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wm).as("prnk"))
+      .filter(col("prnk") <= m)
+      .select("query_id", "vec_id")
+    val qf = v.filter(col("vec_id") < numQueries).toDF("query_id", "eq")
+    val cand = v
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    topK(cand, k)
+  }
+
+  def annIvfPqResidualTrainedQuery(spark: SparkSession,
+                                   dir: String): DataFrame =
+    annIvfPqResidualTrained(Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Seeded-residual vs TRAINED-residual codebooks at equal bytes —
+    * the pq_train_recall instrument pointed at the residual tier:
+    * same trained coarse quantizer, same candidates (so the row
+    * isolates the CODEBOOK-training effect), top-k from the ADC
+    * estimate, held-out queries disjoint from the centroid init and
+    * both codebook seed/init samples, actual-count denominator. */
+  def pqResidualTrainedRecall(emb: DataFrame, numQueries: Int = 8,
+                              k: Int = 5, numCentroids: Int = 16,
+                              nProbe: Int = 4, numSub: Int = 8,
+                              subDim: Int = 8, numCodes: Int = 16,
+                              iters: Int = 2): DataFrame = {
+    val v = vectors(emb)
+    val cents = trainIvfCentroidsExact(emb, numCentroids, iters)
+    val hq = heldoutQueries(emb, numQueries,
+      numCentroids + numCodes).localCheckpoint()
+    val nq = hq.agg(count(lit(1)).as("n_q"))
+    val truth = topK(cosineCandidatesQ(v, hq), k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      .localCheckpoint()
+    val (assigned, probes) = ivfIndexQ(v, cents,
+      hq.select(col("query_id").as("vec_id"), col("eq").as("e")), nProbe)
+    val candIds = broadcast(probes.select(col("query_id"), col("probe")))
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+      .localCheckpoint()
+    val cm = cents.select(col("cid").as("cell"),
+      transform(col("ce"), _.cast("long")).as("cm"))
+    val rm = residualFrame(assigned, cm).localCheckpoint()
+    val qmh = hq
+      .select(col("query_id"),
+        transform(col("eq"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("qm"))
+      .withColumn("q2m",
+        aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
+    def branch(tag: String, cb: DataFrame) = {
+      val (codes, xhat) = residualEncodeXhat(rm, cm, cb, numSub, subDim)
+      topK(residualAdcScores(candIds, codes, xhat, qmh, subDim), k)
+        .select(lit(tag).as("codebook"), col("query_id"),
+          col("neighbor_id"))
+    }
+    branch("seeded",
+        residualSeedCodebook(rm, numSub, subDim, numCodes,
+          seedFrom = numCentroids))
+      .unionByName(branch("trained",
+        pqTrainResidualCodebook(rm, numSub, subDim, numCodes, iters)))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("codebook")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("codebook"), col("hits"),
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
+  }
+
+  def pqResidualTrainedRecallQuery(spark: SparkSession,
+                                   dir: String): DataFrame =
+    pqResidualTrainedRecall(Tables.embeddings(spark, dir))
+      .orderBy(col("codebook"))
 
   def annPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
@@ -2733,69 +2906,118 @@ object Similarity {
        |${pqTrainCtes(subDim, numCodes, iters)},
        |${ivfPqServeSql(numQueries, m, k, nProbe, subDim, "cbt")}""".stripMargin
 
-  /** The residual-PQ model CTE chain — assumes `v`, `sub`, `cents`,
-    * `assigned(vec_id, cell)`. Emits renc (codes), xh (reconstruction
-    * slices), rrt/resr2 (recon norms) — micro-int BIGINT throughout,
-    * mirroring residualPqParts step for step. */
-  private def residualPqCtes(numSub: Int, subDim: Int, numCodes: Int,
-                             seedFrom: Int): String =
-    s"""vm AS (SELECT vec_id,
+  /** The residual-PQ BASE CTE chain — assumes `v`, `cents`,
+    * `assigned(vec_id, cell)`. Emits resvm (micro vectors), cmm
+    * (micro centroids — `cmExpr` is the per-component conversion:
+    * ×10⁶ rounding for raw-scale centroids, a plain CAST for the
+    * already-micro trained ones), resrm (residuals). */
+  private def residualBaseCtes(cmExpr: String): String =
+    s"""resvm AS (SELECT vec_id,
        | list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS em
        | FROM v),
        |cmm AS (SELECT cid AS cell,
-       | list_transform(ce, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS cm
+       | list_transform(ce, x -> $cmExpr) AS cm
        | FROM cents),
        |resrm AS MATERIALIZED (
        | SELECT m.vec_id, a.cell,
        |  list_transform(range(1, len(m.em)+1), i -> m.em[i] - c.cm[i]) AS rm
-       | FROM vm m JOIN assigned a USING (vec_id)
-       |  JOIN cmm c ON a.cell = c.cell),
-       |rcb AS (
+       | FROM resvm m JOIN assigned a USING (vec_id)
+       |  JOIN cmm c ON a.cell = c.cell)""".stripMargin
+
+  /** Data-seeded residual codebook CTE `$name(sub, cid, wm)`. */
+  private def residualSeedCbCte(name: String, subDim: Int, numCodes: Int,
+                                seedFrom: Int): String =
+    s"""$name AS (
        | SELECT s.s AS sub, r.vec_id AS cid,
        |  list_transform(range(1, ${subDim + 1}),
        |                 j -> r.rm[s.s*$subDim + j]) AS wm
        | FROM resrm r, sub s
-       | WHERE r.vec_id >= $seedFrom AND r.vec_id < ${seedFrom + numCodes}),
-       |rx AS (
+       | WHERE r.vec_id >= $seedFrom AND r.vec_id < ${seedFrom + numCodes})""".stripMargin
+
+  /** TRAINED residual codebook CTEs — the integer Lloyd core replayed
+    * over resrm's sub-slices (pqLloydOnMicro step for step: md5-rank
+    * init over the residual frame's vec_ids, BIGINT-L2 assignment
+    * ties cid asc, floored integer means). Emits `$name(sub, cid,
+    * wm)` in micro scale. */
+  private def residualTrainCbCtes(name: String, subDim: Int,
+                                  numCodes: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""rvs AS MATERIALIZED (SELECT r.vec_id, s.s AS sub,
+      | list_transform(range(1, ${subDim + 1}),
+      |                j -> r.rm[s.s*$subDim + j]) AS xm
+      | FROM resrm r, sub s),
+      |rin AS (SELECT vec_id, CAST(row_number() OVER (
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid
+      | FROM resrm),
+      |rc0 AS (SELECT m.sub, p.cid, m.xm AS cm
+      | FROM rvs m JOIN rin p USING (vec_id)
+      | WHERE p.cid <= $numCodes)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        |ra$t AS (SELECT m.vec_id, m.sub, m.xm, c.cid,
+        |  list_sum(list_transform(range(1, ${subDim + 1}),
+        |    i -> (m.xm[i]-c.cm[i])*(m.xm[i]-c.cm[i]))) AS d2
+        | FROM rvs m JOIN rc${t - 1} c ON m.sub = c.sub),
+        |rs$t AS (SELECT sub, cid, xm FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |   ORDER BY d2, cid) AS rn FROM ra$t) WHERE rn = 1),
+        |rc$t AS MATERIALIZED (
+        | SELECT sub, cid, list(cv ORDER BY i) AS cm FROM (
+        |  SELECT sub, cid, i,
+        |   CAST(floor(CAST(sum(xm[i]) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+        |  FROM rs$t, UNNEST(range(1, ${subDim + 1})) u(i)
+        |  GROUP BY sub, cid, i)
+        | GROUP BY sub, cid)""".stripMargin
+    }
+    sb ++= s""",
+      |$name AS (SELECT sub, cid, cm AS wm FROM rc$iters)""".stripMargin
+    sb.toString
+  }
+
+  /** Encode + reconstruction against codebook CTE `$cbName`, names
+    * suffixed `$sfx` — emits renc$sfx, xh$sfx, rrt$sfx, resr2$sfx. */
+  private def residualIndexCtes(cbName: String, sfx: String,
+                                subDim: Int): String =
+    s"""rx$sfx AS (
        | SELECT r.vec_id, r.cell, s.s AS sub,
        |  list_transform(range(1, ${subDim + 1}),
        |                 j -> r.rm[s.s*$subDim + j]) AS x
        | FROM resrm r, sub s),
-       |renc AS MATERIALIZED (
+       |renc$sfx AS MATERIALIZED (
        | SELECT vec_id, cell, sub, cid FROM (
-       |  SELECT rx.vec_id, rx.cell, rx.sub, rcb.cid,
+       |  SELECT rx.vec_id, rx.cell, rx.sub, cb.cid,
        |   row_number() OVER (PARTITION BY rx.vec_id, rx.sub ORDER BY
        |    list_sum(list_transform(range(1, ${subDim + 1}),
-       |      i -> (rx.x[i]-rcb.wm[i])*(rx.x[i]-rcb.wm[i]))), rcb.cid) AS rn
-       |  FROM rx JOIN rcb ON rx.sub = rcb.sub) WHERE rn = 1),
-       |xh AS (
+       |      i -> (rx.x[i]-cb.wm[i])*(rx.x[i]-cb.wm[i]))), cb.cid) AS rn
+       |  FROM rx$sfx rx JOIN $cbName cb ON rx.sub = cb.sub) WHERE rn = 1),
+       |xh$sfx AS (
        | SELECT c.cell, w.sub, w.cid,
        |  list_transform(range(1, ${subDim + 1}),
        |                 i -> c.cm[w.sub*$subDim + i] + w.wm[i]) AS xh
-       | FROM cmm c CROSS JOIN rcb w),
-       |rrt AS (SELECT cell, sub, cid,
+       | FROM cmm c CROSS JOIN $cbName w),
+       |rrt$sfx AS (SELECT cell, sub, cid,
        | CAST(list_sum(list_transform(xh, x -> x*x)) AS BIGINT) AS rr
-       | FROM xh),
-       |resr2 AS (
+       | FROM xh$sfx),
+       |resr2$sfx AS (
        | SELECT e.vec_id, CAST(sum(t.rr) AS BIGINT) AS r2m
-       | FROM renc e JOIN rrt t ON e.cell = t.cell AND e.sub = t.sub
-       |  AND e.cid = t.cid
+       | FROM renc$sfx e JOIN rrt$sfx t ON e.cell = t.cell
+       |  AND e.sub = t.sub AND e.cid = t.cid
        | GROUP BY 1)""".stripMargin
 
   /** The residual-ADC candidate scoring — assumes candi(query_id,
-    * vec_id), renc, xh, resr2, and a query frame `$qName(query_id, qm,
-    * q2m)`. Emits rescand$sfx(query_id, vec_id, cos). */
+    * vec_id), renc$sfx/xh$sfx/resr2$sfx, and a query frame
+    * `$qName(query_id, qm, q2m)`. Emits rescand$sfx. */
   private def residualScoreCtes(qName: String, sfx: String,
                                 subDim: Int): String =
     s"""restab$sfx AS (
        | SELECT q.query_id, q.q2m, x.cell, x.sub, x.cid,
        |  CAST(list_sum(list_transform(range(1, ${subDim + 1}),
        |    i -> q.qm[x.sub*$subDim + i] * x.xh[i])) AS BIGINT) AS tm
-       | FROM $qName q CROSS JOIN xh x),
+       | FROM $qName q CROSS JOIN xh$sfx x),
        |ressc$sfx AS (
        | SELECT c.query_id, c.vec_id, CAST(sum(t.tm) AS BIGINT) AS dm,
        |  min(t.q2m) AS q2m
-       | FROM candi c JOIN renc e ON c.vec_id = e.vec_id
+       | FROM candi c JOIN renc$sfx e ON c.vec_id = e.vec_id
        |  JOIN restab$sfx t ON t.query_id = c.query_id AND t.cell = e.cell
        |   AND t.sub = e.sub AND t.cid = e.cid
        | GROUP BY 1, 2),
@@ -2805,7 +3027,7 @@ object Similarity {
        |       ELSE round(CAST(sc.dm AS DOUBLE)
        |            / (sqrt(CAST(sc.q2m AS DOUBLE))
        |               * sqrt(CAST(r2.r2m AS DOUBLE))), 6) END AS cos
-       | FROM ressc$sfx sc JOIN resr2 r2 ON sc.vec_id = r2.vec_id)""".stripMargin
+       | FROM ressc$sfx sc JOIN resr2$sfx r2 ON sc.vec_id = r2.vec_id)""".stripMargin
 
   /** ann_ivf_pq_residual oracle: assignment → residual → encode →
     * per-(query, cell) ADC → shortlist → exact rerank, all replayed. */
@@ -2836,7 +3058,9 @@ object Similarity {
        | SELECT p.query_id, a.vec_id
        | FROM probes p JOIN assigned a
        |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
-       |${residualPqCtes(numSub, subDim, numCodes, seedFrom = numCentroids)},
+       |${residualBaseCtes("CAST(round(x * 1000000.0) AS BIGINT)")},
+       |${residualSeedCbCte("rcb", subDim, numCodes, seedFrom = numCentroids)},
+       |${residualIndexCtes("rcb", "", subDim)},
        |qres AS (
        | SELECT query_id, qm,
        |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
@@ -2958,7 +3182,9 @@ object Similarity {
        |       ELSE round((sc.dm / 1000000.0)
        |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
        | FROM rawsc sc JOIN r2 ON sc.vec_id = r2.vec_id),
-       |${residualPqCtes(numSub, subDim, numCodes, seedFrom = numCentroids)},
+       |${residualBaseCtes("CAST(round(x * 1000000.0) AS BIGINT)")},
+       |${residualSeedCbCte("rcb", subDim, numCodes, seedFrom = numCentroids)},
+       |${residualIndexCtes("rcb", "_r", subDim)},
        |qres AS (
        | SELECT query_id, qm,
        |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
@@ -2978,6 +3204,147 @@ object Similarity {
        | WHERE rnk <= $k),
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM hq)
        |SELECT s.encoding,
+       | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // (nq.n_q * $k) AS recall_bp
+       |FROM served s LEFT JOIN truth t
+       | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       | CROSS JOIN nq
+       |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
+  }
+
+  /** ann_ivf_pq_residual_trained oracle: trained coarse centroids
+    * (trainedCentsCtes — micro-valued, so cmm CASTS instead of
+    * re-scaling), residuals, the residual-Lloyd codebook replay, and
+    * the same encode→ADC→shortlist→rerank chain. */
+  private def annIvfPqResidualTrainedOracle(numQueries: Int, m: Int,
+                                            k: Int, numCentroids: Int,
+                                            nProbe: Int, numSub: Int,
+                                            subDim: Int, numCodes: Int,
+                                            iters: Int): String =
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |${trainedCentsCtes(numCentroids, iters)},
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |${residualBaseCtes("CAST(x AS BIGINT)")},
+       |${residualTrainCbCtes("rcbt", subDim, numCodes, iters)},
+       |${residualIndexCtes("rcbt", "", subDim)},
+       |qres AS (
+       | SELECT query_id, qm,
+       |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
+       | FROM (SELECT vec_id AS query_id,
+       |   list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qm
+       |  FROM v WHERE vec_id < $numQueries)),
+       |${residualScoreCtes("qres", "", subDim)},
+       |short AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY cos DESC, vec_id) AS prnk
+       |  FROM rescand) WHERE prnk <= $m),
+       |rrk AS (
+       | SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  ${cosSql("qv.e", "x.e")} AS cos
+       | FROM short s JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v x ON s.vec_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM rrk) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** pq_residual_trained_recall oracle: ONE trained coarse + candidate
+    * set, the seeded and Lloyd-trained residual codebooks served
+    * side-by-side from the ADC estimate, recall vs exact truth. */
+  private def pqResidualTrainedRecallOracle(numQueries: Int, k: Int,
+                                            numCentroids: Int, nProbe: Int,
+                                            numSub: Int, subDim: Int,
+                                            numCodes: Int,
+                                            iters: Int): String = {
+    val hqBound = numCentroids + numCodes
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |${trainedCentsCtes(numCentroids, iters)},
+       |tinit AS (SELECT vec_id FROM (
+       | SELECT vec_id, row_number() OVER (
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+       | WHERE rn <= $hqBound),
+       |hq AS MATERIALIZED (
+       | SELECT vec_id FROM v
+       | WHERE vec_id >= $hqBound
+       |  AND vec_id NOT IN (SELECT vec_id FROM tinit)
+       | ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+       | LIMIT $numQueries),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id IN (SELECT vec_id FROM hq))
+       | WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT qv.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY qv.vec_id
+       |     ORDER BY ${cosSql("qv.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v qv JOIN v x ON qv.vec_id <> x.vec_id
+       |  WHERE qv.vec_id IN (SELECT vec_id FROM hq)) WHERE rnk <= $k),
+       |${residualBaseCtes("CAST(x AS BIGINT)")},
+       |${residualSeedCbCte("rcb", subDim, numCodes, seedFrom = numCentroids)},
+       |${residualTrainCbCtes("rcbt", subDim, numCodes, iters)},
+       |qres AS (
+       | SELECT query_id, qm,
+       |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
+       | FROM (SELECT vec_id AS query_id,
+       |   list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qm
+       |  FROM v WHERE vec_id IN (SELECT vec_id FROM hq))),
+       |${residualIndexCtes("rcb", "_s", subDim)},
+       |${residualScoreCtes("qres", "_s", subDim)},
+       |${residualIndexCtes("rcbt", "_t", subDim)},
+       |${residualScoreCtes("qres", "_t", subDim)},
+       |served AS (
+       | SELECT 'seeded' AS codebook, query_id, vec_id AS neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) AS rnk FROM rescand_s)
+       | WHERE rnk <= $k
+       | UNION ALL
+       | SELECT 'trained', query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) AS rnk FROM rescand_t)
+       | WHERE rnk <= $k),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM hq)
+       |SELECT s.codebook,
        | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
        |  AS BIGINT) AS hits,
        | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -3646,6 +4013,12 @@ object Similarity {
     "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
       numCodes = 16),
+    "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrainedOracle(
+      numQueries = 8, m = 12, k = 3, numCentroids = 16, nProbe = 4,
+      numSub = 8, subDim = 8, numCodes = 16, iters = 2),
+    "pq_residual_trained_recall" -> pqResidualTrainedRecallOracle(
+      numQueries = 8, k = 5, numCentroids = 16, nProbe = 4, numSub = 8,
+      subDim = 8, numCodes = 16, iters = 2),
     "ann_pq_trained" -> annPqTrainedOracle(numQueries = 8, k = 3,
       numSub = 8, subDim = 8, numCodes = 16, iters = 2),
     "pq_train_recall" -> pqTrainRecallOracle(numQueries = 8, k = 5,

@@ -46,6 +46,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // the raw-vs-residual recall eval composing the two shapes above
     // over one candidate set + the 1-row held-out-count scalar
     "pq_residual_recall",
+    // the fully-trained residual compose (trained-centroid cross +
+    // the residual-Lloyd model frames, all model-sized broadcasts)
+    // and its seeded-vs-trained recall eval
+    "ann_ivf_pq_residual_trained", "pq_residual_trained_recall",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max

@@ -67,6 +67,39 @@ class Batch14Spec extends SparkSpec {
     }
   }
 
+  test("trained residual compose at iters=0: hand case pins the " +
+      "micro-scale CAST (trained centroids are already micro)") {
+    // iters=0: the coarse centroid is the md5-min vector (v1 — md5("1")
+    // sorts first among 0..3) and the residual codebook holds the
+    // md5-first two vectors' residuals against it (v1 -> the ZERO
+    // residual, v2). v0 and v3 both encode as code 1 (x̂ = v1 exactly),
+    // so the ADC ties v1/v3 at cos(v0, v1) = 0.8 — identical structure
+    // to the seeded hand case, but through the CAST path: had the
+    // trained centroids been re-scaled ×10⁶ like raw ones, residuals
+    // would sit near -8·10¹¹ and every code and tie here would differ.
+    val emb = handVecs.toDF("vec_id", "embedding")
+    def serve(m: Int) = Similarity.annIvfPqResidualTrained(emb,
+      numQueries = 1, m = m, k = 1, numCentroids = 1, nProbe = 1,
+      numSub = 1, subDim = 2, numCodes = 2, iters = 0)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(serve(1) === Seq((0L, 1L, 0.8, 1)))
+    val m2 = serve(2)
+    assert(m2.head._2 === 3L && m2.head._4 === 1)
+    assert(math.abs(m2.head._3 - 0.9 / math.sqrt(0.82)) < 1e-6)
+  }
+
+  test("pqResidualTrainedRecall: two codebook rows, shared denominator") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val rows = Similarity.pqResidualTrainedRecall(emb)
+      .select("codebook", "hits", "recall_bp")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) === Seq("seeded", "trained"))
+    rows.foreach { case (_, hits, bp) =>
+      assert(bp === (10000L * hits) / (8L * 5L))
+    }
+  }
+
   test("bigramSurprisalKn: hand-computed rational formula on a tiny corpus") {
     // corpus: "a b a b" and "b c" -> bigrams: (a b)x2, (b a)x1, (b c)x1
     // prefix counts: a->2 (types 1), b->2 (types 2); unigrams:
