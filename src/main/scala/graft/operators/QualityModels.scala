@@ -410,28 +410,37 @@ object QualityModels {
   def bigramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalKn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** Held-out add-1 vs absolute-discount-backoff bigram comparison —
-    * lm_heldout_eval's train/test discipline pointed at the SMOOTHER
-    * (r13 verdict #4's "Done" clause): both models train on the md5
-    * TRAIN split only, every split is scored by both, and the
-    * test-split mean is the measured answer to "does backoff beat
-    * add-1 where it matters — on data the model has not seen?"
+  /** Held-out add-1 vs absolute-discount-backoff vs KNESER-NEY bigram
+    * comparison — lm_heldout_eval's train/test discipline pointed at
+    * the SMOOTHER (r13 verdict #4's "Done" clause): the three models
+    * train on the md5 TRAIN split only, every split is scored by all,
+    * and the test-split mean is the measured answer to "does backoff
+    * beat add-1 where it matters — on data the model has not seen?"
     * (In-corpus scoring can't show this: every bigram is seen there.)
     *
-    * Fallback ladder per scored bigram, both models one formula each:
+    * Fallback ladder per scored bigram, one formula per model:
     *   add-1:  s = ln(c1 + V) − ln(c12 + 1)            (c1, c12 ⟂ 0)
     *   backoff, t1 seen:   num = max(4·c12−3, 0)·(N+V) + 3·T1·(u2+1),
     *                       den = 4·c1·(N+V)
     *   backoff, t1 unseen: num = u2 + 1, den = N + V   (pure unigram)
+    *   kn_cont: the same discounted interpolation with the TRUE
+    *     Kneser-Ney lower-order distribution (Kneser & Ney 1995) —
+    *     the CONTINUATION probability (cont2 + 1)/(B + V), cont2 =
+    *     distinct left-contexts of t2, B = distinct bigram types: a
+    *     word frequent only inside one collocation ("francisco")
+    *     backs off LOW however high its raw count, which is the whole
+    *     point of KN over plain absolute discounting —
+    *     num = max(4·c12−3, 0)·(B+V) + 3·T1·(cont2+1), den = 4·c1·(B+V)
+    *     (t1 unseen: num = cont2 + 1, den = B + V)
     * rounded once to micro-nats per ROW in pinned ln order — unseen
     * pairs share inputs, so identical rows round identically in both
     * engines.
     *
     * Scale shape: the scoring side EXPLODES the split-tagged bigram
-    * stream and left-joins the three vocab-sized model tables (bigram,
-    * prefix, unigram) on their keys — all map-side-combinable keyed
-    * equi-joins, no broadcast map needed — then ONE 6-row aggregate.
-    */
+    * stream and left-joins the four vocab-sized model tables (bigram,
+    * prefix, unigram, continuation) on their keys — all map-side-
+    * combinable keyed equi-joins, no broadcast map needed — then ONE
+    * 9-row aggregate. */
   def lmHeldoutBigram(docs: DataFrame, trainPct: Int = 80,
                       valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
@@ -448,9 +457,13 @@ object QualityModels {
     val pstats = bcnt
       .groupBy(split(col("bg"), " ").getItem(0).as("t1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1types"))
+    val cstats = bcnt
+      .groupBy(split(col("bg"), " ").getItem(1).as("t2"))
+      .agg(count(lit(1)).as("cont"))
     val ucnt = train.select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("u"))
     val tot = ucnt.agg(sum(col("u")).as("n_tok"), count(lit(1)).as("v"))
+    val btot = bcnt.agg(count(lit(1)).as("b"))
     val scoredRows = tagged
       .select(col("split"),
         explode(wordShingles(tokens(col("text")), 2)).as("bg"))
@@ -458,8 +471,10 @@ object QualityModels {
       .withColumn("bt2", split(col("bg"), " ").getItem(1))
       .join(bcnt, Seq("bg"), "left")
       .join(pstats, col("bt1") === col("t1"), "left")
+      .join(cstats, col("bt2") === col("t2"), "left")
       .join(ucnt, col("bt2") === col("t"), "left")
       .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
       .select(col("split"),
         col("c12").isNull.as("unseen"),
         round((log(coalesce(col("c1"), lit(0L)) + col("v"))
@@ -473,16 +488,27 @@ object QualityModels {
                   * (coalesce(col("u"), lit(0L)) + 1)))
           .otherwise(log(col("n_tok") + col("v"))
             - log(coalesce(col("u"), lit(0L)) + 1)))
-          * lit(1000000.0d)).cast("long").as("s_kn"))
+          * lit(1000000.0d)).cast("long").as("s_kn"),
+        round((when(col("c1").isNotNull,
+            log(lit(4L) * col("c1") * (col("b") + col("v")))
+              - log(greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - 3,
+                  lit(0L)) * (col("b") + col("v"))
+                + lit(3L) * col("t1types")
+                  * (coalesce(col("cont"), lit(0L)) + 1)))
+          .otherwise(log(col("b") + col("v"))
+            - log(coalesce(col("cont"), lit(0L)) + 1)))
+          * lit(1000000.0d)).cast("long").as("s_knc"))
     val agg = scoredRows.groupBy("split")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("unseen"), 1L).otherwise(0L)).as("unseen_bigrams"),
-        sum(col("s_add1")).as("sa"), sum(col("s_kn")).as("sk"))
+        sum(col("s_add1")).as("sa"), sum(col("s_kn")).as("sk"),
+        sum(col("s_knc")).as("skc"))
     def side(model: String, sumCol: String) = agg
       .select(lit(model).as("model"), col("split"), col("n_bigrams"),
         col("unseen_bigrams"),
         expr(s"$sumCol div n_bigrams").as("mean_micro"))
     side("add1", "sa").unionByName(side("backoff", "sk"))
+      .unionByName(side("kn_cont", "skc"))
   }
 
   def lmHeldoutBigramQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1477,11 +1503,14 @@ object QualityModels {
          |pstats AS (SELECT string_split(bg, ' ')[1] AS t1,
          |  CAST(sum(c12) AS BIGINT) AS c1,
          |  CAST(count(*) AS BIGINT) AS t1types FROM btr GROUP BY 1),
+         |cstats AS (SELECT string_split(bg, ' ')[2] AS t2,
+         |  CAST(count(*) AS BIGINT) AS cont FROM btr GROUP BY 1),
          |ucnt AS (SELECT t, CAST(count(*) AS BIGINT) AS u FROM
          | (SELECT unnest(string_split(text, ' ')) AS t FROM sp
          |  WHERE split = 'train') GROUP BY 1),
          |tot AS (SELECT CAST(sum(u) AS BIGINT) AS n_tok,
          |        CAST(count(*) AS BIGINT) AS v FROM ucnt),
+         |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM btr),
          |rows AS (
          | SELECT b.split, (t.c12 IS NULL) AS unseen,
          |  CAST(round((ln(COALESCE(p.c1, 0) + tt.v)
@@ -1491,24 +1520,35 @@ object QualityModels {
          |      - ln(greatest(4*COALESCE(t.c12, 0) - 3, 0)*(tt.n_tok+tt.v)
          |          + 3*p.t1types*(COALESCE(u.u, 0) + 1))
          |    ELSE ln(tt.n_tok+tt.v) - ln(COALESCE(u.u, 0) + 1) END)
-         |   * 1000000) AS BIGINT) AS s_kn
+         |   * 1000000) AS BIGINT) AS s_kn,
+         |  CAST(round((CASE WHEN p.c1 IS NOT NULL
+         |    THEN ln(4*p.c1*(bb.b+tt.v))
+         |      - ln(greatest(4*COALESCE(t.c12, 0) - 3, 0)*(bb.b+tt.v)
+         |          + 3*p.t1types*(COALESCE(cs.cont, 0) + 1))
+         |    ELSE ln(bb.b+tt.v) - ln(COALESCE(cs.cont, 0) + 1) END)
+         |   * 1000000) AS BIGINT) AS s_knc
          | FROM bgall b
          |  LEFT JOIN btr t USING (bg)
          |  LEFT JOIN pstats p ON string_split(b.bg, ' ')[1] = p.t1
+         |  LEFT JOIN cstats cs ON string_split(b.bg, ' ')[2] = cs.t2
          |  LEFT JOIN ucnt u ON string_split(b.bg, ' ')[2] = u.t
-         |  CROSS JOIN tot tt),
+         |  CROSS JOIN tot tt CROSS JOIN btot bb),
          |agg AS (
          | SELECT split, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
          |   AS unseen_bigrams,
          |  CAST(sum(s_add1) AS BIGINT) AS sa,
-         |  CAST(sum(s_kn) AS BIGINT) AS sk
+         |  CAST(sum(s_kn) AS BIGINT) AS sk,
+         |  CAST(sum(s_knc) AS BIGINT) AS skc
          | FROM rows GROUP BY 1)
          |SELECT 'add1' AS model, split, n_bigrams, unseen_bigrams,
          | sa // n_bigrams AS mean_micro FROM agg
          |UNION ALL
          |SELECT 'backoff', split, n_bigrams, unseen_bigrams,
          | sk // n_bigrams FROM agg
+         |UNION ALL
+         |SELECT 'kn_cont', split, n_bigrams, unseen_bigrams,
+         | skc // n_bigrams FROM agg
          |ORDER BY model, split""".stripMargin,
     // add-1 smoothed per-type KL contribution, four ln terms in the
     // Spark-side order, q-hat as a double division on both engines

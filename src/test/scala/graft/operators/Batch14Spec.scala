@@ -147,13 +147,19 @@ class Batch14Spec extends SparkSpec {
     val rows = QualityModels.lmHeldoutBigram(docs)
       .select("model", "split", "n_bigrams", "unseen_bigrams", "mean_micro")
       .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq
+      === Seq("add1", "backoff", "kn_cont"))
     val byKey = rows.map(r => (r._1, r._2) -> r).toMap
     val add1 = byKey(("add1", "test")); val kn = byKey(("backoff", "test"))
-    assert(add1._3 === kn._3, "both models score the same bigram stream")
+    val knc = byKey(("kn_cont", "test"))
+    assert(add1._3 === kn._3 && add1._3 === knc._3,
+      "all models score the same bigram stream")
     assert(add1._4 === 0L, "phrase bigrams are all seen in train")
     assert(kn._5 * 3 < add1._5,
       s"backoff (${kn._5}) must beat add-1 (${add1._5}) decisively " +
         "on seen-but-rare bigrams under a large vocabulary")
+    assert(knc._5 * 3 < add1._5,
+      s"KN continuation backoff (${knc._5}) must beat add-1 too")
   }
 
   test("pavPools: hand-computed pooling, leftmost-first, ties stand") {
