@@ -836,13 +836,21 @@ object QualityModels {
     * ONE definition for the diagram (qualityCalibration) and the
     * calibrator (qualityCalibrated), so the calibrator can never fit
     * different bins than the diagram reports. */
-  private[graft] def calibrationBins(docs: DataFrame): DataFrame = {
-    val scores = qualityLogreg(docs, trainedQualityWeights(docs))
+  /** (doc_id, p_micro, keep) — the hard-sigmoid probability under the
+    * trained weights + the Gopher reference label, shared by the bin
+    * aggregate and the streaming gate's frozen-model builder. */
+  private[graft] def calibrationScored(docs: DataFrame,
+                                       weights: DataFrame): DataFrame = {
+    val scores = qualityLogreg(docs, weights)
       .select(col("doc_id"), col("score"))
     val labels = gopherRules(docs).select(col("doc_id"), col("keep"))
-    val p = scores.join(labels, "doc_id")
+    scores.join(labels, "doc_id")
       .withColumn("p_micro", greatest(lit(0L),
         least(lit(1000000L), lit(500000L) + expr("score div 40000"))))
+  }
+
+  private[graft] def calibrationBins(docs: DataFrame): DataFrame = {
+    val p = calibrationScored(docs, trainedQualityWeights(docs))
     val bounds = p.agg(min(col("p_micro")).as("mn"),
       max(col("p_micro")).as("mx"))
     p.crossJoin(broadcast(bounds))
