@@ -407,6 +407,9 @@ object ScaleProbe {
       // wall adds the two Lloyd loops (each a per-iteration corpus
       // pass with model-sized broadcasts)
       "ann_ivf_pq_residual_trained" -> (operators.Similarity.annIvfPqResidualTrainedQuery _),
+      // stored-index read path: constant 24 rows, the index build is
+      // the one linear encode pass
+      "ann_ivf_pq_residual_index" -> (operators.Similarity.annIvfPqResidualFromIndexQuery _),
       "bigram_surprisal_kn" -> (operators.QualityModels.bigramSurprisalKnQuery _),
       "lm_heldout_bigram"   -> (operators.QualityModels.lmHeldoutBigramQuery _),
       "multimodal_decode_jpeg" -> (operators.Multimodal.multimodalDecodeJpegQuery _),

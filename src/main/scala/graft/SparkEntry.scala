@@ -238,6 +238,7 @@ object SparkEntry {
     "ann_ivf_pq_trained"     -> (Similarity.annIvfPqTrainedQuery _),
     "ann_ivf_pq_residual"    -> (Similarity.annIvfPqResidualTopKQuery _),
     "ann_ivf_pq_residual_trained" -> (Similarity.annIvfPqResidualTrainedQuery _),
+    "ann_ivf_pq_residual_index" -> (Similarity.annIvfPqResidualFromIndexQuery _),
     "pq_residual_recall"     -> (Similarity.pqResidualRecallQuery _),
     "pq_residual_trained_recall" -> (Similarity.pqResidualTrainedRecallQuery _),
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),

@@ -1654,14 +1654,21 @@ object Similarity {
       .groupBy(col("vec_id"), col("cell"), col("sub"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
       .localCheckpoint()
-    val xhat = cm
-      .select(col("cell"), subs.as("sub"), col("cm"))
+    (codes, residualXhatOf(cm, cb, numSub, subDim))
+  }
+
+  /** Reconstruction slices xhat(cell, sub, cid, xh = c_sub + ŵ) from
+    * the MODEL tables alone (no corpus) — the piece a stored-index
+    * server rebuilds per query batch. */
+  private def residualXhatOf(cm: DataFrame, cb: DataFrame, numSub: Int,
+                             subDim: Int): DataFrame = {
+    val subs = explode(sequence(lit(0), lit(numSub - 1)))
+    cm.select(col("cell"), subs.as("sub"), col("cm"))
       .select(col("cell"), col("sub"),
         slice(col("cm"), col("sub") * subDim + 1, lit(subDim)).as("cs"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("cell"), col("sub"), col("cid"),
         zip_with(col("cs"), col("wm"), (a, b) => a + b).as("xh"))
-    (codes, xhat)
   }
 
   private def residualPqParts(assigned: DataFrame, cents: DataFrame,
@@ -1939,6 +1946,116 @@ object Similarity {
                                    dir: String): DataFrame =
     pqResidualTrainedRecall(Tables.embeddings(spark, dir))
       .orderBy(col("codebook"))
+
+  /** The physical residual-PQ index row — (vec_id, cell, codes) with
+    * codes[s] = the sub-s codeword id: M small ints per vector, the
+    * true IVFADC index payload (M bytes where fp32 stores 4·dim).
+    * Written `partitionBy("cell")` the serving probe becomes partition
+    * pruning — only probed cells are READ (spec-pinned). The companion
+    * model tables (centroids + codebook — model-sized) persist
+    * alongside; ivfInt8IndexRows' nightly-bulk contract applies. */
+  def residualPqIndexRows(emb: DataFrame, cents: DataFrame,
+                          numSub: Int = 8, subDim: Int = 8,
+                          numCodes: Int = 16,
+                          seedFrom: Int = 16): DataFrame = {
+    val assigned = assignToCells(vectors(emb), cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val cm = microCentsOf(cents)
+    val rm = residualFrame(assigned, cm)
+    val cb = residualSeedCodebook(rm, numSub, subDim, numCodes, seedFrom)
+    val (codes, _) = residualEncodeXhat(rm, cm, cb, numSub, subDim)
+    codes.groupBy(col("vec_id"), col("cell"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+  }
+
+  /** Serving DIRECTLY from the stored residual-PQ index — the read
+    * path matching [[residualPqIndexRows]]' write path: queries probe
+    * their nProbe nearest cells against the (model-sized) centroid
+    * table, candidates come from the equi-join of the broadcast probe
+    * frame against the index on `cell` (partition pruning on the
+    * partitionBy(cell) layout), ADC scores come from the STORED codes
+    * + the per-(query, cell) tables derived from the model frames
+    * alone, and only the top-m shortlist touches fp32 vectors (the
+    * primary store, joined by id) for the exact rerank. The plan must
+    * serve EXACTLY what the rebuild-everything plan serves —
+    * Batch14Spec pins the equality, and the oracle is the SAME
+    * replay ann_ivf_pq_residual pins. */
+  def annIvfPqResidualFromIndex(index: DataFrame, queries: DataFrame,
+                                corpus: DataFrame, cents: DataFrame,
+                                cb: DataFrame, nProbe: Int, m: Int,
+                                k: Int, numSub: Int,
+                                subDim: Int): DataFrame = {
+    require(m >= k && nProbe >= 1)
+    val cm = microCentsOf(cents)
+    val wProbe = W.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("e"), col("ce")), 6))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val candSub = broadcast(probes)
+      .join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "cid")
+    val xhat = residualXhatOf(cm, cb, numSub, subDim)
+    val rr = xhat.select(col("cell"), col("sub"), col("cid"),
+      aggregate(col("xh"), lit(0L), (acc, y) => acc + y * y).as("rr"))
+    val qm = queries
+      .select(col("query_id"),
+        transform(col("e"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("qm"))
+      .withColumn("q2m",
+        aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
+    val tab = qm.crossJoin(broadcast(xhat))
+      .select(col("query_id"), col("q2m"), col("cell"), col("sub"),
+        col("cid"),
+        aggregate(
+          zip_with(slice(col("qm"), col("sub") * subDim + 1, lit(subDim)),
+            col("xh"), (a, b) => a * b),
+          lit(0L), (acc, y) => acc + y).as("tm"))
+    val wm = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val shortlist = candSub
+      .join(broadcast(tab), Seq("query_id", "cell", "sub", "cid"))
+      .join(broadcast(rr), Seq("cell", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), sum(col("rr")).as("r2m"),
+        first(col("q2m")).as("q2m"))
+      .withColumn("cos", resAdcCos(col("dm"), col("q2m"), col("r2m")))
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wm).as("prnk"))
+      .filter(col("prnk") <= m)
+      .select("query_id", "vec_id")
+    val qf = queries.toDF("query_id", "eq")
+    val cand = corpus
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+    topK(cand, k)
+  }
+
+  def annIvfPqResidualFromIndexQuery(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val v = vectors(emb)
+    val cents = defaultCentroids(emb, 16)
+    // the model/codebook the nightly bulk persists alongside the index
+    val assigned = assignToCells(v, cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val cb = residualSeedCodebook(
+      residualFrame(assigned, microCentsOf(cents)), 8, 8, 16,
+      seedFrom = 16).localCheckpoint()
+    annIvfPqResidualFromIndex(
+      residualPqIndexRows(emb, cents),
+      v.filter(col("vec_id") < 8).toDF("query_id", "e"),
+      v, cents, cb, nProbe = 4, m = 12, k = 3, numSub = 8, subDim = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   def annPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
@@ -4008,6 +4125,11 @@ object Similarity {
       k = 3, numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
       numCodes = 16, iters = 2),
     "ann_ivf_pq_residual" -> annIvfPqResidualOracle(numQueries = 8,
+      m = 12, k = 3, numCentroids = 16, nProbe = 4, numSub = 8,
+      subDim = 8, numCodes = 16),
+    // the stored-index read path must serve EXACTLY what the rebuild
+    // plan serves — same replay, deliberately
+    "ann_ivf_pq_residual_index" -> annIvfPqResidualOracle(numQueries = 8,
       m = 12, k = 3, numCentroids = 16, nProbe = 4, numSub = 8,
       subDim = 8, numCodes = 16),
     "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 8, k = 5,

@@ -50,6 +50,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // the residual-Lloyd model frames, all model-sized broadcasts)
     // and its seeded-vs-trained recall eval
     "ann_ivf_pq_residual_trained", "pq_residual_trained_recall",
+    // the stored-index read path: bounded probe/model broadcasts, the
+    // candidate join is the cell equi-join against the index
+    "ann_ivf_pq_residual_index",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max

@@ -89,6 +89,50 @@ class Batch14Spec extends SparkSpec {
     assert(math.abs(m2.head._3 - 0.9 / math.sqrt(0.82)) < 1e-6)
   }
 
+  test("residual from-index serving == the rebuild plan, row for row") {
+    val out1 = Similarity.annIvfPqResidualFromIndexQuery(spark, sf)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val out2 = Similarity.annIvfPqResidualTopK(
+        graft.core.Tables.embeddings(spark, sf))
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out1 === out2,
+      "the stored-index read path must serve exactly the rebuild plan")
+  }
+
+  test("residual index written partitionBy(cell): a cell probe prunes " +
+      "the scan to that partition") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_respq").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cents = Similarity.defaultCentroids(emb, 16).localCheckpoint()
+    Similarity.residualPqIndexRows(emb, cents)
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val index = spark.read.parquet(tmp)
+    val total = index.count()
+    // probe the cell nearest query 40 under the serving rule
+    val probed = Similarity.vectors(emb)
+      .filter(col("vec_id") === 40L).crossJoin(cents)
+      .withColumn("ccos",
+        round(graft.functions.CosineSimilarity(col("e"), col("ce")), 6))
+      .orderBy(col("ccos").desc, col("cid")).limit(1)
+      .select("cid").as[Long].collect()(0)
+    val filtered = index.filter(col("cell") === probed)
+    val cellRows = filtered.count()
+    assert(cellRows > 0 && cellRows < total,
+      "the probed cell must be a strict nonempty subset")
+    assert(rowsRead(filtered, partitionedScansOnly = true) === cellRows,
+      "the scan must READ only the probed cell's partition")
+    val planStr = filtered.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"),
+      s"cell predicate did not become a partition filter:\n$planStr")
+    // the index payload really is M small ints per vector
+    val w = index.select(org.apache.spark.sql.functions.size(col("codes")))
+      .distinct().as[Int].collect().toSeq
+    assert(w === Seq(8), "every row stores exactly numSub codes")
+  }
+
   test("pqResidualTrainedRecall: two codebook rows, shared denominator") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val rows = Similarity.pqResidualTrainedRecall(emb)
