@@ -1954,6 +1954,43 @@ object Similarity {
     * pruning — only probed cells are READ (spec-pinned). The companion
     * model tables (centroids + codebook — model-sized) persist
     * alongside; ivfInt8IndexRows' nightly-bulk contract applies. */
+  /** Index rows against an EXPLICIT (frozen) codebook — the per-batch
+    * encoder the streaming ingest needs: every output row depends only
+    * on its own input row plus the static model frames, so streamed
+    * index content is batch-identical under any split. */
+  /** The data-seeded residual codebook derived from a corpus — the
+    * model frame the nightly bulk persists alongside the index
+    * (exposed for the streaming ingest's frozen-model contract). */
+  def residualSeedCodebookOf(emb: DataFrame, cents: DataFrame,
+                             numSub: Int = 8, subDim: Int = 8,
+                             numCodes: Int = 16,
+                             seedFrom: Int = 16): DataFrame = {
+    val assigned = assignToCells(vectors(emb), cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    residualSeedCodebook(residualFrame(assigned, microCentsOf(cents)),
+      numSub, subDim, numCodes, seedFrom)
+  }
+
+  private def residualIndexRowsOf(rm: DataFrame, cm: DataFrame,
+                                  cb: DataFrame, numSub: Int,
+                                  subDim: Int): DataFrame = {
+    val (codes, _) = residualEncodeXhat(rm, cm, cb, numSub, subDim)
+    codes.groupBy(col("vec_id"), col("cell"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+  }
+
+  def residualPqIndexRowsWith(emb: DataFrame, cents: DataFrame,
+                              cb: DataFrame, numSub: Int = 8,
+                              subDim: Int = 8): DataFrame = {
+    val assigned = assignToCells(vectors(emb), cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val cm = microCentsOf(cents)
+    residualIndexRowsOf(residualFrame(assigned, cm), cm, cb, numSub,
+      subDim)
+  }
+
   def residualPqIndexRows(emb: DataFrame, cents: DataFrame,
                           numSub: Int = 8, subDim: Int = 8,
                           numCodes: Int = 16,
@@ -1963,11 +2000,7 @@ object Similarity {
     val cm = microCentsOf(cents)
     val rm = residualFrame(assigned, cm)
     val cb = residualSeedCodebook(rm, numSub, subDim, numCodes, seedFrom)
-    val (codes, _) = residualEncodeXhat(rm, cm, cb, numSub, subDim)
-    codes.groupBy(col("vec_id"), col("cell"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cid")))),
-        s => s.getField("cid")).as("codes"))
+    residualIndexRowsOf(rm, cm, cb, numSub, subDim)
   }
 
   /** Serving DIRECTLY from the stored residual-PQ index — the read
@@ -2045,11 +2078,7 @@ object Similarity {
     val v = vectors(emb)
     val cents = defaultCentroids(emb, 16)
     // the model/codebook the nightly bulk persists alongside the index
-    val assigned = assignToCells(v, cents)
-      .select(col("vec_id"), col("cell"), col("e"))
-    val cb = residualSeedCodebook(
-      residualFrame(assigned, microCentsOf(cents)), 8, 8, 16,
-      seedFrom = 16).localCheckpoint()
+    val cb = residualSeedCodebookOf(emb, cents).localCheckpoint()
     annIvfPqResidualFromIndex(
       residualPqIndexRows(emb, cents),
       v.filter(col("vec_id") < 8).toDF("query_id", "e"),
