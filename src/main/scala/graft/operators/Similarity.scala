@@ -1761,20 +1761,30 @@ object Similarity {
     annIvfPqResidualTopK(Tables.embeddings(spark, dir))
       .orderBy(col("query_id"), col("rnk"))
 
-  /** Does RESIDUAL encoding buy recall at equal bytes? Raw-vector PQ
-    * vs residual PQ, BOTH inside the same IVF probe chain (same cells,
-    * same candidates, same M×numCodes bytes per vector), top-k served
-    * directly from the ADC estimate — no rerank, so the row measures
+  /** Does RESIDUAL encoding buy recall at equal bytes — and how does
+    * the answer move with the PROBE BUDGET? Raw-vector PQ vs residual
+    * PQ, BOTH inside the same IVF probe chain (same cells, same
+    * candidates, same M×numCodes bytes per vector), top-k served
+    * directly from the ADC estimate — no rerank, so the rows measure
     * the CODES, not the fp32 tail — against the exact brute-force
     * truth on HELD-OUT queries (disjoint from the centroid sample and
-    * both codebook seed samples; the r12 de-artifacting rule). The
+    * both codebook seed samples; the r12 de-artifacting rule), at
+    * EVERY nProbe in one pass: candidates carry the probe RANK of the
+    * cell that contributed them, the ADC scores each (query, vec)
+    * once at the maximum budget, and each budget's top-k is a rank
+    * filter over that one scored frame (the tau_sweep
+    * one-candidate-pass-for-the-whole-curve discipline). The
     * literature (Jégou 2011 Fig.2) promises the residual win; on
     * isotropic synthetics the honest measured answer may be a null —
-    * either way the row records it. */
+    * either way the curve records it per budget. */
   def pqResidualRecall(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
-                       numCentroids: Int = 16, nProbe: Int = 4,
+                       numCentroids: Int = 16,
+                       nProbes: Seq[Int] = Seq(1, 2, 4),
                        numSub: Int = 8, subDim: Int = 8,
                        numCodes: Int = 16): DataFrame = {
+    require(nProbes.nonEmpty &&
+      nProbes.forall(p => p >= 1 && p <= numCentroids))
+    val maxP = nProbes.max
     val v = vectors(emb)
     val cents = defaultCentroids(emb, numCentroids)
     // held out past BOTH seed prefixes: the centroid sample [0, C) and
@@ -1785,24 +1795,33 @@ object Similarity {
     val truth = topK(cosineCandidatesQ(v, hq), k)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
       .localCheckpoint()
-    val (assigned, probes) = ivfIndexQ(v, cents,
-      hq.select(col("query_id").as("vec_id"), col("eq").as("e")), nProbe)
-    val candIds = broadcast(probes.select(col("query_id"), col("probe")))
+    // probes at the MAX budget, probe rank kept for the per-budget cut
+    val wProbe = W.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = hq.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("eq"), col("ce")), 6))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= maxP)
+      .select(col("query_id"), col("cid").as("probe"), col("prnk"))
+    val assigned = assignToCells(v, cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val candIds = broadcast(probes)
       .join(assigned.select(col("vec_id"), col("cell")),
         col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id")
+      .select("query_id", "vec_id", "prnk")
       .localCheckpoint()
-    // raw branch: flat PQ codes, scored only on the probed candidates
+    val candFlat = candIds.select("query_id", "vec_id")
+    // raw branch: flat PQ codes, scored once over the max-budget set
     val cbRaw = pqDefaultCodebook(v, numSub, subDim, numCodes)
     val (encRaw, r2Raw) = pqPartsWith(v, cbRaw, numSub, subDim)
     val tabRaw = pqQueryTabQ(hq, cbRaw, subDim)
-    val rawScored = candIds.join(encRaw, "vec_id")
+    val rawScored = candFlat.join(encRaw, "vec_id")
       .join(broadcast(tabRaw), Seq("query_id", "sub", "cid"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
       .join(r2Raw, "vec_id")
       .withColumn("cos", pqAdcCos(col("dm"), col("qn"), col("r2m")))
-    // residual branch: same candidates, residual codes
+    // residual branch: same candidates, residual codes, scored once
     val (codes, xhat) = residualPqParts(assigned, cents, numSub, subDim,
       numCodes, seedFrom = numCentroids)
     val qmh = hq
@@ -1811,23 +1830,29 @@ object Similarity {
           .as("qm"))
       .withColumn("q2m",
         aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
-    val resScored = residualAdcScores(candIds, codes, xhat, qmh, subDim)
-    def served(tag: String, scored: DataFrame) =
-      topK(scored, k)
-        .select(lit(tag).as("encoding"), col("query_id"),
-          col("neighbor_id"))
+    val resScored = residualAdcScores(candFlat, codes, xhat, qmh, subDim)
+    def served(tag: String, scored: DataFrame) = {
+      val ranked = scored.join(candIds, Seq("query_id", "vec_id"))
+        .localCheckpoint()
+      nProbes.map { p =>
+        topK(ranked.filter(col("prnk") <= p), k)
+          .select(lit(tag).as("encoding"), lit(p).as("n_probe"),
+            col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+    }
     served("raw", rawScored)
       .unionByName(served("residual", resScored))
       .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
-      .groupBy("encoding")
+      .groupBy("encoding", "n_probe")
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
       .crossJoin(broadcast(nq))
-      .select(col("encoding"), col("hits"),
+      .select(col("encoding"), col("n_probe"), col("hits"),
         expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
   }
 
   def pqResidualRecallQuery(spark: SparkSession, dir: String): DataFrame =
-    pqResidualRecall(Tables.embeddings(spark, dir)).orderBy(col("encoding"))
+    pqResidualRecall(Tables.embeddings(spark, dir))
+      .orderBy(col("encoding"), col("n_probe"))
 
   /** ann_ivf_pq_residual_trained — the COMPLETE FAISS IVFADC
     * production semantic, every tier trained: exact-integer Lloyd
@@ -3230,13 +3255,18 @@ object Similarity {
        |                              ORDER BY cos DESC, neighbor_id) AS rnk
        | FROM rrk) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
-  /** pq_residual_recall oracle: held-out queries, ONE IVF candidate
-    * set, the raw-PQ ADC branch and the residual branch served top-k
-    * from their code estimates, recall vs brute-force truth. */
+  /** pq_residual_recall oracle: held-out queries, ONE max-budget IVF
+    * candidate set carrying probe RANKS, the raw-PQ ADC branch and
+    * the residual branch each scored once, every probe budget served
+    * by a rank filter + per-(budget, query) top-k, recall vs
+    * brute-force truth. */
   private def pqResidualRecallOracle(numQueries: Int, k: Int,
-                                     numCentroids: Int, nProbe: Int,
-                                     numSub: Int, subDim: Int,
+                                     numCentroids: Int,
+                                     nProbes: Seq[Int], numSub: Int,
+                                     subDim: Int,
                                      numCodes: Int): String = {
+    val maxP = nProbes.max
+    val vals = nProbes.map(p => s"($p)").mkString(", ")
     val hqBound = numCentroids + numCodes
     s"""WITH v AS (
        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -3263,13 +3293,13 @@ object Similarity {
        |                               ORDER BY ccos DESC, cid) AS rn
        |  FROM ac) WHERE rn = 1),
        |probes AS (
-       | SELECT vec_id AS query_id, cid AS probe FROM (
+       | SELECT vec_id AS query_id, cid AS probe, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY ccos DESC, cid) AS rn
        |  FROM ac WHERE vec_id IN (SELECT vec_id FROM hq))
-       | WHERE rn <= $nProbe),
+       | WHERE rn <= $maxP),
        |candi AS (
-       | SELECT p.query_id, a.vec_id
+       | SELECT p.query_id, a.vec_id, p.rn
        | FROM probes p JOIN assigned a
        |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
        |truth AS (
@@ -3339,17 +3369,28 @@ object Similarity {
        |  FROM v WHERE vec_id IN (SELECT vec_id FROM hq))),
        |${residualScoreCtes("qres", "_r", subDim)},
        |served AS (
-       | SELECT 'raw' AS encoding, query_id, vec_id AS neighbor_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cos DESC, vec_id) AS rnk FROM rawcand)
+       | SELECT 'raw' AS encoding, n_probe, query_id,
+       |  vec_id AS neighbor_id FROM (
+       |  SELECT np.p AS n_probe, rc.query_id, rc.vec_id,
+       |   row_number() OVER (PARTITION BY np.p, rc.query_id
+       |     ORDER BY rc.cos DESC, rc.vec_id) AS rnk
+       |  FROM (VALUES $vals) np(p)
+       |   JOIN rawcand rc ON TRUE
+       |   JOIN candi c ON c.query_id = rc.query_id
+       |    AND c.vec_id = rc.vec_id AND c.rn <= np.p)
        | WHERE rnk <= $k
        | UNION ALL
-       | SELECT 'residual', query_id, vec_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cos DESC, vec_id) AS rnk FROM rescand_r)
+       | SELECT 'residual', n_probe, query_id, vec_id FROM (
+       |  SELECT np.p AS n_probe, rc.query_id, rc.vec_id,
+       |   row_number() OVER (PARTITION BY np.p, rc.query_id
+       |     ORDER BY rc.cos DESC, rc.vec_id) AS rnk
+       |  FROM (VALUES $vals) np(p)
+       |   JOIN rescand_r rc ON TRUE
+       |   JOIN candi c ON c.query_id = rc.query_id
+       |    AND c.vec_id = rc.vec_id AND c.rn <= np.p)
        | WHERE rnk <= $k),
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM hq)
-       |SELECT s.encoding,
+       |SELECT s.encoding, CAST(s.n_probe AS BIGINT) AS n_probe,
        | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
        |  AS BIGINT) AS hits,
        | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -3357,7 +3398,7 @@ object Similarity {
        |FROM served s LEFT JOIN truth t
        | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
        | CROSS JOIN nq
-       |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
+       |GROUP BY 1, 2, nq.n_q ORDER BY 1, 2""".stripMargin
   }
 
   /** ann_ivf_pq_residual_trained oracle: trained coarse centroids
@@ -4162,7 +4203,7 @@ object Similarity {
       m = 12, k = 3, numCentroids = 16, nProbe = 4, numSub = 8,
       subDim = 8, numCodes = 16),
     "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 8, k = 5,
-      numCentroids = 16, nProbe = 4, numSub = 8, subDim = 8,
+      numCentroids = 16, nProbes = Seq(1, 2, 4), numSub = 8, subDim = 8,
       numCodes = 16),
     "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrainedOracle(
       numQueries = 8, m = 12, k = 3, numCentroids = 16, nProbe = 4,

@@ -54,16 +54,25 @@ class Batch14Spec extends SparkSpec {
       "full probing + full shortlist + exact rerank must equal brute force")
   }
 
-  test("pqResidualRecall: rows are the two encodings with a shared denominator") {
+  test("pqResidualRecall: one-pass curve — raw x residual per probe " +
+      "budget, monotone in nProbe, shared denominator") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val rows = Similarity.pqResidualRecall(emb)
-      .select("encoding", "hits", "recall_bp")
-      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(rows.map(_._1) === Seq("raw", "residual"))
-    rows.foreach { case (_, hits, bp) =>
-      assert(hits >= 0 && bp >= 0 && bp <= 10000)
+      .select("encoding", "n_probe", "hits", "recall_bp")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      (for (e <- Seq("raw", "residual"); p <- Seq(1, 2, 4)) yield (e, p))
+        .toSet)
+    rows.foreach { case (_, _, hits, bp) =>
       assert(bp === (10000L * hits) / (8L * 5L),
         "denominator must be the actual held-out count (8 at this sf)")
+    }
+    // raising the probe budget can only widen the candidate set, and
+    // ADC scores are budget-independent — recall is monotone per curve
+    Seq("raw", "residual").foreach { e =>
+      val curve = rows.filter(_._1 == e).sortBy(_._2).map(_._4)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"$e recall must be monotone in nProbe: $curve")
     }
   }
 
