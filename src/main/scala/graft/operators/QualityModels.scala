@@ -849,8 +849,15 @@ object QualityModels {
         least(lit(1000000L), lit(500000L) + expr("score div 40000"))))
   }
 
-  private[graft] def calibrationBins(docs: DataFrame): DataFrame = {
-    val p = calibrationScored(docs, trainedQualityWeights(docs))
+  private[graft] def calibrationBins(docs: DataFrame): DataFrame =
+    calibrationBinsWith(docs, trainedQualityWeights(docs))
+
+  /** Bins against ALREADY-trained weights — so a caller that holds the
+    * trained frame (CalibratedGateStream.model) never re-runs the
+    * 10-iteration GD loop just to bin. */
+  private[graft] def calibrationBinsWith(docs: DataFrame,
+                                         weights: DataFrame): DataFrame = {
+    val p = calibrationScored(docs, weights)
     val bounds = p.agg(min(col("p_micro")).as("mn"),
       max(col("p_micro")).as("mx"))
     p.crossJoin(broadcast(bounds))

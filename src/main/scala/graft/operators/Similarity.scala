@@ -1515,8 +1515,8 @@ object Similarity {
                    k: Int = 3, numCentroids: Int = 16, nProbe: Int = 4,
                    numSub: Int = 8, subDim: Int = 8,
                    numCodes: Int = 16): DataFrame = {
-    require(nProbe <= numCentroids,
-      s"nProbe must be in [1, numCentroids], got $nProbe")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids=$numCentroids], got $nProbe")
     annIvfPqTopKWith(emb, defaultCentroids(emb, numCentroids),
       pqDefaultCodebook(vectors(emb), numSub, subDim, numCodes),
       numQueries, m, k, nProbe, numSub, subDim)
@@ -1543,8 +1543,8 @@ object Similarity {
                       k: Int = 3, numCentroids: Int = 16, nProbe: Int = 4,
                       numSub: Int = 8, subDim: Int = 8, numCodes: Int = 16,
                       iters: Int = 2): DataFrame = {
-    require(nProbe <= numCentroids,
-      s"nProbe must be in [1, numCentroids], got $nProbe")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids=$numCentroids], got $nProbe")
     annIvfPqTopKWith(emb,
       trainIvfCentroidsExact(emb, numCentroids, iters),
       pqTrainCodebook(emb, numSub, subDim, numCodes, iters),
@@ -1777,7 +1777,7 @@ object Similarity {
     * literature (Jégou 2011 Fig.2) promises the residual win; on
     * isotropic synthetics the honest measured answer may be a null —
     * either way the curve records it per budget. */
-  def pqResidualRecall(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+  def pqResidualRecall(emb: DataFrame, numQueries: Int = 32, k: Int = 5,
                        numCentroids: Int = 16,
                        nProbes: Seq[Int] = Seq(1, 2, 4),
                        numSub: Int = 8, subDim: Int = 8,
@@ -1986,13 +1986,33 @@ object Similarity {
   /** The data-seeded residual codebook derived from a corpus — the
     * model frame the nightly bulk persists alongside the index
     * (exposed for the streaming ingest's frozen-model contract). */
+  /** RAW-scale guard at the public residual-index boundaries: these
+    * entries apply microCentsOf (×10⁶) unconditionally, so a caller
+    * passing trainIvfCentroidsExact output — ALREADY micro-valued, the
+    * convention annIvfPqResidualTrained hand-handles with a plain CAST
+    * — would silently get ~10⁶x-inflated residuals and garbage codes.
+    * Unit vectors keep every component ≤ 1, so magnitude ≥ 10³ can
+    * only mean a micro-valued frame: fail loudly (the raise_error
+    * delimiter discipline) instead of encoding corruption. */
+  private def guardRawScaleCents(cents: DataFrame): DataFrame =
+    cents.select(col("cid"),
+      when(array_max(transform(col("ce"), x => abs(x))) >= lit(1000.0d),
+        raise_error(concat(
+          lit("residual index: centroid component magnitude >= 1e3 — " +
+            "this frame looks MICRO-valued (trained); pass RAW-scale " +
+            "centroids here, or follow annIvfPqResidualTrained's " +
+            "plain-CAST path for trained models (cid="),
+          col("cid").cast("string"), lit(")"))))
+        .otherwise(col("ce")).as("ce"))
+
   def residualSeedCodebookOf(emb: DataFrame, cents: DataFrame,
                              numSub: Int = 8, subDim: Int = 8,
                              numCodes: Int = 16,
                              seedFrom: Int = 16): DataFrame = {
-    val assigned = assignToCells(vectors(emb), cents)
+    val cg = guardRawScaleCents(cents)
+    val assigned = assignToCells(vectors(emb), cg)
       .select(col("vec_id"), col("cell"), col("e"))
-    residualSeedCodebook(residualFrame(assigned, microCentsOf(cents)),
+    residualSeedCodebook(residualFrame(assigned, microCentsOf(cg)),
       numSub, subDim, numCodes, seedFrom)
   }
 
@@ -2009,9 +2029,10 @@ object Similarity {
   def residualPqIndexRowsWith(emb: DataFrame, cents: DataFrame,
                               cb: DataFrame, numSub: Int = 8,
                               subDim: Int = 8): DataFrame = {
-    val assigned = assignToCells(vectors(emb), cents)
+    val cg = guardRawScaleCents(cents)
+    val assigned = assignToCells(vectors(emb), cg)
       .select(col("vec_id"), col("cell"), col("e"))
-    val cm = microCentsOf(cents)
+    val cm = microCentsOf(cg)
     residualIndexRowsOf(residualFrame(assigned, cm), cm, cb, numSub,
       subDim)
   }
@@ -2020,9 +2041,10 @@ object Similarity {
                           numSub: Int = 8, subDim: Int = 8,
                           numCodes: Int = 16,
                           seedFrom: Int = 16): DataFrame = {
-    val assigned = assignToCells(vectors(emb), cents)
+    val cg = guardRawScaleCents(cents)
+    val assigned = assignToCells(vectors(emb), cg)
       .select(col("vec_id"), col("cell"), col("e"))
-    val cm = microCentsOf(cents)
+    val cm = microCentsOf(cg)
     val rm = residualFrame(assigned, cm)
     val cb = residualSeedCodebook(rm, numSub, subDim, numCodes, seedFrom)
     residualIndexRowsOf(rm, cm, cb, numSub, subDim)
@@ -4202,7 +4224,11 @@ object Similarity {
     "ann_ivf_pq_residual_index" -> annIvfPqResidualOracle(numQueries = 8,
       m = 12, k = 3, numCentroids = 16, nProbe = 4, numSub = 8,
       subDim = 8, numCodes = 16),
-    "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 8, k = 5,
+    // numQueries = 32 (r14 verdict #8): 8 held-out queries gave the
+    // curve 250 bp granularity — one hit of noise could invert the
+    // first point's raw-vs-residual story; 32 queries × k=5 puts the
+    // floor at 62.5 bp
+    "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 32, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4), numSub = 8, subDim = 8,
       numCodes = 16),
     "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrainedOracle(

@@ -39,14 +39,19 @@ object CalibratedGateStream {
   def model(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = QualityModels.trainedQualityWeights(docs).collect()(0)
-    val scored = QualityModels
-      .calibrationScored(docs, QualityModels.trainedQualityWeights(docs))
+    // train ONCE: the weights frame is 1 row, but its lineage is the
+    // 10-iteration GD loop — localCheckpoint so the collect and the
+    // calibrationScored consumer read one materialization (r14 ADVICE)
+    val wdf = QualityModels.trainedQualityWeights(docs).localCheckpoint()
+    val w = wdf.collect()(0)
+    val scored = QualityModels.calibrationScored(docs, wdf)
     val b = scored.agg(min(col("p_micro")), max(col("p_micro")))
       .as[(Long, Long)].collect()(0)
-    val bins = QualityModels.calibrationBins(docs)
+    val bins = QualityModels.calibrationBinsWith(docs, wdf)
       .select(col("bin"), col("n_docs"), col("n_pos"))
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    require(bins.nonEmpty, "CalibratedGateStream.model: empty corpus — " +
+      "no populated reliability bins to fit the PAV step function over")
     val pools = QualityModels.pavPools(bins.map(r => (r._2, r._3)))
     val calByBin = bins.zipWithIndex.map { case ((bin, _, _), i) =>
       val p = pools.find(p => p._1 <= i && i <= p._2).get

@@ -55,7 +55,7 @@ class Batch14Spec extends SparkSpec {
   }
 
   test("pqResidualRecall: one-pass curve — raw x residual per probe " +
-      "budget, monotone in nProbe, shared denominator") {
+      "budget, near-monotone in nProbe, shared denominator") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val rows = Similarity.pqResidualRecall(emb)
       .select("encoding", "n_probe", "hits", "recall_bp")
@@ -64,15 +64,23 @@ class Batch14Spec extends SparkSpec {
       (for (e <- Seq("raw", "residual"); p <- Seq(1, 2, 4)) yield (e, p))
         .toSet)
     rows.foreach { case (_, _, hits, bp) =>
-      assert(bp === (10000L * hits) / (8L * 5L),
-        "denominator must be the actual held-out count (8 at this sf)")
+      assert(bp === (10000L * hits) / (32L * 5L),
+        "denominator must be the actual held-out count (32 at this sf)")
     }
-    // raising the probe budget can only widen the candidate set, and
-    // ADC scores are budget-independent — recall is monotone per curve
+    // Strict monotonicity in nProbe is NOT a true invariant (r14
+    // ADVICE): ADC scores are approximate, so widening the candidate
+    // set can push a true neighbor below rank k behind a higher-ADC-
+    // scored non-neighbor. What IS guaranteed is that the candidate
+    // SETS nest; empirically the curves on this pinned testdata rise
+    // — assert that shape with a small-dip allowance (2 hits = 125 bp
+    // at the 32×5 denominator) so a parameter/data refresh can't fail
+    // the suite for a non-bug reason.
+    val dipBp = 125L
     Seq("raw", "residual").foreach { e =>
       val curve = rows.filter(_._1 == e).sortBy(_._2).map(_._4)
-      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
-        s"$e recall must be monotone in nProbe: $curve")
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - dipBp },
+        s"$e recall should be near-monotone in nProbe (dips <= $dipBp " +
+          s"bp): $curve")
     }
   }
 
