@@ -414,7 +414,11 @@ object ScaleProbe {
       "lm_heldout_bigram"   -> (operators.QualityModels.lmHeldoutBigramQuery _),
       "multimodal_decode_jpeg" -> (operators.Multimodal.multimodalDecodeJpegQuery _),
       "mixture_plan_domains" -> (operators.MixturePlan.mixturePlanDomainsQuery _),
-      "quality_calibrated"  -> (operators.QualityModels.qualityCalibratedQuery _))
+      "quality_calibrated"  -> (operators.QualityModels.qualityCalibratedQuery _),
+      // r15. rerank_budget_recall: constant 4 rows (one per budget);
+      // candidate volume rides nProbe·n/C like the residual parent,
+      // the exact tail touches |Q|·maxM rows once regardless of f
+      "rerank_budget_recall" -> (operators.Similarity.rerankBudgetRecallQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -240,6 +240,7 @@ object SparkEntry {
     "ann_ivf_pq_residual_trained" -> (Similarity.annIvfPqResidualTrainedQuery _),
     "ann_ivf_pq_residual_index" -> (Similarity.annIvfPqResidualFromIndexQuery _),
     "pq_residual_recall"     -> (Similarity.pqResidualRecallQuery _),
+    "rerank_budget_recall"   -> (Similarity.rerankBudgetRecallQuery _),
     "pq_residual_trained_recall" -> (Similarity.pqResidualTrainedRecallQuery _),
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
     "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),

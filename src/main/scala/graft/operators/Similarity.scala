@@ -1854,6 +1854,89 @@ object Similarity {
     pqResidualRecall(Tables.embeddings(spark, dir))
       .orderBy(col("encoding"), col("n_probe"))
 
+  /** The OTHER serving knob's curve (r14 verdict #6): pqResidualRecall
+    * sweeps the probe budget (nProbe); this sweeps the RERANK budget —
+    * shortlist depth m, the number of ADC-ranked candidates the exact
+    * fp32 tail rescores per query. One residual-ADC scored pass ranks
+    * the candidates once at the MAXIMUM budget; each m is a rank
+    * filter over that one frame, and ONE exact-scored frame (built at
+    * max m) serves every budget's rerank (the tau_sweep
+    * one-pass-for-the-whole-curve discipline, third instance).
+    *
+    * Unlike the nProbe curve, monotonicity here IS a true invariant:
+    * shortlists nest in m and the rerank orders by EXACT cosine (the
+    * truth's own order, rounded-6 + vec_id tiebreak both sides), so a
+    * served true neighbor can only be displaced by a vector that
+    * precedes it in the exact order — which is then itself a truth row.
+    * Per-query hits are non-decreasing in m — spec-pinned as a strict
+    * invariant (Batch15Spec), not a data-pinned observation. */
+  def rerankBudgetRecall(emb: DataFrame, numQueries: Int = 32, k: Int = 5,
+                         ms: Seq[Int] = Seq(5, 10, 20, 40),
+                         numCentroids: Int = 16, nProbe: Int = 4,
+                         numSub: Int = 8, subDim: Int = 8,
+                         numCodes: Int = 16): DataFrame = {
+    require(ms.nonEmpty && ms.forall(_ >= k),
+      s"every rerank budget must be >= k=$k, got $ms")
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids=$numCentroids], got $nProbe")
+    val maxM = ms.max
+    val v = vectors(emb)
+    val cents = defaultCentroids(emb, numCentroids)
+    val hq = heldoutQueries(emb, numQueries,
+      numCentroids + numCodes).localCheckpoint()
+    val nq = hq.agg(count(lit(1)).as("n_q"))
+    val truth = topK(cosineCandidatesQ(v, hq), k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      .localCheckpoint()
+    val wProbe = W.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = hq.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("eq"), col("ce")), 6))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("cid").as("probe"))
+    val assigned = assignToCells(v, cents)
+      .select(col("vec_id"), col("cell"), col("e"))
+    val candIds = broadcast(probes)
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val (codes, xhat) = residualPqParts(assigned, cents, numSub, subDim,
+      numCodes, seedFrom = numCentroids)
+    val qmh = hq
+      .select(col("query_id"),
+        transform(col("eq"), x => round(x * lit(1000000.0d)).cast("long"))
+          .as("qm"))
+      .withColumn("q2m",
+        aggregate(col("qm"), lit(0L), (acc, y) => acc + y * y))
+    val wAdc = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val shortRank = residualAdcScores(candIds, codes, xhat, qmh, subDim)
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wAdc).as("prnk"))
+      .filter(col("prnk") <= maxM)
+    // exact rerank scores computed ONCE at the max budget — |Q|·maxM
+    // rows; every m reads this frame through a rank filter
+    val exact = v.join(broadcast(shortRank), "vec_id")
+      .join(broadcast(hq), "query_id")
+      .withColumn("cos", round(CosineSimilarity(col("eq"), col("e")), 6))
+      .select("query_id", "vec_id", "cos", "prnk")
+      .localCheckpoint()
+    ms.map { m =>
+      topK(exact.filter(col("prnk") <= m), k)
+        .select(lit(m).as("m"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("m")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("m"), col("hits"),
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
+  }
+
+  def rerankBudgetRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    rerankBudgetRecall(Tables.embeddings(spark, dir)).orderBy(col("m"))
+
   /** ann_ivf_pq_residual_trained — the COMPLETE FAISS IVFADC
     * production semantic, every tier trained: exact-integer Lloyd
     * coarse centroids (trainIvfCentroidsExact), residuals against
@@ -3423,6 +3506,99 @@ object Similarity {
        |GROUP BY 1, 2, nq.n_q ORDER BY 1, 2""".stripMargin
   }
 
+  /** rerank_budget_recall oracle: the residual-ADC chain ranked once
+    * at the max shortlist budget, ONE exact-scored frame at max m, and
+    * each rerank budget served by a rank filter + per-(m, query) exact
+    * top-k — recall vs brute-force truth per m. */
+  private def rerankBudgetRecallOracle(numQueries: Int, k: Int,
+                                       ms: Seq[Int], numCentroids: Int,
+                                       nProbe: Int, numSub: Int,
+                                       subDim: Int, numCodes: Int): String = {
+    val maxM = ms.max
+    val vals = ms.map(m => s"($m)").mkString(", ")
+    val hqBound = numCentroids + numCodes
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $numCentroids),
+       |tinit AS (SELECT vec_id FROM (
+       | SELECT vec_id, row_number() OVER (
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+       | WHERE rn <= $hqBound),
+       |hq AS MATERIALIZED (
+       | SELECT vec_id FROM v
+       | WHERE vec_id >= $hqBound
+       |  AND vec_id NOT IN (SELECT vec_id FROM tinit)
+       | ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+       | LIMIT $numQueries),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id IN (SELECT vec_id FROM hq))
+       | WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT qv.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY qv.vec_id
+       |     ORDER BY ${cosSql("qv.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v qv JOIN v x ON qv.vec_id <> x.vec_id
+       |  WHERE qv.vec_id IN (SELECT vec_id FROM hq)) WHERE rnk <= $k),
+       |${residualBaseCtes("CAST(round(x * 1000000.0) AS BIGINT)")},
+       |${residualSeedCbCte("rcb", subDim, numCodes, seedFrom = numCentroids)},
+       |${residualIndexCtes("rcb", "_r", subDim)},
+       |qres AS (
+       | SELECT query_id, qm,
+       |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
+       | FROM (SELECT vec_id AS query_id,
+       |   list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qm
+       |  FROM v WHERE vec_id IN (SELECT vec_id FROM hq))),
+       |${residualScoreCtes("qres", "_r", subDim)},
+       |shortr AS MATERIALIZED (
+       | SELECT query_id, vec_id, prnk FROM (
+       |  SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cos DESC, vec_id) AS prnk
+       |  FROM rescand_r) WHERE prnk <= $maxM),
+       |exactsc AS MATERIALIZED (
+       | SELECT s.query_id, s.vec_id, s.prnk,
+       |  ${cosSql("qv.e", "x.e")} AS cos
+       | FROM shortr s JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v x ON s.vec_id = x.vec_id),
+       |served AS (
+       | SELECT m, query_id, vec_id AS neighbor_id FROM (
+       |  SELECT mm.m, e.query_id, e.vec_id,
+       |   row_number() OVER (PARTITION BY mm.m, e.query_id
+       |     ORDER BY e.cos DESC, e.vec_id) AS rnk
+       |  FROM (VALUES $vals) mm(m)
+       |   JOIN exactsc e ON e.prnk <= mm.m)
+       | WHERE rnk <= $k),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM hq)
+       |SELECT CAST(s.m AS BIGINT) AS m,
+       | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // (nq.n_q * $k) AS recall_bp
+       |FROM served s LEFT JOIN truth t
+       | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       | CROSS JOIN nq
+       |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
+  }
+
   /** ann_ivf_pq_residual_trained oracle: trained coarse centroids
     * (trainedCentsCtes — micro-valued, so cmm CASTS instead of
     * re-scaling), residuals, the residual-Lloyd codebook replay, and
@@ -4231,6 +4407,9 @@ object Similarity {
     "pq_residual_recall" -> pqResidualRecallOracle(numQueries = 32, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4), numSub = 8, subDim = 8,
       numCodes = 16),
+    "rerank_budget_recall" -> rerankBudgetRecallOracle(numQueries = 32,
+      k = 5, ms = Seq(5, 10, 20, 40), numCentroids = 16, nProbe = 4,
+      numSub = 8, subDim = 8, numCodes = 16),
     "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrainedOracle(
       numQueries = 8, m = 12, k = 3, numCentroids = 16, nProbe = 4,
       numSub = 8, subDim = 8, numCodes = 16, iters = 2),

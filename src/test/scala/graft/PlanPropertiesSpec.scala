@@ -46,6 +46,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // the raw-vs-residual recall eval composing the two shapes above
     // over one candidate set + the 1-row held-out-count scalar
     "pq_residual_recall",
+    // the rerank-budget curve: same residual-ADC shape over one
+    // candidate set, plus the 1-row held-out-count scalar
+    "rerank_budget_recall",
     // the fully-trained residual compose (trained-centroid cross +
     // the residual-Lloyd model frames, all model-sized broadcasts)
     // and its seeded-vs-trained recall eval
