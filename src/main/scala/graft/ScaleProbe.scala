@@ -417,8 +417,15 @@ object ScaleProbe {
       "quality_calibrated"  -> (operators.QualityModels.qualityCalibratedQuery _),
       // r15. rerank_budget_recall: constant 4 rows (one per budget);
       // candidate volume rides nProbe·n/C like the residual parent,
-      // the exact tail touches |Q|·maxM rows once regardless of f
-      "rerank_budget_recall" -> (operators.Similarity.rerankBudgetRecallQuery _))
+      // the exact tail touches |Q|·maxM rows once regardless of f.
+      // ann_pq_int4_topk: constant 40 rows; pack/unpack are map-only
+      // bit expressions riding the one linear encode pass, the ADC
+      // scan is |Q|·n like the byte-code parent. pq_int4_recall:
+      // constant 2 rows; two flat ADC scans + the exact-truth pass —
+      // all linear in n at fixed |Q|.
+      "rerank_budget_recall" -> (operators.Similarity.rerankBudgetRecallQuery _),
+      "ann_pq_int4_topk" -> (operators.Similarity.annPqInt4TopKQuery _),
+      "pq_int4_recall" -> (operators.Similarity.pqInt4RecallQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -241,6 +241,8 @@ object SparkEntry {
     "ann_ivf_pq_residual_index" -> (Similarity.annIvfPqResidualFromIndexQuery _),
     "pq_residual_recall"     -> (Similarity.pqResidualRecallQuery _),
     "rerank_budget_recall"   -> (Similarity.rerankBudgetRecallQuery _),
+    "ann_pq_int4_topk"       -> (Similarity.annPqInt4TopKQuery _),
+    "pq_int4_recall"         -> (Similarity.pqInt4RecallQuery _),
     "pq_residual_trained_recall" -> (Similarity.pqResidualTrainedRecallQuery _),
     "ann_pq_trained"         -> (Similarity.annPqTrainedQuery _),
     "pq_train_recall"        -> (Similarity.pqTrainRecallQuery _),

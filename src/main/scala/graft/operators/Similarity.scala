@@ -2220,6 +2220,120 @@ object Similarity {
     annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  // --------------------------------------------------- int4-packed PQ
+
+  /** int4-PACKED PQ index rows (r14 verdict #2) — FAISS's PQx4
+    * storage: with numCodes ≤ 16 a code id fits 4 bits, so TWO codes
+    * pack per byte and the index halves again (M/2 bytes per vector
+    * where PQ8 stores M). Pure shift/mask column expressions (the
+    * zorder_key bit discipline): packed[b] = cid[2b] | cid[2b+1] << 4.
+    * This is a STORAGE change, not a model change — the codes are
+    * bit-identical to the unpacked frame, spec-pinned through the
+    * serving equality below. */
+  def pqInt4IndexRowsWith(v: DataFrame, cb: DataFrame, numSub: Int,
+                          subDim: Int, numCodes: Int): DataFrame = {
+    require(numCodes >= 1 && numCodes <= 16,
+      s"int4 packing needs numCodes <= 16, got $numCodes")
+    require(numSub >= 2 && numSub % 2 == 0,
+      s"int4 packing needs an even numSub, got $numSub")
+    val (enc, _) = pqPartsWith(v, cb, numSub, subDim)
+    enc.groupBy(col("vec_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+      // Spark SQL [] is 0-based (unlike element_at/DuckDB's 1-based)
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${numSub / 2 - 1}), " +
+          "b -> CAST(codes[b * 2] | shiftleft(codes[b * 2 + 1], 4) " +
+          "AS INT))").as("packed"))
+  }
+
+  def pqInt4IndexRows(emb: DataFrame, numSub: Int = 8, subDim: Int = 8,
+                      numCodes: Int = 16): DataFrame = {
+    val v = vectors(emb)
+    pqInt4IndexRowsWith(v, pqDefaultCodebook(v, numSub, subDim, numCodes),
+      numSub, subDim, numCodes)
+  }
+
+  /** ann_pq_int4_topk — the flat ADC scan served from the int4-PACKED
+    * index: codes unpack IN-SCAN (shiftright + mask over the stored
+    * bytes — no full-width vector, no unpacked code frame is ever
+    * materialized), then the unchanged ADC chain scores them. Because
+    * pack/unpack is lossless, the result is BIT-IDENTICAL to
+    * annPqTopK on the same models — Batch15Spec pins the equality,
+    * and the oracle replays the pack → unpack bit formula in SQL. */
+  def annPqInt4TopK(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                    numSub: Int = 8, subDim: Int = 8,
+                    numCodes: Int = 16): DataFrame = {
+    require(numQueries >= 1 && k >= 1, s"bad numQueries=$numQueries/k=$k")
+    val v = vectors(emb)
+    val cb = pqDefaultCodebook(v, numSub, subDim, numCodes)
+    // the stored index: numSub/2 bytes per vector, built once
+    val packed = pqInt4IndexRowsWith(v, cb, numSub, subDim, numCodes)
+      .localCheckpoint()
+    val enc = packed
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("sub"),
+        col("packed"))
+      .select(col("vec_id"), col("sub"), expr(
+        "CAST(shiftright(packed[CAST(sub div 2 AS INT)], " +
+          "CAST(sub % 2 AS INT) * 4) & 15 AS BIGINT)").as("cid"))
+    val r2 = enc.join(broadcast(cb), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(round(dot(col("c"), col("c")) * lit(1000000.0d))
+        .cast("long")).as("r2m"))
+    val tab = pqQueryTab(v, cb, numQueries, subDim)
+    val sc = enc.join(broadcast(tab), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tm")).as("dm"), first(col("qn")).as("qn"))
+    val cand = sc.join(r2, "vec_id")
+      .withColumn("cos", pqAdcCos(col("dm"), col("qn"), col("r2m")))
+    topK(cand, k)
+  }
+
+  def annPqInt4TopKQuery(spark: SparkSession, dir: String): DataFrame =
+    annPqInt4TopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Recall AT EQUAL BYTES — the measurement that justifies (or
+    * refutes) int4 packing as the production default: 4 bytes per
+    * vector spent as "pq8_4x16" (4 subspaces × 16 dims, one byte per
+    * code) vs "int4_8x8" (8 subspaces × 8 dims, two 4-bit codes per
+    * byte). Finer subspace granularity at the same storage is the
+    * int4 bet (FAISS PQx4). Both branches ADC-score the full corpus
+    * for 32 HELD-OUT queries (disjoint from the shared numCodes seed
+    * prefix) against the exact brute-force truth. The int4 branch
+    * legitimately scores from UNPACKED codes: pack/unpack is
+    * bit-lossless (pinned by ann_pq_int4_topk ≡ ann_pq_topk), so the
+    * row isolates the MODEL-shape effect — storage equality is the
+    * serving query's contract, not this instrument's. */
+  def pqInt4Recall(emb: DataFrame, numQueries: Int = 32, k: Int = 5,
+                   numCodes: Int = 16): DataFrame = {
+    val v = vectors(emb)
+    val hq = heldoutQueries(emb, numQueries, numCodes).localCheckpoint()
+    val nq = hq.agg(count(lit(1)).as("n_q"))
+    val truth = topK(cosineCandidatesQ(v, hq), k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      .localCheckpoint()
+    def served(tag: String, numSub: Int, subDim: Int) =
+      pqAdcTopKQ(v, pqDefaultCodebook(v, numSub, subDim, numCodes), hq,
+        k, numSub, subDim)
+        .select(lit(tag).as("encoding"), col("query_id"),
+          col("neighbor_id"))
+    served("pq8_4x16", 4, 16)
+      .unionByName(served("int4_8x8", 8, 8))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("encoding")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("encoding"), lit(4L).as("bytes_per_vec"), col("hits"),
+        expr(s"(10000 * hits) div (n_q * $k)").as("recall_bp"))
+  }
+
+  def pqInt4RecallQuery(spark: SparkSession, dir: String): DataFrame =
+    pqInt4Recall(Tables.embeddings(spark, dir)).orderBy(col("encoding"))
+
   /** The FULL production ANN serving stack — IVF cell shortlist ×
     * int8 scoring × fp32 rerank composed into one plan (the r10
     * pieces ran separately: annIvfTopK scanned probed cells at fp32,
@@ -2981,6 +3095,169 @@ object Similarity {
        |       ELSE round((sc.dm / 1000000.0)
        |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
        | FROM sc$sfx sc JOIN r2$sfx r2 ON sc.vec_id = r2.vec_id)""".stripMargin
+
+  /** A COMPLETE flat-ADC branch with its own subspace SHAPE — every
+    * CTE suffixed so two different (numSub, subDim) shapes can serve
+    * side by side in one statement (the equal-bytes comparison).
+    * Assumes `v` and a query frame `q(query_id, e, qn)`. Emits
+    * cand$sfx(query_id, neighbor_id, cos). */
+  private def pqShapeBranchCtes(sfx: String, numSub: Int, subDim: Int,
+                                numCodes: Int): String =
+    s"""sub$sfx AS (SELECT unnest(range(0, $numSub)) AS s),
+       |cb$sfx AS (
+       | SELECT s.s AS sub, v.vec_id AS cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS c
+       | FROM v, sub$sfx s WHERE v.vec_id < $numCodes),
+       |cx$sfx AS (
+       | SELECT v.vec_id, s.s AS sub,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS x
+       | FROM v, sub$sfx s),
+       |enc$sfx AS (
+       | SELECT vec_id, sub, cid FROM (
+       |  SELECT cx.vec_id, cx.sub, cb.cid,
+       |   row_number() OVER (PARTITION BY cx.vec_id, cx.sub ORDER BY
+       |    round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cx.x[i]))
+       |      + list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cb.c[i]*cb.c[i]))
+       |      - 2*list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cb.c[i])),
+       |     6), cb.cid) AS rn
+       |  FROM cx$sfx cx JOIN cb$sfx cb ON cx.sub = cb.sub) WHERE rn = 1),
+       |r2$sfx AS (
+       | SELECT e.vec_id,
+       |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
+       |      AS BIGINT)) AS r2m
+       | FROM enc$sfx e JOIN cb$sfx cb ON e.sub = cb.sub AND e.cid = cb.cid
+       | GROUP BY 1),
+       |tab$sfx AS (
+       | SELECT q.query_id, cb.sub, cb.cid, q.qn,
+       |  CAST(round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |    i -> q.e[cb.sub*$subDim + i] * cb.c[i])) * 1000000) AS BIGINT)
+       |   AS tm
+       | FROM q, cb$sfx cb),
+       |sc$sfx AS (
+       | SELECT t.query_id, e.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
+       | FROM enc$sfx e JOIN tab$sfx t ON e.sub = t.sub AND e.cid = t.cid
+       | WHERE t.query_id <> e.vec_id GROUP BY 1, 2),
+       |cand$sfx AS (
+       | SELECT sc.query_id, sc.vec_id AS neighbor_id,
+       |  CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+       |       ELSE round((sc.dm / 1000000.0)
+       |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
+       | FROM sc$sfx sc JOIN r2$sfx r2 ON sc.vec_id = r2.vec_id)""".stripMargin
+
+  /** ann_pq_int4_topk oracle: the ann_pq_topk chain with the PACK →
+    * UNPACK bit formula replayed in SQL between encode and serving —
+    * packed[b] = cid[2b] | cid[2b+1] << 4, then cid = (packed[s div 2]
+    * >> ((s % 2) · 4)) & 15 (DuckDB lists are 1-based, hence the +1
+    * on the list index; Spark's [] is 0-based — both sides documented
+    * at their use sites). */
+  private def annPqInt4Oracle(numQueries: Int, k: Int, numSub: Int,
+                              subDim: Int, numCodes: Int): String =
+    s"""WITH ${pqSharedCtes(numQueries, numSub, subDim)},
+       |cb AS (
+       | SELECT s.s AS sub, v.vec_id AS cid,
+       |  list_transform(range(1, ${subDim + 1}),
+       |                 j -> v.e[s.s*$subDim + j]) AS c
+       | FROM v, sub s WHERE v.vec_id < $numCodes),
+       |enc0 AS (
+       | SELECT vec_id, sub, cid FROM (
+       |  SELECT cx.vec_id, cx.sub, cb.cid,
+       |   row_number() OVER (PARTITION BY cx.vec_id, cx.sub ORDER BY
+       |    round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cx.x[i]))
+       |      + list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cb.c[i]*cb.c[i]))
+       |      - 2*list_sum(list_transform(range(1, ${subDim + 1}),
+       |       i -> cx.x[i]*cb.c[i])),
+       |     6), cb.cid) AS rn
+       |  FROM cx JOIN cb ON cx.sub = cb.sub) WHERE rn = 1),
+       |packed AS (
+       | SELECT vec_id,
+       |  list_transform(range(0, ${numSub / 2}),
+       |   b -> (codes[b*2 + 1] | (codes[b*2 + 2] << 4))) AS packed
+       | FROM (SELECT vec_id, list(cid ORDER BY sub) AS codes
+       |       FROM enc0 GROUP BY vec_id)),
+       |enc AS (
+       | SELECT p.vec_id, s.s AS sub,
+       |  ((p.packed[s.s // 2 + 1] >> ((s.s % 2) * 4)) & 15) AS cid
+       | FROM packed p, sub s),
+       |r2 AS (
+       | SELECT e.vec_id,
+       |  sum(CAST(round(list_sum(list_transform(cb.c, x -> x*x)) * 1000000)
+       |      AS BIGINT)) AS r2m
+       | FROM enc e JOIN cb ON e.sub = cb.sub AND e.cid = cb.cid GROUP BY 1),
+       |tab AS (
+       | SELECT q.query_id, cb.sub, cb.cid, q.qn,
+       |  CAST(round(list_sum(list_transform(range(1, ${subDim + 1}),
+       |    i -> q.e[cb.sub*$subDim + i] * cb.c[i])) * 1000000) AS BIGINT)
+       |   AS tm
+       | FROM q, cb),
+       |sc AS (
+       | SELECT t.query_id, e.vec_id, sum(t.tm) AS dm, min(t.qn) AS qn
+       | FROM enc e JOIN tab t ON e.sub = t.sub AND e.cid = t.cid
+       | WHERE t.query_id <> e.vec_id GROUP BY 1, 2),
+       |cand AS (
+       | SELECT sc.query_id, sc.vec_id AS neighbor_id,
+       |  CASE WHEN r2.r2m <= 0 OR sc.qn = 0 THEN 0.0
+       |       ELSE round((sc.dm / 1000000.0)
+       |            / (sc.qn * sqrt(r2.r2m / 1000000.0)), 6) END AS cos
+       | FROM sc JOIN r2 ON sc.vec_id = r2.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** pq_int4_recall oracle: held-out queries, the two equal-byte
+    * shapes each ADC-served over the full corpus, recall vs exact
+    * truth. */
+  private def pqInt4RecallOracle(numQueries: Int, k: Int,
+                                 numCodes: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |tinit AS (SELECT vec_id FROM (
+       | SELECT vec_id, row_number() OVER (
+       |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v)
+       | WHERE rn <= $numCodes),
+       |q AS MATERIALIZED (
+       | SELECT vec_id AS query_id, e,
+       |  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+       | FROM v
+       | WHERE vec_id >= $numCodes
+       |  AND vec_id NOT IN (SELECT vec_id FROM tinit)
+       | ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+       | LIMIT $numQueries),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT qv.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY qv.vec_id
+       |     ORDER BY ${cosSql("qv.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v qv JOIN v x ON qv.vec_id <> x.vec_id
+       |  WHERE qv.vec_id IN (SELECT query_id FROM q)) WHERE rnk <= $k),
+       |${pqShapeBranchCtes("_w", numSub = 4, subDim = 16, numCodes)},
+       |${pqShapeBranchCtes("_n", numSub = 8, subDim = 8, numCodes)},
+       |served AS (
+       | SELECT 'pq8_4x16' AS encoding, query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rnk FROM cand_w)
+       | WHERE rnk <= $k
+       | UNION ALL
+       | SELECT 'int4_8x8', query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rnk FROM cand_n)
+       | WHERE rnk <= $k),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q)
+       |SELECT s.encoding, CAST(4 AS BIGINT) AS bytes_per_vec,
+       | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // (nq.n_q * $k) AS recall_bp
+       |FROM served s LEFT JOIN truth t
+       | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       | CROSS JOIN nq
+       |GROUP BY 1, nq.n_q ORDER BY 1""".stripMargin
 
   private def pqSharedCtes(numQueries: Int, numSub: Int, subDim: Int,
                            heldoutFrom: Option[Int] = None): String = {
@@ -4410,6 +4687,10 @@ object Similarity {
     "rerank_budget_recall" -> rerankBudgetRecallOracle(numQueries = 32,
       k = 5, ms = Seq(5, 10, 20, 40), numCentroids = 16, nProbe = 4,
       numSub = 8, subDim = 8, numCodes = 16),
+    "ann_pq_int4_topk" -> annPqInt4Oracle(numQueries = 8, k = 5,
+      numSub = 8, subDim = 8, numCodes = 16),
+    "pq_int4_recall" -> pqInt4RecallOracle(numQueries = 32, k = 5,
+      numCodes = 16),
     "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrainedOracle(
       numQueries = 8, m = 12, k = 3, numCentroids = 16, nProbe = 4,
       numSub = 8, subDim = 8, numCodes = 16, iters = 2),

@@ -122,6 +122,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // Lloyd loop itself is sub-keyed equi-joins + groupBys), and the
     // default-vs-trained recall eval running it twice
     "ann_pq_trained", "pq_train_recall",
+    // the int4-packed storage path (same bounded ADC-table cross;
+    // pack/unpack are map-only bit expressions) and the equal-bytes
+    // recall eval running the two shapes side by side
+    "ann_pq_int4_topk", "pq_int4_recall",
     // 1-row doc-count scalar crossed onto the vocab-sized pair-rate
     // filter; wedge/closure hops are keyed equi-joins
     "token_triangles",

@@ -59,6 +59,58 @@ class Batch15Spec extends SparkSpec {
     }
   }
 
+  test("int4 packing is bit-lossless: annPqInt4TopK == annPqTopK " +
+      "row for row (storage change, not model change)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val packed = Similarity.annPqInt4TopK(emb, numQueries = 8, k = 5)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val flat = Similarity.annPqTopK(emb, numQueries = 8, k = 5)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(packed === flat,
+      "serving from packed 4-bit codes must equal the byte-code plan")
+  }
+
+  test("int4 pack bit formula: two 4-bit cids per byte, hand-checked") {
+    // codes per sub for one vector -> packed bytes:
+    //  (3, 9)  -> 3 | 9<<4  = 147;  (15, 0) -> 15 | 0<<4 = 15
+    val enc = Seq((7L, 0, 3L), (7L, 1, 9L), (7L, 2, 15L), (7L, 3, 0L))
+      .toDF("vec_id", "sub", "cid")
+    val packed = enc.groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.transform(
+        sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 1), " +
+          "b -> CAST(codes[b * 2] | shiftleft(codes[b * 2 + 1], 4) " +
+          "AS INT))").as("packed"))
+      .as[(Long, Seq[Int])].collect().head
+    assert(packed === ((7L, Seq(147, 15))))
+    // and the unpack formula inverts it
+    val unpacked = Seq((7L, Seq(147, 15))).toDF("vec_id", "packed")
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("packed"))
+      .select(col("sub"), expr(
+        "CAST(shiftright(packed[CAST(sub div 2 AS INT)], " +
+          "CAST(sub % 2 AS INT) * 4) & 15 AS BIGINT)").as("cid"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(unpacked === Seq((0, 3L), (1, 9L), (2, 15L), (3, 0L)))
+  }
+
+  test("pqInt4Recall: equal-bytes rows present, actual-count " +
+      "denominator, shared truth") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val rows = Similarity.pqInt4Recall(emb)
+      .select("encoding", "bytes_per_vec", "hits", "recall_bp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).toSet === Set("pq8_4x16", "int4_8x8"))
+    rows.foreach { case (_, bytes, h, bp) =>
+      assert(bytes === 4L)
+      assert(bp === (10000L * h) / (32L * 5L))
+    }
+  }
+
   test("rerankBudgetRecall: m = corpus recovers the candidate-set " +
       "recall ceiling (exact rerank over ALL probed candidates)") {
     val emb = graft.core.Tables.embeddings(spark, sf)
