@@ -23,28 +23,30 @@ import graft.operators.Similarity
   * cell assignments in one index (the standard IVF operational rule —
   * new quantizer ⇒ full rebuild, which the nightly bulk job owns).
   *
-  * Exactly-once caveat: parquet append inside foreachBatch re-appends
-  * on task retry (the sink commit is not transactional with the
-  * checkpoint). The nightly rebuild bounds any duplication window, and
-  * serving tolerates duplicate index rows (same (vec_id, cell, q) ⇒
-  * same candidates; top-k ranks on rounded score + id). A table format
-  * with transactional commit slots in here unchanged at production.
+  * Exactly-once: CLOSED (r14 verdict #3) — the sink is [[IndexSink]]'s
+  * idempotent (cell, batch_key) dynamic-partition-overwrite write, so
+  * a batch replayed after a crash-between-sink-and-checkpoint (or a
+  * simulated partial write) overwrites exactly its own partitions and
+  * the layout stays row-identical to the batch builder
+  * (IvfIngestSpec's replay test pins it).
   */
 object IvfIngest {
 
-  /** writeStream writer appending each micro-batch's index rows under
-    * `indexDir` (call `.start()` to run; trigger left to the caller's
-    * default unless set). */
+  /** writeStream writer landing each micro-batch's index rows under
+    * `indexDir` idempotently (call `.start()` to run; trigger left to
+    * the caller's default unless set). */
   def writer(vecs: DataFrame, cents: DataFrame, indexDir: String,
-             checkpointDir: String): DataStreamWriter[Row] =
+             checkpointDir: String): DataStreamWriter[Row] = {
+    val tag = IndexSink.ingestTag(checkpointDir)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.ivfInt8IndexRows(batch, cents)
-          .write.mode("append").partitionBy("cell").parquet(indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IndexSink.writeBatch(Similarity.ivfInt8IndexRows(batch, cents),
+          indexDir, s"$tag-$batchId")
         ()
       }
+  }
 
   /** AvailableNow variant: drain whatever has arrived, build the index
     * delta, stop — the scheduled-catch-up shape for a bursty feed. */

@@ -22,23 +22,28 @@ import graft.operators.Similarity
   * so streamed index content is batch-identical under any micro-batch
   * split — ResidualIngestSpec pins stream ≡ batch row-for-row AND
   * that serving from the streamed layout equals serving from the
-  * bulk-built one. Exactly-once caveat: identical to IvfIngest's
-  * (parquet append vs task retry; duplicate rows are serving-neutral).
+  * bulk-built one. Exactly-once: CLOSED — the sink is [[IndexSink]]'s
+  * idempotent (cell, batch_key) dynamic-overwrite write (see its doc
+  * and IvfIngest's; ResidualIngestSpec re-fires a batch on top of a
+  * simulated partial write and pins the layout row-identical).
   */
 object ResidualIngest {
 
   def writer(vecs: DataFrame, cents: DataFrame, cb: DataFrame,
              indexDir: String, checkpointDir: String,
-             numSub: Int = 8, subDim: Int = 8): DataStreamWriter[Row] =
+             numSub: Int = 8, subDim: Int = 8): DataStreamWriter[Row] = {
+    val tag = IndexSink.ingestTag(checkpointDir)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.residualPqIndexRowsWith(batch, cents, cb, numSub,
-            subDim)
-          .write.mode("append").partitionBy("cell").parquet(indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IndexSink.writeBatch(
+          Similarity.residualPqIndexRowsWith(batch, cents, cb, numSub,
+            subDim),
+          indexDir, s"$tag-$batchId")
         ()
       }
+  }
 
   /** AvailableNow variant — the scheduled-catch-up shape. */
   def writerAvailableNow(vecs: DataFrame, cents: DataFrame, cb: DataFrame,

@@ -84,5 +84,37 @@ class IvfIngestSpec extends SparkSpec {
       (arrivals ++ delta).toDF("vec_id", "embedding"), quantizer))
     assert(streamed === rebuilt,
       "incremental appends must equal the full nightly rebuild")
+    // two checkpoints share batchId=0 but carry distinct lineage tags
+    // — dynamic overwrite must NOT have clobbered the first drain
+    assert(spark.read.parquet(s"$dir/index").count() ===
+      (arrivals.size + delta.size).toLong)
+  }
+
+  test("idempotent sink: a re-fired batch — on top of a partial " +
+      "write — leaves the layout row-identical (r14 verdict #3)") {
+    val dir = Files.createTempDirectory("ivf_replay").toString
+    val rows = Similarity.ivfInt8IndexRows(
+      arrivals.toDF("vec_id", "embedding"), quantizer).localCheckpoint()
+    val key = s"${IndexSink.ingestTag("ckptA")}-0"
+    // simulate the crash: batch 0's attempt landed only 2 rows (a
+    // subset of its cells) before the checkpoint failed to commit
+    IndexSink.writeBatch(rows.filter(col("vec_id") <= 11L), s"$dir/index",
+      key)
+    assert(spark.read.parquet(s"$dir/index").count() === 2L)
+    // the replay fires the SAME batch with the same key: it must
+    // overwrite its own partitions, not append next to the leftovers
+    IndexSink.writeBatch(rows, s"$dir/index", key)
+    IndexSink.writeBatch(rows, s"$dir/index", key) // and again
+    val got = spark.read.parquet(s"$dir/index")
+    assert(got.count() === arrivals.size.toLong, "no duplicate rows")
+    assert(indexSet(got) === indexSet(rows))
+    // a DIFFERENT lineage at the same batchId lands beside, untouched
+    val other = Similarity.ivfInt8IndexRows(
+      Seq(20L -> Seq(0.95f, 0.05f, 0.0f)).toDF("vec_id", "embedding"),
+      quantizer)
+    IndexSink.writeBatch(other, s"$dir/index",
+      s"${IndexSink.ingestTag("ckptB")}-0")
+    assert(spark.read.parquet(s"$dir/index").count() ===
+      arrivals.size.toLong + 1L)
   }
 }

@@ -66,5 +66,28 @@ class ResidualIngestSpec extends SparkSpec {
         .select("query_id", "neighbor_id", "cos", "rnk")
         .as[(Long, Long, Double, Int)].collect().toSet
     assert(serve(streamed) === serve(batchRows))
+    // the idempotent sink leaves exactly one row per vector — a
+    // replayed batch would otherwise have doubled them
+    assert(streamed.count() === batchRows.count())
+  }
+
+  test("idempotent sink: a re-fired residual batch over a partial " +
+      "write converges to the batch rows (r14 verdict #3)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cents = Similarity.defaultCentroids(emb, 16).localCheckpoint()
+    val rows = Similarity.residualPqIndexRows(emb, cents).localCheckpoint()
+    val dir = Files.createTempDirectory("res_replay").toString
+    val key = s"${IndexSink.ingestTag("res_ck")}-7"
+    IndexSink.writeBatch(rows.filter(col("vec_id") % 3 === 0),
+      s"$dir/index", key) // the failed partial attempt
+    IndexSink.writeBatch(rows, s"$dir/index", key) // the replay
+    val got = spark.read.parquet(s"$dir/index")
+    assert(got.count() === rows.count(), "no duplicates, no leftovers")
+    assert(got.select(col("vec_id"), col("cell"),
+        concat_ws(",", col("codes")).as("ccsv"))
+      .as[(Long, Long, String)].collect().toSet ===
+      rows.select(col("vec_id"), col("cell"),
+        concat_ws(",", col("codes")).as("ccsv"))
+      .as[(Long, Long, String)].collect().toSet)
   }
 }
