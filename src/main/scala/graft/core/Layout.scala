@@ -89,6 +89,38 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet BLOOM-FILTER layout for point-lookup keys — the layout
+    * family's missing member next to bucketing / partition pruning /
+    * z-order (r14 verdict #4): min/max row-group stats prune RANGE
+    * predicates, but a high-cardinality key written in arrival order
+    * gives every row group a near-full-domain range — a point probe
+    * (`key = x`: dedup-index lookups, doc_id fetches, shingle probes)
+    * prunes nothing. A per-row-group bloom filter answers "definitely
+    * not in this row group" for exactly that shape, so the reader
+    * skips all but the few row groups that can contain the key.
+    *
+    * The dictionary is deliberately disabled on the key column: at
+    * production cardinality the dictionary page overflows and parquet
+    * falls back to plain encoding anyway, and with a dictionary
+    * present the reader can already skip via dictionary filtering —
+    * disabling it makes the proof honest (BloomLayoutSpec measures
+    * rows/bytes read with vs without the filter on an identical
+    * shuffled layout) and the layout representative of the 100 TB
+    * case. `ndv` sizes the filter (bits ≈ -n·ln(fpp)/ln(2)²); pass
+    * the expected per-row-group distinct count. */
+  def writeBloomFiltered(df: DataFrame, path: String, keyCol: String,
+                         files: Int, ndv: Long = 100000L,
+                         fpp: Double = 0.01): Unit = {
+    require(files > 0 && ndv > 0 && fpp > 0 && fpp < 1)
+    df.repartition(files)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$keyCol", ndv.toString)
+      .option(s"parquet.bloom.filter.fpp#$keyCol", fpp.toString)
+      .option(s"parquet.enable.dictionary#$keyCol", "false")
+      .parquet(path)
+  }
+
   /** Salted equi-join for skewed keys (the manual fallback when AQE's
     * skew-join can't help, e.g. for aggregations-after-join or on
     * engines without AQE).
