@@ -425,7 +425,11 @@ object ScaleProbe {
       // all linear in n at fixed |Q|.
       "rerank_budget_recall" -> (operators.Similarity.rerankBudgetRecallQuery _),
       "ann_pq_int4_topk" -> (operators.Similarity.annPqInt4TopKQuery _),
-      "pq_int4_recall" -> (operators.Similarity.pqInt4RecallQuery _))
+      "pq_int4_recall" -> (operators.Similarity.pqInt4RecallQuery _),
+      // mixture_plan_clusters: constant |clusters| rows; wall is the
+      // Lloyd trainer (per-iteration linear passes) + one assignment
+      // pass + the doc_id equi-join collapse — all linear in n
+      "mixture_plan_clusters" -> (operators.MixturePlan.mixturePlanClustersQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

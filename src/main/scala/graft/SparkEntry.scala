@@ -229,6 +229,7 @@ object SparkEntry {
     "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
     "mixture_plan"           -> (MixturePlan.mixturePlanQuery _),
     "mixture_plan_domains"   -> (MixturePlan.mixturePlanDomainsQuery _),
+    "mixture_plan_clusters"  -> (MixturePlan.mixturePlanClustersQuery _),
     "vocab_coverage"         -> (CorpusStats.vocabCoverageQuery _),
     "ann_matryoshka_recall"  -> (Similarity.annMatryoshkaRecallQuery _),
     "decontam_redact"        -> (Dedup.decontamRedactQuery _),

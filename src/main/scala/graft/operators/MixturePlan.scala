@@ -193,6 +193,51 @@ object MixturePlan {
     mixturePlanDomains(Tables.documents(spark, dir))
       .orderBy(col("component"))
 
+  /** mixture_plan_clusters (r14 verdict #5) — EMBEDDING-CLUSTER
+    * mixture components, the D4/semantic-curation shape (Tirumala et
+    * al. 2023): where mixture_plan_domains maps docs → components
+    * through a STATIC metadata dim, this derives the components from
+    * the data itself — trainIvfCentroidsExact's exact-integer Lloyd
+    * assignment IS the component dim — and feeds the UNCHANGED
+    * waterfilling solver. The pipeline composes three already-proven
+    * pieces verbatim (trained centroids; assignToCells; planFromSums),
+    * so the oracle is the trained-assignment replay in front of the
+    * mixture_plan_domains rounds.
+    *
+    * Scale shape: the trainer is per-iteration corpus passes with
+    * model-sized broadcasts; assignment is one broadcast-centroid
+    * pass; the docs⋈assignment join is a doc_id equi-join (vec_id ≡
+    * doc_id — the hybrid_rrf convention); the collapse is one
+    * map-side-combined groupBy to |clusters| rows, and only that
+    * state reaches the solver's contract-bounded collect. Docs
+    * without an embedding drop at the join — the plan covers the
+    * EMBEDDED corpus, by design (the curation literature clusters
+    * what it embedded). */
+  def mixturePlanClusters(docs: DataFrame, emb: DataFrame,
+                          numClusters: Int = 12, iters: Int = 2,
+                          budgetFactor: Long = 3L,
+                          maxEpochsMicro: Long = 4000000L): DataFrame = {
+    val cents = Similarity.trainIvfCentroidsExact(emb, numClusters, iters)
+    val assigned = Similarity
+      .assignToCells(Similarity.vectors(emb), cents)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val state = docs.join(assigned, "doc_id")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("t"))
+    planFromSums(
+      state.select(concat(lit("cell"), col("cell")).as("source"),
+        col("n_docs"), col("t")),
+      expr("(CAST(substring(source, 5) AS BIGINT) % 4 + 1) * 200"),
+      budgetFactor, None, maxEpochsMicro)
+      .withColumnRenamed("source", "component")
+  }
+
+  def mixturePlanClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    mixturePlanClusters(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir))
+      .orderBy(col("component"))
+
   private val roundsSql: String = {
     val rounds = (1 to 20).map { k =>
       s"""r$k AS MATERIALIZED (
@@ -293,6 +338,54 @@ object MixturePlan {
          | CAST(fin.planned * 10000 // tp.tot_planned AS BIGINT)
          |   AS achieved_bp
          |FROM fin JOIN src ON fin.source = src.source CROSS JOIN tp
-         |ORDER BY component""".stripMargin
+         |ORDER BY component""".stripMargin,
+    // the trained-assignment front end (micro-int Lloyd + cosine
+    // assignment, the ann_ivf_topk_trained replay) collapsing to the
+    // cluster state, then the IDENTICAL waterfilling rounds
+    "mixture_plan_clusters" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |           FROM embeddings),
+         |${Similarity.trainedCentsCtes(numCentroids = 12, iters = 2)},
+         |ac AS (
+         | SELECT v.vec_id, c.cid,
+         |  ${Similarity.cosSql("v.e", "c.ce")} AS ccos
+         | FROM v CROSS JOIN cents c),
+         |assigned AS (
+         | SELECT vec_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY ccos DESC, cid) AS rn
+         |  FROM ac) WHERE rn = 1),
+         |src AS MATERIALIZED (
+         | SELECT 'cell' || CAST(a.cell AS VARCHAR) AS source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS t
+         | FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+         | GROUP BY 1),
+         |tot AS (SELECT CAST(3 * sum(t) AS BIGINT) AS b FROM src),
+         |r0 AS (SELECT source, n_docs, t,
+         |  CAST((CAST(substr(source, 5) AS BIGINT) % 4 + 1) * 200
+         |       AS BIGINT) AS w,
+         |  CAST(NULL AS BIGINT) AS planned, FALSE AS capped FROM src),
+         |$roundsSql,
+         |fin AS (
+         | SELECT source, n_docs, t, w, capped,
+         |  CASE WHEN capped THEN planned
+         |       ELSE CAST(w * brem AS BIGINT) // wu END AS planned
+         | FROM (SELECT r.*,
+         |   (SELECT b FROM tot)
+         |     - COALESCE((SELECT CAST(sum(planned) AS BIGINT)
+         |                 FROM r20 WHERE capped), 0) AS brem,
+         |   greatest(COALESCE((SELECT CAST(sum(w) AS BIGINT)
+         |             FROM r20 WHERE NOT capped), 1), 1) AS wu
+         |  FROM r20 r)),
+         |tp AS (SELECT CAST(sum(planned) AS BIGINT) AS tot_planned FROM fin)
+         |SELECT source AS component, n_docs,
+         | CAST(t AS BIGINT) AS src_tokens,
+         | CAST(w AS BIGINT) AS target_bp, capped,
+         | CAST(planned AS BIGINT) AS planned_tokens,
+         | CAST(planned // t * 1000000
+         |      + (planned % t) * 1000000 // t AS BIGINT) AS epochs_micro,
+         | CAST(planned * 10000 // tp.tot_planned AS BIGINT) AS achieved_bp
+         |FROM fin CROSS JOIN tp ORDER BY component""".stripMargin
   )
 }

@@ -3003,7 +3003,7 @@ object Similarity {
     * list_sum folds, rounded to 6 dp — the CosineSimilarity parity
     * contract. Valid over DOUBLE and BIGINT lists (micro ints pass
     * through double exactly). */
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))
        |   / (sqrt(list_sum(list_transform($a, x -> x*x)))
        |      * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)""".stripMargin
@@ -4095,7 +4095,7 @@ object Similarity {
     * md5-ordered init, per-iteration round(cos,6)/cid-tiebreak
     * assignment and floored integer-mean update, ending in
     * `cents(cid, ce)` ready for [[ivfServingSql]]. Assumes `v`. */
-  private def trainedCentsCtes(numCentroids: Int, iters: Int): String = {
+  private[graft] def trainedCentsCtes(numCentroids: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""vm AS (SELECT vec_id,
       | list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS em

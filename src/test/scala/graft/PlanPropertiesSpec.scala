@@ -126,6 +126,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // pack/unpack are map-only bit expressions) and the equal-bytes
     // recall eval running the two shapes side by side
     "ann_pq_int4_topk", "pq_int4_recall",
+    // cluster-mixture front end: the trainer's and the assignment's
+    // crosses broadcast the model-sized centroid table only; the
+    // docs join and collapse are doc_id equi-join + groupBy
+    "mixture_plan_clusters",
     // 1-row doc-count scalar crossed onto the vocab-sized pair-rate
     // filter; wedge/closure hops are keyed equi-joins
     "token_triangles",
