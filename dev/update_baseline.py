@@ -5,12 +5,27 @@ Usage: python3 dev/update_baseline.py [target/bench_last.json] [note]
 Reads the bench JSON (per-query minima + scaling table), rewrites the
 ```json block and the markdown table in BASELINE.md in place, leaving the
 prose untouched.
-"""
-import json, re, sys
 
-src = sys.argv[1] if len(sys.argv) > 1 else "target/bench_last.json"
-note = sys.argv[2] if len(sys.argv) > 2 else "manual update"
+Quiet-host gate (r14 verdict #7): a loaded host uniformly inflates
+walls 1.1-4x (the r14 closing artifact recorded 1.15x that a quiet
+re-run measured at 1.01x), and a baseline recorded from such a run
+poisons every later comparison. Refuse to record when 1-minute load
+average is >= 0.5 unless --force is passed.
+"""
+import json, os, re, sys
+
+args = [a for a in sys.argv[1:] if a != "--force"]
+force = "--force" in sys.argv[1:]
+src = args[0] if len(args) > 0 else "target/bench_last.json"
+note = args[1] if len(args) > 1 else "manual update"
 d = json.load(open(src))
+# prefer the load the BENCH saw before it started (it records
+# load1_start since r15); fall back to current load for older artifacts
+load1 = d.get("load1_start", os.getloadavg()[0])
+if load1 >= 0.5 and not force:
+    sys.exit(f"refusing to record a baseline from a run started at load "
+             f"{load1:.2f} >= 0.5 (walls would be host-inflated); re-run "
+             "on a quiet host or pass --force")
 base = {
     "source": f"{note}, min of {d.get('reps', 3)} reps, local[32], sf0.1",
     "sf01": {k: round(v, 3) for k, v in sorted(d["queries"].items())},

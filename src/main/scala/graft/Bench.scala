@@ -34,6 +34,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // pre-run 1-minute load average, captured BEFORE the bench loads
+    // the host itself — dev/update_baseline.py's quiet-host gate reads
+    // this field (r14 verdict #7: a loaded-host closing artifact
+    // recorded 1.15x that a quiet re-run measured at 1.01x)
+    val load1Start = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -209,7 +215,7 @@ object Bench {
     // line; a COMPACT summary is the LAST line. The driver's log-tail
     // capture has truncated the long line three rounds running (r7:
     // parsed=null) — the tail-most line must always fit.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed$adjJson$scaling${vsBaseline._1},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed,"load1_start":$load1Start$adjJson$scaling${vsBaseline._1},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench_last.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
