@@ -428,8 +428,15 @@ object ScaleProbe {
       "pq_int4_recall" -> (operators.Similarity.pqInt4RecallQuery _),
       // mixture_plan_clusters: constant |clusters| rows; wall is the
       // Lloyd trainer (per-iteration linear passes) + one assignment
-      // pass + the doc_id equi-join collapse — all linear in n
-      "mixture_plan_clusters" -> (operators.MixturePlan.mixturePlanClustersQuery _))
+      // pass + the doc_id equi-join collapse — all linear in n.
+      // unigram family: training runs driver-side on the Heaps-bounded
+      // word table (vocab-sized output, sublinear rows); encode rows
+      // exactly linear (one per doc) through the broadcast word-stats
+      // join; compare is 3 constant rows over the same tables
+      "mixture_plan_clusters" -> (operators.MixturePlan.mixturePlanClustersQuery _),
+      "unigram_lm_train" -> (operators.UnigramLm.unigramTrainQuery _),
+      "unigram_encode" -> (operators.UnigramLm.unigramEncodeQuery _),
+      "tokenizer_compare" -> (operators.UnigramLm.tokenizerCompareQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -227,6 +227,9 @@ object SparkEntry {
     "bpe_train"              -> (BpeTrain.trainBpeQuery _),
     "bpe_encode"             -> (BpeTrain.bpeEncodeQuery _),
     "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
+    "unigram_lm_train"       -> (UnigramLm.unigramTrainQuery _),
+    "unigram_encode"         -> (UnigramLm.unigramEncodeQuery _),
+    "tokenizer_compare"      -> (UnigramLm.tokenizerCompareQuery _),
     "mixture_plan"           -> (MixturePlan.mixturePlanQuery _),
     "mixture_plan_domains"   -> (MixturePlan.mixturePlanDomainsQuery _),
     "mixture_plan_clusters"  -> (MixturePlan.mixturePlanClustersQuery _),
@@ -264,5 +267,6 @@ object SparkEntry {
       Timeseries.oracles ++ ProductAnalytics.oracles ++
       Retrieval.oracles ++ QualityModels.oracles ++ TfIdfSim.oracles ++
       GraphRank.oracles ++ Winnowing.oracles ++ CorpusStats.oracles ++
-      IntegrityAudit.oracles ++ BpeTrain.oracles ++ MixturePlan.oracles
+      IntegrityAudit.oracles ++ BpeTrain.oracles ++ MixturePlan.oracles ++
+      UnigramLm.oracles
 }

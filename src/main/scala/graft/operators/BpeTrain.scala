@@ -67,7 +67,7 @@ object BpeTrain {
     * by UTF-16 code units, which differs for supplementary-plane
     * characters. The local argmax must tie-break exactly like the
     * engines it replaces. */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -347,7 +347,7 @@ object BpeTrain {
     * corpus pass + collect; training AND application run locally on
     * the Heaps-bounded table, which ships back as a broadcast-sized
     * frame (the downstream encode join auto-broadcasts it). */
-  private def trainedWordTable(docs: DataFrame, numMerges: Int): DataFrame = {
+  private[graft] def trainedWordTable(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     val rows = collectedWordTable(docs)
     val (_, trained) =
@@ -405,13 +405,13 @@ object BpeTrain {
     * then per round m: pair counts over w{m-1}'s symbol cells, the
     * 1-row argmax b{m}, and w{m} = the literal replace. MATERIALIZED
     * word tables (the k-core lesson — each is referenced twice). */
-  private def bpeRoundsCtes(numMerges: Int): String = {
-    val sb = new StringBuilder
-    // the CASE mirrors wordTable's raise_error guard (ADVICE r12):
-    // a word carrying a delimiter/quote char fails LOUDLY in BOTH
-    // engines instead of silently mis-merging if the oracle is ever
-    // run standalone on an unguarded corpus
-    sb ++= """w0 AS MATERIALIZED (
+  /** The shared word-table CTE `w0(word, cnt, wr)` — the CASE mirrors
+    * wordTable's raise_error guard (ADVICE r12): a word carrying a
+    * delimiter/quote char fails LOUDLY in BOTH engines instead of
+    * silently mis-merging if the oracle is ever run standalone on an
+    * unguarded corpus. Shared with the unigram-LM oracles. */
+  private[graft] val wordTableCteSql: String =
+    """w0 AS MATERIALIZED (
       | SELECT CASE WHEN regexp_matches(word, '[<>'']') OR contains(word, chr(92))
       |    THEN error('bpe oracle: word contains delimiter/quote: ' || word)
       |    ELSE word END AS word,
@@ -419,6 +419,10 @@ object BpeTrain {
       |  regexp_replace(word, '(.)', '<\1>', 'g') AS wr
       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       | WHERE word <> '' GROUP BY word)""".stripMargin
+
+  private[graft] def bpeRoundsCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= wordTableCteSql
     for (m <- 1 to numMerges) {
       sb ++= s""",
         |p$m AS (

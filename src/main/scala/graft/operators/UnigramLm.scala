@@ -1,0 +1,412 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** UNIGRAM-LM tokenizer (the SentencePiece family — Kudo 2018,
+  * "Subword Regularization"): the other production tokenizer family
+  * next to BPE (row 220) — Llama/T5/Gemma ship unigram-LM vocabs. BPE
+  * builds its vocab bottom-up by greedy merges; unigram-LM goes top
+  * down: seed a large candidate-piece inventory, fit per-piece costs
+  * by EM, and segment by Viterbi — the segmentation that MINIMIZES
+  * total cost under the current model.
+  *
+  * This is the hard-EM (Viterbi-EM) variant: the E-step counts pieces
+  * along each word's single best segmentation (weighted by word
+  * count), the M-step re-fits costs from those counts and drops
+  * pieces the corpus stopped using — the top-down prune that shrinks
+  * the seed inventory to the surviving vocabulary. Single-character
+  * pieces are never dropped (coverage floor: every word must stay
+  * segmentable), exactly SentencePiece's required-character rule.
+  *
+  * The at-scale shape is BpeTrain's verbatim: ONE corpus pass
+  * collapses to the Heaps-bounded word table (collect guarded at 5M
+  * rows, loud failure past it), training runs driver-side over that
+  * model-sized table (seed inventory ≤ maxPieceLen · total word
+  * chars — Heaps-bounded too), and the trained piece table /
+  * per-word segmentation stats ship back as broadcast-sized frames.
+  * The corpus is never rescanned after round 0.
+  *
+  * Exactness (the cross-engine contract):
+  *  - costs are integer micro-nats, rounded ONCE per piece:
+  *    cost = round((ln(tot) − ln(cnt)) · 10⁶) — two ln of EXACT
+  *    integer arguments in pinned order (the lm_surprisal / row-162
+  *    discipline; driver-side math.log is the same JVM intrinsic
+  *    Spark's codegen calls, and DuckDB's ln has agreed at micro
+  *    rounding across the whole ln family for three rounds);
+  *  - Viterbi DP state is a SORTABLE STRING — 13-digit zero-padded
+  *    cost ‖ 2-digit piece count ‖ the '>'-joined piece key — so the
+  *    argmin is a plain binary-order min both engines evaluate
+  *    identically (ties: fewer pieces, then lexicographic key); the
+  *    word table is validated free of '<' '>' quotes (wordTable's
+  *    raise_error guard), making '>' a safe join char;
+  *  - the oracle replays seeding, BOTH EM rounds and the final
+  *    encode as unrolled MATERIALIZED CTEs — the DP unrolls one CTE
+  *    per position up to [[maxWordLenBound]], and the trainer
+  *    requires every word under that bound (loud failure, not a
+  *    silent truncation). */
+object UnigramLm {
+
+  /** The oracle's DP unroll bound — the trainer refuses words longer
+    * than this (testdata max is 8; the bound leaves headroom for a
+    * driver regen without blowing up the generated SQL). */
+  private[graft] val maxWordLenBound = 16
+
+  /** Seed inventory: every substring of length ≤ maxPieceLen, counted
+    * per OCCURRENCE (overlapping convention, like BPE's pair counts)
+    * and weighted by word count. */
+  private[graft] def seedCounts(words: Array[(String, Long)],
+                                maxPieceLen: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          m.update(p, m.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    m.toMap
+  }
+
+  /** Integer micro-nat costs from counts: round((ln tot − ln cnt)·10⁶),
+    * both ln args exact integers passed through double exactly. */
+  private def costsOf(counts: Map[String, Long]): Map[String, Long] = {
+    val tot = counts.valuesIterator.sum
+    val lnTot = math.log(tot.toDouble)
+    counts.map { case (p, c) =>
+      p -> math.round((lnTot - math.log(c.toDouble)) * 1000000.0d)
+    }
+  }
+
+  /** Viterbi DP over one word with the EXACT state representation the
+    * oracle's SQL uses (13-digit cost ‖ 2-digit n ‖ '>'-joined key,
+    * binary-order min). Returns (costMicro, nPieces, pieces). Every
+    * single char is in vocab by construction, so dp never dead-ends. */
+  private[graft] def viterbi(word: String, cost: Map[String, Long],
+                             maxPieceLen: Int): (Long, Int, Seq[String]) = {
+    val n = word.length
+    val dp = new Array[String](n + 1)
+    dp(0) = "0" * 13 + "00"
+    var i = 1
+    while (i <= n) {
+      var best: String = null
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (dp(j) != null) {
+          val piece = word.substring(j, i)
+          val c = cost.get(piece)
+          if (c.isDefined) {
+            val nc = dp(j).substring(0, 13).toLong + c.get
+            val nn = dp(j).substring(13, 15).toInt + 1
+            val v = f"$nc%013d" + f"$nn%02d" + dp(j).substring(15) +
+              ">" + piece
+            if (best == null || BpeTrain.utf8Lt(v, best)) best = v
+          }
+        }
+        j += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    val v = dp(n)
+    require(v != null, s"unigram viterbi dead-ended on '$word' — a " +
+      "single-char piece is missing from the vocab (must not happen)")
+    (v.substring(0, 13).toLong, v.substring(13, 15).toInt,
+      v.substring(15).split('>').filter(_.nonEmpty).toSeq)
+  }
+
+  /** The driver-side trainer: seed → emIters × (Viterbi E-step,
+    * re-fit M-step, drop dead pieces, char floor) → final costs.
+    * Returns (piece, cnt, costMicro) for the surviving vocab. */
+  private[graft] def trainLocal(words: Array[(String, Long)],
+                                maxPieceLen: Int,
+                                emIters: Int): Seq[(String, Long, Long)] = {
+    require(words.nonEmpty, "unigram trainer: empty word table")
+    require(words.forall(_._1.length <= maxWordLenBound),
+      s"unigram trainer: a word exceeds the $maxWordLenBound-char DP " +
+        "unroll bound — raise maxWordLenBound and regenerate the oracle")
+    var vocab: Map[String, Long] = seedCounts(words, maxPieceLen)
+    for (_ <- 1 to emIters) {
+      val cost = costsOf(vocab)
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, c) =>
+        viterbi(w, cost, maxPieceLen)._3.foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+        }
+      }
+      vocab = vocab.flatMap { case (p, _) =>
+        val nc =
+          if (p.length == 1) math.max(counts.getOrElse(p, 0L), 1L)
+          else counts.getOrElse(p, 0L)
+        if (nc > 0L) Some(p -> nc) else None
+      }
+    }
+    val cost = costsOf(vocab)
+    vocab.toSeq.map { case (p, c) => (p, c, cost(p)) }
+      .sortBy(_._1)
+  }
+
+  private def collectedWords(docs: DataFrame): Array[(String, Long)] =
+    BpeTrain.collectedWordTable(docs).map(r => (r._1, r._2))
+
+  /** unigram_lm_train: the surviving vocab with counts and micro-nat
+    * costs after `emIters` hard-EM rounds. */
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
+                   emIters: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && emIters >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainLocal(collectedWords(docs), maxPieceLen, emIters)
+      .map { case (p, c, k) => (p, p.length == 1, c, k) }
+      .toDF("piece", "is_char", "cnt", "cost_micro")
+  }
+
+  def unigramTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    unigramTrain(Tables.documents(spark, dir))
+      .orderBy(col("cnt").desc, col("piece"))
+
+  /** Per-word segmentation stats under the TRAINED model — the
+    * broadcast-sized frame the encode join consumes (the bpe_encode
+    * shape: documents are never re-segmented, words join the vocab). */
+  private def trainedWordStats(docs: DataFrame, maxPieceLen: Int,
+                               emIters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = collectedWords(docs)
+    val cost = trainLocal(words, maxPieceLen, emIters)
+      .map(r => r._1 -> r._3).toMap
+    words.toSeq.map { case (w, _) =>
+      val (k, n, _) = viterbi(w, cost, maxPieceLen)
+      (w, w.length.toLong, n.toLong, k)
+    }.toDF("word", "n_chars", "n_pieces", "w_cost")
+  }
+
+  /** unigram_encode: per-doc piece counts + the corpus NLL under the
+    * trained unigram LM (nll_micro = Σ viterbi cost — the tokenizer
+    * doubles as a language model, which BPE does not). */
+  def unigramEncode(docs: DataFrame, maxPieceLen: Int = 4,
+                    emIters: Int = 2): DataFrame = {
+    val ws = trainedWordStats(docs, maxPieceLen, emIters)
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word"))
+      .filter(col("word") =!= "")
+      .join(ws, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("w_cost")).as("nll_micro"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_pieces"), col("nll_micro"),
+        expr("(10000 * n_pieces) div n_chars").as("compression_bp"))
+  }
+
+  def unigramEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    unigramEncode(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** tokenizer_compare: BPE (numMerges) vs unigram-LM (trained here)
+    * vs the whitespace baseline on the SAME corpus — corpus-level
+    * fertility (pieces per word, micro) and compression (pieces per
+    * 10k chars), the r14-verdict extension of tokenizer_fertility.
+    * All three read the one Heaps-bounded word table; weighted sums
+    * are exact BIGINTs. */
+  def tokenizerCompare(docs: DataFrame, numMerges: Int = 8,
+                       maxPieceLen: Int = 4, emIters: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE collected word table feeds the unigram trainer, the Viterbi
+    // pass and the whitespace baseline; the BPE side runs its own
+    // (already Heaps-guarded) collect inside trainedWordTable
+    val words = collectedWords(docs)
+    val cost = trainLocal(words, maxPieceLen, emIters)
+      .map(r => r._1 -> r._3).toMap
+    // BPE: symbols per word after the trained merge table
+    val bpe = BpeTrain.trainedWordTable(docs, numMerges)
+      .select(col("word"), col("cnt"),
+        (length(col("wrapped"))
+          - length(expr("replace(wrapped, '<', '')"))).cast("long")
+          .as("n_pieces"))
+    val uni = words.toSeq
+      .map { case (w, c) => (w, c, viterbi(w, cost, maxPieceLen)._2.toLong) }
+      .toDF("word", "cnt", "n_pieces")
+    val ws = words.toSeq.map { case (w, c) => (w, c, 1L) }
+      .toDF("word", "cnt", "n_pieces")
+    def totals(tag: String, perWord: DataFrame) =
+      perWord
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+          sum(col("n_pieces") * col("cnt")).as("n_pieces"))
+        .select(lit(tag).as("tokenizer"), col("n_words"), col("n_chars"),
+          col("n_pieces"),
+          expr("(1000000 * n_pieces) div n_words").as("fertility_micro"),
+          expr("(10000 * n_pieces) div n_chars").as("compression_bp"))
+    totals("bpe", bpe)
+      .unionByName(totals("unigram", uni))
+      .unionByName(totals("whitespace", ws))
+  }
+
+  def tokenizerCompareQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenizerCompare(Tables.documents(spark, dir))
+      .orderBy(col("tokenizer"))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Seed + EM rounds as CTEs over the shared `w0(word, cnt, wr)`
+    * word table. Emits uv0 … uv$emIters (piece, cnt, cost). */
+  private def unigramTrainCtes(maxPieceLen: Int, emIters: Int): String = {
+    val L = maxPieceLen
+    val sb = new StringBuilder
+    sb ++= s"""upieces AS (
+      | SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |  SELECT w.cnt, substr(w.word, i, l) AS piece
+      |  FROM w0 w, UNNEST(range(1, length(w.word) + 1)) t(i),
+      |   UNNEST(range(1, $L + 1)) u(l)
+      |  WHERE i + l <= length(w.word) + 1)
+      | GROUP BY piece),
+      |uv0 AS MATERIALIZED (
+      | SELECT piece, cnt,
+      |  CAST(round((ln(CAST((SELECT sum(cnt) FROM upieces) AS DOUBLE))
+      |    - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cost
+      | FROM upieces)""".stripMargin
+    for (p <- 0 until emIters) sb ++= emRoundCtes(p, L)
+    sb.toString
+  }
+
+  /** One Viterbi pass against uv$p + the E/M step producing uv${p+1}. */
+  private def emRoundCtes(p: Int, L: Int): String = {
+    val sb = new StringBuilder
+    sb ++= viterbiCtes(s"udp${p}_", s"uv$p", s"uvit$p", L)
+    sb ++= s""",
+      |ucnt$p AS (
+      | SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |  SELECT w.cnt,
+      |   unnest(string_split(substr(v.val, 16), '>')) AS piece
+      |  FROM uvit$p v JOIN w0 w USING (word))
+      | WHERE piece <> '' GROUP BY piece),
+      |uvn${p + 1} AS (
+      | SELECT piece, cnt FROM (
+      |  SELECT v.piece,
+      |   CASE WHEN length(v.piece) = 1
+      |        THEN greatest(COALESCE(c.cnt, 0), 1)
+      |        ELSE COALESCE(c.cnt, 0) END AS cnt
+      |  FROM uv$p v LEFT JOIN ucnt$p c USING (piece))
+      | WHERE cnt > 0),
+      |uv${p + 1} AS MATERIALIZED (
+      | SELECT piece, cnt,
+      |  CAST(round((ln(CAST((SELECT sum(cnt) FROM uvn${p + 1}) AS DOUBLE))
+      |    - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cost
+      | FROM uvn${p + 1})""".stripMargin
+    sb.toString
+  }
+
+  /** The Viterbi DP unrolled to maxWordLenBound positions against
+    * vocab CTE `$vocab(piece, cnt, cost)`: dp state = the sortable
+    * 13-digit-cost ‖ 2-digit-n ‖ key string, min = binary order.
+    * Emits `$out(word, val)` — each word's best final state. */
+  private def viterbiCtes(pfx: String, vocab: String, out: String,
+                          L: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+      |${pfx}0 AS (SELECT word, repeat('0', 13) || '00' AS val FROM w0)""".stripMargin
+    for (i <- 1 to maxWordLenBound) {
+      val branches = (math.max(0, i - L) until i).map { j =>
+        // concat operators sit at line ENDS: this fragment passes
+        // through three stripMargin levels (branch -> viterbiCtes ->
+        // the oracle template), and a leading '||' loses one pipe per
+        // level
+        s"""  SELECT d.word,
+           |   lpad(CAST(CAST(substr(d.val, 1, 13) AS BIGINT) + v.cost
+           |        AS VARCHAR), 13, '0') ||
+           |   lpad(CAST(CAST(substr(d.val, 14, 2) AS BIGINT) + 1
+           |        AS VARCHAR), 2, '0') ||
+           |   substr(d.val, 16) || '>' || v.piece AS val
+           |  FROM $pfx$j d JOIN $vocab v
+           |   ON v.piece = substr(d.word, ${j + 1}, ${i - j})
+           |  WHERE length(d.word) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      // MATERIALIZED is load-bearing (the k-core lesson): each dp CTE
+      // is referenced by up to L later positions, and DuckDB inlines
+      // plain CTEs per reference — an un-materialized 16-level DP
+      // replays ~L^16 subtrees and never finishes
+      sb ++= s""",
+        |$pfx$i AS MATERIALIZED (
+        | SELECT word, min(val) AS val FROM (
+        |$branches
+        | ) GROUP BY word)""".stripMargin
+    }
+    val finals = (1 to maxWordLenBound).map(i =>
+      s" SELECT word, val FROM $pfx$i WHERE length(word) = $i")
+      .mkString("\n UNION ALL\n")
+    sb ++= s""",
+      |$out AS MATERIALIZED (
+      |$finals)""".stripMargin
+    sb.toString
+  }
+
+  private def unigramTrainOracle(maxPieceLen: Int, emIters: Int): String =
+    s"""WITH ${BpeTrain.wordTableCteSql},
+       |${unigramTrainCtes(maxPieceLen, emIters)}
+       |SELECT piece, length(piece) = 1 AS is_char, cnt,
+       | cost AS cost_micro
+       |FROM uv$emIters ORDER BY cnt DESC, piece""".stripMargin
+
+  private def unigramEncodeOracle(maxPieceLen: Int, emIters: Int): String =
+    s"""WITH ${BpeTrain.wordTableCteSql},
+       |${unigramTrainCtes(maxPieceLen, emIters)}
+       |${viterbiCtes("uenc_", s"uv$emIters", "uvitenc", maxPieceLen)},
+       |uwstat AS (
+       | SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+       |  CAST(substr(val, 1, 13) AS BIGINT) AS w_cost,
+       |  CAST(substr(val, 14, 2) AS BIGINT) AS n_pieces
+       | FROM uvitenc),
+       |uencw AS (
+       | SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents) WHERE word <> '')
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+       | CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+       | CAST(sum(s.w_cost) AS BIGINT) AS nll_micro,
+       | (10000 * CAST(sum(s.n_pieces) AS BIGINT))
+       |   // CAST(sum(s.n_chars) AS BIGINT) AS compression_bp
+       |FROM uencw e JOIN uwstat s ON e.word = s.word
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private def tokenizerCompareOracle(numMerges: Int, maxPieceLen: Int,
+                                     emIters: Int): String =
+    s"""WITH ${BpeTrain.bpeRoundsCtes(numMerges)},
+       |${unigramTrainCtes(maxPieceLen, emIters)}
+       |${viterbiCtes("ucmp_", s"uv$emIters", "uvitcmp", maxPieceLen)},
+       |per_word AS (
+       | SELECT 'bpe' AS tokenizer, word, cnt,
+       |  CAST(length(wr) - length(replace(wr, '<', '')) AS BIGINT)
+       |   AS n_pieces
+       | FROM w$numMerges
+       | UNION ALL
+       | SELECT 'unigram', w.word, w.cnt,
+       |  CAST(substr(v.val, 14, 2) AS BIGINT)
+       | FROM w0 w JOIN uvitcmp v USING (word)
+       | UNION ALL
+       | SELECT 'whitespace', word, cnt, CAST(1 AS BIGINT) FROM w0)
+       |SELECT tokenizer, CAST(sum(cnt) AS BIGINT) AS n_words,
+       | CAST(sum(length(word) * cnt) AS BIGINT) AS n_chars,
+       | CAST(sum(n_pieces * cnt) AS BIGINT) AS n_pieces,
+       | (1000000 * CAST(sum(n_pieces * cnt) AS BIGINT))
+       |   // CAST(sum(cnt) AS BIGINT) AS fertility_micro,
+       | (10000 * CAST(sum(n_pieces * cnt) AS BIGINT))
+       |   // CAST(sum(length(word) * cnt) AS BIGINT) AS compression_bp
+       |FROM per_word GROUP BY tokenizer ORDER BY tokenizer""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "unigram_lm_train" -> unigramTrainOracle(maxPieceLen = 4, emIters = 2),
+    "unigram_encode" -> unigramEncodeOracle(maxPieceLen = 4, emIters = 2),
+    "tokenizer_compare" -> tokenizerCompareOracle(numMerges = 8,
+      maxPieceLen = 4, emIters = 2))
+}

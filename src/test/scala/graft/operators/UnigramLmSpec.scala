@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer (r14 verdict #1): hand-computed EM + Viterbi
+  * on a corpus small enough to verify on paper, encode parity against
+  * that hand segmentation, and the tokenizer_compare invariants.
+  *
+  * Hand corpus: "abab"×3, "ab"×2 (maxPieceLen=2, emIters=1).
+  * Seed counts (every substring occurrence, weighted):
+  *   a=8, b=8, ab=8, ba=3; tot=27.
+  * Seed costs (micro-nats): c(a)=c(b)=c(ab)=round(ln(27/8)e6)=1216395,
+  *   c(ba)=round(ln 9 e6)=2197225.
+  * Viterbi: "abab" → ab·ab (2c < 4c for a·b·a·b), "ab" → ab.
+  * E-step counts: ab = 3·2 + 2·1 = 8; a,b unused → char floor 1;
+  *   ba dead → dropped. Final tot=10:
+  *   c(ab)=round(ln(10/8)e6)=223144, c(a)=c(b)=round(ln10·e6)=2302585. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def handDocs = Seq(
+    (0L, "abab ab"),
+    (1L, "abab abab ab")).toDF("doc_id", "text")
+
+  test("hand-computed EM: seed -> viterbi counts -> char floor -> " +
+      "dead-piece drop -> final micro-nat costs") {
+    val got = UnigramLm.unigramTrain(handDocs, maxPieceLen = 2,
+        emIters = 1)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("ab", false, 8L, 223144L),
+      ("a", true, 1L, 2302585L),
+      ("b", true, 1L, 2302585L)))
+  }
+
+  test("viterbi segments by minimal total cost with the sortable-" +
+      "state tiebreak (fewer pieces, then key)") {
+    val cost = Map("a" -> 1216395L, "b" -> 1216395L, "ab" -> 1216395L,
+      "ba" -> 2197225L)
+    val (c, n, pieces) = UnigramLm.viterbi("abab", cost, 2)
+    assert(pieces === Seq("ab", "ab") && n === 2 && c === 2432790L)
+    // a word the multi-char vocab can't cover falls back to chars
+    val (_, n2, p2) = UnigramLm.viterbi("ba", Map("b" -> 5L, "a" -> 5L), 2)
+    assert(p2 === Seq("b", "a") && n2 === 2)
+  }
+
+  test("encode parity vs the hand segmentation") {
+    val got = UnigramLm.unigramEncode(handDocs, maxPieceLen = 2,
+        emIters = 1)
+      .select("doc_id", "n_words", "n_chars", "n_pieces", "nll_micro",
+        "compression_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // doc 0: abab(ab·ab) + ab(ab) = 3 pieces, nll 2·223144 + 223144
+    // doc 1: two abab + ab = 5 pieces
+    assert(got === Set(
+      (0L, 2L, 6L, 3L, 669432L, 5000L),
+      (1L, 3L, 10L, 5L, 1115720L, 5000L)))
+  }
+
+  test("trainer refuses words past the DP unroll bound, loudly") {
+    val long = Seq((0L, "a" * (UnigramLm.maxWordLenBound + 1)))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      UnigramLm.unigramTrain(long).collect()
+    }
+    assert(ex.getMessage.contains("unroll bound"))
+  }
+
+  test("tokenizer_compare invariants on real testdata: shared word/" +
+      "char totals, fertility >= 1e6 (pieces never cross words)") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = UnigramLm.tokenizerCompare(docs)
+      .select("tokenizer", "n_words", "n_chars", "n_pieces",
+        "fertility_micro")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).toSet === Set("bpe", "unigram", "whitespace"))
+    assert(rows.map(_._2).toSet.size === 1, "one shared n_words")
+    assert(rows.map(_._3).toSet.size === 1, "one shared n_chars")
+    rows.foreach { case (t, w, _, p, f) =>
+      assert(p >= w && f >= 1000000L, s"$t fertility below 1 piece/word")
+    }
+    val ws = rows.find(_._1 == "whitespace").get
+    assert(ws._4 === ws._2 && ws._5 === 1000000L)
+  }
+}
