@@ -434,6 +434,9 @@ object ScaleProbe {
       // exactly linear (one per doc) through the broadcast word-stats
       // join; compare is 3 constant rows over the same tables
       "mixture_plan_clusters" -> (operators.MixturePlan.mixturePlanClustersQuery _),
+      // ann_ivf_pq_residual_int4: constant 24 rows, the index build's
+      // linear encode pass + map-only nibble pack/unpack
+      "ann_ivf_pq_residual_int4" -> (operators.Similarity.annIvfPqResidualInt4Query _),
       "unigram_lm_train" -> (operators.UnigramLm.unigramTrainQuery _),
       "unigram_encode" -> (operators.UnigramLm.unigramEncodeQuery _),
       "tokenizer_compare" -> (operators.UnigramLm.tokenizerCompareQuery _))

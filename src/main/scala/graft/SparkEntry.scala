@@ -243,6 +243,7 @@ object SparkEntry {
     "ann_ivf_pq_residual"    -> (Similarity.annIvfPqResidualTopKQuery _),
     "ann_ivf_pq_residual_trained" -> (Similarity.annIvfPqResidualTrainedQuery _),
     "ann_ivf_pq_residual_index" -> (Similarity.annIvfPqResidualFromIndexQuery _),
+    "ann_ivf_pq_residual_int4" -> (Similarity.annIvfPqResidualInt4Query _),
     "pq_residual_recall"     -> (Similarity.pqResidualRecallQuery _),
     "rerank_budget_recall"   -> (Similarity.rerankBudgetRecallQuery _),
     "ann_pq_int4_topk"       -> (Similarity.annPqInt4TopKQuery _),

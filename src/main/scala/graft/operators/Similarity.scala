@@ -2216,6 +2216,74 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The two r15 storage wins COMPOSED — the stored residual-PQ index
+    * (row 250) at int4 packing (row 253): (vec_id, cell, packed[M/2])
+    * where packed[b] = cid[2b] | cid[2b+1] << 4 — the production
+    * IVFADC index at HALF the code bytes (M/2 where row 250 stores M
+    * small ints, both against fp32's 4·dim). Written partitionBy(cell)
+    * the probe pruning story is unchanged. */
+  def residualPqIndexRowsInt4(emb: DataFrame, cents: DataFrame,
+                              numSub: Int = 8, subDim: Int = 8,
+                              numCodes: Int = 16,
+                              seedFrom: Int = 16): DataFrame = {
+    require(numCodes >= 1 && numCodes <= 16,
+      s"int4 packing needs numCodes <= 16, got $numCodes")
+    require(numSub >= 2 && numSub % 2 == 0,
+      s"int4 packing needs an even numSub, got $numSub")
+    // the seed codebook's cids are [seedFrom, seedFrom + numCodes) BY
+    // CONSTRUCTION (they are the seed vectors' ids) — a nibble stores
+    // cid − seedFrom, and serving re-bases. Packing a cid outside the
+    // nibble window would silently corrupt every code (this bug's
+    // first draft did exactly that: cids 16..31 into 4 bits), so the
+    // rebase guards loudly in-plan.
+    def nib(e: String) =
+      s"(CASE WHEN $e < $seedFrom OR $e >= ${seedFrom + 16} THEN " +
+        "CAST(raise_error('int4 residual pack: cid out of the " +
+        s"nibble window [$seedFrom, ${seedFrom + 16})') AS BIGINT) " +
+        s"ELSE $e - $seedFrom END)"
+    residualPqIndexRows(emb, cents, numSub, subDim, numCodes, seedFrom)
+      .select(col("vec_id"), col("cell"), expr(
+        s"transform(sequence(0, ${numSub / 2 - 1}), " +
+          s"b -> CAST(${nib("codes[b * 2]")} | " +
+          s"shiftleft(${nib("codes[b * 2 + 1]")}, 4) AS INT))")
+        .as("packed"))
+  }
+
+  /** Serving from the PACKED stored index: nibbles unpack IN-SCAN
+    * (shiftright + mask — the ann_pq_int4_topk formula) into the
+    * UNCHANGED from-index plan, so the result is bit-identical to
+    * serving from the unpacked index and to the rebuild plan
+    * (spec-pinned; the oracle replays pack → unpack inside the
+    * ann_ivf_pq_residual chain). */
+  def annIvfPqResidualFromInt4Index(index: DataFrame, queries: DataFrame,
+                                    corpus: DataFrame, cents: DataFrame,
+                                    cb: DataFrame, nProbe: Int, m: Int,
+                                    k: Int, numSub: Int, subDim: Int,
+                                    cidBase: Int = 16): DataFrame = {
+    // cidBase = the packing's seedFrom: nibbles re-base to the
+    // codebook's cid domain before the (cell, sub, cid) ADC joins
+    val unpacked = index.select(col("vec_id"), col("cell"), expr(
+      s"transform(sequence(0, ${numSub - 1}), " +
+        "s -> CAST((shiftright(packed[CAST(s div 2 AS INT)], " +
+        s"CAST(s % 2 AS INT) * 4) & 15) + $cidBase AS BIGINT))")
+      .as("codes"))
+    annIvfPqResidualFromIndex(unpacked, queries, corpus, cents, cb,
+      nProbe, m, k, numSub, subDim)
+  }
+
+  def annIvfPqResidualInt4Query(spark: SparkSession,
+                                dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val v = vectors(emb)
+    val cents = defaultCentroids(emb, 16)
+    val cb = residualSeedCodebookOf(emb, cents).localCheckpoint()
+    annIvfPqResidualFromInt4Index(
+      residualPqIndexRowsInt4(emb, cents),
+      v.filter(col("vec_id") < 8).toDF("query_id", "e"),
+      v, cents, cb, nProbe = 4, m = 12, k = 3, numSub = 8, subDim = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def annPqTopKQuery(spark: SparkSession, dir: String): DataFrame =
     annPqTopK(Tables.embeddings(spark, dir), numQueries = 8, k = 5)
       .orderBy(col("query_id"), col("rnk"))
@@ -3637,6 +3705,86 @@ object Similarity {
        |                              ORDER BY cos DESC, neighbor_id) AS rnk
        | FROM rrk) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** ann_ivf_pq_residual_int4 oracle: the ann_ivf_pq_residual replay
+    * with the PACK → UNPACK nibble formulas spliced between encode
+    * and serving — codes list per vector, packed[b] = cid[2b] |
+    * cid[2b+1] << 4, then cid = (packed[s div 2] >> ((s%2)·4)) & 15,
+    * and the reconstructed-norm + ADC scoring read ONLY the unpacked
+    * frame. Must return exactly what the unpacked replay returns. */
+  private def annIvfPqResidualInt4Oracle(numQueries: Int, m: Int, k: Int,
+                                         numCentroids: Int, nProbe: Int,
+                                         numSub: Int, subDim: Int,
+                                         numCodes: Int): String =
+    s"""WITH v AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $numSub)) AS s),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $numCentroids),
+       |ac AS (
+       | SELECT v.vec_id, c.cid,
+       |  ${cosSql("v.e", "c.ce")} AS ccos
+       | FROM v CROSS JOIN cents c),
+       |assigned AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY ccos DESC, cid) AS rn
+       |  FROM ac WHERE vec_id < $numQueries) WHERE rn <= $nProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN assigned a
+       |  ON a.cell = p.probe AND a.vec_id <> p.query_id),
+       |${residualBaseCtes("CAST(round(x * 1000000.0) AS BIGINT)")},
+       |${residualSeedCbCte("rcb", subDim, numCodes, seedFrom = numCentroids)},
+       |${residualIndexCtes("rcb", "_b", subDim)},
+       |rcodes AS (
+       | SELECT vec_id, cell, list(cid ORDER BY sub) AS codes
+       | FROM renc_b GROUP BY 1, 2),
+       |rpk AS (
+       | SELECT vec_id, cell,
+       |  list_transform(range(0, ${numSub / 2}),
+       |   b -> ((codes[b*2 + 1] - $numCentroids)
+       |         | ((codes[b*2 + 2] - $numCentroids) << 4))) AS packed
+       | FROM rcodes),
+       |renc AS MATERIALIZED (
+       | SELECT p.vec_id, p.cell, s.s AS sub,
+       |  ((p.packed[s.s // 2 + 1] >> ((s.s % 2) * 4)) & 15)
+       |    + $numCentroids AS cid
+       | FROM rpk p, sub s),
+       |xh AS (SELECT * FROM xh_b),
+       |rrt AS (SELECT * FROM rrt_b),
+       |resr2 AS (
+       | SELECT e.vec_id, CAST(sum(t.rr) AS BIGINT) AS r2m
+       | FROM renc e JOIN rrt t ON e.cell = t.cell
+       |  AND e.sub = t.sub AND e.cid = t.cid
+       | GROUP BY 1),
+       |qres AS (
+       | SELECT query_id, qm,
+       |  CAST(list_sum(list_transform(qm, x -> x*x)) AS BIGINT) AS q2m
+       | FROM (SELECT vec_id AS query_id,
+       |   list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qm
+       |  FROM v WHERE vec_id < $numQueries)),
+       |${residualScoreCtes("qres", "", subDim)},
+       |short AS (
+       | SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY cos DESC, vec_id) AS prnk
+       |  FROM rescand) WHERE prnk <= $m),
+       |rrk AS (
+       | SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  ${cosSql("qv.e", "x.e")} AS cos
+       | FROM short s JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v x ON s.vec_id = x.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rnk
+       | FROM rrk) WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** pq_residual_recall oracle: held-out queries, ONE max-budget IVF
     * candidate set carrying probe RANKS, the raw-PQ ADC branch and
     * the residual branch each scored once, every probe budget served
@@ -4688,6 +4836,9 @@ object Similarity {
       k = 5, ms = Seq(5, 10, 20, 40), numCentroids = 16, nProbe = 4,
       numSub = 8, subDim = 8, numCodes = 16),
     "ann_pq_int4_topk" -> annPqInt4Oracle(numQueries = 8, k = 5,
+      numSub = 8, subDim = 8, numCodes = 16),
+    "ann_ivf_pq_residual_int4" -> annIvfPqResidualInt4Oracle(
+      numQueries = 8, m = 12, k = 3, numCentroids = 16, nProbe = 4,
       numSub = 8, subDim = 8, numCodes = 16),
     "pq_int4_recall" -> pqInt4RecallOracle(numQueries = 32, k = 5,
       numCodes = 16),

@@ -54,8 +54,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // and its seeded-vs-trained recall eval
     "ann_ivf_pq_residual_trained", "pq_residual_trained_recall",
     // the stored-index read path: bounded probe/model broadcasts, the
-    // candidate join is the cell equi-join against the index
-    "ann_ivf_pq_residual_index",
+    // candidate join is the cell equi-join against the index — and
+    // its int4-packed storage variant (unpack is a map-only bit
+    // expression in the index scan)
+    "ann_ivf_pq_residual_index", "ann_ivf_pq_residual_int4",
     // benchmark embedding set — model-sized by construction
     "embed_decontam",
     // per-language threshold frame (|langs| rows) + its scalar max

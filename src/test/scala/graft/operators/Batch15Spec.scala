@@ -123,6 +123,34 @@ class Batch15Spec extends SparkSpec {
     assert(unpacked === Seq((0, 3L), (1, 9L), (2, 15L), (3, 0L)))
   }
 
+  test("int4 residual index: packed serving == unpacked serving == " +
+      "rebuild; stored row carries M/2 nibbles-bytes") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val v = Similarity.vectors(emb)
+    val cents = Similarity.defaultCentroids(emb, 16).localCheckpoint()
+    val cb = Similarity.residualSeedCodebookOf(emb, cents).localCheckpoint()
+    val queries = v.filter(col("vec_id") < 8).toDF("query_id", "e")
+    val packedIdx = Similarity.residualPqIndexRowsInt4(emb, cents)
+      .localCheckpoint()
+    // the storage halves: 4 packed bytes where the unpacked index
+    // stores 8 code ids
+    assert(packedIdx.select(size(col("packed"))).distinct()
+      .as[Int].collect().toSeq === Seq(4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val fromPacked = rows(Similarity.annIvfPqResidualFromInt4Index(
+      packedIdx, queries, v, cents, cb,
+      nProbe = 4, m = 12, k = 3, numSub = 8, subDim = 8))
+    val fromPlain = rows(Similarity.annIvfPqResidualFromIndex(
+      Similarity.residualPqIndexRows(emb, cents), queries, v, cents, cb,
+      nProbe = 4, m = 12, k = 3, numSub = 8, subDim = 8))
+    assert(fromPacked === fromPlain,
+      "nibble packing must be serving-invisible")
+    assert(fromPacked === rows(Similarity.annIvfPqResidualTopK(emb)),
+      "packed-index serving must equal the rebuild plan")
+  }
+
   test("pqInt4Recall: equal-bytes rows present, actual-count " +
       "denominator, shared truth") {
     val emb = graft.core.Tables.embeddings(spark, sf)
