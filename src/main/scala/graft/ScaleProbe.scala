@@ -439,7 +439,11 @@ object ScaleProbe {
       "ann_ivf_pq_residual_int4" -> (operators.Similarity.annIvfPqResidualInt4Query _),
       "unigram_lm_train" -> (operators.UnigramLm.unigramTrainQuery _),
       "unigram_encode" -> (operators.UnigramLm.unigramEncodeQuery _),
-      "tokenizer_compare" -> (operators.UnigramLm.tokenizerCompareQuery _))
+      "tokenizer_compare" -> (operators.UnigramLm.tokenizerCompareQuery _),
+      // unigram_vocab_curve: constant 4 rows (one per target size);
+      // the sweep is driver-side re-cost + re-Viterbi over the
+      // Heaps-bounded word table, corpus touched once
+      "unigram_vocab_curve" -> (operators.UnigramLm.unigramVocabCurveQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

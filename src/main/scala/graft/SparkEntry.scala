@@ -230,6 +230,7 @@ object SparkEntry {
     "unigram_lm_train"       -> (UnigramLm.unigramTrainQuery _),
     "unigram_encode"         -> (UnigramLm.unigramEncodeQuery _),
     "tokenizer_compare"      -> (UnigramLm.tokenizerCompareQuery _),
+    "unigram_vocab_curve"    -> (UnigramLm.unigramVocabCurveQuery _),
     "mixture_plan"           -> (MixturePlan.mixturePlanQuery _),
     "mixture_plan_domains"   -> (MixturePlan.mixturePlanDomainsQuery _),
     "mixture_plan_clusters"  -> (MixturePlan.mixturePlanClustersQuery _),

@@ -256,6 +256,50 @@ object UnigramLm {
     tokenizerCompare(Tables.documents(spark, dir))
       .orderBy(col("tokenizer"))
 
+  /** unigram_vocab_curve — the tokenizer-SIZING sweep (the tau_sweep
+    * one-pass-for-the-whole-curve discipline pointed at vocab size,
+    * SentencePiece's one real knob): train ONCE, then for each target
+    * size V keep all single chars (the coverage floor) plus the top
+    * (V − |chars|) multi-char pieces by (cnt desc, piece asc), RE-FIT
+    * costs over the kept subset (probabilities renormalize — smaller
+    * vocabs give the survivors lower costs, so neither fertility nor
+    * NLL is a cross-size invariant; the curve is the measurement),
+    * and Viterbi-resegment the word table. One corpus pass total; the
+    * sweep runs driver-side over the Heaps-bounded table and each V's
+    * DP replays in the oracle. */
+  def unigramVocabCurve(docs: DataFrame,
+                        targets: Seq[Int] = Seq(26, 32, 48, 9999),
+                        maxPieceLen: Int = 4,
+                        emIters: Int = 2): DataFrame = {
+    require(targets.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = collectedWords(docs)
+    val trained = trainLocal(words, maxPieceLen, emIters)
+    val chars = trained.filter(_._1.length == 1)
+    val multis = trained.filter(_._1.length > 1)
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && BpeTrain.utf8Lt(a._1, b._1)))
+    val rows = targets.map { v =>
+      val kept = chars ++ multis.take(math.max(0, v - chars.length))
+      val cost = costsOf(kept.map(r => (r._1, r._2)).toMap)
+      var nPieces = 0L; var nChars = 0L; var nWords = 0L; var nll = 0L
+      words.foreach { case (w, c) =>
+        val (k, n, _) = viterbi(w, cost, maxPieceLen)
+        nPieces += n.toLong * c; nll += k * c
+        nChars += w.length.toLong * c; nWords += c
+      }
+      (v.toLong, kept.size.toLong, nWords, nPieces,
+        1000000L * nPieces / nWords, 10000L * nPieces / nChars, nll)
+    }
+    rows.toDF("vocab_target", "vocab_actual", "n_words", "n_pieces",
+      "fertility_micro", "compression_bp", "nll_micro")
+  }
+
+  def unigramVocabCurveQuery(spark: SparkSession, dir: String): DataFrame =
+    unigramVocabCurve(Tables.documents(spark, dir))
+      .orderBy(col("vocab_target"))
+
   // ---------------------------------------------------------------- oracles
 
   /** Seed + EM rounds as CTEs over the shared `w0(word, cnt, wr)`
@@ -404,9 +448,59 @@ object UnigramLm {
        |   // CAST(sum(length(word) * cnt) AS BIGINT) AS compression_bp
        |FROM per_word GROUP BY tokenizer ORDER BY tokenizer""".stripMargin
 
+  /** One vocab-size branch: kept pieces, re-fit costs, a fresh
+    * Viterbi DP, the aggregate row. */
+  private def vocabCurveBranch(v: Int, maxPieceLen: Int,
+                               emIters: Int): String =
+    s""",
+       |kept_$v AS MATERIALIZED (
+       | SELECT piece, cnt FROM uv$emIters WHERE length(piece) = 1
+       | UNION ALL
+       | SELECT piece, cnt FROM (
+       |  SELECT piece, cnt,
+       |   row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |  FROM uv$emIters WHERE length(piece) > 1)
+       | WHERE rn <= greatest($v - (SELECT count(*) FROM uv$emIters
+       |                            WHERE length(piece) = 1), 0)),
+       |vk_$v AS MATERIALIZED (
+       | SELECT piece, cnt,
+       |  CAST(round((ln(CAST((SELECT sum(cnt) FROM kept_$v) AS DOUBLE))
+       |    - ln(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS cost
+       | FROM kept_$v)
+       |${viterbiCtes(s"ucv${v}_", s"vk_$v", s"uvitcv$v", maxPieceLen)},
+       |row_$v AS (
+       | SELECT CAST($v AS BIGINT) AS vocab_target,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_$v) AS vocab_actual,
+       |  CAST(sum(w.cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(CAST(substr(t.val, 14, 2) AS BIGINT) * w.cnt)
+       |   AS BIGINT) AS n_pieces,
+       |  CAST(sum(length(w.word) * w.cnt) AS BIGINT) AS n_chars,
+       |  CAST(sum(CAST(substr(t.val, 1, 13) AS BIGINT) * w.cnt)
+       |   AS BIGINT) AS nll_micro
+       | FROM uvitcv$v t JOIN w0 w USING (word))""".stripMargin
+
+  private def unigramVocabCurveOracle(targets: Seq[Int], maxPieceLen: Int,
+                                      emIters: Int): String = {
+    val branches = targets.map(v =>
+      vocabCurveBranch(v, maxPieceLen, emIters)).mkString("")
+    val rows = targets.map(v =>
+      s"""SELECT vocab_target, vocab_actual, n_words, n_pieces,
+         | (1000000 * n_pieces) // n_words AS fertility_micro,
+         | (10000 * n_pieces) // n_chars AS compression_bp,
+         | nll_micro FROM row_$v""".stripMargin)
+      .mkString("\n UNION ALL\n")
+    s"""WITH ${BpeTrain.wordTableCteSql},
+       |${unigramTrainCtes(maxPieceLen, emIters)}$branches
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY vocab_target""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "unigram_lm_train" -> unigramTrainOracle(maxPieceLen = 4, emIters = 2),
     "unigram_encode" -> unigramEncodeOracle(maxPieceLen = 4, emIters = 2),
     "tokenizer_compare" -> tokenizerCompareOracle(numMerges = 8,
-      maxPieceLen = 4, emIters = 2))
+      maxPieceLen = 4, emIters = 2),
+    "unigram_vocab_curve" -> unigramVocabCurveOracle(
+      targets = Seq(26, 32, 48, 9999), maxPieceLen = 4, emIters = 2))
 }

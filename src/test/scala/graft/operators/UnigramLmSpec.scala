@@ -69,6 +69,40 @@ class UnigramLmSpec extends SparkSpec {
     assert(ex.getMessage.contains("unroll bound"))
   }
 
+  test("vocab curve hand case: chars-only vs full vocab re-cost and " +
+      "re-segment exactly") {
+    // V=2 keeps only {a, b} (tot 2, cost ln2 = 693147 each): "abab"
+    // segments to 4 chars, "ab" to 2 — 16 weighted pieces, nll
+    // 16·693147. V=3 restores {ab} and the EM-final costs: 8 pieces.
+    val rows = UnigramLm.unigramVocabCurve(handDocs, targets = Seq(2, 3),
+        maxPieceLen = 2, emIters = 1)
+      .select("vocab_target", "vocab_actual", "n_words", "n_pieces",
+        "fertility_micro", "compression_bp", "nll_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (2L, 2L, 5L, 16L, 3200000L, 10000L, 16L * 693147L),
+      (3L, 3L, 5L, 8L, 1600000L, 5000L, 1785152L)))
+  }
+
+  test("vocab curve structural invariants: coverage floor, clamped " +
+      "actual size, shared corpus totals") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = UnigramLm.unigramVocabCurve(docs)
+      .select("vocab_target", "vocab_actual", "n_words", "n_pieces",
+        "fertility_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(rows.map(_._3).toSet.size === 1, "one shared n_words")
+    rows.foreach { case (t, a, w, p, f) =>
+      assert(a <= math.max(t, a) && p >= w && f >= 1000000L)
+    }
+    // actual size is monotone in target and clamps at the trained size
+    val actual = rows.map(_._2)
+    assert(actual.zip(actual.tail).forall { case (x, y) => x <= y })
+    assert(rows.last._1 === 9999L && rows.last._2 < 9999L,
+      "the top target must clamp to the trained vocab")
+  }
+
   test("tokenizer_compare invariants on real testdata: shared word/" +
       "char totals, fertility >= 1e6 (pieces never cross words)") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
