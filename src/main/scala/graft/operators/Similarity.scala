@@ -1598,7 +1598,13 @@ object Similarity {
     * re-scale (residuals are scale-sensitive where cosines are not —
     * see annIvfPqResidualTrained). */
   private def microCentsOf(cents: DataFrame): DataFrame =
-    cents.select(col("cid").as("cell"),
+    // guarded at THIS shared boundary (r15 review): every caller —
+    // including the SERVE path annIvfPqResidualFromIndex, which the
+    // per-entry guards below don't reach — expects RAW-scale
+    // centroids; the trained convention (already micro) CASTs and
+    // never comes through here. Passing micro values would silently
+    // re-scale by 1e6 and corrupt every residual.
+    guardRawScaleCents(cents).select(col("cid").as("cell"),
       transform(col("ce"), x => round(x * lit(1000000.0d)).cast("long"))
         .as("cm"))
 
@@ -1877,6 +1883,9 @@ object Similarity {
                          numCodes: Int = 16): DataFrame = {
     require(ms.nonEmpty && ms.forall(_ >= k),
       s"every rerank budget must be >= k=$k, got $ms")
+    require(ms.distinct.size == ms.size,
+      s"rerank budgets must be distinct (a duplicate m double-counts " +
+        s"its hits in the groupBy), got $ms")
     require(nProbe >= 1 && nProbe <= numCentroids,
       s"nProbe must be in [1, numCentroids=$numCentroids], got $nProbe")
     val maxM = ms.max

@@ -54,6 +54,26 @@ object UnigramLm {
     * driver regen without blowing up the generated SQL). */
   private[graft] val maxWordLenBound = 16
 
+  /** Every driver-side index in this trainer is a CODEPOINT index
+    * (r15 review): DuckDB substr/length and Spark SQL length() count
+    * codepoints, while Java String indexes UTF-16 code units — on a
+    * supplementary-plane character (emoji) naive substring would mint
+    * lone-surrogate "pieces" and every oracle count would diverge.
+    * Words decompose once into codepoint cells and pieces are cell
+    * slices. */
+  private def codepoints(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Seed inventory: every substring of length ≤ maxPieceLen, counted
     * per OCCURRENCE (overlapping convention, like BPE's pair counts)
     * and weighted by word count. */
@@ -61,11 +81,12 @@ object UnigramLm {
                                 maxPieceLen: Int): Map[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     words.foreach { case (w, c) =>
+      val cps = codepoints(w)
       var i = 0
-      while (i < w.length) {
+      while (i < cps.length) {
         var l = 1
-        while (l <= maxPieceLen && i + l <= w.length) {
-          val p = w.substring(i, i + l)
+        while (l <= maxPieceLen && i + l <= cps.length) {
+          val p = cps.slice(i, i + l).mkString
           m.update(p, m.getOrElse(p, 0L) + c)
           l += 1
         }
@@ -91,7 +112,8 @@ object UnigramLm {
     * single char is in vocab by construction, so dp never dead-ends. */
   private[graft] def viterbi(word: String, cost: Map[String, Long],
                              maxPieceLen: Int): (Long, Int, Seq[String]) = {
-    val n = word.length
+    val cps = codepoints(word)
+    val n = cps.length
     val dp = new Array[String](n + 1)
     dp(0) = "0" * 13 + "00"
     var i = 1
@@ -100,7 +122,7 @@ object UnigramLm {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         if (dp(j) != null) {
-          val piece = word.substring(j, i)
+          val piece = cps.slice(j, i).mkString
           val c = cost.get(piece)
           if (c.isDefined) {
             val nc = dp(j).substring(0, 13).toLong + c.get
@@ -129,7 +151,7 @@ object UnigramLm {
                                 maxPieceLen: Int,
                                 emIters: Int): Seq[(String, Long, Long)] = {
     require(words.nonEmpty, "unigram trainer: empty word table")
-    require(words.forall(_._1.length <= maxWordLenBound),
+    require(words.forall(w => cpLen(w._1) <= maxWordLenBound),
       s"unigram trainer: a word exceeds the $maxWordLenBound-char DP " +
         "unroll bound — raise maxWordLenBound and regenerate the oracle")
     var vocab: Map[String, Long] = seedCounts(words, maxPieceLen)
@@ -143,7 +165,7 @@ object UnigramLm {
       }
       vocab = vocab.flatMap { case (p, _) =>
         val nc =
-          if (p.length == 1) math.max(counts.getOrElse(p, 0L), 1L)
+          if (cpLen(p) == 1) math.max(counts.getOrElse(p, 0L), 1L)
           else counts.getOrElse(p, 0L)
         if (nc > 0L) Some(p -> nc) else None
       }
@@ -164,7 +186,7 @@ object UnigramLm {
     val spark = docs.sparkSession
     import spark.implicits._
     trainLocal(collectedWords(docs), maxPieceLen, emIters)
-      .map { case (p, c, k) => (p, p.length == 1, c, k) }
+      .map { case (p, c, k) => (p, cpLen(p) == 1, c, k) }
       .toDF("piece", "is_char", "cnt", "cost_micro")
   }
 
@@ -184,7 +206,7 @@ object UnigramLm {
       .map(r => r._1 -> r._3).toMap
     words.toSeq.map { case (w, _) =>
       val (k, n, _) = viterbi(w, cost, maxPieceLen)
-      (w, w.length.toLong, n.toLong, k)
+      (w, cpLen(w).toLong, n.toLong, k)
     }.toDF("word", "n_chars", "n_pieces", "w_cost")
   }
 
@@ -276,8 +298,8 @@ object UnigramLm {
     import spark.implicits._
     val words = collectedWords(docs)
     val trained = trainLocal(words, maxPieceLen, emIters)
-    val chars = trained.filter(_._1.length == 1)
-    val multis = trained.filter(_._1.length > 1)
+    val chars = trained.filter(r => cpLen(r._1) == 1)
+    val multis = trained.filter(r => cpLen(r._1) > 1)
       .sortWith((a, b) =>
         a._2 > b._2 || (a._2 == b._2 && BpeTrain.utf8Lt(a._1, b._1)))
     val rows = targets.map { v =>
@@ -287,7 +309,7 @@ object UnigramLm {
       words.foreach { case (w, c) =>
         val (k, n, _) = viterbi(w, cost, maxPieceLen)
         nPieces += n.toLong * c; nll += k * c
-        nChars += w.length.toLong * c; nWords += c
+        nChars += cpLen(w).toLong * c; nWords += c
       }
       (v.toLong, kept.size.toLong, nWords, nPieces,
         1000000L * nPieces / nWords, 10000L * nPieces / nChars, nll)

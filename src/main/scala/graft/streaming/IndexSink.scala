@@ -36,15 +36,41 @@ object IndexSink {
       .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(8)
 
+  /** The (cell, batch_key) layout is partition-INCOMPATIBLE with the
+    * pre-r15 append sink's flat partitionBy(cell) layout: mixing the
+    * two under one directory makes Spark's partition discovery throw
+    * "Conflicting directory structures" on the next read, i.e. the
+    * index breaks AFTER the write. Detect the legacy layout up front
+    * (one O(|cells|) listing — cells are model-sized) and fail
+    * loudly: the nightly bulk rebuild owns the migration. */
+  private def guardLegacyLayout(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val legacy = fs.listStatus(path)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .exists(cell => fs.listStatus(cell.getPath)
+          .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      require(!legacy,
+        s"$indexDir holds a pre-r15 flat partitionBy(cell) index; " +
+          "mixing it with the (cell, batch_key) idempotent layout " +
+          "breaks partition discovery — rebuild the index (the " +
+          "nightly bulk job owns the migration)")
+    }
+  }
+
   /** Write one batch's index rows idempotently (exposed for the
     * replay specs): same (rows, batchKey) ⇒ same final layout,
     * however many times it runs, including on top of a partial
     * earlier attempt. */
   def writeBatch(indexRows: DataFrame, indexDir: String,
-                 batchKey: String): Unit =
+                 batchKey: String): Unit = {
+    guardLegacyLayout(indexRows.sparkSession, indexDir)
     indexRows.withColumn("batch_key", lit(batchKey))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_key")
       .parquet(indexDir)
+  }
 }

@@ -60,6 +60,28 @@ class UnigramLmSpec extends SparkSpec {
       (1L, 3L, 10L, 5L, 1115720L, 5000L)))
   }
 
+  test("supplementary-plane safety: pieces are CODEPOINT slices, " +
+      "never lone surrogates (r15 review fix)") {
+    // "a😀b" is 4 UTF-16 units but 3 codepoints — the trainer must
+    // see 3 chars, classify 😀 as a single char, and never mint a
+    // half-surrogate piece
+    val docs = Seq((0L, "a😀b a😀b"))
+      .toDF("doc_id", "text")
+    val got = UnigramLm.unigramTrain(docs, maxPieceLen = 2, emIters = 1)
+      .select("piece", "is_char", "cnt")
+      .as[(String, Boolean, Long)].collect()
+    got.foreach { case (p, isChar, _) =>
+      assert(!p.exists(ch => Character.isSurrogate(ch) &&
+        p.codePointCount(0, p.length) == p.length),
+        s"lone surrogate leaked into piece '$p'")
+      assert(isChar === (p.codePointCount(0, p.length) == 1))
+    }
+    val enc = UnigramLm.unigramEncode(docs, maxPieceLen = 2, emIters = 1)
+      .select("n_chars").as[Long].collect()
+    assert(enc.toSeq === Seq(6L),
+      "n_chars must count codepoints (2 words x 3 cp), not UTF-16 units")
+  }
+
   test("trainer refuses words past the DP unroll bound, loudly") {
     val long = Seq((0L, "a" * (UnigramLm.maxWordLenBound + 1)))
       .toDF("doc_id", "text")
@@ -93,8 +115,14 @@ class UnigramLmSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
       .sortBy(_._1)
     assert(rows.map(_._3).toSet.size === 1, "one shared n_words")
+    val nChars = UnigramLm.unigramTrain(docs)
+      .filter(col("is_char")).count()
     rows.foreach { case (t, a, w, p, f) =>
-      assert(a <= math.max(t, a) && p >= w && f >= 1000000L)
+      // coverage floor <= actual <= max(target, floor): the real
+      // clamp law (the first draft of this assertion was a tautology)
+      assert(a >= nChars && a <= math.max(t, nChars),
+        s"target $t: actual $a outside [$nChars, max($t, $nChars)]")
+      assert(p >= w && f >= 1000000L)
     }
     // actual size is monotone in target and clamps at the trained size
     val actual = rows.map(_._2)
