@@ -20,9 +20,24 @@ src = args[0] if len(args) > 0 else "target/bench_last.json"
 note = args[1] if len(args) > 1 else "manual update"
 d = json.load(open(src))
 # prefer the load the BENCH saw before it started (it records
-# load1_start since r15); fall back to current load for older artifacts
-load1 = d.get("load1_start", os.getloadavg()[0])
-if load1 >= 0.5 and not force:
+# load1_start since r15); fall back to current load for older artifacts —
+# but say so loudly, because the fallback checks the wrong instant (it
+# can block a quiet-bench artifact examined during a build, or pass a
+# hot-bench artifact examined later on a quiet host).
+load1 = d.get("load1_start")
+if load1 is None:
+    load1 = os.getloadavg()[0]
+    print(f"WARNING: artifact lacks load1_start; gating on CURRENT load "
+          f"{load1:.2f} (record time, not bench time) — prefer a fresh "
+          "bench whose artifact carries load1_start", file=sys.stderr)
+if load1 is not None and load1 < 0:
+    # MXBean returns -1.0 where load is unavailable: that is UNKNOWN,
+    # not quiet — don't let it slip the gate (r15 ADVICE #1)
+    if not force:
+        sys.exit("refusing to record a baseline from a run with unknown "
+                 "host load (load1_start < 0); measure load manually and "
+                 "pass --force if the host was quiet")
+elif load1 >= 0.5 and not force:
     sys.exit(f"refusing to record a baseline from a run started at load "
              f"{load1:.2f} >= 0.5 (walls would be host-inflated); re-run "
              "on a quiet host or pass --force")

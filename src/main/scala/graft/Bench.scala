@@ -37,9 +37,23 @@ object Bench {
     // pre-run 1-minute load average, captured BEFORE the bench loads
     // the host itself — dev/update_baseline.py's quiet-host gate reads
     // this field (r14 verdict #7: a loaded-host closing artifact
-    // recorded 1.15x that a quiet re-run measured at 1.01x)
-    val load1Start = java.lang.management.ManagementFactory
+    // recorded 1.15x that a quiet re-run measured at 1.01x). The MXBean
+    // returns -1.0 where load is unavailable; that must read as
+    // "unknown", never as quiet (-1.0 < 0.5 would silently disarm the
+    // gate), so the artifact carries null + load_gate:"unknown" then.
+    val load1Raw = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val load1Json = if (load1Raw < 0) "null" else load1Raw.toString
+    // the gate verdict lives IN the artifact (r15 verdict #1): a capture
+    // started on a loaded host is loudly self-marked, so it can't become
+    // the round's number without the inflation being visible in the file
+    val loadGate =
+      if (load1Raw < 0) "unknown"
+      else if (load1Raw >= 0.5) "loaded"
+      else "quiet"
+    if (loadGate != "quiet")
+      System.err.println(s"[bench] WARNING: load1_start=$load1Raw gate=" +
+        s"$loadGate — walls may be host-inflated; prefer a quiet-host rerun")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -215,7 +229,7 @@ object Bench {
     // line; a COMPACT summary is the LAST line. The driver's log-tail
     // capture has truncated the long line three rounds running (r7:
     // parsed=null) — the tail-most line must always fit.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed,"load1_start":$load1Start$adjJson$scaling${vsBaseline._1},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"failed":$failed,"load1_start":$load1Json,"load_gate":"$loadGate"$adjJson$scaling${vsBaseline._1},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench_last.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
@@ -224,7 +238,7 @@ object Bench {
     // compact line: NO per-query map (it is in the detail line and the
     // file) — totals + baseline summary only, so the line stays O(1)
     // in query count and can never outgrow the tail capture again
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"reps":$reps,"failed":$failed${vsBaseline._2},"sf":"$sfDir","detail":"target/bench_last.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"reps":$reps,"failed":$failed,"load1_start":$load1Json,"load_gate":"$loadGate"${vsBaseline._2},"sf":"$sfDir","detail":"target/bench_last.json"}""")
     spark.stop()
   }
 }

@@ -443,7 +443,13 @@ object ScaleProbe {
       // unigram_vocab_curve: constant 4 rows (one per target size);
       // the sweep is driver-side re-cost + re-Viterbi over the
       // Heaps-bounded word table, corpus touched once
-      "unigram_vocab_curve" -> (operators.UnigramLm.unigramVocabCurveQuery _))
+      "unigram_vocab_curve" -> (operators.UnigramLm.unigramVocabCurveQuery _),
+      // r16: byte-BPE rides bpe_train's exact shape — the hex-celled
+      // word table has the SAME row count (one per distinct word,
+      // ~f-fold under the prefixed replica), merges stay 8 rows;
+      // bpe_byte_encode rows exactly linear (every doc)
+      "bpe_byte_train" -> (operators.BpeTrain.bpeByteTrainQuery _),
+      "bpe_byte_encode" -> (operators.BpeTrain.bpeByteEncodeQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

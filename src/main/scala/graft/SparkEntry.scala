@@ -227,6 +227,8 @@ object SparkEntry {
     "bpe_train"              -> (BpeTrain.trainBpeQuery _),
     "bpe_encode"             -> (BpeTrain.bpeEncodeQuery _),
     "bpe_vocab"              -> (BpeTrain.bpeVocabQuery _),
+    "bpe_byte_train"         -> (BpeTrain.bpeByteTrainQuery _),
+    "bpe_byte_encode"        -> (BpeTrain.bpeByteEncodeQuery _),
     "unigram_lm_train"       -> (UnigramLm.unigramTrainQuery _),
     "unigram_encode"         -> (UnigramLm.unigramEncodeQuery _),
     "tokenizer_compare"      -> (UnigramLm.tokenizerCompareQuery _),

@@ -399,6 +399,131 @@ object BpeTrain {
     bpeVocab(Tables.documents(spark, dir), numMerges = 8)
       .orderBy(col("n_occurrences").desc, col("symbol"))
 
+  // ------------------------------------------------------ byte-level BPE
+
+  /** BYTE-level BPE (r15 verdict #2) — the GPT-2/Llama-3 production
+    * default (Radford et al. 2019 tokenize UTF-8 BYTES, not chars):
+    * the base alphabet is the 256 byte values, so ANY text — any
+    * script, emoji, text unseen at training time — encodes with ZERO
+    * out-of-vocabulary symbols by construction, where char-BPE's
+    * alphabet is the training corpus's characters and an unseen
+    * codepoint is a hole.
+    *
+    * Representation: each byte is its 2-digit uppercase hex cell —
+    * `hex(encode(word, 'UTF-8'))` (Spark) and `hex(encode(word))`
+    * (DuckDB) agree byte-for-byte (verified on this host pair), the
+    * wrapped form is `<68><C3><A9>`, and ALL downstream machinery —
+    * trainMergesLocalIndexed, the leftmost non-overlapping literal
+    * replace, the unrolled round CTEs — is shared verbatim with
+    * char-BPE: only the w0 cell alphabet differs. Hex cells also moot
+    * the delimiter guard (the alphabet is [0-9A-F] — no '<'/'>'
+    * collision is possible), which is itself the point: char-BPE must
+    * REJECT delimiter-carrying words, byte-BPE encodes anything.
+    * Tiebreaks are unchanged — hex cells are ASCII, so utf8Lt is
+    * plain ASCII order in both engines. */
+  private def byteWordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("wrapped",
+        regexp_replace(hex(encode(col("word"), "UTF-8")), "(..)", "<$1>"))
+
+  /** One corpus pass + Heaps-guarded collect of the BYTE word table
+    * (collectedWordTable's contract verbatim; the byte table has the
+    * same row count — one row per distinct word). */
+  private[graft] def collectedByteWordTable(docs: DataFrame,
+      maxWords: Long = defaultMaxDistinctWords): Array[(String, Long, String)] = {
+    val wt = byteWordTable(docs).select(col("word"), col("cnt"), col("wrapped"))
+      .localCheckpoint()
+    val n = wt.count()
+    require(n <= maxWords,
+      s"bpeByteTrain: $n distinct words exceeds the Heaps-contract bound " +
+        s"$maxWords — this corpus's vocabulary is not collect-safe")
+    wt.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+  }
+
+  /** Train `numMerges` BYTE merges — trainMergesLocalIndexed on the
+    * hex-celled table; symbols in the output are hex strings ("61",
+    * "C3A9", …). Same early stop, same tiebreaks. */
+  def bpeByteTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1)
+    val spark = docs.sparkSession
+    val rows = collectedByteWordTable(docs)
+    val (merges, _) =
+      trainMergesLocalIndexed(rows.map(r => (r._3, r._2)), numMerges)
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  def bpeByteTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeByteTrain(Tables.documents(spark, dir), numMerges = 8)
+      .orderBy(col("rank"))
+
+  /** The byte word table AFTER the trained merges — the byte-side
+    * twin of [[trainedWordTable]]. */
+  private[graft] def byteTrainedWordTable(docs: DataFrame,
+                                          numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = collectedByteWordTable(docs)
+    val (_, trained) =
+      trainMergesLocalIndexed(rows.map(r => (r._3, r._2)), numMerges)
+    import spark.implicits._
+    rows.indices.map(i => (rows(i)._1, rows(i)._2, trained(i)))
+      .toDF("word", "cnt", "wrapped")
+  }
+
+  /** bpe_byte_encode: per-doc byte-symbol counts + compression against
+    * the BYTE length (octet_length — the denominator a byte tokenizer
+    * is judged on; 10000 = one symbol per byte, smaller is better). */
+  def bpeByteEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+    val words = byteTrainedWordTable(docs, numMerges)
+    val ws = words.select(col("word"),
+      (length(col("wrapped"))
+        - length(expr("replace(wrapped, '<', '')"))).cast("long").as("n_syms"),
+      octet_length(col("word")).cast("long").as("n_bytes"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(ws, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_syms")).as("n_byte_symbols"))
+      .select(col("doc_id"), col("n_words"), col("n_bytes"),
+        col("n_byte_symbols"),
+        expr("(10000 * n_byte_symbols) div n_bytes").as("compression_bp"))
+  }
+
+  def bpeByteEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeByteEncode(Tables.documents(spark, dir), numMerges = 8)
+      .orderBy(col("doc_id"))
+
+  /** Apply a TRAINED byte merge table to ARBITRARY new words — the
+    * zero-OOV serving path: unseen text (any script, emoji) wraps to
+    * hex byte cells and each merge applies in rank order as the same
+    * leftmost non-overlapping literal replace training used, entirely
+    * as chained column expressions (no UDF — the merge table is
+    * model-sized, ≤ numMerges rows, collected once and folded into
+    * the plan). Returns (word, syms) where concat(unhex(sym)*) is the
+    * original word's bytes EXACTLY — the round-trip the zero-OOV spec
+    * pins. */
+  def bpeByteApply(words: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("rank"))
+      .select(col("lsym"), col("rsym")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val start = words.select(col("word"),
+      regexp_replace(hex(encode(col("word"), "UTF-8")), "(..)", "<$1>")
+        .as("wrapped"))
+    // literal replace (not regexp) — hex cells need no quoting, and
+    // it is training's exact merge semantics
+    val folded = ms.foldLeft(start) { case (df, (l, r)) =>
+      df.withColumn("wrapped",
+        expr(s"replace(wrapped, '<$l><$r>', '<$l$r>')"))
+    }
+    folded.select(col("word"),
+      split(regexp_replace(col("wrapped"), "^<|>$", ""), "><").as("syms"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** The training rounds unrolled as SQL CTEs: w0 = the word table,
@@ -420,24 +545,41 @@ object BpeTrain {
       | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       | WHERE word <> '' GROUP BY word)""".stripMargin
 
-  private[graft] def bpeRoundsCtes(numMerges: Int): String = {
+  private[graft] def bpeRoundsCtes(numMerges: Int): String =
+    bpeRoundsCtesWith(wordTableCteSql, "", numMerges)
+
+  /** The BYTE-side w0: hex-celled UTF-8 bytes, no delimiter guard
+    * (the alphabet is [0-9A-F] — collision-free by construction). */
+  private[graft] val byteWordTableCteSql: String =
+    """byw0 AS MATERIALIZED (
+      | SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+      |  regexp_replace(hex(encode(word)), '(..)', '<\1>', 'g') AS wr
+      | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      | WHERE word <> '' GROUP BY word)""".stripMargin
+
+  /** Round CTEs over an arbitrary w0 — shared by the char chain
+    * (pfx "", wordTableCteSql) and the byte chain (pfx "by",
+    * byteWordTableCteSql); both chains can coexist in ONE query
+    * (tokenizer_compare's oracle does exactly that). */
+  private[graft] def bpeRoundsCtesWith(w0Sql: String, pfx: String,
+                                       numMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= wordTableCteSql
+    sb ++= w0Sql
     for (m <- 1 to numMerges) {
       sb ++= s""",
-        |p$m AS (
+        |${pfx}p$m AS (
         | SELECT sy[i] AS l, sy[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
         | FROM (SELECT cnt, string_split(trim(wr, '<>'), '><') AS sy
-        |       FROM w${m - 1}),
+        |       FROM ${pfx}w${m - 1}),
         |  UNNEST(range(1, len(sy))) t(i)
         | GROUP BY 1, 2),
-        |b$m AS MATERIALIZED (
-        | SELECT l, r, c FROM p$m ORDER BY c DESC, l, r LIMIT 1),
-        |w$m AS MATERIALIZED (
+        |${pfx}b$m AS MATERIALIZED (
+        | SELECT l, r, c FROM ${pfx}p$m ORDER BY c DESC, l, r LIMIT 1),
+        |${pfx}w$m AS MATERIALIZED (
         | SELECT word, cnt,
         |  replace(wr, '<' || b.l || '><' || b.r || '>',
         |          '<' || b.l || b.r || '>') AS wr
-        | FROM w${m - 1} CROSS JOIN b$m b)""".stripMargin
+        | FROM ${pfx}w${m - 1} CROSS JOIN ${pfx}b$m b)""".stripMargin
     }
     sb.toString
   }
@@ -481,8 +623,40 @@ object BpeTrain {
        |FROM sy GROUP BY symbol
        |ORDER BY n_occurrences DESC, symbol""".stripMargin
 
+  private def bpeByteTrainOracle(numMerges: Int): String = {
+    val rows = (1 to numMerges).map(m =>
+      s"SELECT $m AS rank, l AS lsym, r AS rsym, l || r AS merged, " +
+        s"c AS pair_count FROM byb$m").mkString("\n UNION ALL ")
+    s"""WITH ${bpeRoundsCtesWith(byteWordTableCteSql, "by", numMerges)}
+       |SELECT * FROM (
+       | $rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** n_bytes = strlen (DuckDB's byte length of a VARCHAR — verified
+    * equal to Spark's octet_length on this host pair). */
+  private def bpeByteEncodeOracle(numMerges: Int): String =
+    s"""WITH ${bpeRoundsCtesWith(byteWordTableCteSql, "by", numMerges)},
+       |byws AS (
+       | SELECT word, CAST(strlen(word) AS BIGINT) AS n_bytes,
+       |  CAST(length(wr) - length(replace(wr, '<', '')) AS BIGINT) AS n_syms
+       | FROM byw$numMerges),
+       |byenc AS (
+       | SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents) WHERE word <> '')
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(ws.n_bytes) AS BIGINT) AS n_bytes,
+       | CAST(sum(ws.n_syms) AS BIGINT) AS n_byte_symbols,
+       | (10000 * CAST(sum(ws.n_syms) AS BIGINT))
+       |   // CAST(sum(ws.n_bytes) AS BIGINT) AS compression_bp
+       |FROM byenc e JOIN byws ws ON e.word = ws.word
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
-    "bpe_vocab" -> bpeVocabOracle(8))
+    "bpe_vocab" -> bpeVocabOracle(8),
+    "bpe_byte_train" -> bpeByteTrainOracle(8),
+    "bpe_byte_encode" -> bpeByteEncodeOracle(8))
 }

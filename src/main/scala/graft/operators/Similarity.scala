@@ -2087,8 +2087,14 @@ object Similarity {
     * only mean a micro-valued frame: fail loudly (the raise_error
     * delimiter discipline) instead of encoding corruption. */
   private def guardRawScaleCents(cents: DataFrame): DataFrame =
+    // two independent micro signals: component magnitude ≥ 1e3 (no raw
+    // unit-vector mean reaches it) OR squared L2 norm ≥ 1e10 (micro
+    // frames sit near 1e12 REGARDLESS of dimension — the norm catch for
+    // very high-dim frames whose every component stays under 1e3)
     cents.select(col("cid"),
-      when(array_max(transform(col("ce"), x => abs(x))) >= lit(1000.0d),
+      when(array_max(transform(col("ce"), x => abs(x))) >= lit(1000.0d)
+          or aggregate(col("ce"), lit(0.0d), (acc, x) => acc + x * x)
+            >= lit(1e10d),
         raise_error(concat(
           lit("residual index: centroid component magnitude >= 1e3 — " +
             "this frame looks MICRO-valued (trained); pass RAW-scale " +
@@ -2245,10 +2251,14 @@ object Similarity {
     // nibble window would silently corrupt every code (this bug's
     // first draft did exactly that: cids 16..31 into 4 bits), so the
     // rebase guards loudly in-plan.
+    // upper bound is seedFrom + numCodes, NOT seedFrom + 16: with
+    // numCodes < 16 a cid in the [numCodes, 16) gap would still fit a
+    // nibble but violates the codebook's domain — the guard exists to
+    // catch exactly such convention drift, so it checks the real domain
     def nib(e: String) =
-      s"(CASE WHEN $e < $seedFrom OR $e >= ${seedFrom + 16} THEN " +
+      s"(CASE WHEN $e < $seedFrom OR $e >= ${seedFrom + numCodes} THEN " +
         "CAST(raise_error('int4 residual pack: cid out of the " +
-        s"nibble window [$seedFrom, ${seedFrom + 16})') AS BIGINT) " +
+        s"nibble window [$seedFrom, ${seedFrom + numCodes})') AS BIGINT) " +
         s"ELSE $e - $seedFrom END)"
     residualPqIndexRows(emb, cents, numSub, subDim, numCodes, seedFrom)
       .select(col("vec_id"), col("cell"), expr(

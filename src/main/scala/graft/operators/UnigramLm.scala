@@ -233,12 +233,14 @@ object UnigramLm {
   def unigramEncodeQuery(spark: SparkSession, dir: String): DataFrame =
     unigramEncode(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** tokenizer_compare: BPE (numMerges) vs unigram-LM (trained here)
-    * vs the whitespace baseline on the SAME corpus — corpus-level
-    * fertility (pieces per word, micro) and compression (pieces per
-    * 10k chars), the r14-verdict extension of tokenizer_fertility.
-    * All three read the one Heaps-bounded word table; weighted sums
-    * are exact BIGINTs. */
+  /** tokenizer_compare: char-BPE vs BYTE-BPE (r15 verdict #2 — the
+    * GPT-2/Llama-3 family) vs unigram-LM vs the whitespace baseline
+    * on the SAME corpus — corpus-level fertility (pieces per word,
+    * micro) and compression (pieces per 10k CHARS — one shared
+    * denominator so the families compare; byte-BPE's own
+    * bytes-denominated number lives in bpe_byte_encode). All four
+    * read the one Heaps-bounded word table; weighted sums are exact
+    * BIGINTs. */
   def tokenizerCompare(docs: DataFrame, numMerges: Int = 8,
                        maxPieceLen: Int = 4, emIters: Int = 2): DataFrame = {
     val spark = docs.sparkSession
@@ -251,6 +253,12 @@ object UnigramLm {
       .map(r => r._1 -> r._3).toMap
     // BPE: symbols per word after the trained merge table
     val bpe = BpeTrain.trainedWordTable(docs, numMerges)
+      .select(col("word"), col("cnt"),
+        (length(col("wrapped"))
+          - length(expr("replace(wrapped, '<', '')"))).cast("long")
+          .as("n_pieces"))
+    // byte-BPE: same cell-count read off the byte-trained table
+    val bpeByte = BpeTrain.byteTrainedWordTable(docs, numMerges)
       .select(col("word"), col("cnt"),
         (length(col("wrapped"))
           - length(expr("replace(wrapped, '<', '')"))).cast("long")
@@ -270,6 +278,7 @@ object UnigramLm {
           expr("(1000000 * n_pieces) div n_words").as("fertility_micro"),
           expr("(10000 * n_pieces) div n_chars").as("compression_bp"))
     totals("bpe", bpe)
+      .unionByName(totals("bpe_byte", bpeByte))
       .unionByName(totals("unigram", uni))
       .unionByName(totals("whitespace", ws))
   }
@@ -448,6 +457,8 @@ object UnigramLm {
   private def tokenizerCompareOracle(numMerges: Int, maxPieceLen: Int,
                                      emIters: Int): String =
     s"""WITH ${BpeTrain.bpeRoundsCtes(numMerges)},
+       |${BpeTrain.bpeRoundsCtesWith(BpeTrain.byteWordTableCteSql, "by",
+            numMerges)},
        |${unigramTrainCtes(maxPieceLen, emIters)}
        |${viterbiCtes("ucmp_", s"uv$emIters", "uvitcmp", maxPieceLen)},
        |per_word AS (
@@ -455,6 +466,10 @@ object UnigramLm {
        |  CAST(length(wr) - length(replace(wr, '<', '')) AS BIGINT)
        |   AS n_pieces
        | FROM w$numMerges
+       | UNION ALL
+       | SELECT 'bpe_byte', word, cnt,
+       |  CAST(length(wr) - length(replace(wr, '<', '')) AS BIGINT)
+       | FROM byw$numMerges
        | UNION ALL
        | SELECT 'unigram', w.word, w.cnt,
        |  CAST(substr(v.val, 14, 2) AS BIGINT)
