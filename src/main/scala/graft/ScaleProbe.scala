@@ -449,7 +449,11 @@ object ScaleProbe {
       // ~f-fold under the prefixed replica), merges stay 8 rows;
       // bpe_byte_encode rows exactly linear (every doc)
       "bpe_byte_train" -> (operators.BpeTrain.bpeByteTrainQuery _),
-      "bpe_byte_encode" -> (operators.BpeTrain.bpeByteEncodeQuery _))
+      "bpe_byte_encode" -> (operators.BpeTrain.bpeByteEncodeQuery _),
+      // multimodal_decode_wav: rows exactly linear (one per doc); the
+      // encode+decode pair is map-only at the partition-batched codec
+      // boundary — wall must ride the linear corpus, no shuffle at all
+      "multimodal_decode_wav" -> (operators.Multimodal.multimodalDecodeWavQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

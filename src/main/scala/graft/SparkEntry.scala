@@ -221,6 +221,7 @@ object SparkEntry {
     "multimodal_audiochunks" -> (Multimodal.multimodalAudioChunkQuery _),
     "multimodal_decode_png"  -> (Multimodal.multimodalDecodePngQuery _),
     "multimodal_decode_jpeg" -> (Multimodal.multimodalDecodeJpegQuery _),
+    "multimodal_decode_wav"  -> (Multimodal.multimodalDecodeWavQuery _),
     "multimodal_phash"       -> (Multimodal.multimodalPhashQuery _),
     "multimodal_phash_pairs" -> (Multimodal.multimodalPhashPairsQuery _),
     "corpus_card"            -> (CorpusStats.corpusCardQuery _),

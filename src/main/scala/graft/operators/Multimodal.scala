@@ -448,12 +448,164 @@ object Multimodal {
     audioChunkPlan(Tables.documents(spark, dir), windowSec = 30, hopSec = 25)
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- WAV decode tier
+
+  /** Audio asset: opaque WAV container bytes + the generation facts
+    * (consulted ONLY by specs — the decoder reads everything back
+    * from the payload). */
+  case class WavAsset(doc_id: Long, sample_rate: Int, n_samples: Int,
+                      payload: Array[Byte])
+
+  /** Decoded-audio facts, every field read back from the BYTES:
+    * container type from the javax.sound sniffer, rate/channels/bits
+    * from the decoded AudioFormat, the sample count and EXACT integer
+    * sample sum from the decoded PCM frames (WAV is lossless — the
+    * pixel-sum discipline transfers verbatim), and the chunk schedule
+    * computed from the DECODED duration (r15 verdict #5: the r12
+    * chunker planned over synthetic metadata; this one plans over
+    * what the codec actually recovered). */
+  case class DecodedWav(doc_id: Long, format: String, sample_rate: Int,
+                        channels: Int, bits: Int, n_samples: Long,
+                        sample_sum: Long, n_chunks: Long)
+
+  /** Deterministic int16 sample i of document d — the rule the DuckDB
+    * oracle reproduces arithmetically (grayAt's audio twin). */
+  private def sampleAt(d: Long, i: Int): Short =
+    (((i * 37L + d * 11L) % 65536L) - 32768L).toShort
+
+  /** Generate REAL WAV payloads: 16-bit signed mono little-endian PCM
+    * of md5-derived rate and length, containerized through
+    * javax.sound.sampled (in the JDK — the PNG/JPEG posture, no codec
+    * jar). Encoder runs at the partition-batched boundary. */
+  def withWavPayloads(docs: DataFrame): Dataset[WavAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        element_at(array(lit(8000), lit(16000)),
+          (hash60(concat(col("text"), lit("#wr"))) % 2 + 1).cast("int"))
+          .as("sample_rate"),
+        (hash60(concat(col("text"), lit("#wn"))) % 801 + 200).cast("int")
+          .as("n_samples"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (d, rate, n) =>
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = sampleAt(d, i)
+            pcm(i * 2) = (s & 0xff).toByte
+            pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          try javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          finally ais.close()
+          WavAsset(d, rate, n, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL WAV decode at the partition-batched boundary: the container
+    * type is sniffed from the bytes, format facts come from the
+    * decoded AudioFormat, the sample sum from the decoded frames, and
+    * the chunk schedule (ceil((n − window)⁺ / hop) + 1 — exact ints,
+    * audioChunkPlan's formula in SAMPLES) from the DECODED length. An
+    * undecodable/truncated payload degrades to an ("error", -1, …)
+    * row instead of failing the partition (decodeImages' contract). */
+  def decodeWav(assets: Dataset[WavAsset], windowSamples: Int = 256,
+                hopSamples: Int = 200,
+                batchSize: Int = 64): Dataset[DecodedWav] = {
+    require(hopSamples >= 1 && windowSamples >= hopSamples)
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          try {
+            // ByteArrayInputStream supports mark/reset — no buffering
+            // wrapper, no temp files (the memStream lesson)
+            val bis = new java.io.ByteArrayInputStream(a.payload)
+            val ftype = javax.sound.sampled.AudioSystem
+              .getAudioFileFormat(bis).getType.toString.toLowerCase
+            bis.reset()
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(bis)
+            try {
+              val f = ais.getFormat
+              val declared = ais.getFrameLength // header's frame count
+              val bytes = ais.readAllBytes()
+              // TRUNCATION is an integrity failure, not a short clip:
+              // the header declares the frame count, and a torn body
+              // recovers fewer — javax.sound silently clamps to whole
+              // frames, so the declared-vs-recovered compare is the
+              // only tell (both read from the bytes alone)
+              if (f.getSampleSizeInBits != 16 || f.getChannels != 1
+                  || f.isBigEndian || bytes.length % 2 != 0
+                  || (declared >= 0 && bytes.length / 2 != declared))
+                DecodedWav(a.doc_id, "error", -1, -1, -1, -1L, -1L, -1L)
+              else {
+                val n = bytes.length / 2
+                var sum = 0L
+                var i = 0
+                while (i < n) {
+                  sum += (((bytes(i * 2 + 1) & 0xff) << 8)
+                    | (bytes(i * 2) & 0xff)).toShort
+                  i += 1
+                }
+                val chunks =
+                  (math.max(n - windowSamples, 0) + hopSamples - 1) /
+                    hopSamples + 1
+                DecodedWav(a.doc_id, ftype, f.getSampleRate.toInt,
+                  f.getChannels, f.getSampleSizeInBits, n.toLong, sum,
+                  chunks.toLong)
+              }
+            } finally ais.close()
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              DecodedWav(a.doc_id, "error", -1, -1, -1, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  def multimodalDecodeWavQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeWav(withWavPayloads(Tables.documents(spark, dir))).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** The stub decoder's outputs are all deterministic functions of the
     * payload bytes (ASCII text, so bytes == codepoints), which makes
     * even the mapPartitions path oracle-checkable: metadata from
     * md5-derived hashes, checksum as the same left-fold rolling hash
     * via list_reduce. */
+  /** multimodal_decode_wav oracle: WAV is LOSSLESS, so the decoded
+    * facts replay arithmetically from the generation rule — rate and
+    * length from the md5 hashes, the EXACT sample sum over
+    * ((i·37 + d·11) mod 65536) − 32768, the chunk count from the
+    * decoded length (window 256 / hop 200 samples). A green row
+    * proves the javax.sound round-trip recovered every frame. */
+  private val decodeWavOracle: String =
+    """SELECT doc_id, 'wave' AS format, sample_rate,
+      | CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+      | CAST(n AS BIGINT) AS n_samples,
+      | CAST(list_sum(list_transform(range(0, n),
+      |   i -> (i * 37 + doc_id * 11) % 65536 - 32768)) AS BIGINT)
+      |  AS sample_sum,
+      | CAST((greatest(n - 256, 0) + 199) // 200 + 1 AS BIGINT) AS n_chunks
+      |FROM (
+      | SELECT doc_id,
+      |  [8000, 16000][CAST(CAST('0x'||substr(md5(text||'#wr'),1,15) AS BIGINT) % 2 + 1 AS INTEGER)] AS sample_rate,
+      |  CAST(CAST('0x'||substr(md5(text||'#wn'),1,15) AS BIGINT) % 801 + 200 AS INTEGER) AS n
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "multimodal_decode_wav" -> decodeWavOracle,
     "multimodal_meta" ->
       """SELECT doc_id, format, width, height, n_bytes, checksum,
         | round(checksum / 1000000007.0, 6) AS feat0
