@@ -47,8 +47,10 @@ object BpeTrain {
 
   /** The one corpus pass: (word, cnt, wrapped) with each character as
     * a `<c>` cell. Words containing the delimiter chars fail loudly —
-    * silent mis-merges are worse than a crash. */
-  private def wordTable(docs: DataFrame): DataFrame =
+    * silent mis-merges are worse than a crash. (private[operators]:
+    * the distributed unigram trainer reads the same frame WITHOUT
+    * the collect.) */
+  private[operators] def wordTable(docs: DataFrame): DataFrame =
     docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))
         .as("word"))
       .filter(col("word") =!= "")

@@ -515,6 +515,220 @@ object QualityModels {
     lmHeldoutBigram(Tables.documents(spark, dir))
       .orderBy(col("model"), col("split"))
 
+  // ---------------------------------------------------- trigram Kneser-Ney
+
+  /** Shared trigram-KN model frames over a (possibly split-filtered)
+    * corpus: trigram types, (t1 t2) prefix stats, the MIDDLE-order
+    * continuation table (Kneser-Ney's defining move one order up: the
+    * backoff bigram distribution counts distinct LEFT CONTEXTS in the
+    * trigram table, N1+(·t2t3), not raw bigram frequency), and the
+    * continuation-unigram stats the bigram KN ladder already uses.
+    * Every frame is a map-side-combined keyed aggregate. */
+  private def trigramModelFrames(corpus: DataFrame):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+       DataFrame, DataFrame) = {
+    val tcnt = corpus
+      .select(explode(wordShingles(tokens(col("text")), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c123"))
+    val pstats = tcnt
+      .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
+        split(col("tg"), " ").getItem(1)).as("p12"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("t12types"))
+    val mid = tcnt
+      .select(concat_ws(" ", split(col("tg"), " ").getItem(1),
+        split(col("tg"), " ").getItem(2)).as("s23"))
+      .groupBy("s23").agg(count(lit(1)).as("m23"))
+    val mstats = mid
+      .groupBy(split(col("s23"), " ").getItem(0).as("mt2"))
+      .agg(sum(col("m23")).as("m2"), count(lit(1)).as("t2types"))
+    val bcnt = corpus
+      .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cstats = bcnt
+      .groupBy(split(col("bg"), " ").getItem(1).as("ct3"))
+      .agg(count(lit(1)).as("cont"))
+    val btot = bcnt.agg(count(lit(1)).as("b"))
+    val vtot = corpus.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    (tcnt, pstats, mid, mstats, cstats, btot, vtot)
+  }
+
+  /** Trigram-LM cross-entropy with INTERPOLATED KNESER-NEY smoothing
+    * (Chen & Goodman 1999 §4.1.6) — the LM family one Markov order up
+    * from bigram_surprisal_kn, the next honest step toward the 5-gram
+    * KenLM gate CCNet actually ships. Per seen trigram (t1 t2 t3),
+    * D = 3/4 exact:
+    *
+    *   p(t3|t1t2) = (c123−D)/c12 + D·T12/c12 · p_kn(t3|t2)
+    *   p_kn(t3|t2) = (m23−D)/m2 + D·T2/m2 · p_cont(t3)   (KN middle
+    *     order: m23 = N1+(·t2t3) distinct left contexts, m2 = N1+(·t2·),
+    *     T2 = distinct continuations of t2 in the trigram table)
+    *   p_cont(t3) = (cont3+1)/(B+V)   (the bigram-KN continuation
+    *     unigram — lm_heldout_bigram's kn_cont backstop, verbatim)
+    *
+    * which collapses to ONE exact rational per trigram TYPE:
+    *   denmid = 4·m2·(B+V)
+    *   nummid = (4·m23−3)·(B+V) + 3·T2·(cont3+1)
+    *   den = 4·c12·denmid,  num = (4·c123−3)·denmid + 3·T12·nummid
+    * and the per-type surprisal rounds ONCE to micro-nats as
+    * round((ln(den)−ln(num))·10⁶), two ln of exact BIGINTs in pinned
+    * order.
+    *
+    * Integer bound (the vocab²-context size question, documented):
+    * den = 16·c12·m2·(B+V). Both engines stay EXACT to 2⁶³ (the ln
+    * arg is the same integer, cast to the same IEEE double even past
+    * 2⁵³, so parity holds to int64's edge; DuckDB overflows LOUDLY
+    * past it). Realistic skew keeps c12·m2·(B+V) < 5·10¹⁷ through
+    * ~10⁸-token corpora; past that, rescale the rational (divide both
+    * sides by B+V and round once more) before going to 5-gram.
+    *
+    * Scale shape — deliberately NOT bigram_surprisal_kn's broadcast
+    * map: the trigram-type model is vocab³-bounded (Heaps keeps it ≪
+    * positions but ≫ the bigram vocab — at 100 TB it is billions of
+    * rows and cannot broadcast). Scoring is the lm_heldout shape
+    * instead: the exploded trigram stream equi-joins the model on its
+    * key and ONE per-doc aggregate collapses it — every stage keyed,
+    * map-side-combinable, nothing model-sized crosses a driver or a
+    * broadcast. Docs with < 3 tokens carry 0/NULL (no evidence). */
+  def trigramSurprisalKn(docs: DataFrame): DataFrame = {
+    val (tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      trigramModelFrames(docs)
+    val bv = col("b") + col("v")
+    val denmid = lit(4L) * col("m2") * bv
+    val nummid = (lit(4L) * col("m23") - 3) * bv +
+      lit(3L) * col("t2types") * (col("cont") + 1)
+    val den = lit(4L) * col("c12") * denmid
+    val num = (lit(4L) * col("c123") - 3) * denmid +
+      lit(3L) * col("t12types") * nummid
+    val smodel = tcnt
+      .withColumn("p12", concat_ws(" ", split(col("tg"), " ").getItem(0),
+        split(col("tg"), " ").getItem(1)))
+      .withColumn("s23", concat_ws(" ", split(col("tg"), " ").getItem(1),
+        split(col("tg"), " ").getItem(2)))
+      .join(pstats, "p12")
+      .join(mid, "s23")
+      .join(mstats, split(col("s23"), " ").getItem(0) === col("mt2"))
+      // every seen trigram's (t2,t3) is a seen bigram, so the
+      // continuation join is inner by construction
+      .join(cstats, split(col("tg"), " ").getItem(2) === col("ct3"))
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
+      .select(col("tg"),
+        round((log(den) - log(num)) * lit(1000000.0d))
+          .cast("long").as("s"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 3)).as("tg"))
+      .join(smodel, "tg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("s")).as("surprisal_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("surprisal_micro"), lit(0L)).as("surprisal_micro"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          expr("surprisal_micro div n_trigrams")).as("mean_micro"))
+  }
+
+  def trigramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
+    trigramSurprisalKn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Held-out trigram-KN vs bigram-KN on the SAME trigram positions —
+    * lm_heldout_bigram's train/test discipline one order up, and the
+    * apples-to-apples comparison that bigram frame cannot give (its
+    * kn_cont row scores bigram positions): both models here score
+    * every (t1 t2 → t3) prediction site, so the mean_micro gap IS the
+    * value of the extra order of context on unseen data.
+    *
+    * Fallback ladder per scored trigram (train-split stats):
+    *   kn_trigram, (t1 t2) seen as a context:
+    *     num = max(4·c123−3,0)·denmid + 3·T12·nummid, den = 4·c12·denmid
+    *     (a seen context forces m2 ≥ 1, so nummid is always defined;
+    *      unseen (t2,t3) middles enter via max(4·m23−3,0) = 0)
+    *   context unseen, t2 seen as a MIDDLE context:
+    *     num = nummid, den = denmid      (pure middle order)
+    *   t2 unseen:
+    *     num = cont3+1, den = B+V        (pure continuation unigram)
+    *   kn_bigram: lm_heldout_bigram's kn_cont ladder on (t2, t3),
+    *     verbatim.
+    * Every branch rounds ONCE to micro-nats; unseen rows share exact
+    * integer inputs, so both engines round identically. */
+  def lmHeldoutTrigram(docs: DataFrame, trainPct: Int = 80,
+                       valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val trainT = 4294967296L * trainPct / 100
+    val valT = 4294967296L * (trainPct + valPct) / 100
+    val tagged = docs.select(col("doc_id"), col("text"),
+      when(TextAnalysis.sampleBucket < trainT, "train")
+        .when(TextAnalysis.sampleBucket < valT, "val")
+        .otherwise("test").as("split"))
+    val train = tagged.filter(col("split") === "train")
+    val (tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      trigramModelFrames(train)
+    // bigram-KN stats for the comparison model (train split)
+    val btr = train
+      .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb2"))
+    val bpstats = btr
+      .groupBy(split(col("bg"), " ").getItem(0).as("bt1"))
+      .agg(sum(col("cb2")).as("bc1"), count(lit(1)).as("bt1types"))
+    val scored = tagged
+      .select(col("split"),
+        explode(wordShingles(tokens(col("text")), 3)).as("tg"))
+      .withColumn("p12", concat_ws(" ", split(col("tg"), " ").getItem(0),
+        split(col("tg"), " ").getItem(1)))
+      .withColumn("s23", concat_ws(" ", split(col("tg"), " ").getItem(1),
+        split(col("tg"), " ").getItem(2)))
+      .withColumn("t2", split(col("tg"), " ").getItem(1))
+      .withColumn("t3", split(col("tg"), " ").getItem(2))
+      .join(tcnt, Seq("tg"), "left")
+      .join(pstats, Seq("p12"), "left")
+      .join(mid, Seq("s23"), "left")
+      .join(mstats, col("t2") === col("mt2"), "left")
+      .join(cstats, col("t3") === col("ct3"), "left")
+      .join(btr, col("s23") === col("bg"), "left")
+      .join(bpstats, col("t2") === col("bt1"), "left")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
+    val bv = col("b") + col("v")
+    val denmid = lit(4L) * col("m2") * bv
+    val nummid = greatest(lit(4L) * coalesce(col("m23"), lit(0L)) - 3,
+      lit(0L)) * bv +
+      lit(3L) * col("t2types") * (coalesce(col("cont"), lit(0L)) + 1)
+    val rows = scored.select(col("split"),
+      col("c123").isNull.as("unseen"),
+      round((when(col("c12").isNotNull,
+          log(lit(4L) * col("c12") * denmid)
+            - log(greatest(lit(4L) * coalesce(col("c123"), lit(0L)) - 3,
+                lit(0L)) * denmid
+              + lit(3L) * col("t12types") * nummid))
+        .when(col("m2").isNotNull, log(denmid) - log(nummid))
+        .otherwise(log(bv)
+          - log(coalesce(col("cont"), lit(0L)) + 1)))
+        * lit(1000000.0d)).cast("long").as("s_tri"),
+      round((when(col("bc1").isNotNull,
+          log(lit(4L) * col("bc1") * bv)
+            - log(greatest(lit(4L) * coalesce(col("cb2"), lit(0L)) - 3,
+                lit(0L)) * bv
+              + lit(3L) * col("bt1types")
+                * (coalesce(col("cont"), lit(0L)) + 1)))
+        .otherwise(log(bv)
+          - log(coalesce(col("cont"), lit(0L)) + 1)))
+        * lit(1000000.0d)).cast("long").as("s_big"))
+    val agg = rows.groupBy("split")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("unseen"), 1L).otherwise(0L)).as("unseen_trigrams"),
+        sum(col("s_tri")).as("st"), sum(col("s_big")).as("sb"))
+    def side(model: String, sumCol: String) = agg
+      .select(lit(model).as("model"), col("split"), col("n_trigrams"),
+        col("unseen_trigrams"),
+        expr(s"$sumCol div n_trigrams").as("mean_micro"))
+    side("kn_bigram", "sb").unionByName(side("kn_trigram", "st"))
+  }
+
+  def lmHeldoutTrigramQuery(spark: SparkSession, dir: String): DataFrame =
+    lmHeldoutTrigram(Tables.documents(spark, dir))
+      .orderBy(col("model"), col("split"))
+
   /** Token-distribution drift between two corpus slices — the
     * monitoring operator a continuously-crawled pipeline runs before
     * admitting a new batch: KL(new ‖ base) decomposed PER TOKEN TYPE,
@@ -1177,6 +1391,47 @@ object QualityModels {
        |ORDER BY bin""".stripMargin
   }
 
+  /** The trigram-KN model CTE chain over a `tok(…, toks)` CTE the
+    * caller defines — trigram stream/types, prefix stats, the middle
+    * continuation table, continuation-unigram stats and the two
+    * scalars, mirroring [[trigramModelFrames]] frame for frame. */
+  private def trigramModelCtes(withDocId: Boolean): String = {
+    val docCol = if (withDocId) "doc_id, " else ""
+    s"""tgocc AS (
+       | SELECT ${docCol}unnest(CASE WHEN len(toks) >= 3
+       |   THEN list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |   ELSE [] END) AS tg
+       | FROM tok),
+       |tcnt AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123
+       |         FROM tgocc GROUP BY 1),
+       |pstats AS (SELECT string_split(tg, ' ')[1] || ' ' ||
+       |  string_split(tg, ' ')[2] AS p12,
+       |  CAST(sum(c123) AS BIGINT) AS c12,
+       |  CAST(count(*) AS BIGINT) AS t12types FROM tcnt GROUP BY 1),
+       |mid AS (SELECT string_split(tg, ' ')[2] || ' ' ||
+       |  string_split(tg, ' ')[3] AS s23,
+       |  CAST(count(*) AS BIGINT) AS m23 FROM tcnt GROUP BY 1),
+       |mstats AS (SELECT string_split(s23, ' ')[1] AS mt2,
+       |  CAST(sum(m23) AS BIGINT) AS m2,
+       |  CAST(count(*) AS BIGINT) AS t2types FROM mid GROUP BY 1),
+       |bgocc AS (
+       | SELECT unnest(CASE WHEN len(toks) >= 2
+       |   THEN list_transform(range(1, len(toks)),
+       |                       i -> toks[i] || ' ' || toks[i+1])
+       |   ELSE [] END) AS bg
+       | FROM tok),
+       |btypes AS (SELECT bg FROM bgocc GROUP BY 1),
+       |cstats AS (SELECT string_split(bg, ' ')[2] AS ct3,
+       |  CAST(count(*) AS BIGINT) AS cont FROM btypes GROUP BY 1),
+       |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM btypes),
+       |vtot AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM
+       | (SELECT unnest(toks) AS t FROM tok)),""".stripMargin
+  }
+
+  private val trigramStreamCtes = trigramModelCtes(withDocId = true)
+  private val trigramStreamCtesNoDoc = trigramModelCtes(withDocId = false)
+
   val oracles: Map[String, String] = Map(
     "quality_calibrated" -> qualityCalibratedOracle(iters = 10,
       stepDiv = 10000000L),
@@ -1564,6 +1819,109 @@ object QualityModels {
          |UNION ALL
          |SELECT 'kn_cont', split, n_bigrams, unseen_bigrams,
          | skc // n_bigrams FROM agg
+         |ORDER BY model, split""".stripMargin,
+    // interpolated trigram KN: one exact rational per seen trigram
+    // type (nested middle-order continuation), two pinned ln terms
+    "trigram_surprisal_kn" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |$trigramStreamCtes
+         |smap AS (
+         | SELECT t.tg,
+         |  CAST(round((ln(4*p.c12*(4*ms.m2*(bb.b+vv.v)))
+         |    - ln((4*t.c123-3)*(4*ms.m2*(bb.b+vv.v))
+         |        + 3*p.t12types*((4*m.m23-3)*(bb.b+vv.v)
+         |                        + 3*ms.t2types*(cs.cont+1))))
+         |   * 1000000) AS BIGINT) AS s
+         | FROM tcnt t
+         |  JOIN pstats p ON string_split(t.tg, ' ')[1] || ' '
+         |    || string_split(t.tg, ' ')[2] = p.p12
+         |  JOIN mid m ON string_split(t.tg, ' ')[2] || ' '
+         |    || string_split(t.tg, ' ')[3] = m.s23
+         |  JOIN mstats ms ON string_split(t.tg, ' ')[2] = ms.mt2
+         |  JOIN cstats cs ON string_split(t.tg, ' ')[3] = cs.ct3
+         |  CROSS JOIN btot bb CROSS JOIN vtot vv),
+         |per_doc AS (
+         | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
+         | FROM tgocc o JOIN smap s USING (tg) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_trigrams, 0) AS n_trigrams,
+         | coalesce(p.surprisal_micro, 0) AS surprisal_micro,
+         | CASE WHEN coalesce(p.n_trigrams, 0) > 0
+         |   THEN p.surprisal_micro // p.n_trigrams END AS mean_micro
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // train-split trigram KN vs bigram KN on the SAME trigram
+    // positions, full three-level fallback ladder
+    "lm_heldout_trigram" ->
+      s"""WITH sp AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN b < ${4294967296L * 80 / 100} THEN 'train'
+         |       WHEN b < ${4294967296L * 90 / 100} THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id, text,
+         |        ${TextAnalysis.sampleBucketSql} AS b FROM documents)),
+         |tokall AS (
+         | SELECT split, string_split(text, ' ') AS toks FROM sp),
+         |tgall AS (
+         | SELECT split, unnest(CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |   ELSE [] END) AS tg
+         | FROM tokall),
+         |tok AS (SELECT toks FROM tokall WHERE split = 'train'),
+         |$trigramStreamCtesNoDoc
+         |btr AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb2
+         |        FROM bgocc GROUP BY 1),
+         |bpstats AS (SELECT string_split(bg, ' ')[1] AS bt1,
+         |  CAST(sum(cb2) AS BIGINT) AS bc1,
+         |  CAST(count(*) AS BIGINT) AS bt1types FROM btr GROUP BY 1),
+         |rows AS (
+         | SELECT g.split, (t.c123 IS NULL) AS unseen,
+         |  CAST(round((CASE
+         |    WHEN p.c12 IS NOT NULL
+         |    THEN ln(4*p.c12*(4*ms.m2*(bb.b+vv.v)))
+         |      - ln(greatest(4*COALESCE(t.c123, 0) - 3, 0)
+         |            *(4*ms.m2*(bb.b+vv.v))
+         |          + 3*p.t12types*(greatest(4*COALESCE(m.m23, 0) - 3, 0)
+         |              *(bb.b+vv.v)
+         |            + 3*ms.t2types*(COALESCE(cs.cont, 0)+1)))
+         |    WHEN ms.m2 IS NOT NULL
+         |    THEN ln(4*ms.m2*(bb.b+vv.v))
+         |      - ln(greatest(4*COALESCE(m.m23, 0) - 3, 0)*(bb.b+vv.v)
+         |          + 3*ms.t2types*(COALESCE(cs.cont, 0)+1))
+         |    ELSE ln(bb.b+vv.v) - ln(COALESCE(cs.cont, 0) + 1) END)
+         |   * 1000000) AS BIGINT) AS s_tri,
+         |  CAST(round((CASE WHEN bp.bc1 IS NOT NULL
+         |    THEN ln(4*bp.bc1*(bb.b+vv.v))
+         |      - ln(greatest(4*COALESCE(bt.cb2, 0) - 3, 0)*(bb.b+vv.v)
+         |          + 3*bp.bt1types*(COALESCE(cs.cont, 0) + 1))
+         |    ELSE ln(bb.b+vv.v) - ln(COALESCE(cs.cont, 0) + 1) END)
+         |   * 1000000) AS BIGINT) AS s_big
+         | FROM tgall g
+         |  LEFT JOIN tcnt t USING (tg)
+         |  LEFT JOIN pstats p ON string_split(g.tg, ' ')[1] || ' '
+         |    || string_split(g.tg, ' ')[2] = p.p12
+         |  LEFT JOIN mid m ON string_split(g.tg, ' ')[2] || ' '
+         |    || string_split(g.tg, ' ')[3] = m.s23
+         |  LEFT JOIN mstats ms ON string_split(g.tg, ' ')[2] = ms.mt2
+         |  LEFT JOIN cstats cs ON string_split(g.tg, ' ')[3] = cs.ct3
+         |  LEFT JOIN btr bt ON string_split(g.tg, ' ')[2] || ' '
+         |    || string_split(g.tg, ' ')[3] = bt.bg
+         |  LEFT JOIN bpstats bp ON string_split(g.tg, ' ')[2] = bp.bt1
+         |  CROSS JOIN btot bb CROSS JOIN vtot vv),
+         |agg AS (
+         | SELECT split, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS unseen_trigrams,
+         |  CAST(sum(s_tri) AS BIGINT) AS st,
+         |  CAST(sum(s_big) AS BIGINT) AS sb
+         | FROM rows GROUP BY 1)
+         |SELECT 'kn_bigram' AS model, split, n_trigrams, unseen_trigrams,
+         | sb // n_trigrams AS mean_micro FROM agg
+         |UNION ALL
+         |SELECT 'kn_trigram', split, n_trigrams, unseen_trigrams,
+         | st // n_trigrams FROM agg
          |ORDER BY model, split""".stripMargin,
     // add-1 smoothed per-type KL contribution, four ln terms in the
     // Spark-side order, q-hat as a double division on both engines

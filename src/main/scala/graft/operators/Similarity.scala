@@ -2755,9 +2755,14 @@ object Similarity {
     *    the one double division per component is the display-float
     *    discipline (exact-integer inputs, correctly-rounded IEEE ops,
     *    identical cross-engine); v state localCheckpoints per round.
-    *  - deterministic BY CONSTRUCTION: fixed seed v₀ = e₀·10⁴, fixed
-    *    iteration count — no RNG, no sign ambiguity, and the oracle
-    *    unrolls the identical recurrence as materialized CTEs. */
+    *  - deterministic BY CONSTRUCTION: fixed seed v₀ = e_s·10⁴ at the
+    *    LARGEST-DIAGONAL axis s (argmax_j G_jj, ties → smallest j —
+    *    a fixed e₀ seed dead-ends with a 0/0 when dimension 0 carries
+    *    no mass, a real failure mode for encoders with dead dims; the
+    *    heaviest axis always has G·e_s ≠ 0, and an ALL-zero gram
+    *    raise_errors loudly), fixed iteration count — no RNG, no sign
+    *    ambiguity, and the oracle unrolls the identical recurrence as
+    *    materialized CTEs. */
   def topComponent(emb: DataFrame, iters: Int = 6,
                    dim: Int = 64): DataFrame = {
     require(iters >= 1 && dim >= 1)
@@ -2769,8 +2774,16 @@ object Similarity {
       .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
       .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("m"))
       .localCheckpoint()
-    var v = Seq.tabulate(dim)(j => (j, if (j == 0) 10000L else 0L))
-      .toDF("j", "v")
+    val seed = gram.filter(col("i") === col("j"))
+      .orderBy(col("m").desc, col("i")).limit(1)
+      .select(when(col("m") === 0L,
+        raise_error(lit("topComponent: the gram diagonal is all zero — " +
+          "every embedding is the zero vector; no direction exists")))
+        .otherwise(col("i")).as("sj"))
+    var v = Seq.tabulate(dim)(j => j).toDF("j")
+      .crossJoin(broadcast(seed))
+      .select(col("j"),
+        when(col("j") === col("sj"), 10000L).otherwise(0L).as("v"))
     for (_ <- 1 to iters) {
       val w = gram.join(v, "j")
         .groupBy("i")
@@ -2906,6 +2919,117 @@ object Similarity {
                                    dir: String): DataFrame =
     embedMatryoshkaTruncate(Tables.embeddings(spark, dir))
       .orderBy(col("vec_id"))
+
+  /** ALL-BUT-THE-TOP postprocessing (Mu & Viswanath 2018) — the
+    * TRANSFORM top_component gates: project the dominant direction v
+    * out of every vector and re-normalize, in exact integers end to
+    * end. top_component measures corpus anisotropy; this removes it.
+    *
+    * Exact-integer construction (nothing float crosses engines
+    * unpinned):
+    *  - x̃ = round(x·10³) per component (topComponent's milli basis);
+    *    v is the power iteration's integer v_unit (|v_j| ≤ 10⁴);
+    *  - the residual is the EXACT integer vector
+    *      num_i = x̃_i·⟨v,v⟩ − ⟨x̃,v⟩·v_i
+    *    (x̃ − proj_v x̃ scaled by ⟨v,v⟩ — scaling by the exact integer
+    *    denominator instead of dividing keeps every component a
+    *    BIGINT: |num_i| ≤ 10³·64·10⁸ + 64·10⁷·10⁴ ≈ 1.3·10¹³, inside
+    *    int64 AND double-exact);
+    *  - re-normalization divides by ‖num‖ once per component and
+    *    rounds ONCE to micro units (norm squares ~10²⁶ round in
+    *    double, but identically: both engines fold the same exact
+    *    integers in the same order — the cosine-family discipline).
+    *
+    * Diagnostics per vector: cos_top_micro = cos(x̃, v) (how aligned
+    * the vector was with the common direction) and res_norm_micro =
+    * ‖num‖/(⟨v,v⟩·‖x̃‖) (the fraction of the vector's norm that
+    * SURVIVES the projection — sin of the angle to v). Zero vectors
+    * degrade to NULL diagnostics + all-zero components, the
+    * embed_norm_qc convention.
+    *
+    * Scale shape: topComponent's one corpus pass builds the gram; the
+    * projection itself is map-only per row against the ONE broadcast
+    * (v, ⟨v,v⟩) row — no shuffle, no second corpus pass beyond the
+    * gram's. The CSV ships like embed_quantize_int8. */
+  private[operators] def allButTopVectors(emb: DataFrame, iters: Int,
+                                          dim: Int): DataFrame = {
+    val top = topComponent(emb, iters, dim)
+    val vrow = top
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v_unit")))),
+        s => s.getField("v_unit")).as("va"))
+      .select(col("va"),
+        aggregate(col("va"), lit(0L), (a, x) => a + x * x).as("vv"))
+    emb.select(col("vec_id"),
+        transform(toDoubleArray(col("embedding")),
+          x => round(x * lit(1000.0d)).cast("long")).as("q"))
+      .crossJoin(broadcast(vrow))
+      .withColumn("qq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .withColumn("xv",
+        aggregate(zip_with(col("q"), col("va"), (x, vi) => x * vi),
+          lit(0L), (a, x) => a + x))
+      .withColumn("num",
+        zip_with(col("q"), col("va"),
+          (x, vi) => x * col("vv") - col("xv") * vi))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("num"),
+          n => n.cast("double") * n.cast("double")),
+          lit(0.0d), (a, x) => a + x)))
+  }
+
+  def embedAllButTop(emb: DataFrame, iters: Int = 6,
+                     dim: Int = 64): DataFrame =
+    allButTopVectors(emb, iters, dim)
+      .select(col("vec_id"),
+        when(col("qq") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("xv") / (sqrt(col("qq")) * sqrt(col("vv")))
+            * lit(1000000.0d)).cast("long")).as("cos_top_micro"),
+        when(col("qq") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("nrm")
+            / (col("vv").cast("double") * sqrt(col("qq")))
+            * lit(1000000.0d)).cast("long")).as("res_norm_micro"),
+        concat_ws(",", transform(col("num"), n =>
+          when(col("nrm") === 0.0d, lit(0L))
+            .otherwise(round(n.cast("double") / col("nrm")
+              * lit(1000000.0d)).cast("long")))).as("e_csv"))
+
+  def embedAllButTopQuery(spark: SparkSession, dir: String): DataFrame =
+    embedAllButTop(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
+  /** MEASURED neighborhood shift of the all-but-the-top transform:
+    * brute-force cosine top-k over the POSTPROCESSED vectors (query
+    * side postprocessed too — the transform applies to the whole
+    * space) against the original-vector truth, per query. recall_bp
+    * near 10000 ⇒ the common direction carried little neighbor
+    * information; a low row names the queries whose neighborhoods the
+    * anisotropy was defining — the measurement that decides whether
+    * to ship the transform (the ann_recall_eval discipline pointed at
+    * a TRANSFORM instead of an index knob).
+    *
+    * Scale shape: annCosineTopK's twice (bounded broadcast-query scan
+    * each side) + a |Q|·k edge join — nothing corpus-sized shuffles. */
+  def embedAllButTopRecall(emb: DataFrame, numQueries: Int = 8, k: Int = 5,
+                           iters: Int = 6, dim: Int = 64): DataFrame = {
+    val post = allButTopVectors(emb, iters, dim)
+      .select(col("vec_id"),
+        transform(col("num"), n =>
+          when(col("nrm") === 0.0d, lit(0.0d))
+            .otherwise(round(n.cast("double") / col("nrm")
+              * lit(1000000.0d)).cast("long").cast("double"))).as("e"))
+      .localCheckpoint()
+    val served = topK(cosineCandidatesQ(post,
+      post.filter(col("vec_id") < numQueries).toDF("query_id", "eq")), k)
+    val truth = annCosineTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    served.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"),
+        expr(s"(10000 * hits) div $k").as("recall_bp"))
+  }
+
+  def embedAllButTopRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    embedAllButTopRecall(Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"))
 
   // ---------------------------------------------------------------- projection
 
@@ -4456,9 +4580,15 @@ object Similarity {
     * power recurrence unrolled as MATERIALIZED CTEs (plain CTE
     * inlining would replay the gram per reference — the k-core
     * lesson). */
-  private def topComponentOracle(iters: Int, dim: Int): String = {
+  private def topComponentOracle(iters: Int, dim: Int): String =
+    s"""WITH ${topComponentCtes(iters, dim)}
+       |SELECT j AS dim, v AS v_unit FROM v$iters ORDER BY dim""".stripMargin
+
+  /** The power-iteration CTE chain alone (qm … v$iters) — shared by
+    * top_component and the all-but-the-top transform oracles. */
+  private def topComponentCtes(iters: Int, dim: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH qm AS (
+    sb ++= s"""qm AS (
       | SELECT list_transform(embedding::DOUBLE[],
       |   x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
       | FROM embeddings),
@@ -4467,8 +4597,10 @@ object Similarity {
       |g AS MATERIALIZED (
       | SELECT i - 1 AS i, j - 1 AS j, CAST(sum(q[i] * q[j]) AS BIGINT) AS m
       | FROM pr GROUP BY 1, 2),
+      |sd AS (SELECT i AS sj FROM g WHERE i = j ORDER BY m DESC, i LIMIT 1),
       |v0 AS MATERIALIZED (
-      | SELECT jj AS j, CASE WHEN jj = 0 THEN 10000 ELSE 0 END AS v
+      | SELECT jj AS j, CASE WHEN jj = (SELECT sj FROM sd)
+      |  THEN 10000 ELSE 0 END AS v
       | FROM (SELECT unnest(range(0, $dim)) AS jj))""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s""",w$t AS MATERIALIZED (
@@ -4480,9 +4612,90 @@ object Similarity {
         |   * 10000.0) AS BIGINT) AS v
         | FROM w$t, m$t)""".stripMargin
     }
-    sb ++= s"\nSELECT j AS dim, v AS v_unit FROM v$iters ORDER BY dim"
     sb.toString
   }
+
+  /** The all-but-the-top projection CTE chain over the power
+    * iteration's v$iters — emits `abt(vec_id, qq, xv, vv, num, nrm)`,
+    * the exact-integer residual frame both abt oracles read. */
+  private def allButTopCtes(iters: Int, dim: Int): String =
+    s"""${topComponentCtes(iters, dim)},
+       |varr AS MATERIALIZED (
+       | SELECT list(v ORDER BY j) AS va,
+       |  CAST(list_sum(list_transform(list(v ORDER BY j), y -> y * y))
+       |   AS BIGINT) AS vv
+       | FROM v$iters),
+       |qv AS (
+       | SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |   x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
+       | FROM embeddings),
+       |pj AS (
+       | SELECT qv.vec_id, qv.q, r.va, r.vv,
+       |  CAST(list_sum(list_transform(qv.q, y -> y * y)) AS BIGINT) AS qq,
+       |  CAST(list_sum(list_transform(range(1, len(qv.q) + 1),
+       |    i -> qv.q[i] * r.va[i])) AS BIGINT) AS xv
+       | FROM qv CROSS JOIN varr r),
+       |abt AS MATERIALIZED (
+       | SELECT vec_id, qq, xv, vv, num,
+       |  sqrt(list_sum(list_transform(num,
+       |    n -> CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS nrm
+       | FROM (
+       |  SELECT vec_id, qq, xv, vv,
+       |   list_transform(range(1, len(q) + 1),
+       |     i -> q[i] * vv - xv * va[i]) AS num
+       |  FROM pj))""".stripMargin
+
+  private def embedAllButTopOracle(iters: Int, dim: Int): String =
+    s"""WITH ${allButTopCtes(iters, dim)}
+       |SELECT vec_id,
+       | CASE WHEN qq = 0 THEN NULL
+       |  ELSE CAST(round(CAST(xv AS DOUBLE)
+       |   / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(vv AS DOUBLE)))
+       |   * 1000000.0) AS BIGINT) END AS cos_top_micro,
+       | CASE WHEN qq = 0 THEN NULL
+       |  ELSE CAST(round(nrm
+       |   / (CAST(vv AS DOUBLE) * sqrt(CAST(qq AS DOUBLE)))
+       |   * 1000000.0) AS BIGINT) END AS res_norm_micro,
+       | array_to_string(list_transform(num, n ->
+       |  CAST(CASE WHEN nrm = 0 THEN 0
+       |   ELSE round(CAST(n AS DOUBLE) / nrm * 1000000.0)
+       |   END AS BIGINT)), ',') AS e_csv
+       |FROM abt ORDER BY vec_id""".stripMargin
+
+  private def embedAllButTopRecallOracle(numQueries: Int, k: Int,
+                                         iters: Int, dim: Int): String =
+    s"""WITH ${allButTopCtes(iters, dim)},
+       |post AS MATERIALIZED (
+       | SELECT vec_id, list_transform(num, n ->
+       |  CASE WHEN nrm = 0 THEN 0.0
+       |   ELSE CAST(CAST(round(CAST(n AS DOUBLE) / nrm * 1000000.0)
+       |    AS BIGINT) AS DOUBLE) END) AS e
+       | FROM abt),
+       |served AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM post q JOIN post x
+       |   ON q.vec_id < $numQueries AND q.vec_id <> x.vec_id)
+       | WHERE rnk <= $k),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q.e", "x.e")} DESC, x.vec_id) AS rnk
+       |  FROM v q JOIN v x
+       |   ON q.vec_id < $numQueries AND q.vec_id <> x.vec_id)
+       | WHERE rnk <= $k)
+       |SELECT s.query_id,
+       | CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS hits,
+       | (10000 * CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT)) // $k AS recall_bp
+       |FROM served s LEFT JOIN truth t
+       | ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** knn_graph oracle: annIvfOracle's CTE chain with the probe set
     * widened to the WHOLE corpus, plus the reciprocal-edge self-join
@@ -4872,6 +5085,9 @@ object Similarity {
     "pq_train_recall" -> pqTrainRecallOracle(numQueries = 8, k = 5,
       numSub = 8, subDim = 8, numCodes = 16, iters = 2),
     "top_component" -> topComponentOracle(iters = 6, dim = 64),
+    "embed_all_but_top" -> embedAllButTopOracle(iters = 6, dim = 64),
+    "ann_abt_recall" -> embedAllButTopRecallOracle(numQueries = 8, k = 5,
+      iters = 6, dim = 64),
     "embed_exact_dups" ->
       """WITH h AS (
         | SELECT vec_id,

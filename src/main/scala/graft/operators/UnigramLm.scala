@@ -194,6 +194,117 @@ object UnigramLm {
     unigramTrain(Tables.documents(spark, dir))
       .orderBy(col("cnt").desc, col("piece"))
 
+  /** The DISTRIBUTED trainer (r15 verdict #4) — the same hard-EM,
+    * with the collect GONE: [[unigramTrain]] pulls the word table to
+    * the driver (5M-row loud-fail guard) because EM iterates; but the
+    * E-step — Viterbi per word — is embarrassingly parallel, so here
+    * it runs IN-PLAN and the guard lifts to corpus-bounded:
+    *
+    *  - the word table stays a DataFrame (one corpus pass, never
+    *    collected), localCheckpointed once;
+    *  - per round, each word's candidate pieces come from ONE
+    *    broadcast hash join (explode the ≤ 16·L (start,len) windows,
+    *    equi-join the vocab — O(1) lookups, vs. O(|vocab|) scans a
+    *    broadcast MAP would cost) and collapse back to a per-word
+    *    (start·32+len) → (cost, piece) map of ≤ 16·L entries;
+    *  - the Viterbi DP is the SAME sortable-string recurrence as
+    *    [[viterbi]], expressed as an in-row `aggregate` fold over
+    *    positions (codegen'd HOFs — no UDF, no driver loop): state
+    *    strings compare by UTF8 binary order in array_min exactly as
+    *    the oracle's SQL min and the local trainer's utf8Lt;
+    *  - the E-step counts are one map-side-combined groupBy(piece);
+    *    the M-step (char floor, dead-piece drop, cost re-fit) runs on
+    *    the VOCAB frame only — model-sized, localCheckpointed per
+    *    round to truncate the growing HOF lineage.
+    *
+    * Nothing corpus-sized is ever collected or broadcast as a map;
+    * the vocab broadcast is Heaps-bounded (≤ L · distinct word
+    * chars). Spec-pinned piece-for-piece equal to [[trainLocal]];
+    * the oracle is unigram_lm_train's VERBATIM — same model, same
+    * rounds, different execution strategy. */
+  def unigramTrainDistributed(docs: DataFrame, maxPieceLen: Int = 4,
+                              emIters: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && emIters >= 1)
+    val L = maxPieceLen
+    val wt = BpeTrain.wordTable(docs)
+      .select(when(length(col("word")) > maxWordLenBound,
+        raise_error(concat(lit("unigramTrainDistributed: a word exceeds " +
+          s"the $maxWordLenBound-char DP unroll bound: "), col("word"))))
+        .otherwise(col("word")).as("word"), col("cnt"))
+      .localCheckpoint()
+    // candidate windows: every (start, len) substring occurrence —
+    // shared by the seed count and each round's hit join
+    val windows = wt
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("cnt"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(L), length(col("word")) - col("i") + 1))).as("l"))
+      .select(col("word"), col("cnt"), col("i"), col("l"),
+        col("word").substr(col("i"), col("l")).as("piece"))
+    var vocab = windows.groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    def withCosts(voc: DataFrame): DataFrame =
+      voc.crossJoin(broadcast(voc.agg(sum(col("cnt")).as("tot"))))
+        .select(col("piece"), col("cnt"),
+          round((log(col("tot")) - log(col("cnt"))) * lit(1000000.0d))
+            .cast("long").as("cost"))
+    // one Viterbi pass of the whole word table against a vocab-cost
+    // frame: (word, cnt, state) with state the sortable final DP cell
+    def viterbiPass(vocCost: DataFrame): DataFrame = {
+      val hits = windows
+        .join(broadcast(vocCost.select(col("piece"), col("cost"))), "piece")
+        .groupBy(col("word"), col("cnt"))
+        .agg(map_from_entries(collect_list(struct(
+          (col("i") * 32 + col("l")).as("k"),
+          struct(col("cost").as("c"), col("piece").as("p")).as("v"))))
+          .as("m"))
+      hits.select(col("word"), col("cnt"),
+        aggregate(
+          sequence(lit(1), length(col("word"))),
+          array(lit("0" * 13 + "00")),
+          (acc, t) => concat(acc, array(
+            array_min(transform(
+              sequence(greatest(t - L, lit(0)), t - 1),
+              j => {
+                val st = try_element_at(acc, j + 1)
+                val hit = try_element_at(col("m"), (j + 1) * 32 + (t - j))
+                when(st.isNotNull && hit.isNotNull,
+                  concat(
+                    lpad((st.substr(lit(1), lit(13)).cast("long")
+                      + hit.getField("c")).cast("string"), 13, "0"),
+                    lpad((st.substr(lit(14), lit(2)).cast("int") + 1)
+                      .cast("string"), 2, "0"),
+                    st.substr(lit(16), lit(1000)),
+                    lit(">"), hit.getField("p")))
+              })))),
+          acc => element_at(acc, lit(-1))).as("state"))
+    }
+    for (_ <- 1 to emIters) {
+      val counts = viterbiPass(withCosts(vocab))
+        .select(col("cnt"),
+          explode(split(col("state").substr(lit(16), lit(1000)), ">"))
+            .as("piece"))
+        .filter(col("piece") =!= "")
+        .groupBy("piece").agg(sum(col("cnt")).as("ncnt"))
+      vocab = vocab.join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          when(length(col("piece")) === 1,
+            greatest(coalesce(col("ncnt"), lit(0L)), lit(1L)))
+            .otherwise(coalesce(col("ncnt"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0)
+        .localCheckpoint()
+    }
+    withCosts(vocab)
+      .select(col("piece"), (length(col("piece")) === 1).as("is_char"),
+        col("cnt"), col("cost").as("cost_micro"))
+  }
+
+  def unigramTrainDistributedQuery(spark: SparkSession,
+                                   dir: String): DataFrame =
+    unigramTrainDistributed(Tables.documents(spark, dir))
+      .orderBy(col("cnt").desc, col("piece"))
+
   /** Per-word segmentation stats under the TRAINED model — the
     * broadcast-sized frame the encode join consumes (the bpe_encode
     * shape: documents are never re-segmented, words join the vocab). */
@@ -535,6 +646,11 @@ object UnigramLm {
 
   val oracles: Map[String, String] = Map(
     "unigram_lm_train" -> unigramTrainOracle(maxPieceLen = 4, emIters = 2),
+    // the distributed trainer is the SAME model on the same rounds —
+    // execution strategy changed, semantics didn't, so the oracle is
+    // unigram_lm_train's verbatim
+    "unigram_lm_train_dist" ->
+      unigramTrainOracle(maxPieceLen = 4, emIters = 2),
     "unigram_encode" -> unigramEncodeOracle(maxPieceLen = 4, emIters = 2),
     "tokenizer_compare" -> tokenizerCompareOracle(numMerges = 8,
       maxPieceLen = 4, emIters = 2),

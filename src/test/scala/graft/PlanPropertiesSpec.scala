@@ -73,6 +73,19 @@ class PlanPropertiesSpec extends SparkSpec {
     "gap_fill_daily",
     // 1-row (N, sumdl) corpus-stats frame crossed into the scorer
     "bm25_topk",
+    // 1-row (v, vv) top-component frame crossed into the map-only
+    // per-vector projection (the power iteration's own 1-row crosses
+    // sit behind localCheckpoints and never reach a final plan)
+    "embed_all_but_top",
+    // the postprocessed-vs-original recall eval: two bounded
+    // query-side broadcasts (ann_cosine_topk's shape) over the
+    // projected and raw tables + the 1-row model frame above
+    "ann_abt_recall",
+    // 1-row vocab-total scalar (Σcnt for the cost re-fit) crossed onto
+    // the model-sized vocab frame; the E-step's candidate generation
+    // is the broadcast vocab EQUI-join, and the per-round crosses sit
+    // behind localCheckpoints
+    "unigram_lm_train_dist",
     // 1-row vocab-map frame (the broadcast unigram model) crossed into
     // the map-only doc scan
     "lm_surprisal",
@@ -94,6 +107,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // the backoff variant: the same 1-row (N, V) totals scalar crossed
     // into the model build / the scored bigram stream
     "bigram_surprisal_kn", "lm_heldout_bigram",
+    // one order up: the same 1-row (B) and (V) scalar frames crossed
+    // into the model build / the scored trigram stream — the model
+    // itself joins by key (vocab³-bounded, deliberately NOT broadcast)
+    "trigram_surprisal_kn", "lm_heldout_trigram",
     // 1-row totals frame (tot_base, tot_new, V) crossed onto the
     // vocab-sized counts frame
     "vocab_kl_drift",

@@ -42,4 +42,89 @@ class TopComponentSpec extends SparkSpec {
     assert(a === b)
     assert(a.length === 64)
   }
+
+  test("all-but-the-top residuals are orthogonal to the top component " +
+       "and unit-normalized") {
+    // planted anisotropy: every vector shares a fat e1 component
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 120L).map { id =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat * 0.2f)
+      base(1) += 2.0f
+      (id, base, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val v = Similarity.topComponent(data, iters = 6, dim = 8)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val rows = Similarity.embedAllButTop(data, iters = 6, dim = 8)
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+    assert(rows.length === 120)
+    rows.foreach { case (id, cosT, resN, csv) =>
+      val e = csv.split(",").map(_.toLong)
+      // residual ⟂ v: micro-rounded components against the integer
+      // direction — |Σ e_i·v_i| is bounded by dim/2 rounding units × |v|
+      val dot = e.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) <= 8L * 10000L / 2 + 10000L,
+        s"vec $id residual not orthogonal: dot=$dot")
+      // unit norm in micro units (±dim rounding slack)
+      val n2 = e.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(math.sqrt(n2) - 1e6) < 50.0,
+        s"vec $id residual norm ${math.sqrt(n2)}")
+      // the planted common direction was most of each vector's mass:
+      // alignment high, surviving fraction well below 1
+      assert(cosT.exists(c => math.abs(c) > 800000L), s"vec $id cos $cosT")
+      assert(resN.exists(r => r < 600000L && r > 0L), s"vec $id res $resN")
+    }
+  }
+
+  test("all-but-the-top degrades zero vectors to NULL diagnostics") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.5f), 0),
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.6f), 0)).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embedAllButTop(data, iters = 3, dim = 2)
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+      .sortBy(_._1)
+    assert(rows(1)._2.isEmpty && rows(1)._3.isEmpty)
+    assert(rows(1)._4 === "0,0")
+    assert(rows(0)._2.isDefined && rows(2)._2.isDefined)
+  }
+
+  test("a dead dimension 0 no longer dead-ends the power iteration " +
+       "(argmax-diagonal seed)") {
+    // every vector's component 0 is exactly zero: a fixed e0 seed
+    // produced w = G·e0 = 0 and a 0/0 in the max-norm rescale — the
+    // seed must find a live axis instead
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 60L).map { id =>
+      val base = Array.fill(6)(rnd.nextGaussian().toFloat)
+      base(0) = 0.0f
+      base(2) += 1.5f
+      (id, base, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val top = Similarity.topComponent(data, iters = 6, dim = 6)
+      .as[(Int, Long)].collect().toMap
+    assert(top(0) === 0L, "the dead axis carries nothing")
+    assert(math.abs(top(2)) === 10000L, "the planted axis dominates")
+  }
+
+  test("an all-zero embedding table raise_errors instead of 0/0") {
+    val data = (0L until 5L).map(id => (id, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.topComponent(data, iters = 2, dim = 2).collect()
+    }
+    assert(e.getMessage.contains("gram diagonal is all zero") ||
+      e.getCause != null)
+  }
+
+  test("abt recall eval emits one bounded row per query on real data") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.embedAllButTopRecall(emb, numQueries = 8, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq === (0L until 8L).toSeq)
+    r.foreach { case (q, hits, bp) =>
+      assert(hits >= 0L && hits <= 5L, s"query $q hits $hits")
+      assert(bp === (10000L * hits) / 5L,
+        s"query $q recall_bp $bp inconsistent with hits $hits")
+    }
+  }
 }

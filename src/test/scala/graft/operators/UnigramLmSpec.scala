@@ -91,6 +91,55 @@ class UnigramLmSpec extends SparkSpec {
     assert(ex.getMessage.contains("unroll bound"))
   }
 
+  test("distributed trainer == local trainer piece-for-piece on the " +
+      "hand corpus and on real testdata (r15 verdict #4)") {
+    // hand corpus first: small enough to eyeball a divergence
+    val h1 = UnigramLm.unigramTrain(handDocs, maxPieceLen = 2, emIters = 1)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().sortBy(_._1)
+    val h2 = UnigramLm.unigramTrainDistributed(handDocs, maxPieceLen = 2,
+        emIters = 1)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().sortBy(_._1)
+    assert(h1.toSeq === h2.toSeq)
+    // the real corpus at the default knobs — the strategies must agree
+    // on every (piece, cnt, cost) triple
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = UnigramLm.unigramTrain(docs)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().sortBy(_._1)
+    val b = UnigramLm.unigramTrainDistributed(docs)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().sortBy(_._1)
+    assert(a.length === b.length,
+      s"vocab sizes diverge: local ${a.length} vs distributed ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("distributed trainer: codepoint discipline holds without the " +
+      "driver (supplementary-plane corpus)") {
+    val docs = Seq((0L, "a😀b a😀b")).toDF("doc_id", "text")
+    val a = UnigramLm.unigramTrain(docs, maxPieceLen = 2, emIters = 1)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().sortBy(_._1)
+    val b = UnigramLm.unigramTrainDistributed(docs, maxPieceLen = 2,
+        emIters = 1)
+      .select("piece", "is_char", "cnt", "cost_micro")
+      .as[(String, Boolean, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("distributed trainer refuses over-bound words in-plan, loudly") {
+    val long = Seq((0L, "a" * (UnigramLm.maxWordLenBound + 1)))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      UnigramLm.unigramTrainDistributed(long).collect()
+    }
+    assert(ex.getMessage.contains("unroll bound") ||
+      (ex.getCause != null &&
+        ex.getCause.getMessage.contains("unroll bound")))
+  }
+
   test("vocab curve hand case: chars-only vs full vocab re-cost and " +
       "re-segment exactly") {
     // V=2 keeps only {a, b} (tot 2, cost ln2 = 693147 each): "abab"
@@ -138,7 +187,8 @@ class UnigramLmSpec extends SparkSpec {
       .select("tokenizer", "n_words", "n_chars", "n_pieces",
         "fertility_micro")
       .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(rows.map(_._1).toSet === Set("bpe", "unigram", "whitespace"))
+    assert(rows.map(_._1).toSet ===
+      Set("bpe", "bpe_byte", "unigram", "whitespace"))
     assert(rows.map(_._2).toSet.size === 1, "one shared n_words")
     assert(rows.map(_._3).toSet.size === 1, "one shared n_chars")
     rows.foreach { case (t, w, _, p, f) =>
