@@ -73,4 +73,84 @@ object IndexSink {
       .partitionBy("cell", "batch_key")
       .parquet(indexDir)
   }
+
+  /** COMPACTION (r15 verdict #3) — the operational counterweight to
+    * the idempotent layout's one-partition-per-micro-batch accrual:
+    * at one batch a minute a cell collects ~1440 `batch_key=`
+    * directories a day, a small-files + partition-discovery tax every
+    * serving probe and every rebuild pays. This folds all batch_key
+    * partitions EXCEPT `excludeBatchKeys` into ONE consolidated
+    * `compact-<compactKey>` partition per cell, rewriting into a
+    * sibling temp directory and swapping at the directory level.
+    *
+    * Replay safety — WHY the exclude set exists: a streaming batch
+    * can re-fire only if its offset was not yet committed, and its
+    * replay overwrites its own (cell, batch_key) partitions. Folding
+    * such a batch would move its rows OUT of those partitions, so the
+    * replay would land duplicates next to them. The caller passes the
+    * possibly-in-flight tail (every batch_key at or past the last
+    * committed offset — cheap to read from the checkpoint's commits/
+    * dir, or just the newest key per lineage tag); excluded
+    * partitions are carried over row-identical under their original
+    * batch_key, so a replay after compaction still overwrites exactly
+    * its own partitions. (Run compaction against a quiesced or
+    * between-batches index — it is the nightly job's step, not a
+    * concurrent writer's.)
+    *
+    * Convergence — every crash window is recoverable by RE-RUNNING
+    * the same call: the temp rewrite is deterministic from the index
+    * content; the swap is ordered (temp fully written → live moved to
+    * trash → temp renamed live → trash deleted) and each rename is a
+    * single directory move; on entry a stale temp is discarded and an
+    * orphaned trash (crash between the two renames: the one window
+    * with no live dir) is restored before proceeding. A previous
+    * compaction's `compact-<k'>` partition is itself an ordinary
+    * foldable batch, so the nightly run with a fresh key converges
+    * the layout to ONE partition per cell regardless of history.
+    *
+    * Caller contract: `compactKey` is fresh per logical epoch (a date
+    * stamp works) — reusing a key only ever re-folds into the same
+    * partition (idempotent retry), never corrupts. At real scale set
+    * spark.sql.files.maxRecordsPerFile so a fat cell's consolidated
+    * partition still splits into scan-parallel files; serving is
+    * unchanged (`cell` stays the leading partition column, batch_key
+    * stays a dead column to readers). */
+  def compact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+              compactKey: String,
+              excludeBatchKeys: Set[String] = Set.empty): Unit = {
+    require(compactKey.nonEmpty && !compactKey.contains("/"),
+      s"compactKey must be a plain token, got '$compactKey'")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact-tmp")
+    val trash = new org.apache.hadoop.fs.Path(s"$indexDir.compact-old")
+    // crash recovery: a trash dir with NO live dir is the one window
+    // between the two swap renames — restore it; any other leftover
+    // temp/trash is stale output from a completed or abandoned run
+    if (fs.exists(trash) && !fs.exists(live)) {
+      require(fs.rename(trash, live),
+        s"compact: could not restore $trash to $live")
+    }
+    require(fs.exists(live), s"compact: no index at $indexDir")
+    guardLegacyLayout(spark, indexDir)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(trash)) fs.delete(trash, true)
+    val idx = spark.read.parquet(indexDir)
+    val folded = idx
+      .withColumn("batch_key",
+        when(col("batch_key").isin(excludeBatchKeys.toSeq.map(lit): _*),
+          col("batch_key"))
+          .otherwise(lit(s"compact-$compactKey")))
+      .repartition(col("cell"), col("batch_key"))
+    folded.write.mode("overwrite")
+      .partitionBy("cell", "batch_key")
+      .parquet(tmp.toString)
+    require(fs.rename(live, trash),
+      s"compact: could not move $live aside")
+    require(fs.rename(tmp, live),
+      s"compact: could not swap $tmp into $live — the index is at " +
+        s"$trash; re-run compact to recover")
+    fs.delete(trash, true)
+  }
 }
