@@ -24,20 +24,28 @@ d = json.load(open(src))
 # but say so loudly, because the fallback checks the wrong instant (it
 # can block a quiet-bench artifact examined during a build, or pass a
 # hot-bench artifact examined later on a quiet host).
-load1 = d.get("load1_start")
-if load1 is None:
+# distinguish the three artifact generations: key present with a
+# number (r16 bench, the real gate), key present but null (r16 bench
+# on a platform whose MXBean returns -1: load is UNKNOWN, not quiet —
+# d.get() would conflate this with the legacy case and fall through to
+# the wrong-instant fallback), key absent (pre-r15 artifact).
+if "load1_start" in d:
+    load1 = d["load1_start"]
+    if load1 is None or load1 < 0:
+        # unknown host load (the bench also stamps load_gate:"unknown")
+        # — don't let it slip the gate (r15 ADVICE #1)
+        if not force:
+            sys.exit("refusing to record a baseline from a run with "
+                     "unknown host load (load1_start null/negative, "
+                     "load_gate unknown); measure load manually and pass "
+                     "--force if the host was quiet")
+        load1 = None  # forced past the gate; numeric checks don't apply
+else:
     load1 = os.getloadavg()[0]
     print(f"WARNING: artifact lacks load1_start; gating on CURRENT load "
           f"{load1:.2f} (record time, not bench time) — prefer a fresh "
           "bench whose artifact carries load1_start", file=sys.stderr)
-if load1 is not None and load1 < 0:
-    # MXBean returns -1.0 where load is unavailable: that is UNKNOWN,
-    # not quiet — don't let it slip the gate (r15 ADVICE #1)
-    if not force:
-        sys.exit("refusing to record a baseline from a run with unknown "
-                 "host load (load1_start < 0); measure load manually and "
-                 "pass --force if the host was quiet")
-elif load1 >= 0.5 and not force:
+if load1 is not None and load1 >= 0.5 and not force:
     sys.exit(f"refusing to record a baseline from a run started at load "
              f"{load1:.2f} >= 0.5 (walls would be host-inflated); re-run "
              "on a quiet host or pass --force")

@@ -612,8 +612,19 @@ object QualityModels {
       // continuation join is inner by construction
       .join(cstats, split(col("tg"), " ").getItem(2) === col("ct3"))
       .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
+      // the exact-rational bound, enforced in-plan: past 2⁶³/16 the
+      // long products would WRAP silently on this side (log(negative)
+      // → NULL → sum() drops the type while n_trigrams still counts
+      // it) where the oracle engine fails loudly — fail loudly here
+      // too (r16 review; the double product has headroom vs 5.76e17)
       .select(col("tg"),
-        round((log(den) - log(num)) * lit(1000000.0d))
+        when(col("c12").cast("double") * col("m2").cast("double")
+            * bv.cast("double") >= lit(5.7e17d),
+          raise_error(concat(lit("trigram KN: c12*m2*(B+V) >= 5.7e17 " +
+            "overflows the exact int64 rational — rescale the rational " +
+            "(divide both sides by B+V, round once more) before " +
+            "corpora this size (tg="), col("tg"), lit(")"))))
+          .otherwise(round((log(den) - log(num)) * lit(1000000.0d)))
           .cast("long").as("s"))
     val perDoc = docs
       .select(col("doc_id"),
@@ -696,6 +707,14 @@ object QualityModels {
       lit(3L) * col("t2types") * (coalesce(col("cont"), lit(0L)) + 1)
     val rows = scored.select(col("split"),
       col("c123").isNull.as("unseen"),
+      // same in-plan int64 bound as trigramSurprisalKn (r16 review)
+      when(col("c12").isNotNull &&
+          col("c12").cast("double") * col("m2").cast("double")
+            * bv.cast("double") >= lit(5.7e17d),
+        raise_error(lit("trigram KN heldout: c12*m2*(B+V) >= 5.7e17 " +
+          "overflows the exact int64 rational — rescale the rational " +
+          "before corpora this size")))
+        .otherwise(
       round((when(col("c12").isNotNull,
           log(lit(4L) * col("c12") * denmid)
             - log(greatest(lit(4L) * coalesce(col("c123"), lit(0L)) - 3,
@@ -704,7 +723,8 @@ object QualityModels {
         .when(col("m2").isNotNull, log(denmid) - log(nummid))
         .otherwise(log(bv)
           - log(coalesce(col("cont"), lit(0L)) + 1)))
-        * lit(1000000.0d)).cast("long").as("s_tri"),
+        * lit(1000000.0d)))
+        .cast("long").as("s_tri"),
       round((when(col("bc1").isNotNull,
           log(lit(4L) * col("bc1") * bv)
             - log(greatest(lit(4L) * coalesce(col("cb2"), lit(0L)) - 3,

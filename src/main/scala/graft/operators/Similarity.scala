@@ -2086,22 +2086,31 @@ object Similarity {
     * Unit vectors keep every component ≤ 1, so magnitude ≥ 10³ can
     * only mean a micro-valued frame: fail loudly (the raise_error
     * delimiter discipline) instead of encoding corruption. */
-  private def guardRawScaleCents(cents: DataFrame): DataFrame =
+  private def guardRawScaleCents(cents: DataFrame): DataFrame = {
     // two independent micro signals: component magnitude ≥ 1e3 (no raw
     // unit-vector mean reaches it) OR squared L2 norm ≥ 1e10 (micro
     // frames sit near 1e12 REGARDLESS of dimension — the norm catch for
-    // very high-dim frames whose every component stays under 1e3)
+    // very high-dim frames whose every component stays under 1e3). The
+    // message names WHICH signal fired — an operator debugging the
+    // magnitude claim on a norm-tripped frame would find it false and
+    // distrust the guard (r16 review)
+    val mag = array_max(transform(col("ce"), x => abs(x)))
+    val nrm2 = aggregate(col("ce"), lit(0.0d), (acc, x) => acc + x * x)
     cents.select(col("cid"),
-      when(array_max(transform(col("ce"), x => abs(x))) >= lit(1000.0d)
-          or aggregate(col("ce"), lit(0.0d), (acc, x) => acc + x * x)
-            >= lit(1e10d),
+      when(mag >= lit(1000.0d) or nrm2 >= lit(1e10d),
         raise_error(concat(
-          lit("residual index: centroid component magnitude >= 1e3 — " +
-            "this frame looks MICRO-valued (trained); pass RAW-scale " +
-            "centroids here, or follow annIvfPqResidualTrained's " +
-            "plain-CAST path for trained models (cid="),
+          lit("residual index: "),
+          when(mag >= lit(1000.0d),
+            lit("centroid component magnitude >= 1e3"))
+            .otherwise(lit("centroid squared L2 norm >= 1e10 (micro " +
+              "frames sit near 1e12)")),
+          lit(" — this frame looks MICRO-valued (trained); pass " +
+            "RAW-scale centroids here, or follow " +
+            "annIvfPqResidualTrained's plain-CAST path for trained " +
+            "models (cid="),
           col("cid").cast("string"), lit(")"))))
         .otherwise(col("ce")).as("ce"))
+  }
 
   def residualSeedCodebookOf(emb: DataFrame, cents: DataFrame,
                              numSub: Int = 8, subDim: Int = 8,
