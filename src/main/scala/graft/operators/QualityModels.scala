@@ -749,6 +749,41 @@ object QualityModels {
     lmHeldoutTrigram(Tables.documents(spark, dir))
       .orderBy(col("model"), col("split"))
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020): CCNet
+    * partitions each language's crawl into head/middle/tail by LM
+    * perplexity and trains mostly on the head. The quantile cut is a
+    * corpus-sized sort at 100 TB, so this ships the scale-honest form
+    * CCNet itself computes first: the per-(lang, bucket) HISTOGRAM of
+    * per-doc mean trigram-KN surprisal (fixed micro-nat bucket width —
+    * exact integer floor-div, no sort, no window), with doc/trigram
+    * counts and the in-bucket mean range. The head/middle/tail
+    * thresholds are then read off the histogram's cumulative counts
+    * (model-sized — |langs|·|buckets| rows) and applied as a map-only
+    * filter; the histogram IS the partitioning decision artifact.
+    * Docs with no trigram evidence land in bucket NULL — they need a
+    * length gate, not a perplexity gate, and hiding them would
+    * silently shrink the corpus. */
+  def pplHistogram(docs: DataFrame,
+                   bucketMicro: Long = 500000L): DataFrame = {
+    require(bucketMicro >= 1)
+    val scored = trigramSurprisalKn(docs)
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+      .select(col("lang"),
+        when(col("n_trigrams") > 0,
+          expr(s"mean_micro div $bucketMicro")).as("bucket"),
+        col("n_trigrams"), col("mean_micro"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trigrams")).as("n_trigrams"),
+        min(col("mean_micro")).as("min_mean_micro"),
+        max(col("mean_micro")).as("max_mean_micro"))
+  }
+
+  def pplHistogramQuery(spark: SparkSession, dir: String): DataFrame =
+    pplHistogram(Tables.documents(spark, dir))
+      .orderBy(col("lang"), col("bucket"))
+
   /** Token-distribution drift between two corpus slices — the
     * monitoring operator a continuously-crawled pipeline runs before
     * admitting a new batch: KL(new ‖ base) decomposed PER TOKEN TYPE,
@@ -1452,6 +1487,34 @@ object QualityModels {
   private val trigramStreamCtes = trigramModelCtes(withDocId = true)
   private val trigramStreamCtesNoDoc = trigramModelCtes(withDocId = false)
 
+  /** The full in-corpus trigram-KN per-doc chain (tok … per_doc) —
+    * shared by the trigram_surprisal_kn and ppl_histogram oracles.
+    * Concat operators sit at line ENDS: this passes through a second
+    * stripMargin at the interpolation site. */
+  private val trigramPerDocCtes: String =
+    s"""tok AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |$trigramStreamCtes
+       |smap AS (
+       | SELECT t.tg,
+       |  CAST(round((ln(4*p.c12*(4*ms.m2*(bb.b+vv.v)))
+       |    - ln((4*t.c123-3)*(4*ms.m2*(bb.b+vv.v))
+       |        + 3*p.t12types*((4*m.m23-3)*(bb.b+vv.v)
+       |                        + 3*ms.t2types*(cs.cont+1))))
+       |   * 1000000) AS BIGINT) AS s
+       | FROM tcnt t
+       |  JOIN pstats p ON string_split(t.tg, ' ')[1] || ' ' ||
+       |   string_split(t.tg, ' ')[2] = p.p12
+       |  JOIN mid m ON string_split(t.tg, ' ')[2] || ' ' ||
+       |   string_split(t.tg, ' ')[3] = m.s23
+       |  JOIN mstats ms ON string_split(t.tg, ' ')[2] = ms.mt2
+       |  JOIN cstats cs ON string_split(t.tg, ' ')[3] = cs.ct3
+       |  CROSS JOIN btot bb CROSS JOIN vtot vv),
+       |per_doc AS (
+       | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
+       | FROM tgocc o JOIN smap s USING (tg) GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "quality_calibrated" -> qualityCalibratedOracle(iters = 10,
       stepDiv = 10000000L),
@@ -1843,34 +1906,32 @@ object QualityModels {
     // interpolated trigram KN: one exact rational per seen trigram
     // type (nested middle-order continuation), two pinned ln terms
     "trigram_surprisal_kn" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |$trigramStreamCtes
-         |smap AS (
-         | SELECT t.tg,
-         |  CAST(round((ln(4*p.c12*(4*ms.m2*(bb.b+vv.v)))
-         |    - ln((4*t.c123-3)*(4*ms.m2*(bb.b+vv.v))
-         |        + 3*p.t12types*((4*m.m23-3)*(bb.b+vv.v)
-         |                        + 3*ms.t2types*(cs.cont+1))))
-         |   * 1000000) AS BIGINT) AS s
-         | FROM tcnt t
-         |  JOIN pstats p ON string_split(t.tg, ' ')[1] || ' '
-         |    || string_split(t.tg, ' ')[2] = p.p12
-         |  JOIN mid m ON string_split(t.tg, ' ')[2] || ' '
-         |    || string_split(t.tg, ' ')[3] = m.s23
-         |  JOIN mstats ms ON string_split(t.tg, ' ')[2] = ms.mt2
-         |  JOIN cstats cs ON string_split(t.tg, ' ')[3] = cs.ct3
-         |  CROSS JOIN btot bb CROSS JOIN vtot vv),
-         |per_doc AS (
-         | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-         |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
-         | FROM tgocc o JOIN smap s USING (tg) GROUP BY 1)
+      s"""WITH $trigramPerDocCtes
          |SELECT d.doc_id, coalesce(p.n_trigrams, 0) AS n_trigrams,
          | coalesce(p.surprisal_micro, 0) AS surprisal_micro,
          | CASE WHEN coalesce(p.n_trigrams, 0) > 0
          |   THEN p.surprisal_micro // p.n_trigrams END AS mean_micro
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // per-(lang, bucket) histogram of per-doc mean trigram-KN
+    // surprisal; bucket = exact floor-div (non-negative, so Spark's
+    // trunc div agrees), NULL bucket for no-evidence docs
+    "ppl_histogram" ->
+      s"""WITH $trigramPerDocCtes,
+         |dsc AS (
+         | SELECT d.lang,
+         |  CASE WHEN coalesce(p.n_trigrams, 0) > 0
+         |    THEN (p.surprisal_micro // p.n_trigrams) // 500000 END
+         |   AS bucket,
+         |  coalesce(p.n_trigrams, 0) AS n_trigrams,
+         |  CASE WHEN coalesce(p.n_trigrams, 0) > 0
+         |    THEN p.surprisal_micro // p.n_trigrams END AS mean_micro
+         | FROM documents d LEFT JOIN per_doc p USING (doc_id))
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+         | min(mean_micro) AS min_mean_micro,
+         | max(mean_micro) AS max_mean_micro
+         |FROM dsc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // train-split trigram KN vs bigram KN on the SAME trigram
     // positions, full three-level fallback ladder
     "lm_heldout_trigram" ->

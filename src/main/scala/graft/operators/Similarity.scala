@@ -2772,27 +2772,22 @@ object Similarity {
     *    raise_errors loudly), fixed iteration count — no RNG, no sign
     *    ambiguity, and the oracle unrolls the identical recurrence as
     *    materialized CTEs. */
-  def topComponent(emb: DataFrame, iters: Int = 6,
-                   dim: Int = 64): DataFrame = {
-    require(iters >= 1 && dim >= 1)
-    import emb.sparkSession.implicits._
-    val qm = emb.select(transform(toDoubleArray(col("embedding")),
-      x => round(x * lit(1000.0d)).cast("long")).as("q"))
-    val gram = qm
+  /** The exact-integer milli gram, localCheckpointed — the ONE corpus
+    * pass every power-iteration consumer shares. */
+  private def gramOf(emb: DataFrame): DataFrame =
+    emb.select(transform(toDoubleArray(col("embedding")),
+        x => round(x * lit(1000.0d)).cast("long")).as("q"))
       .select(posexplode(col("q")).as(Seq("i", "xi")), col("q"))
       .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
       .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("m"))
       .localCheckpoint()
-    val seed = gram.filter(col("i") === col("j"))
-      .orderBy(col("m").desc, col("i")).limit(1)
-      .select(when(col("m") === 0L,
-        raise_error(lit("topComponent: the gram diagonal is all zero — " +
-          "every embedding is the zero vector; no direction exists")))
-        .otherwise(col("i")).as("sj"))
-    var v = Seq.tabulate(dim)(j => j).toDF("j")
-      .crossJoin(broadcast(seed))
-      .select(col("j"),
-        when(col("j") === col("sj"), 10000L).otherwise(0L).as("v"))
+
+  /** One max-rescaled power recurrence from an explicit integer seed
+    * frame (j, v): iters × (w = G·v in decimal, v ← round(10⁴·w/max|w|)),
+    * localCheckpointed per round. */
+  private def powerIterate(gram: DataFrame, seed: DataFrame,
+                           iters: Int): DataFrame = {
+    var v = seed
     for (_ <- 1 to iters) {
       val w = gram.join(v, "j")
         .groupBy("i")
@@ -2804,7 +2799,31 @@ object Similarity {
             * lit(10000.0d)).cast("long").as("v"))
         .localCheckpoint()
     }
-    v.select(col("j").as("dim"), col("v").as("v_unit"))
+    v
+  }
+
+  /** The argmax-diagonal seed frame e_s·10⁴ (loud failure on an
+    * all-zero gram). */
+  private def diagSeed(gram: DataFrame, dim: Int): DataFrame = {
+    import gram.sparkSession.implicits._
+    val seed = gram.filter(col("i") === col("j"))
+      .orderBy(col("m").desc, col("i")).limit(1)
+      .select(when(col("m") === 0L,
+        raise_error(lit("topComponent: the gram diagonal is all zero — " +
+          "every embedding is the zero vector; no direction exists")))
+        .otherwise(col("i")).as("sj"))
+    Seq.tabulate(dim)(j => j).toDF("j")
+      .crossJoin(broadcast(seed))
+      .select(col("j"),
+        when(col("j") === col("sj"), 10000L).otherwise(0L).as("v"))
+  }
+
+  def topComponent(emb: DataFrame, iters: Int = 6,
+                   dim: Int = 64): DataFrame = {
+    require(iters >= 1 && dim >= 1)
+    val gram = gramOf(emb)
+    powerIterate(gram, diagSeed(gram, dim), iters)
+      .select(col("j").as("dim"), col("v").as("v_unit"))
   }
 
   def topComponentQuery(spark: SparkSession, dir: String): DataFrame =
@@ -3039,6 +3058,179 @@ object Similarity {
   def embedAllButTopRecallQuery(spark: SparkSession, dir: String): DataFrame =
     embedAllButTopRecall(Tables.embeddings(spark, dir))
       .orderBy(col("query_id"))
+
+  /** Exact-integer Gram-Schmidt step shared by the v₂ iteration and
+    * its seed: o = u·⟨v₁,v₁⟩ − ⟨u,v₁⟩·v₁ over (j, u)/(j, v) frames —
+    * scaling by the exact denominator instead of dividing (the
+    * all-but-the-top trick) keeps every term in int64 for 10⁴-scaled
+    * inputs. Emits (j, o). */
+  private def orthogonalizeAgainst(u: DataFrame, v1: DataFrame): DataFrame = {
+    val v1r = v1.select(col("j"), col("v").as("v1"))
+    val vv1 = v1r.agg(sum(col("v1") * col("v1")).as("vv1"))
+    val uv = u.join(v1r, "j")
+      .agg(sum(col("u") * col("v1")).as("uv"))
+    u.join(v1r, "j")
+      .crossJoin(broadcast(vv1)).crossJoin(broadcast(uv))
+      .select(col("j"),
+        (col("u") * col("vv1") - col("uv") * col("v1")).as("o"))
+  }
+
+  /** Max-rescale an integer frame (j, o) to 10⁴ units; a zero frame
+    * raise_errors with the caller's message (rank deficiency). */
+  private def rescale10k(o: DataFrame, onZero: String): DataFrame = {
+    val mx = o.agg(max(abs(col("o"))).as("mo"))
+    o.crossJoin(broadcast(mx))
+      .select(col("j"),
+        when(col("mo") === 0L, raise_error(lit(onZero)))
+          .otherwise(round(col("o").cast("double")
+            / col("mo").cast("double") * lit(10000.0d)).cast("long"))
+          .as("v"))
+  }
+
+  /** The top TWO principal directions (r15 verdict #6's "k = 1 first"
+    * continued): v₁ is the power iteration unchanged; v₂ comes from
+    * deflation-free ORTHOGONALIZED power iteration — each step runs
+    * the same G·v recurrence, rescales to 10⁴ integers, then projects
+    * v₁ back out with the exact-integer Gram-Schmidt step above, so
+    * the iterate converges to the dominant direction of v₁'s
+    * orthogonal complement (the second eigenvector). Both the seed
+    * and every step stay in int64 (|o| ≤ 10⁴·Σv₁² + ⟨u,v₁⟩·10⁴ ≈
+    * 1.3·10¹⁴) and the one division per component is the
+    * display-float discipline.
+    *
+    * Determinism: v₂ seeds at e_s'·10⁴ with s' = argmax_j of
+    * G_jj·(10⁸ − v₁_j²) — diagonal mass × misalignment with v₁, ties
+    * → smallest j. The score is zero only for dead axes (G_jj = 0,
+    * whose power step would dead-end) or axes fully equal to v₁
+    * (whose orthogonalization vanishes); it is zero for ALL j exactly
+    * when every vector lives on the single v₁ axis — true rank-1 —
+    * which raise_errors loudly. (argmin |v₁_j| looked simpler but
+    * picks DEAD axes: a zero-mass dimension orthogonalizes fine and
+    * then G·v = 0 on the first step.) The score's double product is
+    * exact for G_jj < 2⁵³ (~10⁹ rows of milli-unit vectors) and
+    * identical cross-engine regardless.
+    * A corpus that is rank-1 within rounding (every G·v collapses
+    * back onto v₁) raise_errors loudly instead of dividing by zero.
+    *
+    * Scale shape: ONE gram pass (shared with v₁ — localCheckpointed),
+    * all iteration state dim-sized; the orthogonalization scalars are
+    * 1-row aggregates. */
+  def topComponents2(emb: DataFrame, iters: Int = 6,
+                     dim: Int = 64): DataFrame = {
+    require(iters >= 1 && dim >= 2,
+      "topComponents2 needs dim >= 2 (a 1-dim space has no v2)")
+    val gram = gramOf(emb)
+    val v1 = powerIterate(gram, diagSeed(gram, dim), iters)
+    val rank1Msg = "topComponents2: the corpus is rank-1 within " +
+      "rounding — every direction collapses onto v1; no second " +
+      "component exists"
+    val s2 = gram.filter(col("i") === col("j"))
+      .join(v1.select(col("j"), col("v").as("v1")), "j")
+      .select(col("j"),
+        (col("m").cast("double")
+          * (lit(1.0e8d) - (col("v1") * col("v1")).cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col("j")).limit(1)
+      .select(when(col("score") === 0.0d, raise_error(lit(rank1Msg)))
+        .otherwise(col("j")).as("s2j"))
+    import emb.sparkSession.implicits._
+    val seed0 = Seq.tabulate(dim)(j => j).toDF("j")
+      .crossJoin(broadcast(s2))
+      .select(col("j"),
+        when(col("j") === col("s2j"), 10000L).otherwise(0L).as("u"))
+    var v2 = rescale10k(orthogonalizeAgainst(seed0, v1), rank1Msg)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = gram.join(v2, "j")
+        .groupBy("i")
+        .agg(sum(col("m").cast("decimal(38,0)") * col("v")).as("w"))
+      val mw = w.agg(max(abs(col("w"))).as("mw"))
+      val u = w.crossJoin(broadcast(mw))
+        .select(col("i").as("j"),
+          when(col("mw") === 0L, raise_error(lit(rank1Msg)))
+            .otherwise(round(col("w").cast("double")
+              / col("mw").cast("double") * lit(10000.0d)).cast("long"))
+            .as("u"))
+      v2 = rescale10k(orthogonalizeAgainst(u, v1), rank1Msg)
+        .localCheckpoint()
+    }
+    v1.select(lit(1L).as("component"), col("j").as("dim"),
+        col("v").as("v_unit"))
+      .unionByName(v2.select(lit(2L).as("component"), col("j").as("dim"),
+        col("v").as("v_unit")))
+  }
+
+  def topComponents2Query(spark: SparkSession, dir: String): DataFrame =
+    topComponents2(Tables.embeddings(spark, dir))
+      .orderBy(col("component"), col("dim"))
+
+  /** All-but-the-top with k = 2: project v₁ out (the embed_all_but_top
+    * residual), re-normalize to micro units, then project v₂ out of
+    * the MICRO-rounded residual and re-normalize again — sequential
+    * single-direction applications, each with one rounding, so every
+    * intermediate stays int64- and double-exact (the second
+    * projection's terms top out near 8.3·10¹⁵ < 2⁵³). v₂ ⟂ v₁, so
+    * the second projection cannot reintroduce the first direction
+    * beyond rounding. Zero vectors — and vectors whose ENTIRE mass
+    * was the anisotropy (zero residual after either projection) —
+    * degrade to NULL diagnostics + zero components. */
+  def embedAllButTop2(emb: DataFrame, iters: Int = 6,
+                      dim: Int = 64): DataFrame = {
+    val both = topComponents2(emb, iters, dim).localCheckpoint()
+    def dirRow(c: Long, va: String, vv: String) = both
+      .filter(col("component") === c)
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("v_unit")))), s => s.getField("v_unit")).as(va))
+      .select(col(va),
+        aggregate(col(va), lit(0L), (a, x) => a + x * x).as(vv))
+    val q = emb.select(col("vec_id"),
+      transform(toDoubleArray(col("embedding")),
+        x => round(x * lit(1000.0d)).cast("long")).as("q"))
+    val r1 = q
+      .crossJoin(broadcast(dirRow(1L, "va", "vv")))
+      .withColumn("qq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .withColumn("xv",
+        aggregate(zip_with(col("q"), col("va"), (x, vi) => x * vi),
+          lit(0L), (a, x) => a + x))
+      .withColumn("num",
+        zip_with(col("q"), col("va"),
+          (x, vi) => x * col("vv") - col("xv") * vi))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("num"),
+          n => n.cast("double") * n.cast("double")),
+          lit(0.0d), (a, x) => a + x)))
+      .select(col("vec_id"), col("qq"), col("xv"), col("vv"),
+        transform(col("num"), n =>
+          when(col("nrm") === 0.0d, lit(0L))
+            .otherwise(round(n.cast("double") / col("nrm")
+              * lit(1000000.0d)).cast("long"))).as("r1"))
+    r1.crossJoin(broadcast(dirRow(2L, "wa", "ww")))
+      .withColumn("rr", aggregate(col("r1"), lit(0L), (a, x) => a + x * x))
+      .withColumn("xw",
+        aggregate(zip_with(col("r1"), col("wa"), (x, wi) => x * wi),
+          lit(0L), (a, x) => a + x))
+      .withColumn("num2",
+        zip_with(col("r1"), col("wa"),
+          (x, wi) => x * col("ww") - col("xw") * wi))
+      .withColumn("nrm2",
+        sqrt(aggregate(transform(col("num2"),
+          n => n.cast("double") * n.cast("double")),
+          lit(0.0d), (a, x) => a + x)))
+      .select(col("vec_id"),
+        when(col("qq") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("xv") / (sqrt(col("qq")) * sqrt(col("vv")))
+            * lit(1000000.0d)).cast("long")).as("cos_top_micro"),
+        when(col("rr") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("xw") / (sqrt(col("rr")) * sqrt(col("ww")))
+            * lit(1000000.0d)).cast("long")).as("cos_top2_micro"),
+        concat_ws(",", transform(col("num2"), n =>
+          when(col("nrm2") === 0.0d, lit(0L))
+            .otherwise(round(n.cast("double") / col("nrm2")
+              * lit(1000000.0d)).cast("long")))).as("e_csv"))
+  }
+
+  def embedAllButTop2Query(spark: SparkSession, dir: String): DataFrame =
+    embedAllButTop2(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------- projection
 
@@ -4654,6 +4846,126 @@ object Similarity {
        |     i -> q[i] * vv - xv * va[i]) AS num
        |  FROM pj))""".stripMargin
 
+  /** The orthogonalized-power v₂ CTE chain on top of
+    * [[topComponentCtes]] — seed at argmin |v₁_j|, per step: HUGEINT
+    * G·v, 10⁴ rescale, exact Gram-Schmidt vs v$iters, 10⁴ rescale.
+    * Emits b2_$iters(j, v) — the second direction. */
+  private def topComponents2Ctes(iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${topComponentCtes(iters, dim)},
+      |s2 AS (
+      | SELECT j AS s2j FROM (
+      |  SELECT d.j,
+      |   CAST(d.m AS DOUBLE) * (100000000.0 - CAST(p.v * p.v AS DOUBLE))
+      |    AS score
+      |  FROM (SELECT i AS j, m FROM g WHERE i = j) d
+      |   JOIN v$iters p USING (j))
+      | ORDER BY score DESC, j LIMIT 1),
+      |vv1s AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv1 FROM v$iters),
+      |u2_0 AS (
+      | SELECT jj AS j, CASE WHEN jj = (SELECT s2j FROM s2)
+      |  THEN 10000 ELSE 0 END AS u
+      | FROM (SELECT unnest(range(0, $dim)) AS jj))""".stripMargin
+    for (t <- 0 to iters) {
+      if (t > 0) sb ++= s""",
+        |w2_$t AS MATERIALIZED (
+        | SELECT g.i, sum(CAST(g.m AS HUGEINT) * vp.v) AS w
+        | FROM g JOIN b2_${t - 1} vp ON g.j = vp.j GROUP BY 1),
+        |wm2_$t AS (SELECT max(abs(w)) AS mw FROM w2_$t),
+        |u2_$t AS (
+        | SELECT i AS j, CAST(round(CAST(w AS DOUBLE) / CAST(mw AS DOUBLE)
+        |   * 10000.0) AS BIGINT) AS u
+        | FROM w2_$t, wm2_$t)""".stripMargin
+      sb ++= s""",
+        |d2_$t AS (
+        | SELECT CAST(sum(u.u * p.v) AS BIGINT) AS uv
+        | FROM u2_$t u JOIN v$iters p USING (j)),
+        |o2_$t AS MATERIALIZED (
+        | SELECT u.j,
+        |  u.u * (SELECT vv1 FROM vv1s) - (SELECT uv FROM d2_$t) * p.v AS o
+        | FROM u2_$t u JOIN v$iters p USING (j)),
+        |m2_$t AS (SELECT max(abs(o)) AS mo FROM o2_$t),
+        |b2_$t AS MATERIALIZED (
+        | SELECT j, CAST(round(CAST(o AS DOUBLE) / CAST(mo AS DOUBLE)
+        |   * 10000.0) AS BIGINT) AS v
+        | FROM o2_$t, m2_$t)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def topComponents2Oracle(iters: Int, dim: Int): String =
+    s"""WITH ${topComponents2Ctes(iters, dim)}
+       |SELECT CAST(1 AS BIGINT) AS component, j AS dim, v AS v_unit
+       |FROM v$iters
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), j, v FROM b2_$iters
+       |ORDER BY component, dim""".stripMargin
+
+  private def embedAllButTop2Oracle(iters: Int, dim: Int): String =
+    s"""WITH ${topComponents2Ctes(iters, dim)},
+       |varr AS MATERIALIZED (
+       | SELECT list(v ORDER BY j) AS va,
+       |  CAST(list_sum(list_transform(list(v ORDER BY j), y -> y * y))
+       |   AS BIGINT) AS vv
+       | FROM v$iters),
+       |warr AS MATERIALIZED (
+       | SELECT list(v ORDER BY j) AS wa,
+       |  CAST(list_sum(list_transform(list(v ORDER BY j), y -> y * y))
+       |   AS BIGINT) AS ww
+       | FROM b2_$iters),
+       |qv AS (
+       | SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |   x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
+       | FROM embeddings),
+       |pj AS (
+       | SELECT qv.vec_id, qv.q, r.va, r.vv,
+       |  CAST(list_sum(list_transform(qv.q, y -> y * y)) AS BIGINT) AS qq,
+       |  CAST(list_sum(list_transform(range(1, len(qv.q) + 1),
+       |    i -> qv.q[i] * r.va[i])) AS BIGINT) AS xv
+       | FROM qv CROSS JOIN varr r),
+       |r1v AS MATERIALIZED (
+       | SELECT vec_id, qq, xv, vv,
+       |  list_transform(num, n -> CAST(CASE WHEN nrm = 0 THEN 0
+       |   ELSE round(CAST(n AS DOUBLE) / nrm * 1000000.0)
+       |   END AS BIGINT)) AS r1
+       | FROM (
+       |  SELECT vec_id, qq, xv, vv, num,
+       |   sqrt(list_sum(list_transform(num,
+       |     n -> CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS nrm
+       |  FROM (
+       |   SELECT vec_id, qq, xv, vv,
+       |    list_transform(range(1, len(q) + 1),
+       |      i -> q[i] * vv - xv * va[i]) AS num
+       |   FROM pj))),
+       |p2 AS (
+       | SELECT r.vec_id, r.qq, r.xv, r.vv, r.r1, w.wa, w.ww,
+       |  CAST(list_sum(list_transform(r.r1, y -> y * y)) AS BIGINT) AS rr,
+       |  CAST(list_sum(list_transform(range(1, len(r.r1) + 1),
+       |    i -> r.r1[i] * w.wa[i])) AS BIGINT) AS xw
+       | FROM r1v r CROSS JOIN warr w),
+       |f2 AS (
+       | SELECT vec_id, qq, xv, vv, rr, xw, ww, num2,
+       |  sqrt(list_sum(list_transform(num2,
+       |    n -> CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS nrm2
+       | FROM (
+       |  SELECT *, list_transform(range(1, len(r1) + 1),
+       |    i -> r1[i] * ww - xw * wa[i]) AS num2
+       |  FROM p2))
+       |SELECT vec_id,
+       | CASE WHEN qq = 0 THEN NULL
+       |  ELSE CAST(round(CAST(xv AS DOUBLE)
+       |   / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(vv AS DOUBLE)))
+       |   * 1000000.0) AS BIGINT) END AS cos_top_micro,
+       | CASE WHEN rr = 0 THEN NULL
+       |  ELSE CAST(round(CAST(xw AS DOUBLE)
+       |   / (sqrt(CAST(rr AS DOUBLE)) * sqrt(CAST(ww AS DOUBLE)))
+       |   * 1000000.0) AS BIGINT) END AS cos_top2_micro,
+       | array_to_string(list_transform(num2, n ->
+       |  CAST(CASE WHEN nrm2 = 0 THEN 0
+       |   ELSE round(CAST(n AS DOUBLE) / nrm2 * 1000000.0)
+       |   END AS BIGINT)), ',') AS e_csv
+       |FROM f2 ORDER BY vec_id""".stripMargin
+
   private def embedAllButTopOracle(iters: Int, dim: Int): String =
     s"""WITH ${allButTopCtes(iters, dim)}
        |SELECT vec_id,
@@ -5097,6 +5409,8 @@ object Similarity {
     "embed_all_but_top" -> embedAllButTopOracle(iters = 6, dim = 64),
     "ann_abt_recall" -> embedAllButTopRecallOracle(numQueries = 8, k = 5,
       iters = 6, dim = 64),
+    "top_components2" -> topComponents2Oracle(iters = 6, dim = 64),
+    "embed_all_but_top2" -> embedAllButTop2Oracle(iters = 6, dim = 64),
     "embed_exact_dups" ->
       """WITH h AS (
         | SELECT vec_id,

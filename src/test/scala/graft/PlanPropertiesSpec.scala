@@ -111,6 +111,12 @@ class PlanPropertiesSpec extends SparkSpec {
     // into the model build / the scored trigram stream — the model
     // itself joins by key (vocab³-bounded, deliberately NOT broadcast)
     "trigram_surprisal_kn", "lm_heldout_trigram",
+    // composes trigram_surprisal_kn (same scalar crosses); the
+    // histogram itself is one keyed aggregate
+    "ppl_histogram",
+    // two 1-row direction frames (v1, v2 with their norms) crossed
+    // into the map-only double projection
+    "embed_all_but_top2",
     // 1-row totals frame (tot_base, tot_new, V) crossed onto the
     // vocab-sized counts frame
     "vocab_kl_drift",

@@ -309,6 +309,30 @@ class QualityModelsSpec extends SparkSpec {
       out(("kn_bigram", "train"))._3 + 100000L)
   }
 
+  test("pplHistogram: bucket arithmetic, NULL bucket for no-evidence " +
+       "docs, per-lang partition of the corpus") {
+    // doc 1/2: known means from the trigram hand case (787651, 261512
+    // on this corpus-with-doc-4 model? no — model includes ALL docs
+    // here, so recompute from the operator itself for the bucket
+    // check); doc 4 has < 3 tokens => NULL bucket
+    val d = Seq((1L, "a b c a b d", "en"), (2L, "b c a", "de"),
+        (4L, "x y", "en"))
+      .toDF("doc_id", "text", "lang")
+    val means = QualityModels.trigramSurprisalKn(d)
+      .select("doc_id", "mean_micro")
+      .as[(Long, Option[Long])].collect().toMap
+    val out = QualityModels.pplHistogram(d, bucketMicro = 500000L)
+      .select("lang", "bucket", "n_docs", "n_trigrams")
+      .as[(String, Option[Long], Long, Long)].collect()
+    assert(out.map(_._3).sum === 3L, "every doc lands in one bucket row")
+    val en = out.filter(_._1 == "en")
+    assert(en.exists(r => r._2.isEmpty && r._3 === 1L),
+      "doc 4 (2 tokens) must land in the NULL bucket")
+    assert(en.exists(r => r._2 === means(1L).map(_ / 500000L)),
+      "doc 1's bucket is its mean floor-divided by the width")
+    assert(out.filter(_._1 == "de").map(_._3).sum === 1L)
+  }
+
   test("trigramSurprisalKn: probability sanity — every seen trigram " +
        "surprisal is positive and interpolation beats pure backoff " +
        "mass-wise on repeated contexts") {

@@ -116,6 +116,72 @@ class TopComponentSpec extends SparkSpec {
       e.getCause != null)
   }
 
+  test("topComponents2 recovers the second-heaviest planted axis, " +
+       "orthogonal to the first") {
+    val data = (
+      (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f), 0)) ++
+      (30L until 40L).map(i => (i, Array(0.0f, 0.0f, 1.0f, 0.0f), 0))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.topComponents2(data, iters = 6, dim = 4)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(out((1L, 0))) === 10000L, "v1 = heavier axis e0")
+    assert(math.abs(out((2L, 2))) === 10000L, "v2 = second axis e2")
+    assert(math.abs(out((2L, 0))) < 100L, "v2 carries no e0")
+  }
+
+  test("topComponents2 on real data: v2 is orthogonal to v1 within " +
+       "per-component rounding") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.topComponents2(emb)
+      .as[(Long, Int, Long)].collect()
+    val v1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val v2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(v1.length === 64 && v2.length === 64)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    // the Gram-Schmidt step is exact; only the final 10^4 rescale
+    // rounds, so |<v1,v2>| <= 0.5 * sum|v1_j| <= 0.5 * 64 * 10^4
+    assert(math.abs(dot) <= 400000L, s"v2 not orthogonal: dot=$dot")
+  }
+
+  test("a rank-1 corpus raise_errors instead of fabricating a v2") {
+    val data = (0L until 20L).map(i =>
+      (i, Array(0.6f, 0.8f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.topComponents2(data, iters = 3, dim = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rank-1")), s"got: ${msgs(e)}")
+  }
+
+  test("embedAllButTop2 residuals are orthogonal to BOTH directions " +
+       "and unit-normalized") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dirs = Similarity.topComponents2(emb)
+      .as[(Long, Int, Long)].collect()
+    val v1 = dirs.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val v2 = dirs.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    val rows = Similarity.embedAllButTop2(emb)
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+    assert(rows.length === 500)
+    rows.filter(_._2.isDefined).take(50).foreach {
+      case (id, _, _, csv) =>
+        val e = csv.split(",").map(_.toLong)
+        val d1 = e.zip(v1).map { case (a, b) => a * b }.sum
+        val d2 = e.zip(v2).map { case (a, b) => a * b }.sum
+        // micro components round twice (two sequential projections):
+        // allow 2x the single-projection rounding envelope
+        assert(math.abs(d1) <= 2L * (32L * 10000L + 10000L),
+          s"vec $id not orthogonal to v1: $d1")
+        assert(math.abs(d2) <= 2L * (32L * 10000L + 10000L),
+          s"vec $id not orthogonal to v2: $d2")
+        val n = math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+        assert(math.abs(n - 1e6) < 100.0, s"vec $id norm $n")
+    }
+  }
+
   test("abt recall eval emits one bounded row per query on real data") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r = Similarity.embedAllButTopRecall(emb, numQueries = 8, k = 5)
