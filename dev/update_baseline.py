@@ -14,8 +14,16 @@ average is >= 0.5 unless --force is passed.
 """
 import json, os, re, sys
 
-args = [a for a in sys.argv[1:] if a != "--force"]
+args = [a for a in sys.argv[1:] if a not in ("--force", "--merge-min")]
 force = "--force" in sys.argv[1:]
+# --merge-min: NEVER raise an existing per-query baseline — take
+# min(standing, this run) per query and add first entries for queries
+# the standing block lacks. The safe mode when a capture self-marks
+# quiet but the walls look uniformly host-inflated anyway (the
+# phantom-contention signature uptime cannot see from inside the VM):
+# existing baselines only improve, new queries get a conservative-HIGH
+# first entry that later quiet runs ratchet down.
+merge_min = "--merge-min" in sys.argv[1:]
 src = args[0] if len(args) > 0 else "target/bench_last.json"
 note = args[1] if len(args) > 1 else "manual update"
 d = json.load(open(src))
@@ -54,6 +62,17 @@ base = {
     "sf01": {k: round(v, 3) for k, v in sorted(d["queries"].items())},
     "sf001": {k: round(v["sf001"], 3) for k, v in sorted(d.get("scaling", {}).items())},
 }
+if merge_min:
+    md0 = open("BASELINE.md").read()
+    m = re.search(r"```json\n(.*?)\n```", md0, flags=re.S)
+    old = json.loads(m.group(1)) if m else {}
+    for tier in ("sf01", "sf001"):
+        prev = old.get(tier, {})
+        merged = dict(prev)
+        for k, v in base[tier].items():
+            merged[k] = min(prev[k], v) if k in prev else v
+        base[tier] = dict(sorted(merged.items()))
+    base["source"] = f"{note} (min-merge), local[32], sf0.1"
 rows = "\n".join(
     f"| {k} | {base['sf001'].get(k, '')} | {v} |" for k, v in base["sf01"].items())
 md = open("BASELINE.md").read()
