@@ -27,6 +27,27 @@ merge_min = "--merge-min" in sys.argv[1:]
 src = args[0] if len(args) > 0 else "target/bench_last.json"
 note = args[1] if len(args) > 1 else "manual update"
 d = json.load(open(src))
+# Driver wrappers (BENCH_rN.json) carry {"rc": N, "parsed": {...}}. A
+# non-zero rc means the bench was KILLED mid-run (r16: rc 124 timeout,
+# parsed null) — whatever numbers survive are a partial run and must
+# never become a baseline. Refuse loudly; unwrap a clean rc-0 wrapper.
+if "rc" in d and "queries" not in d:
+    if d.get("rc") != 0:
+        sys.exit(f"refusing a driver wrapper with rc={d.get('rc')} — the "
+                 "bench did not complete; re-run the bench and record from "
+                 "its own artifact (target/bench_last.json)")
+    if not isinstance(d.get("parsed"), dict):
+        sys.exit("driver wrapper has rc=0 but parsed is not an object — "
+                 "nothing to record")
+    d = d["parsed"]
+# An incrementally-flushed bench_last.json left by a KILLED run marks
+# itself partial — its minima may be 1-sample and its query list a
+# prefix. Good enough to diagnose a timeout, never to set a baseline.
+if d.get("partial") and not force:
+    sys.exit(f"refusing a partial bench artifact (stage "
+             f"{d.get('stage')!r}, {d.get('n_done')} queries done) — the "
+             "run was killed mid-suite; re-run to completion or pass "
+             "--force")
 # prefer the load the BENCH saw before it started (it records
 # load1_start since r15); fall back to current load for older artifacts —
 # but say so loudly, because the fallback checks the wrong instant (it
@@ -57,10 +78,21 @@ if load1 is not None and load1 >= 0.5 and not force:
     sys.exit(f"refusing to record a baseline from a run started at load "
              f"{load1:.2f} >= 0.5 (walls would be host-inflated); re-run "
              "on a quiet host or pass --force")
+# Failed queries record the -1.0 sentinel (Bench.scala) — a baseline
+# must never carry one: in plain mode it would poison later ratios, in
+# merge mode min(prev, -1.0) would silently DESTROY a good standing
+# entry (r16 ADVICE #2). Drop them loudly; prev entries survive.
+failed = sorted(k for k, v in d["queries"].items() if v < 0)
+if failed:
+    print(f"WARNING: skipping {len(failed)} failed queries (-1.0 "
+          f"sentinel): {', '.join(failed)}", file=sys.stderr)
 base = {
     "source": f"{note}, min of {d.get('reps', 3)} reps, local[32], sf0.1",
-    "sf01": {k: round(v, 3) for k, v in sorted(d["queries"].items())},
-    "sf001": {k: round(v["sf001"], 3) for k, v in sorted(d.get("scaling", {}).items())},
+    "sf01": {k: round(v, 3) for k, v in sorted(d["queries"].items())
+             if v >= 0},
+    "sf001": {k: round(v["sf001"], 3)
+              for k, v in sorted(d.get("scaling", {}).items())
+              if v["sf001"] >= 0},
 }
 if merge_min:
     md0 = open("BASELINE.md").read()

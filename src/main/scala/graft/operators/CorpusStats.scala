@@ -219,15 +219,22 @@ object CorpusStats {
     * oov_bp = 10000·oov div n_tok in BIGINTs, rounded never. */
   /** The top-V vocabulary collapsed to ONE map row — the frozen
     * artifact the batch coverage report and the streaming admission
-    * gate (VocabGateStream) both score against. */
+    * gate (VocabGateStream) both score against.
+    *
+    * Top-V selection is the zipfFit discipline: orderBy+limit (a
+    * distributed TakeOrderedAndProject — each partition keeps its own
+    * top V, the driver merges V-sized heaps), NEVER a vocab-wide
+    * unpartitioned window (r16 verdict: a web-scale vocab is 10⁸+
+    * types — ranking them through one WindowExec task is the
+    * single-task sort this repo's window-discipline gate forbids).
+    * The map is order-insensitive, so no rank column is needed at
+    * all: the limited V rows fold straight into the set. */
   def vocabSetRow(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
     require(vocabSize >= 1)
     val toks = docs.select(explode(tokens(col("text"))).as("t"))
       .filter(col("t") =!= "")
-    val wTop = W.orderBy(col("cnt").desc, col("t"))
     toks.groupBy("t").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= vocabSize)
+      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
       .agg(map_from_entries(collect_list(struct(col("t"), lit(true))))
         .as("vset"))
   }

@@ -781,8 +781,12 @@ object QualityModels {
   }
 
   def pplHistogramQuery(spark: SparkSession, dir: String): DataFrame =
+    // asc_nulls_last: the NULL bucket (docs with < 3 tokens) must sort
+    // where the oracle's ORDER BY puts it — DuckDB defaults NULLS LAST
+    // while Spark defaults NULLS FIRST, a positional row-order mismatch
+    // the moment a short doc exists (r16 ADVICE #1)
     pplHistogram(Tables.documents(spark, dir))
-      .orderBy(col("lang"), col("bucket"))
+      .orderBy(col("lang"), col("bucket").asc_nulls_last)
 
   /** Token-distribution drift between two corpus slices — the
     * monitoring operator a continuously-crawled pipeline runs before

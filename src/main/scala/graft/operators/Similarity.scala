@@ -4847,9 +4847,12 @@ object Similarity {
        |  FROM pj))""".stripMargin
 
   /** The orthogonalized-power v₂ CTE chain on top of
-    * [[topComponentCtes]] — seed at argmin |v₁_j|, per step: HUGEINT
-    * G·v, 10⁴ rescale, exact Gram-Schmidt vs v$iters, 10⁴ rescale.
-    * Emits b2_$iters(j, v) — the second direction. */
+    * [[topComponentCtes]] — seed at argmax G_jj·(10⁸ − v₁_j²) (the
+    * diagonal-mass-times-misalignment pick: a high-variance axis the
+    * first direction poorly covers, matching topComponents2's seed —
+    * argmin |v₁_j| would pick DEAD axes), per step: HUGEINT G·v, 10⁴
+    * rescale, exact Gram-Schmidt vs v$iters, 10⁴ rescale. Emits
+    * b2_$iters(j, v) — the second direction. */
   private def topComponents2Ctes(iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""${topComponentCtes(iters, dim)},
