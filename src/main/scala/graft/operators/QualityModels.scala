@@ -788,6 +788,291 @@ object QualityModels {
     pplHistogram(Tables.documents(spark, dir))
       .orderBy(col("lang"), col("bucket").asc_nulls_last)
 
+  // ------------------------------------------- pruned quadgram Kneser-Ney
+
+  /** The pruned order-4 model frames over a (possibly split-filtered)
+    * corpus: ALL quadgram types with counts (qall — needed to score
+    * seen-but-pruned positions), and the kept-prefix stats computed
+    * over the PRUNED table only (c123k = Σ kept c1234 per (t1 t2 t3),
+    * T123 = kept continuation types) — KenLM's discipline: discounts
+    * and interpolation weights are recomputed over the retained set,
+    * so the pruned model is self-consistent, not a truncated copy. */
+  private def quadgramModelFrames(corpus: DataFrame, minCount: Long):
+      (DataFrame, DataFrame) = {
+    val qall = corpus
+      .select(explode(wordShingles(tokens(col("text")), 4)).as("qg"))
+      .groupBy("qg").agg(count(lit(1)).as("c1234"))
+    val qpstats = qall.filter(col("c1234") >= minCount)
+      .groupBy(concat_ws(" ", split(col("qg"), " ").getItem(0),
+        split(col("qg"), " ").getItem(1),
+        split(col("qg"), " ").getItem(2)).as("p123"))
+      .agg(sum(col("c1234")).as("c123k"), count(lit(1)).as("t123types"))
+    (qall, qpstats)
+  }
+
+  /** Quadgram-LM cross-entropy with COUNT-PRUNED interpolated
+    * Kneser-Ney — the order-4 rung of the LM ladder, and the first
+    * one where the model table CANNOT ship whole: at web scale the
+    * raw quadgram-type table outgrows vocab³ by another Heaps factor,
+    * so the standard KenLM move applies — keep only types with
+    * c1234 ≥ minCount (singleton pruning at θ=2 drops ~82% of types
+    * on the test corpus) and let pruned positions back off. The
+    * BACKOFF DISTRIBUTION is the existing unpruned trigram-KN
+    * rational (trigramModelFrames — vocab³-bounded tables keep their
+    * own keyed-join shape), so pruning bites exactly where the blowup
+    * is: the top order.
+    *
+    * Per seen quadgram type (t1 t2 t3 t4), with D = 3/4 exact and
+    * p3 = num3/den3 the trigram-KN conditional of (t2 t3 → t4)
+    * (trigramSurprisalKn's rational, joined on the SUFFIX trigram):
+    *
+    *   kept (c1234 ≥ θ):
+    *     p4 = (c1234−D)/c123k + D·T123/c123k · p3
+    *        ⇒ num = (4·c1234−3)·den3 + 3·T123·num3, den = 4·c123k·den3
+    *   pruned type, prefix kept (c123k ≥ 1):
+    *     p4 = D·T123/c123k · p3   (the interpolation weight alone —
+    *       interpolated KN's zero-count branch)
+    *        ⇒ num = 3·T123·num3,                  den = 4·c123k·den3
+    *   prefix entirely pruned:
+    *     p4 = p3                 ⇒ num = num3,    den = den3
+    *
+    * and the per-type surprisal rounds ONCE to micro-nats as
+    * round((ln(den)−ln(num))·10⁶) — two ln of exact BIGINTs in pinned
+    * order, both engines bit-identical.
+    *
+    * Integer bound: every branch's probability is ≤ 1 so num ≤ den,
+    * and den = 64·c123k·c23·m3·(B+V); the in-plan guard raises when
+    * c123k·c23·m3·(B+V) ≥ 1.4e17 (den would pass 9e18 and WRAP here
+    * while the oracle engine fails loudly). Measured headroom at
+    * sf0.1: max den ≈ 3.4e11.
+    *
+    * Scale shape — the trigram discipline one order up: the model is
+    * keyed equi-joins end to end (the quadgram table is exactly what
+    * must NEVER broadcast), one exploded position stream, ONE per-doc
+    * aggregate. Docs with < 4 tokens carry 0/NULL (no evidence). */
+  def quadgramSurprisalKn(docs: DataFrame,
+                          minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1)
+    val (tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      trigramModelFrames(docs)
+    val (qall, qpstats) = quadgramModelFrames(docs, minCount)
+    val smodel = scoreQuadgramTypes(qall, qpstats, minCount,
+      tcnt, pstats, mid, mstats, cstats, btot, vtot)
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 4)).as("qg"))
+      .join(smodel, "qg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_quadgrams"),
+        sum(col("s")).as("surprisal_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_quadgrams"), lit(0L)).as("n_quadgrams"),
+        coalesce(col("surprisal_micro"), lit(0L)).as("surprisal_micro"),
+        when(coalesce(col("n_quadgrams"), lit(0L)) > 0,
+          expr("surprisal_micro div n_quadgrams")).as("mean_micro"))
+  }
+
+  /** The per-type scorer shared by quadgramSurprisalKn and
+    * knPruneCurve: every SEEN quadgram type → (qg, c1234, s). The
+    * suffix-trigram joins are inner by construction (a seen quadgram's
+    * suffix is a seen trigram, its (t2 t3) a seen trigram prefix, its
+    * (t3 t4) a seen middle pair); only qpstats is outer — a prefix
+    * with no kept types falls to the pure-backoff branch. */
+  private def scoreQuadgramTypes(qall: DataFrame, qpstats: DataFrame,
+      minCount: Long, tcnt: DataFrame, pstats: DataFrame, mid: DataFrame,
+      mstats: DataFrame, cstats: DataFrame, btot: DataFrame,
+      vtot: DataFrame): DataFrame = {
+    val bv = col("b") + col("v")
+    val denmid = lit(4L) * col("m2") * bv
+    val nummid = (lit(4L) * col("m23") - 3) * bv +
+      lit(3L) * col("t2types") * (col("cont") + 1)
+    val den3 = lit(4L) * col("c12") * denmid
+    val num3 = (lit(4L) * col("c123") - 3) * denmid +
+      lit(3L) * col("t12types") * nummid
+    val den4 = lit(4L) * col("c123k") * den3
+    val num4 = when(col("c1234") >= minCount,
+        (lit(4L) * col("c1234") - 3) * den3 +
+          lit(3L) * col("t123types") * num3)
+      .otherwise(lit(3L) * col("t123types") * num3)
+    qall
+      .withColumn("p123", concat_ws(" ", split(col("qg"), " ").getItem(0),
+        split(col("qg"), " ").getItem(1), split(col("qg"), " ").getItem(2)))
+      .withColumn("sfx", concat_ws(" ", split(col("qg"), " ").getItem(1),
+        split(col("qg"), " ").getItem(2), split(col("qg"), " ").getItem(3)))
+      .join(qpstats, Seq("p123"), "left")
+      .join(tcnt, col("sfx") === col("tg"))
+      .join(pstats, concat_ws(" ", split(col("sfx"), " ").getItem(0),
+        split(col("sfx"), " ").getItem(1)) === col("p12"))
+      .join(mid, concat_ws(" ", split(col("sfx"), " ").getItem(1),
+        split(col("sfx"), " ").getItem(2)) === col("s23"))
+      .join(mstats, split(col("sfx"), " ").getItem(1) === col("mt2"))
+      .join(cstats, split(col("sfx"), " ").getItem(2) === col("ct3"))
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
+      // num ≤ den on every branch (probabilities ≤ 1), so guarding den
+      // = 64·c123k·c23·m3·(B+V) < 2⁶³ guards the whole rational
+      .select(col("qg"), col("c1234"),
+        when(coalesce(col("c123k"), lit(1L)).cast("double")
+            * col("c12").cast("double") * col("m2").cast("double")
+            * bv.cast("double") >= lit(1.4e17d),
+          raise_error(concat(lit("quadgram KN: c123k*c23*m3*(B+V) >= " +
+            "1.4e17 overflows the exact int64 rational — rescale the " +
+            "rational before corpora this size (qg="), col("qg"),
+            lit(")"))))
+          .otherwise(round(
+            (when(col("c123k").isNotNull, log(den4) - log(num4))
+              .otherwise(log(den3) - log(num3))) * lit(1000000.0d)))
+          .cast("long").as("s"))
+  }
+
+  def quadgramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
+    quadgramSurprisalKn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The pruning-threshold CURVE — the measurement that justifies the
+    * θ knob: for each threshold, the model's row count (what ships)
+    * against the corpus-level mean surprisal (what pruning costs).
+    * Positions need no re-scan per θ: Σ_positions s = Σ_types c1234·s,
+    * so the curve is |thetas| keyed joins over the SAME type table —
+    * the corpus is touched once for qall, once for the trigram
+    * frames. A flat mean_micro next to a collapsing kept_types is the
+    * green light to prune; a jumping mean is the alarm. */
+  def knPruneCurve(docs: DataFrame,
+                   thetas: Seq[Long] = Seq(1L, 2L, 4L)): DataFrame = {
+    require(thetas.nonEmpty && thetas.forall(_ >= 1))
+    val (tcnt0, pstats0, mid0, mstats0, cstats0, btot0, vtot0) =
+      trigramModelFrames(docs)
+    // model-sized frames reused |thetas| times — checkpoint so the
+    // corpus scans don't replicate per threshold
+    val qall = docs
+      .select(explode(wordShingles(tokens(col("text")), 4)).as("qg"))
+      .groupBy("qg").agg(count(lit(1)).as("c1234"))
+      .localCheckpoint()
+    val Seq(tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      Seq(tcnt0, pstats0, mid0, mstats0, cstats0, btot0, vtot0)
+        .map(_.localCheckpoint())
+    thetas.map { th =>
+      val qpstats = qall.filter(col("c1234") >= th)
+        .groupBy(concat_ws(" ", split(col("qg"), " ").getItem(0),
+          split(col("qg"), " ").getItem(1),
+          split(col("qg"), " ").getItem(2)).as("p123"))
+        .agg(sum(col("c1234")).as("c123k"), count(lit(1)).as("t123types"))
+      scoreQuadgramTypes(qall, qpstats, th,
+        tcnt, pstats, mid, mstats, cstats, btot, vtot)
+        .agg(
+          sum(when(col("c1234") >= th, 1L).otherwise(0L)).as("kept_types"),
+          count(lit(1)).as("total_types"),
+          sum(col("c1234")).as("n_positions"),
+          sum(col("c1234") * col("s")).as("sum_micro"))
+        .select(lit(th).as("theta"), col("kept_types"), col("total_types"),
+          col("n_positions"),
+          expr("sum_micro div n_positions").as("mean_micro"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def knPruneCurveQuery(spark: SparkSession, dir: String): DataFrame =
+    knPruneCurve(Tables.documents(spark, dir)).orderBy(col("theta"))
+
+  /** Held-out quadgram-KN (pruned) vs trigram-KN on the SAME quadgram
+    * positions — lmHeldoutTrigram's frame one order up: both models
+    * score every (t1 t2 t3 → t4) prediction site from train-split
+    * statistics, so the mean_micro gap IS the value of the fourth
+    * order net of pruning, and `unseen_quadgrams` counts kept-model
+    * misses (pruned types score as misses — they are misses, that is
+    * what shipping a pruned model means).
+    *
+    * Fallback ladder per scored position: the trigram leg is
+    * lmHeldoutTrigram's three-branch ladder on the SUFFIX (t2 t3 t4)
+    * verbatim, producing its branch-dependent exact rational
+    * num3/den3; the quadgram leg stacks on top —
+    *   kept type:      num = (4·c1234−3)·den3 + 3·T123·num3,
+    *                   den = 4·c123k·den3
+    *   prefix kept:    num = 3·T123·num3, den = 4·c123k·den3
+    *   prefix unkept:  num = num3, den = den3  (pure backoff)
+    * Every branch rounds ONCE to micro-nats from exact BIGINTs. */
+  def lmHeldoutQuadgram(docs: DataFrame, minCount: Long = 2L,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(minCount >= 1)
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val trainT = 4294967296L * trainPct / 100
+    val valT = 4294967296L * (trainPct + valPct) / 100
+    val tagged = docs.select(col("doc_id"), col("text"),
+      when(TextAnalysis.sampleBucket < trainT, "train")
+        .when(TextAnalysis.sampleBucket < valT, "val")
+        .otherwise("test").as("split"))
+    val train = tagged.filter(col("split") === "train")
+    val (tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      trigramModelFrames(train)
+    val (qall, qpstats) = quadgramModelFrames(train, minCount)
+    val qkept = qall.filter(col("c1234") >= minCount)
+    val scored = tagged
+      .select(col("split"),
+        explode(wordShingles(tokens(col("text")), 4)).as("qg"))
+      .withColumn("p123", concat_ws(" ", split(col("qg"), " ").getItem(0),
+        split(col("qg"), " ").getItem(1), split(col("qg"), " ").getItem(2)))
+      .withColumn("t2", split(col("qg"), " ").getItem(1))
+      .withColumn("t3", split(col("qg"), " ").getItem(2))
+      .withColumn("t4", split(col("qg"), " ").getItem(3))
+      .withColumn("sfx", concat_ws(" ", col("t2"), col("t3"), col("t4")))
+      .join(qkept, Seq("qg"), "left")
+      .join(qpstats, Seq("p123"), "left")
+      .join(tcnt, col("sfx") === col("tg"), "left")
+      .join(pstats, concat_ws(" ", col("t2"), col("t3")) === col("p12"),
+        "left")
+      .join(mid, concat_ws(" ", col("t3"), col("t4")) === col("s23"), "left")
+      .join(mstats, col("t3") === col("mt2"), "left")
+      .join(cstats, col("t4") === col("ct3"), "left")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
+    val bv = col("b") + col("v")
+    val denmid = lit(4L) * col("m2") * bv
+    val nummid = greatest(lit(4L) * coalesce(col("m23"), lit(0L)) - 3,
+      lit(0L)) * bv +
+      lit(3L) * col("t2types") * (coalesce(col("cont"), lit(0L)) + 1)
+    // the trigram ladder's branch-dependent exact rational on the
+    // suffix — lmHeldoutTrigram's three branches, as reusable columns
+    val den3 = when(col("c12").isNotNull, lit(4L) * col("c12") * denmid)
+      .when(col("m2").isNotNull, denmid)
+      .otherwise(bv)
+    val num3 = when(col("c12").isNotNull,
+        greatest(lit(4L) * coalesce(col("c123"), lit(0L)) - 3, lit(0L))
+          * denmid + lit(3L) * col("t12types") * nummid)
+      .when(col("m2").isNotNull, nummid)
+      .otherwise(coalesce(col("cont"), lit(0L)) + 1)
+    val rows = scored.select(col("split"),
+      col("c1234").isNull.as("unseen"),
+      // the same den-only int64 guard as quadgramSurprisalKn, with
+      // absent branch components coalesced to their bound-neutral 1
+      when(coalesce(col("c123k"), lit(1L)).cast("double")
+          * coalesce(col("c12"), lit(1L)).cast("double")
+          * coalesce(col("m2"), lit(1L)).cast("double")
+          * bv.cast("double") >= lit(1.4e17d),
+        raise_error(lit("quadgram KN heldout: c123k*c23*m3*(B+V) >= " +
+          "1.4e17 overflows the exact int64 rational — rescale the " +
+          "rational before corpora this size")))
+        .otherwise(round((log(den3) - log(num3)) * lit(1000000.0d)))
+        .cast("long").as("s_tri"),
+      round((when(col("c123k").isNotNull,
+          log(lit(4L) * col("c123k") * den3)
+            - log(when(col("c1234").isNotNull,
+                (lit(4L) * col("c1234") - 3) * den3 +
+                  lit(3L) * col("t123types") * num3)
+              .otherwise(lit(3L) * col("t123types") * num3)))
+        .otherwise(log(den3) - log(num3)))
+        * lit(1000000.0d)).cast("long").as("s_quad"))
+    val agg = rows.groupBy("split")
+      .agg(count(lit(1)).as("n_quadgrams"),
+        sum(when(col("unseen"), 1L).otherwise(0L)).as("unseen_quadgrams"),
+        sum(col("s_tri")).as("st"), sum(col("s_quad")).as("sq"))
+    def side(model: String, sumCol: String) = agg
+      .select(lit(model).as("model"), col("split"), col("n_quadgrams"),
+        col("unseen_quadgrams"),
+        expr(s"$sumCol div n_quadgrams").as("mean_micro"))
+    side("kn_trigram", "st").unionByName(side("kn_quadgram", "sq"))
+  }
+
+  def lmHeldoutQuadgramQuery(spark: SparkSession, dir: String): DataFrame =
+    lmHeldoutQuadgram(Tables.documents(spark, dir))
+      .orderBy(col("model"), col("split"))
+
   /** Token-distribution drift between two corpus slices — the
     * monitoring operator a continuously-crawled pipeline runs before
     * admitting a new batch: KL(new ‖ base) decomposed PER TOKEN TYPE,
@@ -1519,7 +1804,197 @@ object QualityModels {
        |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
        | FROM tgocc o JOIN smap s USING (tg) GROUP BY 1)""".stripMargin
 
+  /** The trigram-KN exact rational PER TRIGRAM TYPE as (den3, num3)
+    * columns — trigram_surprisal_kn's smap with the rounding deferred,
+    * so the quadgram oracles can stack their order-4 rational on top
+    * of the same integers. Expects the trigram model CTEs in scope. */
+  private val trigramRationalCte: String =
+    s"""tsc AS MATERIALIZED (
+       | SELECT t.tg,
+       |  4*p.c12*(4*ms.m2*(bb.b+vv.v)) AS den3,
+       |  (4*t.c123-3)*(4*ms.m2*(bb.b+vv.v))
+       |    + 3*p.t12types*((4*m.m23-3)*(bb.b+vv.v)
+       |                    + 3*ms.t2types*(cs.cont+1)) AS num3
+       | FROM tcnt t
+       |  JOIN pstats p ON string_split(t.tg, ' ')[1] || ' ' ||
+       |   string_split(t.tg, ' ')[2] = p.p12
+       |  JOIN mid m ON string_split(t.tg, ' ')[2] || ' ' ||
+       |   string_split(t.tg, ' ')[3] = m.s23
+       |  JOIN mstats ms ON string_split(t.tg, ' ')[2] = ms.mt2
+       |  JOIN cstats cs ON string_split(t.tg, ' ')[3] = cs.ct3
+       |  CROSS JOIN btot bb CROSS JOIN vtot vv)""".stripMargin
+
+  /** Quadgram occurrence + type-count CTEs over a `tok(…, toks)` CTE;
+    * doc_id flows through when the caller's tok carries it. Concat
+    * operators sit at line ENDS — like the trigram CTEs, this passes
+    * through a second stripMargin at the interpolation site. */
+  private def quadgramOccCtes(withDocId: Boolean): String = {
+    val docCol = if (withDocId) "doc_id, " else ""
+    s"""qgocc AS (
+       | SELECT ${docCol}unnest(CASE WHEN len(toks) >= 4
+       |   THEN list_transform(range(1, len(toks) - 2),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+       |      ' ' || toks[i+3])
+       |   ELSE [] END) AS qg
+       | FROM tok),
+       |qall AS (SELECT qg, CAST(count(*) AS BIGINT) AS c1234
+       |         FROM qgocc GROUP BY 1)""".stripMargin
+  }
+
+  /** Kept-prefix stats + per-type pruned-KN surprisal at one
+    * threshold, as suffixed CTEs (qpre_θ, smap4_θ) — the pruned
+    * ladder's three branches mirror scoreQuadgramTypes exactly. */
+  private def quadgramScoreCtes(theta: Long): String =
+    s"""qpre_$theta AS (
+       | SELECT string_split(qg, ' ')[1] || ' ' || string_split(qg, ' ')[2] ||
+       |   ' ' || string_split(qg, ' ')[3] AS p123,
+       |  CAST(sum(c1234) AS BIGINT) AS c123k,
+       |  CAST(count(*) AS BIGINT) AS t123types
+       | FROM qall WHERE c1234 >= $theta GROUP BY 1),
+       |smap4_$theta AS (
+       | SELECT q.qg, q.c1234,
+       |  CAST(round((CASE WHEN qp.c123k IS NOT NULL
+       |    THEN ln(4*qp.c123k*ts.den3)
+       |      - ln(CASE WHEN q.c1234 >= $theta
+       |          THEN (4*q.c1234-3)*ts.den3 + 3*qp.t123types*ts.num3
+       |          ELSE 3*qp.t123types*ts.num3 END)
+       |    ELSE ln(ts.den3) - ln(ts.num3) END)
+       |   * 1000000) AS BIGINT) AS s
+       | FROM qall q
+       |  LEFT JOIN qpre_$theta qp ON string_split(q.qg, ' ')[1] || ' ' ||
+       |   string_split(q.qg, ' ')[2] || ' ' ||
+       |   string_split(q.qg, ' ')[3] = qp.p123
+       |  JOIN tsc ts ON string_split(q.qg, ' ')[2] || ' ' ||
+       |   string_split(q.qg, ' ')[3] || ' ' ||
+       |   string_split(q.qg, ' ')[4] = ts.tg)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // pruned interpolated quadgram KN (θ=2): per-type exact rational
+    // stacked on the trigram rational via the suffix join
+    "quadgram_surprisal_kn" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |$trigramStreamCtes
+         |$trigramRationalCte,
+         |${quadgramOccCtes(withDocId = true)},
+         |${quadgramScoreCtes(theta = 2L)},
+         |per_doc4 AS (
+         | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_quadgrams,
+         |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
+         | FROM qgocc o JOIN smap4_2 s USING (qg) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_quadgrams, 0) AS n_quadgrams,
+         | coalesce(p.surprisal_micro, 0) AS surprisal_micro,
+         | CASE WHEN coalesce(p.n_quadgrams, 0) > 0
+         |   THEN p.surprisal_micro // p.n_quadgrams END AS mean_micro
+         |FROM documents d LEFT JOIN per_doc4 p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // model rows vs corpus mean surprisal per pruning threshold:
+    // Σ_positions s = Σ_types c1234·s, so no position re-scan per θ
+    "kn_prune_curve" -> {
+      val thetas = Seq(1L, 2L, 4L)
+      val blocks = thetas.map(quadgramScoreCtes).mkString(",\n")
+      val rows = thetas.map { th =>
+        s"""SELECT CAST($th AS BIGINT) AS theta,
+           | CAST(sum(CASE WHEN c1234 >= $th THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS kept_types,
+           | CAST(count(*) AS BIGINT) AS total_types,
+           | CAST(sum(c1234) AS BIGINT) AS n_positions,
+           | CAST(sum(c1234 * s) AS BIGINT) // CAST(sum(c1234) AS BIGINT)
+           |   AS mean_micro
+           |FROM smap4_$th""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |$trigramStreamCtesNoDoc
+         |$trigramRationalCte,
+         |${quadgramOccCtes(withDocId = false)},
+         |$blocks
+         |$rows
+         |ORDER BY theta""".stripMargin
+    },
+    // train-split pruned quadgram KN vs trigram KN on the SAME
+    // quadgram positions; both ladders branch-for-branch with the
+    // Spark side (den3/num3 computed once, rounded once per leg)
+    "lm_heldout_quadgram" ->
+      s"""WITH sp AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN b < ${4294967296L * 80 / 100} THEN 'train'
+         |       WHEN b < ${4294967296L * 90 / 100} THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id, text,
+         |        ${TextAnalysis.sampleBucketSql} AS b FROM documents)),
+         |tokall AS (
+         | SELECT split, string_split(text, ' ') AS toks FROM sp),
+         |qgall AS (
+         | SELECT split, unnest(CASE WHEN len(toks) >= 4
+         |   THEN list_transform(range(1, len(toks) - 2),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3])
+         |   ELSE [] END) AS qg
+         | FROM tokall),
+         |tok AS (SELECT toks FROM tokall WHERE split = 'train'),
+         |$trigramStreamCtesNoDoc
+         |${quadgramOccCtes(withDocId = false)},
+         |qkept AS (SELECT qg, c1234 FROM qall WHERE c1234 >= 2),
+         |qpre AS (
+         | SELECT string_split(qg, ' ')[1] || ' ' || string_split(qg, ' ')[2]
+         |   || ' ' || string_split(qg, ' ')[3] AS p123,
+         |  CAST(sum(c1234) AS BIGINT) AS c123k,
+         |  CAST(count(*) AS BIGINT) AS t123types
+         | FROM qkept GROUP BY 1),
+         |rows0 AS (
+         | SELECT g.split, (k.c1234 IS NULL) AS unseen,
+         |  k.c1234, qp.c123k, qp.t123types,
+         |  CASE WHEN p.c12 IS NOT NULL
+         |    THEN 4*p.c12*(4*ms.m2*(bb.b+vv.v))
+         |   WHEN ms.m2 IS NOT NULL THEN 4*ms.m2*(bb.b+vv.v)
+         |   ELSE bb.b+vv.v END AS den3,
+         |  CASE WHEN p.c12 IS NOT NULL
+         |    THEN greatest(4*COALESCE(t.c123, 0) - 3, 0)
+         |        *(4*ms.m2*(bb.b+vv.v))
+         |      + 3*p.t12types*(greatest(4*COALESCE(m.m23, 0) - 3, 0)
+         |          *(bb.b+vv.v)
+         |        + 3*ms.t2types*(COALESCE(cs.cont, 0)+1))
+         |   WHEN ms.m2 IS NOT NULL
+         |    THEN greatest(4*COALESCE(m.m23, 0) - 3, 0)*(bb.b+vv.v)
+         |      + 3*ms.t2types*(COALESCE(cs.cont, 0)+1)
+         |   ELSE COALESCE(cs.cont, 0) + 1 END AS num3
+         | FROM qgall g
+         |  LEFT JOIN qkept k USING (qg)
+         |  LEFT JOIN qpre qp ON string_split(g.qg, ' ')[1] || ' ' ||
+         |    string_split(g.qg, ' ')[2] || ' ' ||
+         |    string_split(g.qg, ' ')[3] = qp.p123
+         |  LEFT JOIN tcnt t ON string_split(g.qg, ' ')[2] || ' ' ||
+         |    string_split(g.qg, ' ')[3] || ' ' ||
+         |    string_split(g.qg, ' ')[4] = t.tg
+         |  LEFT JOIN pstats p ON string_split(g.qg, ' ')[2] || ' ' ||
+         |    string_split(g.qg, ' ')[3] = p.p12
+         |  LEFT JOIN mid m ON string_split(g.qg, ' ')[3] || ' ' ||
+         |    string_split(g.qg, ' ')[4] = m.s23
+         |  LEFT JOIN mstats ms ON string_split(g.qg, ' ')[3] = ms.mt2
+         |  LEFT JOIN cstats cs ON string_split(g.qg, ' ')[4] = cs.ct3
+         |  CROSS JOIN btot bb CROSS JOIN vtot vv),
+         |rows AS (
+         | SELECT split, unseen,
+         |  CAST(round((ln(den3) - ln(num3)) * 1000000) AS BIGINT) AS s_tri,
+         |  CAST(round((CASE WHEN c123k IS NOT NULL
+         |    THEN ln(4*c123k*den3) - ln(CASE WHEN c1234 IS NOT NULL
+         |        THEN (4*c1234-3)*den3 + 3*t123types*num3
+         |        ELSE 3*t123types*num3 END)
+         |    ELSE ln(den3) - ln(num3) END) * 1000000) AS BIGINT) AS s_quad
+         | FROM rows0),
+         |agg AS (
+         | SELECT split, CAST(count(*) AS BIGINT) AS n_quadgrams,
+         |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS unseen_quadgrams,
+         |  CAST(sum(s_tri) AS BIGINT) AS st,
+         |  CAST(sum(s_quad) AS BIGINT) AS sq
+         | FROM rows GROUP BY 1)
+         |SELECT 'kn_quadgram' AS model, split, n_quadgrams,
+         | unseen_quadgrams, sq // n_quadgrams AS mean_micro FROM agg
+         |UNION ALL
+         |SELECT 'kn_trigram', split, n_quadgrams, unseen_quadgrams,
+         | st // n_quadgrams FROM agg
+         |ORDER BY model, split""".stripMargin,
     "quality_calibrated" -> qualityCalibratedOracle(iters = 10,
       stepDiv = 10000000L),
     "quality_train" -> qualityTrainOracle(iters = 10,

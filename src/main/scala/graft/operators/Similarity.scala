@@ -2687,6 +2687,57 @@ object Similarity {
       .orderBy(col("stage"))
   }
 
+  /** NN-Descent run to CONVERGENCE — knn_graph_refine's single round
+    * (measured +21 recall points) iterated with the standard early
+    * stop (Dong, Charikar & Li 2011 §2.3): after each round, count
+    * edges the round CHANGED (new (src,dst) pairs in the top-k lists);
+    * stop when that falls below epsBp basis points of the n·k edge
+    * mass, or at maxRounds. The graph monotonically improves (a
+    * round's candidate set contains the incumbent edges, so a
+    * neighbor is only ever replaced by a STRICTLY closer one — the
+    * spec pins both monotone recall and refine(exact) = exact, the
+    * fixpoint that makes "convergence" meaningful).
+    *
+    * Scale shape: each round's state is the n·k edge frame,
+    * localCheckpointed like the CC fixpoint (no lineage growth, no
+    * corpus re-scan per round); the per-round stop statistic is ONE
+    * scalar count off a keyed anti-join of two edge frames. The
+    * early-stop matters at 100 TB because rounds are not free —
+    * n·k(k+2) exact rescores each — and NN-Descent's value
+    * concentrates in the first rounds.
+    *
+    * Determinism: the round count is data-dependent but REPLAYABLE —
+    * the oracle unrolls maxRounds rounds as CTEs, computes the same
+    * change counts, and selects the same effective round. */
+  def knnRefineConverged(emb: DataFrame, k: Int = 5,
+      numCentroids: Int = 16, nProbe: Int = 4, numBlocks: Int = 4,
+      maxRounds: Int = 3, epsBp: Long = 100L): DataFrame = {
+    require(maxRounds >= 1 && epsBp >= 0)
+    val nk = vectors(emb).count() * k
+    var cur = knnGraph(emb, k, numCentroids, nProbe, numBlocks)
+      .select("src", "dst", "cos", "rnk").localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val next = knnGraphRefineFrom(emb, cur.select("src", "dst"), k)
+        .localCheckpoint()
+      val newEdges = next.select("src", "dst")
+        .join(cur.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .count()
+      done = 10000L * newEdges < epsBp * nk
+      cur = next
+      rounds += 1
+    }
+    cur
+  }
+
+  def knnRefineConvergedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnRefineConverged(emb,
+        numCentroids = adaptiveCentroids(vectors(emb).count()))
+      .orderBy(col("src"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------- vector QC
 
   /** Embedding-table hygiene report, per label slice: row counts, the
@@ -5101,6 +5152,58 @@ object Similarity {
        |${refinedEdgesCtes(k)}
        |SELECT src, dst, cos, rnk FROM refined ORDER BY src, rnk""".stripMargin
 
+  /** One round-suffixed NN-Descent step: er_$r refines er_{r-1} (er_0
+    * = edges), chg_$r counts the round's NEW (src,dst) pairs — the
+    * unrolled replica of the Spark loop's per-round state. */
+  private def refineRoundCtes(k: Int, r: Int): String = {
+    val prev = if (r == 1) "edges" else s"er_${r - 1}"
+    s"""cnd_$r AS (
+       | SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM $prev
+       |  UNION ALL SELECT dst, src FROM $prev
+       |  UNION ALL SELECT a.src, b.dst FROM $prev a
+       |   JOIN $prev b ON a.dst = b.src
+       | ) WHERE src <> dst),
+       |rsc_$r AS MATERIALIZED (
+       | SELECT c.src, c.dst,
+       |  ${cosSql("q.e", "x.e")} AS cos
+       | FROM cnd_$r c JOIN v q ON c.src = q.vec_id
+       |  JOIN v x ON c.dst = x.vec_id),
+       |er_$r AS MATERIALIZED (
+       | SELECT src, dst, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src
+       |                               ORDER BY cos DESC, dst) AS rnk
+       |  FROM rsc_$r) WHERE rnk <= $k),
+       |chg_$r AS (
+       | SELECT CAST(count(*) AS BIGINT) AS c FROM er_$r e
+       |  LEFT JOIN $prev p ON p.src = e.src AND p.dst = e.dst
+       | WHERE p.src IS NULL)""".stripMargin
+  }
+
+  /** knn_refine_converged oracle: maxRounds refine rounds unrolled,
+    * the effective round picked by the SAME early-stop rule the Spark
+    * loop applies (first round whose new-edge count falls below epsBp
+    * bp of n·k; the round cap needs no chg test — the loop takes its
+    * last round unconditionally). */
+  private def knnRefineConvergedOracle(k: Int, nProbe: Int,
+      maxRounds: Int, epsBp: Long): String = {
+    val rounds = (1 to maxRounds).map(refineRoundCtes(k, _)).mkString(",\n")
+    val cases = (1 until maxRounds).map { r =>
+      s"WHEN 10000 * (SELECT c FROM chg_$r) < " +
+        s"$epsBp * (SELECT count(*) FROM v) * $k THEN $r"
+    }.mkString("\n  ")
+    val branches = (1 to maxRounds).map { r =>
+      s"SELECT src, dst, cos, rnk FROM er_$r WHERE (SELECT e FROM eff) = $r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${knnEdgesCtes(k, nProbe)},
+       |$rounds,
+       |eff AS (SELECT CASE
+       |  $cases
+       |  ELSE $maxRounds END AS e)
+       |$branches
+       |ORDER BY src, rnk""".stripMargin
+  }
+
   /** knn_refine_recall oracle: ivf and refined edge sets vs the
     * EXHAUSTIVE exact kNN graph (all-pairs top-k — the truth the
     * nProbe=C boundary spec pins on the Spark side). */
@@ -5348,6 +5451,8 @@ object Similarity {
     "knn_graph_clusters" -> knnGraphClustersOracle(k = 5, nProbe = 4),
     "knn_graph_refine" -> knnRefineOracle(k = 5, nProbe = 4),
     "knn_refine_recall" -> knnRefineRecallOracle(k = 5, nProbe = 4),
+    "knn_refine_converged" -> knnRefineConvergedOracle(k = 5, nProbe = 4,
+      maxRounds = 3, epsBp = 100L),
     "ann_recall_eval" -> annRecallOracle(numQueries = 8, k = 5,
       numCentroids = 16, nProbes = Seq(1, 2, 4)),
     "ann_matryoshka_recall" -> annMatryoshkaOracle(numQueries = 8, k = 5,

@@ -111,6 +111,11 @@ class PlanPropertiesSpec extends SparkSpec {
     // into the model build / the scored trigram stream — the model
     // itself joins by key (vocab³-bounded, deliberately NOT broadcast)
     "trigram_surprisal_kn", "lm_heldout_trigram",
+    // order 4 (count-pruned): the same two scalar crosses; both the
+    // quadgram and trigram model tables join by key (the quadgram
+    // table is exactly what must never broadcast — pruning exists to
+    // keep it storable, not to make it broadcastable)
+    "quadgram_surprisal_kn", "lm_heldout_quadgram", "kn_prune_curve",
     // composes trigram_surprisal_kn (same scalar crosses); the
     // histogram itself is one keyed aggregate
     "ppl_histogram",

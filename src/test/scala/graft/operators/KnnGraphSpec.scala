@@ -122,6 +122,49 @@ class KnnGraphSpec extends SparkSpec {
     assert(g.select("src").distinct().count() === emb.count())
   }
 
+  test("knnRefineConverged: recall monotone round over round, and the " +
+       "exact graph is a zero-round fixpoint") {
+    // truth = nProbe=C graph (spec above pins ≡ brute force); recall
+    // of round r ≥ recall of round r−1 because each round's candidate
+    // set contains the incumbent edges
+    val truth = Similarity.knnGraph(emb, k = 3, numCentroids = 8,
+        nProbe = 8).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    var cur = Similarity.knnGraph(emb, k = 3, numCentroids = 8, nProbe = 2)
+      .select("src", "dst").localCheckpoint()
+    var lastHits = cur.as[(Long, Long)].collect().count(truth)
+    for (_ <- 1 to 3) {
+      cur = Similarity.knnGraphRefineFrom(emb, cur, 3)
+        .select("src", "dst").localCheckpoint()
+      val hits = cur.as[(Long, Long)].collect().count(truth)
+      assert(hits >= lastHits, "a refine round must never lose true edges")
+      lastHits = hits
+    }
+    // converged run started AT the exact graph: every round changes
+    // nothing, so the early stop fires on round 1 and the output IS
+    // the exact graph (the fixpoint that defines convergence)
+    val conv = Similarity.knnRefineConverged(emb, k = 3, numCentroids = 8,
+        nProbe = 8, maxRounds = 3, epsBp = 100L)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(conv === truth)
+  }
+
+  test("knnRefineConverged: epsBp = 0 runs all maxRounds and matches " +
+       "the unrolled refine chain") {
+    // with an impossible stop threshold the loop must take exactly
+    // maxRounds rounds — pin it against hand-unrolled refineFrom calls
+    val base = Similarity.knnGraph(emb, k = 3, numCentroids = 8, nProbe = 2)
+      .select("src", "dst").localCheckpoint()
+    val r1 = Similarity.knnGraphRefineFrom(emb, base, 3)
+      .select("src", "dst").localCheckpoint()
+    val r2 = Similarity.knnGraphRefineFrom(emb, r1, 3)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val conv = Similarity.knnRefineConverged(emb, k = 3, numCentroids = 8,
+        nProbe = 2, maxRounds = 2, epsBp = 0L)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(conv === r2)
+  }
+
   test("directed edges carry a descending-cosine rank per vertex") {
     val g = Similarity.knnGraph(emb, k = 3)
       .select("src", "rnk", "cos").as[(Long, Int, Double)].collect()

@@ -333,6 +333,70 @@ class QualityModelsSpec extends SparkSpec {
     assert(out.filter(_._1 == "de").map(_._3).sum === 1L)
   }
 
+  test("quadgramSurprisalKn: all three pruned-ladder branches pinned " +
+       "by hand") {
+    // corpus: quadgrams {\"a b c d\":2 (kept at θ=2), \"a b c g\":1
+    // (pruned, prefix \"a b c\" kept: c123k=2, T123=1), \"b c d e\":1
+    // (prefix \"b c d\" entirely pruned ⇒ pure trigram backoff)};
+    // B=6 bigram types, V=8. Expected micro-nats replayed
+    // independently from the documented rationals (kept:
+    // num=(4·c1234−3)·den3+3·T123·num3, den=4·c123k·den3; pruned:
+    // num=3·T123·num3; unkept prefix: num3/den3), with den3/num3 the
+    // suffix trigram's exact KN rational. Doc 4 (2 tokens) ⇒ 0/NULL.
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d"), (3L, "a b c g"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = QualityModels.quadgramSurprisalKn(d, minCount = 2L)
+      .select("doc_id", "n_quadgrams", "surprisal_micro", "mean_micro")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 850698L, Some(425349L)))) // kept + backoff
+    assert(out(2L) === ((1L, 192642L, Some(192642L)))) // kept branch
+    assert(out(3L) === ((1L, 2593248L, Some(2593248L)))) // pruned branch
+    assert(out(4L) === ((0L, 0L, None)))
+  }
+
+  test("knPruneCurve: positions invariant across thresholds, kept " +
+       "types collapse, surprisal only rises as the model shrinks") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val out = QualityModels.knPruneCurve(d, thetas = Seq(1L, 2L, 4L))
+      .select("theta", "kept_types", "total_types", "n_positions",
+        "mean_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 3)
+    // θ=1 keeps everything; the position mass and the type universe
+    // are properties of the corpus, not of the threshold
+    assert(out(0)._2 === out(0)._3, "θ=1 prunes nothing")
+    assert(out.map(_._3).distinct.length === 1)
+    assert(out.map(_._4).distinct.length === 1)
+    assert(out(0)._2 > out(1)._2 && out(1)._2 >= out(2)._2,
+      "raising θ must shrink the kept model")
+    assert(out(0)._5 <= out(1)._5 && out(1)._5 <= out(2)._5,
+      "in-corpus surprisal can only rise as types fall back to the " +
+        "trigram rational")
+  }
+
+  test("lmHeldoutQuadgram: the fourth order helps where it memorizes " +
+       "and degrades gracefully to the trigram ladder off-model") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val out = QualityModels.lmHeldoutQuadgram(d)
+      .select("model", "split", "n_quadgrams", "unseen_quadgrams",
+        "mean_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.keys.map(_._1).toSet === Set("kn_trigram", "kn_quadgram"))
+    // identical position frame: both models score the SAME sites
+    out.keys.filter(_._1 == "kn_quadgram").foreach { k =>
+      assert(out(k)._1 === out(("kn_trigram", k._2))._1)
+      assert(out(k)._2 === out(("kn_trigram", k._2))._2)
+    }
+    // on train the kept order-4 mass must win (it memorizes)
+    assert(out(("kn_quadgram", "train"))._3 <
+      out(("kn_trigram", "train"))._3,
+      "order 4 must beat order 3 on its own training split")
+  }
+
   test("trigramSurprisalKn: probability sanity — every seen trigram " +
        "surprisal is positive and interpolation beats pure backoff " +
        "mass-wise on repeated contexts") {
