@@ -453,7 +453,33 @@ object ScaleProbe {
       // multimodal_decode_wav: rows exactly linear (one per doc); the
       // encode+decode pair is map-only at the partition-batched codec
       // boundary — wall must ride the linear corpus, no shuffle at all
-      "multimodal_decode_wav" -> (operators.Multimodal.multimodalDecodeWavQuery _))
+      "multimodal_decode_wav" -> (operators.Multimodal.multimodalDecodeWavQuery _),
+      // r17 — the r16 verdict's instrument tail, plus the new order-4
+      // family. trigram_surprisal_kn: rows exactly linear (per doc);
+      // the prefixed replica multiplies trigram/middle/continuation
+      // tables ~f-fold — all KEYED joins, so the walls must ride the
+      // f-fold model tables linearly (nothing broadcasts but the two
+      // scalars). ppl_histogram: |langs|·|buckets| rows (constant-ish);
+      // composes the trigram scorer + one keyed aggregate.
+      // top_components2 / embed_all_but_top2: constant model-row
+      // output / linear per-vector rows; each power round is one
+      // linear gram-accumulation pass behind localCheckpoints — wall
+      // rides f linearly at fixed dim and iters.
+      "trigram_surprisal_kn" -> (operators.QualityModels.trigramSurprisalKnQuery _),
+      "ppl_histogram" -> (operators.QualityModels.pplHistogramQuery _),
+      "top_components2" -> (operators.Similarity.topComponents2Query _),
+      "embed_all_but_top2" -> (operators.Similarity.embedAllButTop2Query _),
+      // quadgram_surprisal_kn: rows exactly linear; the quadgram type
+      // table grows ~f-fold and stays a keyed join end to end — the
+      // pruning threshold is the scale story (kept types collapse
+      // while positions stay linear). kn_prune_curve: 3 rows; the
+      // per-θ re-score rides the checkpointed type table, corpus
+      // touched twice total. knn_refine_converged: n·k rows; each
+      // round is ≤ n·k(k+2) keyed rescores and the early stop bounds
+      // rounds — wall must stay near knn_graph_refine × rounds.
+      "quadgram_surprisal_kn" -> (operators.QualityModels.quadgramSurprisalKnQuery _),
+      "kn_prune_curve" -> (operators.QualityModels.knPruneCurveQuery _),
+      "knn_refine_converged" -> (operators.Similarity.knnRefineConvergedQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(
