@@ -479,7 +479,16 @@ object ScaleProbe {
       // rounds — wall must stay near knn_graph_refine × rounds.
       "quadgram_surprisal_kn" -> (operators.QualityModels.quadgramSurprisalKnQuery _),
       "kn_prune_curve" -> (operators.QualityModels.knPruneCurveQuery _),
-      "knn_refine_converged" -> (operators.Similarity.knnRefineConvergedQuery _))
+      "knn_refine_converged" -> (operators.Similarity.knnRefineConvergedQuery _),
+      // fivegram_surprisal_kn: rows exactly linear; the fivegram AND
+      // quadgram type tables grow ~f-fold (prefixed replicas share no
+      // n-grams) and both stay keyed joins — the wall must ride the
+      // model tables linearly like the lower orders. ks_drift: |sources|
+      // rows; the histogram is one map-side-combined aggregate and the
+      // grid×source frame is model-sized, so the wall must ride the
+      // single corpus scan.
+      "fivegram_surprisal_kn" -> (operators.QualityModels.fivegramSurprisalKnQuery _),
+      "ks_drift" -> (operators.CorpusStats.ksDriftQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -463,7 +463,103 @@ object CorpusStats {
   def metaConsistencyQuery(spark: SparkSession, dir: String): DataFrame =
     metaConsistency(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Per-source distribution drift via the two-sample KOLMOGOROV-
+    * SMIRNOV statistic on the doc-length (whitespace-token) histogram
+    * — one-vs-rest per source: KS_s = max_v |F_s(v) − F_rest(v)|. The
+    * scalar a continuously-crawled pipeline alarms on before admitting
+    * a source's new batch, next to vocab_kl_drift's per-token view:
+    * KL names the drifted TOKENS, KS names the drifted source and the
+    * length where its shape diverges (ks_at_len — boilerplate
+    * injection and truncation bugs both show up as a single sharp KS
+    * argmax).
+    *
+    * Exactness: ECDFs as floored integer micro-units — f(v) =
+    * (10⁶·C(v)) div N per side, diff = |f_s − f_rest| — so the max
+    * and its argmax (smallest length on ties) are deterministic
+    * integer comparisons on both engines. Flooring before the max
+    * costs ≤ 2 micro of precision, and keeps every intermediate
+    * ≤ 10⁶·N — int64-safe to ~9·10¹² docs (a corpus-COUNT bound, not
+    * a token bound; documented, not guarded — 10⁶ × the trigram
+    * guard's corpus ceiling).
+    *
+    * Scale shape: ONE corpus scan builds the (source, len) histogram
+    * (map-side combined, model-sized: |sources|·|distinct lengths|,
+    * checkpointed for its three reuses); the value grid × source
+    * frame is a model×model cross; cumulative sums are windows
+    * partitioned by source (per-partition rows = |grid|) and by len
+    * (rows = |sources|); the argmax is a per-source rank. Nothing
+    * corpus-sized crosses, shuffles wide, or sorts globally. */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val h = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val grid = h.select(col("len")).distinct()
+    val srcs = h.groupBy("source").agg(sum(col("n")).as("n_docs"))
+    val tot = srcs.agg(sum(col("n_docs")).as("n_total"))
+    val full = grid.crossJoin(srcs.select("source"))
+      .join(h, Seq("source", "len"), "left")
+      .select(col("source"), col("len"), coalesce(col("n"), lit(0L)).as("n"))
+    val cs = full
+      .withColumn("c_s", sum(col("n")).over(
+        W.partitionBy("source").orderBy("len")))
+      .withColumn("c_all", sum(col("c_s")).over(W.partitionBy("len")))
+    val diffs = cs.join(srcs, "source").crossJoin(broadcast(tot))
+      .filter(col("n_docs") < col("n_total"))
+      .select(col("source"), col("len"), col("n_docs"),
+        abs(expr("(1000000 * c_s) div n_docs") -
+          expr("(1000000 * (c_all - c_s)) div (n_total - n_docs)"))
+          .as("diff"))
+    diffs
+      .withColumn("rn", row_number().over(
+        W.partitionBy("source").orderBy(col("diff").desc, col("len"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"), col("diff").as("ks_micro"),
+        col("len").as("ks_at_len"))
+  }
+
+  def ksDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.documents(spark, dir)).orderBy(col("source"))
+
   val oracles: Map[String, String] = Map(
+    "ks_drift" ->
+      """WITH lens AS (
+        | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        | FROM documents),
+        |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+        |      FROM lens GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT len FROM h),
+        |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+        |         FROM h GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM srcs),
+        |filled AS (
+        | SELECT s.source, g.len, COALESCE(h.n, 0) AS n
+        | FROM grid g CROSS JOIN srcs s
+        |  LEFT JOIN h ON h.source = s.source AND h.len = g.len),
+        |cs AS (
+        | SELECT source, len,
+        |  CAST(sum(n) OVER (PARTITION BY source ORDER BY len) AS BIGINT)
+        |   AS c_s
+        | FROM filled),
+        |ca AS (
+        | SELECT source, len, c_s,
+        |  CAST(sum(c_s) OVER (PARTITION BY len) AS BIGINT) AS c_all
+        | FROM cs),
+        |d AS (
+        | SELECT ca.source, ca.len, s.n_docs,
+        |  abs((1000000 * ca.c_s) // s.n_docs
+        |   - (1000000 * (ca.c_all - ca.c_s)) // (t.n_total - s.n_docs))
+        |   AS diff
+        | FROM ca JOIN srcs s USING (source) CROSS JOIN tot t
+        | WHERE s.n_docs < t.n_total),
+        |r AS (
+        | SELECT source, n_docs, len, diff,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY diff DESC, len) AS rn
+        | FROM d)
+        |SELECT source, n_docs, CAST(diff AS BIGINT) AS ks_micro,
+        | CAST(len AS BIGINT) AS ks_at_len
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "meta_consistency" ->
       """WITH b AS (
         | SELECT source,

@@ -873,13 +873,19 @@ object QualityModels {
           expr("surprisal_micro div n_quadgrams")).as("mean_micro"))
   }
 
-  /** The per-type scorer shared by quadgramSurprisalKn and
-    * knPruneCurve: every SEEN quadgram type → (qg, c1234, s). The
-    * suffix-trigram joins are inner by construction (a seen quadgram's
-    * suffix is a seen trigram, its (t2 t3) a seen trigram prefix, its
-    * (t3 t4) a seen middle pair); only qpstats is outer — a prefix
-    * with no kept types falls to the pure-backoff branch. */
-  private def scoreQuadgramTypes(qall: DataFrame, qpstats: DataFrame,
+  /** The pruned quadgram-KN EXACT RATIONAL per seen quadgram type —
+    * (qg, c1234, den4, num4, bound4): [[scoreQuadgramTypes]]'s
+    * three-branch ladder with the rounding deferred, so the order-5
+    * scorer can stack its own rational on the same integers (exactly
+    * how the trigram rational feeds this one). The prefix-unkept
+    * branch folds to (den3, num3) here, so log(den4)−log(num4) is the
+    * complete ladder. bound4 carries the guard product
+    * c123k·c12·m2·(B+V) as a double for the callers' int64 checks.
+    * The suffix-trigram joins are inner by construction (a seen
+    * quadgram's suffix is a seen trigram, its (t2 t3) a seen trigram
+    * prefix, its (t3 t4) a seen middle pair); only qpstats is outer —
+    * a prefix with no kept types falls to the pure-backoff branch. */
+  private def quadgramRationalTypes(qall: DataFrame, qpstats: DataFrame,
       minCount: Long, tcnt: DataFrame, pstats: DataFrame, mid: DataFrame,
       mstats: DataFrame, cstats: DataFrame, btot: DataFrame,
       vtot: DataFrame): DataFrame = {
@@ -909,21 +915,34 @@ object QualityModels {
       .join(mstats, split(col("sfx"), " ").getItem(1) === col("mt2"))
       .join(cstats, split(col("sfx"), " ").getItem(2) === col("ct3"))
       .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
-      // num ≤ den on every branch (probabilities ≤ 1), so guarding den
-      // = 64·c123k·c23·m3·(B+V) < 2⁶³ guards the whole rational
       .select(col("qg"), col("c1234"),
-        when(coalesce(col("c123k"), lit(1L)).cast("double")
-            * col("c12").cast("double") * col("m2").cast("double")
-            * bv.cast("double") >= lit(1.4e17d),
+        when(col("c123k").isNotNull, den4).otherwise(den3).as("den4"),
+        when(col("c123k").isNotNull, num4).otherwise(num3).as("num4"),
+        (coalesce(col("c123k"), lit(1L)).cast("double")
+          * col("c12").cast("double") * col("m2").cast("double")
+          * bv.cast("double")).as("bound4"))
+  }
+
+  /** The per-type scorer shared by quadgramSurprisalKn and
+    * knPruneCurve: every SEEN quadgram type → (qg, c1234, s) — the
+    * deferred rational above, rounded ONCE to micro-nats.
+    * num ≤ den on every branch (probabilities ≤ 1), so guarding den
+    * = 64·c123k·c23·m3·(B+V) < 2⁶³ guards the whole rational. */
+  private def scoreQuadgramTypes(qall: DataFrame, qpstats: DataFrame,
+      minCount: Long, tcnt: DataFrame, pstats: DataFrame, mid: DataFrame,
+      mstats: DataFrame, cstats: DataFrame, btot: DataFrame,
+      vtot: DataFrame): DataFrame =
+    quadgramRationalTypes(qall, qpstats, minCount, tcnt, pstats, mid,
+      mstats, cstats, btot, vtot)
+      .select(col("qg"), col("c1234"),
+        when(col("bound4") >= lit(1.4e17d),
           raise_error(concat(lit("quadgram KN: c123k*c23*m3*(B+V) >= " +
             "1.4e17 overflows the exact int64 rational — rescale the " +
             "rational before corpora this size (qg="), col("qg"),
             lit(")"))))
           .otherwise(round(
-            (when(col("c123k").isNotNull, log(den4) - log(num4))
-              .otherwise(log(den3) - log(num3))) * lit(1000000.0d)))
+            (log(col("den4")) - log(col("num4"))) * lit(1000000.0d)))
           .cast("long").as("s"))
-  }
 
   def quadgramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
     quadgramSurprisalKn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
@@ -1072,6 +1091,115 @@ object QualityModels {
   def lmHeldoutQuadgramQuery(spark: SparkSession, dir: String): DataFrame =
     lmHeldoutQuadgram(Tables.documents(spark, dir))
       .orderBy(col("model"), col("split"))
+
+  // ---------------------------------------- pruned fivegram Kneser-Ney
+
+  /** The pruned order-5 model frames: ALL fivegram types with counts
+    * (needed to score seen-but-pruned positions) and the kept-prefix
+    * stats over the RETAINED set only (c1234k = Σ kept c12345 per
+    * (t1..t4), T1234 = kept continuation types) — the same KenLM
+    * recompute-over-retained discipline as [[quadgramModelFrames]]. */
+  private def fivegramModelFrames(corpus: DataFrame, minCount: Long):
+      (DataFrame, DataFrame) = {
+    val pall = corpus
+      .select(explode(wordShingles(tokens(col("text")), 5)).as("pg"))
+      .groupBy("pg").agg(count(lit(1)).as("c12345"))
+    val ppstats = pall.filter(col("c12345") >= minCount)
+      .groupBy(concat_ws(" ", split(col("pg"), " ").getItem(0),
+        split(col("pg"), " ").getItem(1), split(col("pg"), " ").getItem(2),
+        split(col("pg"), " ").getItem(3)).as("p1234"))
+      .agg(sum(col("c12345")).as("c1234k"), count(lit(1)).as("t1234types"))
+    (pall, ppstats)
+  }
+
+  /** Per-type order-5 scorer: every SEEN fivegram type → (pg, s),
+    * stacking the pruned ladder on the deferred quadgram rational
+    * exactly as the quadgram scorer stacks on the trigram one —
+    *   kept (c12345 ≥ θ₅):
+    *     num = (4·c12345−3)·den4 + 3·T1234·num4, den = 4·c1234k·den4
+    *   pruned type, prefix kept: num = 3·T1234·num4, den = 4·c1234k·den4
+    *   prefix entirely pruned:   num = num4,          den = den4
+    * The suffix-quadgram join is inner by construction (a seen
+    * fivegram's suffix is a seen quadgram). num ≤ den on every branch,
+    * so the den-only bound covers the rational: den = 256·c1234k·
+    * c123k·c23·m3·(B+V), guarded at c1234k·bound4 ≥ 3.5e16 ≈ 2⁶³/256. */
+  private def scoreFivegramTypes(pall: DataFrame, ppstats: DataFrame,
+      minCount: Long, qrat: DataFrame): DataFrame = {
+    val den5 = lit(4L) * col("c1234k") * col("den4")
+    val num5 = when(col("c12345") >= minCount,
+        (lit(4L) * col("c12345") - 3) * col("den4") +
+          lit(3L) * col("t1234types") * col("num4"))
+      .otherwise(lit(3L) * col("t1234types") * col("num4"))
+    pall
+      .withColumn("pfx4", concat_ws(" ", split(col("pg"), " ").getItem(0),
+        split(col("pg"), " ").getItem(1), split(col("pg"), " ").getItem(2),
+        split(col("pg"), " ").getItem(3)))
+      .withColumn("sfx4", concat_ws(" ", split(col("pg"), " ").getItem(1),
+        split(col("pg"), " ").getItem(2), split(col("pg"), " ").getItem(3),
+        split(col("pg"), " ").getItem(4)))
+      .join(ppstats, col("pfx4") === col("p1234"), "left")
+      .join(qrat, col("sfx4") === col("qg"))
+      .select(col("pg"),
+        when(coalesce(col("c1234k"), lit(1L)).cast("double")
+            * col("bound4") >= lit(3.5e16d),
+          raise_error(concat(lit("fivegram KN: c1234k*c123k*c23*m3*(B+V) " +
+            ">= 3.5e16 overflows the exact int64 rational — rescale the " +
+            "rational before corpora this size (pg="), col("pg"),
+            lit(")"))))
+          .otherwise(round(
+            (when(col("c1234k").isNotNull, log(den5) - log(num5))
+              .otherwise(log(col("den4")) - log(col("num4"))))
+              * lit(1000000.0d)))
+          .cast("long").as("s"))
+  }
+
+  /** Fivegram-LM cross-entropy with count-pruned interpolated
+    * Kneser-Ney — the order CCNet's KenLM gate actually ships (Wenzek
+    * et al. 2020 train a 5-gram model; KenLM's own pruning keeps it
+    * storable). Both top orders are pruned (θ₄ for the quadgram
+    * backoff, θ₅ for the top) with interpolation weights recomputed
+    * over the retained sets; pruned positions back off through the
+    * pruned quadgram rational to the unpruned trigram-KN rational —
+    * the full ladder from [[trigramSurprisalKn]] up, every branch one
+    * exact int64 rational rounded ONCE to micro-nats.
+    *
+    * Scale shape — the trigram discipline two orders up: the
+    * fivegram-type table is the most explosive frame in the repo and
+    * must NEVER broadcast; every model join is a keyed equi-join, the
+    * position stream explodes once, ONE per-doc aggregate collapses
+    * it. Docs with < 5 tokens carry 0/NULL (no evidence).
+    *
+    * Integer bound: den = 256·c1234k·c123k·c23·m3·(B+V), guarded
+    * in-plan at 3.5e16 ≈ 2⁶³/256 (measured max at sf0.1 ≈ 1.4e12 —
+    * four orders of headroom; past it, rescale the rational by B+V
+    * and round once more, the documented trigram discipline). */
+  def fivegramSurprisalKn(docs: DataFrame, minCount4: Long = 2L,
+                          minCount5: Long = 2L): DataFrame = {
+    require(minCount4 >= 1 && minCount5 >= 1)
+    val (tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      trigramModelFrames(docs)
+    val (qall, qpstats) = quadgramModelFrames(docs, minCount4)
+    val qrat = quadgramRationalTypes(qall, qpstats, minCount4,
+      tcnt, pstats, mid, mstats, cstats, btot, vtot)
+    val (pall, ppstats) = fivegramModelFrames(docs, minCount5)
+    val smodel = scoreFivegramTypes(pall, ppstats, minCount5, qrat)
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 5)).as("pg"))
+      .join(smodel, "pg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fivegrams"),
+        sum(col("s")).as("surprisal_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fivegrams"), lit(0L)).as("n_fivegrams"),
+        coalesce(col("surprisal_micro"), lit(0L)).as("surprisal_micro"),
+        when(coalesce(col("n_fivegrams"), lit(0L)) > 0,
+          expr("surprisal_micro div n_fivegrams")).as("mean_micro"))
+  }
+
+  def fivegramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
+    fivegramSurprisalKn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /** Token-distribution drift between two corpus slices — the
     * monitoring operator a continuously-crawled pipeline runs before
@@ -1868,6 +1996,72 @@ object QualityModels {
        |   string_split(q.qg, ' ')[3] || ' ' ||
        |   string_split(q.qg, ' ')[4] = ts.tg)""".stripMargin
 
+  /** The pruned quadgram rational per seen type with the rounding
+    * DEFERRED — (qg, den4, num4), the prefix-unkept branch folded to
+    * (den3, num3) — mirroring quadgramRationalTypes so the order-5
+    * oracle stacks on the same integers. Expects qall, qpre_θ and tsc
+    * in scope. */
+  private def quadgramRationalCtes(theta: Long): String =
+    s"""qsc_$theta AS MATERIALIZED (
+       | SELECT q.qg,
+       |  CASE WHEN qp.c123k IS NOT NULL THEN 4*qp.c123k*ts.den3
+       |   ELSE ts.den3 END AS den4,
+       |  CASE WHEN qp.c123k IS NOT NULL
+       |    THEN CASE WHEN q.c1234 >= $theta
+       |      THEN (4*q.c1234-3)*ts.den3 + 3*qp.t123types*ts.num3
+       |      ELSE 3*qp.t123types*ts.num3 END
+       |   ELSE ts.num3 END AS num4
+       | FROM qall q
+       |  LEFT JOIN qpre_$theta qp ON string_split(q.qg, ' ')[1] || ' ' ||
+       |   string_split(q.qg, ' ')[2] || ' ' ||
+       |   string_split(q.qg, ' ')[3] = qp.p123
+       |  JOIN tsc ts ON string_split(q.qg, ' ')[2] || ' ' ||
+       |   string_split(q.qg, ' ')[3] || ' ' ||
+       |   string_split(q.qg, ' ')[4] = ts.tg)""".stripMargin
+
+  /** Fivegram occurrence + type-count CTEs over a `tok(…, toks)` CTE;
+    * doc_id flows through when the caller's tok carries it. */
+  private def fivegramOccCtes(withDocId: Boolean): String = {
+    val docCol = if (withDocId) "doc_id, " else ""
+    s"""pgocc AS (
+       | SELECT ${docCol}unnest(CASE WHEN len(toks) >= 5
+       |   THEN list_transform(range(1, len(toks) - 3),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+       |      ' ' || toks[i+3] || ' ' || toks[i+4])
+       |   ELSE [] END) AS pg
+       | FROM tok),
+       |pall AS (SELECT pg, CAST(count(*) AS BIGINT) AS c12345
+       |         FROM pgocc GROUP BY 1)""".stripMargin
+  }
+
+  /** Kept-prefix stats + per-type pruned order-5 surprisal at one
+    * threshold (ppre_θ, smap5_θ) — the three branches mirror
+    * scoreFivegramTypes exactly, stacked on qsc_θ₄'s rational. */
+  private def fivegramScoreCtes(theta: Long, theta4: Long): String =
+    s"""ppre_$theta AS (
+       | SELECT string_split(pg, ' ')[1] || ' ' || string_split(pg, ' ')[2] ||
+       |   ' ' || string_split(pg, ' ')[3] || ' ' || string_split(pg, ' ')[4]
+       |   AS p1234,
+       |  CAST(sum(c12345) AS BIGINT) AS c1234k,
+       |  CAST(count(*) AS BIGINT) AS t1234types
+       | FROM pall WHERE c12345 >= $theta GROUP BY 1),
+       |smap5_$theta AS (
+       | SELECT p.pg,
+       |  CAST(round((CASE WHEN pp.c1234k IS NOT NULL
+       |    THEN ln(4*pp.c1234k*qs.den4)
+       |      - ln(CASE WHEN p.c12345 >= $theta
+       |          THEN (4*p.c12345-3)*qs.den4 + 3*pp.t1234types*qs.num4
+       |          ELSE 3*pp.t1234types*qs.num4 END)
+       |    ELSE ln(qs.den4) - ln(qs.num4) END)
+       |   * 1000000) AS BIGINT) AS s
+       | FROM pall p
+       |  LEFT JOIN ppre_$theta pp ON string_split(p.pg, ' ')[1] || ' ' ||
+       |   string_split(p.pg, ' ')[2] || ' ' || string_split(p.pg, ' ')[3] ||
+       |   ' ' || string_split(p.pg, ' ')[4] = pp.p1234
+       |  JOIN qsc_$theta4 qs ON string_split(p.pg, ' ')[2] || ' ' ||
+       |   string_split(p.pg, ' ')[3] || ' ' || string_split(p.pg, ' ')[4] ||
+       |   ' ' || string_split(p.pg, ' ')[5] = qs.qg)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // pruned interpolated quadgram KN (θ=2): per-type exact rational
     // stacked on the trigram rational via the suffix join
@@ -1887,6 +2081,30 @@ object QualityModels {
          | CASE WHEN coalesce(p.n_quadgrams, 0) > 0
          |   THEN p.surprisal_micro // p.n_quadgrams END AS mean_micro
          |FROM documents d LEFT JOIN per_doc4 p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // pruned interpolated fivegram KN (θ₄=θ₅=2): the order-5 rational
+    // stacked on the deferred quadgram rational via the suffix join
+    // (smap4_2 from the shared block goes unused here — DuckDB skips
+    // unreferenced non-materialized CTEs)
+    "fivegram_surprisal_kn" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |$trigramStreamCtes
+         |$trigramRationalCte,
+         |${quadgramOccCtes(withDocId = true)},
+         |${quadgramScoreCtes(theta = 2L)},
+         |${quadgramRationalCtes(theta = 2L)},
+         |${fivegramOccCtes(withDocId = true)},
+         |${fivegramScoreCtes(theta = 2L, theta4 = 2L)},
+         |per_doc5 AS (
+         | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_fivegrams,
+         |  CAST(sum(s.s) AS BIGINT) AS surprisal_micro
+         | FROM pgocc o JOIN smap5_2 s USING (pg) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_fivegrams, 0) AS n_fivegrams,
+         | coalesce(p.surprisal_micro, 0) AS surprisal_micro,
+         | CASE WHEN coalesce(p.n_fivegrams, 0) > 0
+         |   THEN p.surprisal_micro // p.n_fivegrams END AS mean_micro
+         |FROM documents d LEFT JOIN per_doc5 p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // model rows vs corpus mean surprisal per pruning threshold:
     // Σ_positions s = Σ_types c1234·s, so no position re-scan per θ

@@ -116,6 +116,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // table is exactly what must never broadcast — pruning exists to
     // keep it storable, not to make it broadcastable)
     "quadgram_surprisal_kn", "lm_heldout_quadgram", "kn_prune_curve",
+    // order 5 (count-pruned, both top orders): the same two scalar
+    // crosses; the fivegram/quadgram/trigram model tables all join by
+    // key — the fivegram table is the most explosive frame in the repo
+    "fivegram_surprisal_kn",
     // composes trigram_surprisal_kn (same scalar crosses); the
     // histogram itself is one keyed aggregate
     "ppl_histogram",
@@ -125,6 +129,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row totals frame (tot_base, tot_new, V) crossed onto the
     // vocab-sized counts frame
     "vocab_kl_drift",
+    // the length-value grid × the source list — BOTH model-sized
+    // aggregates of the checkpointed histogram — plus the 1-row
+    // corpus-total scalar
+    "ks_drift",
     // 1-row occurrence-totals frame + the numBuckets-row model
     // collapsed to ONE map row, crossed into the map-only doc scorer
     "dsir_importance",

@@ -171,4 +171,40 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().toSeq
     assert(out === Seq((3L, 0L, 0L), (1L, 1L, 10000L)))
   }
+
+  test("ksDrift: hand-computed one-vs-rest KS on a 3-source corpus") {
+    // lengths — A: {1, 1, 3}; B: {1, 3, 3}; C: {5}. Grid {1, 3, 5}.
+    // One-vs-rest ECDFs in floored micro-units:
+    //   A (N=3, rest=4): v=1: f_A=666666, f_r=250000 → 416666 (argmax)
+    //                    v=3: f_A=10⁶,    f_r=750000 → 250000
+    //                    v=5: 0
+    //   B (N=3, rest=4): v=1: f_B=333333, f_r=500000 → 166667
+    //                    v=3: f_B=10⁶,    f_r=750000 → 250000 (argmax)
+    //   C (N=1, rest=6): v=1: 0 vs 500000 → 500000
+    //                    v=3: 0 vs 10⁶    → 10⁶ (argmax)
+    val docs = Seq(
+      (1L, "a", "A"), (2L, "b", "A"), (3L, "a b c", "A"),
+      (4L, "a", "B"), (5L, "a b c", "B"), (6L, "x y z", "B"),
+      (7L, "a b c d e", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.ksDrift(docs)
+      .select("source", "n_docs", "ks_micro", "ks_at_len")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("A", 3L, 416666L, 1L), ("B", 3L, 250000L, 3L),
+      ("C", 1L, 1000000L, 3L)))
+  }
+
+  test("ksDrift: a source distributed like the rest scores 0; a " +
+       "single-source corpus emits no row") {
+    val same = Seq((1L, "a b", "A"), (2L, "a b c", "A"),
+      (3L, "x y", "B"), (4L, "x y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.ksDrift(same)
+      .select("source", "ks_micro").as[(String, Long)].collect().toMap
+    assert(out === Map("A" -> 0L, "B" -> 0L))
+    val solo = Seq((1L, "a b", "A"), (2L, "c", "A"))
+      .toDF("doc_id", "text", "source")
+    assert(CorpusStats.ksDrift(solo).count() === 0L,
+      "one-vs-rest is undefined with a single source")
+  }
 }

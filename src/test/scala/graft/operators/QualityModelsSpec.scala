@@ -397,6 +397,96 @@ class QualityModelsSpec extends SparkSpec {
       "order 4 must beat order 3 on its own training split")
   }
 
+  test("fivegramSurprisalKn: the order-5 pruned ladder replayed " +
+       "independently with BigInt rationals") {
+    // An independent straight-line replay of the DOCUMENTED math (not
+    // the DataFrame code): n-gram stats as plain maps, every branch's
+    // exact rational in BigInt, one round to micro-nats — on a corpus
+    // that exercises all three order-5 branches (kept, pruned with
+    // kept prefix, prefix entirely pruned) plus the no-evidence doc.
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c d f"), (4L, "b c d e f"), (5L, "x y"))
+    def grams(toks: Array[String], n: Int): Seq[String] =
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    val docToks = corpus.map { case (id, t) => id -> t.split(" ") }
+    def counts(n: Int): Map[String, Long] = docToks
+      .flatMap { case (_, t) => grams(t, n) }
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val (theta4, theta5) = (2L, 2L)
+    val tcnt = counts(3)
+    val pstats = tcnt.groupBy(_._1.split(" ").take(2).mkString(" "))
+      .map { case (p, m) => p -> ((m.values.sum, m.size.toLong)) }
+    val mid = tcnt.keys.groupBy(_.split(" ").drop(1).mkString(" "))
+      .map { case (s, o) => s -> o.size.toLong }
+    val mstats = mid.groupBy(_._1.split(" ").head)
+      .map { case (t, m) => t -> ((m.values.sum, m.size.toLong)) }
+    val bcnt = counts(2)
+    val cstats = bcnt.keys.groupBy(_.split(" ")(1))
+      .map { case (t, o) => t -> o.size.toLong }
+    val bv = BigInt(bcnt.size) +
+      BigInt(docToks.flatMap(_._2).distinct.size)
+    def rat3(tg: String): (BigInt, BigInt) = {
+      val Array(_, t2, t3) = tg.split(" ")
+      val (c12, t12types) = pstats(tg.split(" ").take(2).mkString(" "))
+      val m23 = mid(tg.split(" ").drop(1).mkString(" "))
+      val (m2, t2types) = mstats(t2)
+      val denmid = BigInt(4) * m2 * bv
+      val nummid = (BigInt(4) * m23 - 3) * bv +
+        BigInt(3) * t2types * (cstats(t3) + 1)
+      (BigInt(4) * c12 * denmid,
+        (BigInt(4) * tcnt(tg) - 3) * denmid + BigInt(3) * t12types * nummid)
+    }
+    val qall = counts(4)
+    val qpre = qall.filter(_._2 >= theta4)
+      .groupBy(_._1.split(" ").take(3).mkString(" "))
+      .map { case (p, m) => p -> ((m.values.sum, m.size.toLong)) }
+    def rat4(qg: String): (BigInt, BigInt) = {
+      val (den3, num3) = rat3(qg.split(" ").drop(1).mkString(" "))
+      qpre.get(qg.split(" ").take(3).mkString(" ")) match {
+        case Some((c123k, t123types)) =>
+          (BigInt(4) * c123k * den3,
+            if (qall(qg) >= theta4)
+              (BigInt(4) * qall(qg) - 3) * den3 + BigInt(3) * t123types * num3
+            else BigInt(3) * t123types * num3)
+        case None => (den3, num3)
+      }
+    }
+    val pall = counts(5)
+    val ppre = pall.filter(_._2 >= theta5)
+      .groupBy(_._1.split(" ").take(4).mkString(" "))
+      .map { case (p, m) => p -> ((m.values.sum, m.size.toLong)) }
+    def s5(pg: String): Long = {
+      val (den4, num4) = rat4(pg.split(" ").drop(1).mkString(" "))
+      val (den, num) = ppre.get(pg.split(" ").take(4).mkString(" ")) match {
+        case Some((c1234k, t1234types)) =>
+          (BigInt(4) * c1234k * den4,
+            if (pall(pg) >= theta5)
+              (BigInt(4) * pall(pg) - 3) * den4 +
+                BigInt(3) * t1234types * num4
+            else BigInt(3) * t1234types * num4)
+        case None => (den4, num4)
+      }
+      math.round((math.log(den.toDouble) - math.log(num.toDouble)) * 1e6)
+    }
+    // the corpus hits all three branches — assert that, so a corpus
+    // edit can't silently hollow the test out
+    assert(ppre.contains("a b c d") && pall("a b c d f") < theta5 &&
+      !ppre.contains("b c d e"), "branch coverage lost")
+    val expected = docToks.map { case (id, toks) =>
+      val ss = grams(toks, 5).map(s5)
+      id -> ((ss.size.toLong, ss.sum,
+        if (ss.nonEmpty) Some(ss.sum / ss.size) else None))
+    }.toMap
+    val d = corpus.toDF("doc_id", "text")
+    val out = QualityModels.fivegramSurprisalKn(d, theta4, theta5)
+      .select("doc_id", "n_fivegrams", "surprisal_micro", "mean_micro")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === expected)
+    assert(out(5L) === ((0L, 0L, None)))
+  }
+
   test("trigramSurprisalKn: probability sanity — every seen trigram " +
        "surprisal is positive and interpolation beats pure backoff " +
        "mass-wise on repeated contexts") {
