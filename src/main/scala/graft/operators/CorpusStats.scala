@@ -489,11 +489,22 @@ object CorpusStats {
     * partitioned by source (per-partition rows = |grid|) and by len
     * (rows = |sources|); the argmax is a per-source rank. Nothing
     * corpus-sized crosses, shuffles wide, or sorts globally. */
-  def ksDrift(docs: DataFrame): DataFrame = {
-    val h = docs
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("len"))
-      .groupBy("source", "len").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+  def ksDrift(docs: DataFrame): DataFrame =
+    ksFromHist(lengthHist(docs))
+
+  /** The streaming-aggregable half of [[ksDrift]]: per-(source, len)
+    * doc counts — plain associative integer counting, so complete-mode
+    * streaming state is EXACTLY this aggregate under any micro-batch
+    * split (the DriftStream discipline). */
+  def lengthHist(docs: DataFrame): DataFrame = docs
+    .select(col("source"), size(tokens(col("text"))).cast("long").as("len"))
+    .groupBy("source", "len").agg(count(lit(1)).as("n"))
+
+  /** The model-sized KS reading tail over a (source, len, n) histogram
+    * frame — shared by the batch operator and the live-state reading
+    * (streaming.KsGateStream). */
+  def ksFromHist(hist: DataFrame): DataFrame = {
+    val h = hist.localCheckpoint()
     val grid = h.select(col("len")).distinct()
     val srcs = h.groupBy("source").agg(sum(col("n")).as("n_docs"))
     val tot = srcs.agg(sum(col("n_docs")).as("n_total"))

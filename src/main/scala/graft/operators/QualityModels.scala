@@ -1201,6 +1201,125 @@ object QualityModels {
   def fivegramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
     fivegramSurprisalKn(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Held-out PRUNED fivegram-KN vs pruned quadgram-KN on the SAME
+    * fivegram prediction sites — lmHeldoutQuadgram's frame one order
+    * up, closing the heldout ladder at the order CCNet ships: both
+    * models score every (t1..t4 → t5) site from train-split stats, so
+    * the mean_micro gap IS the value of the fifth order net of
+    * pruning, and `unseen_fivegrams` counts kept-model misses.
+    *
+    * Fallback ladder per scored site (train-split stats): the
+    * quadgram leg is lmHeldoutQuadgram's full ladder on the SUFFIX
+    * quadgram (t2..t5) — its own trigram ladder on (t3 t4 t5) at the
+    * bottom — producing the branch-dependent exact rational
+    * num4/den4; the fivegram leg stacks the pruned three-branch
+    * ladder on top (kept / pruned-with-kept-prefix / prefix-unkept
+    * ⇒ pure backoff). Every branch rounds ONCE to micro-nats from
+    * exact int64s; the den-only guard covers both legs. */
+  def lmHeldoutFivegram(docs: DataFrame, minCount4: Long = 2L,
+                        minCount5: Long = 2L, trainPct: Int = 80,
+                        valPct: Int = 10): DataFrame = {
+    require(minCount4 >= 1 && minCount5 >= 1)
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val trainT = 4294967296L * trainPct / 100
+    val valT = 4294967296L * (trainPct + valPct) / 100
+    val tagged = docs.select(col("doc_id"), col("text"),
+      when(TextAnalysis.sampleBucket < trainT, "train")
+        .when(TextAnalysis.sampleBucket < valT, "val")
+        .otherwise("test").as("split"))
+    val train = tagged.filter(col("split") === "train")
+    val (tcnt, pstats, mid, mstats, cstats, btot, vtot) =
+      trigramModelFrames(train)
+    val (qall, qpstats) = quadgramModelFrames(train, minCount4)
+    val qkept = qall.filter(col("c1234") >= minCount4)
+    val (pall, ppstats) = fivegramModelFrames(train, minCount5)
+    val pkept = pall.filter(col("c12345") >= minCount5)
+    val scored = tagged
+      .select(col("split"),
+        explode(wordShingles(tokens(col("text")), 5)).as("pg"))
+      .withColumn("t2", split(col("pg"), " ").getItem(1))
+      .withColumn("t3", split(col("pg"), " ").getItem(2))
+      .withColumn("t4", split(col("pg"), " ").getItem(3))
+      .withColumn("t5", split(col("pg"), " ").getItem(4))
+      .withColumn("pfx4", concat_ws(" ", split(col("pg"), " ").getItem(0),
+        col("t2"), col("t3"), col("t4")))
+      .withColumn("sfx4", concat_ws(" ", col("t2"), col("t3"), col("t4"),
+        col("t5")))
+      .withColumn("sfx3", concat_ws(" ", col("t3"), col("t4"), col("t5")))
+      .join(pkept, Seq("pg"), "left")
+      .join(ppstats, col("pfx4") === col("p1234"), "left")
+      .join(qkept, col("sfx4") === col("qg"), "left")
+      .join(qpstats, concat_ws(" ", col("t2"), col("t3"), col("t4"))
+        === col("p123"), "left")
+      .join(tcnt, col("sfx3") === col("tg"), "left")
+      .join(pstats, concat_ws(" ", col("t3"), col("t4")) === col("p12"),
+        "left")
+      .join(mid, concat_ws(" ", col("t4"), col("t5")) === col("s23"), "left")
+      .join(mstats, col("t4") === col("mt2"), "left")
+      .join(cstats, col("t5") === col("ct3"), "left")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vtot))
+    val bv = col("b") + col("v")
+    val denmid = lit(4L) * col("m2") * bv
+    val nummid = greatest(lit(4L) * coalesce(col("m23"), lit(0L)) - 3,
+      lit(0L)) * bv +
+      lit(3L) * col("t2types") * (coalesce(col("cont"), lit(0L)) + 1)
+    // the trigram ladder's branch-dependent rational on (t3 t4 t5) —
+    // lmHeldoutTrigram's three branches, as reusable columns
+    val den3 = when(col("c12").isNotNull, lit(4L) * col("c12") * denmid)
+      .when(col("m2").isNotNull, denmid)
+      .otherwise(bv)
+    val num3 = when(col("c12").isNotNull,
+        greatest(lit(4L) * coalesce(col("c123"), lit(0L)) - 3, lit(0L))
+          * denmid + lit(3L) * col("t12types") * nummid)
+      .when(col("m2").isNotNull, nummid)
+      .otherwise(coalesce(col("cont"), lit(0L)) + 1)
+    // the quadgram ladder stacked on it — lmHeldoutQuadgram's three
+    // branches on the suffix quadgram, as reusable columns
+    val den4 = when(col("c123k").isNotNull, lit(4L) * col("c123k") * den3)
+      .otherwise(den3)
+    val num4 = when(col("c123k").isNotNull,
+        when(col("c1234").isNotNull,
+          (lit(4L) * col("c1234") - 3) * den3 +
+            lit(3L) * col("t123types") * num3)
+          .otherwise(lit(3L) * col("t123types") * num3))
+      .otherwise(num3)
+    val rows = scored.select(col("split"),
+      col("c12345").isNull.as("unseen"),
+      // the fivegram guard with absent branch components coalesced to
+      // their bound-neutral 1 (den ≤ 256·c1234k·c123k·c23·m3·(B+V))
+      when(coalesce(col("c1234k"), lit(1L)).cast("double")
+          * coalesce(col("c123k"), lit(1L)).cast("double")
+          * coalesce(col("c12"), lit(1L)).cast("double")
+          * coalesce(col("m2"), lit(1L)).cast("double")
+          * bv.cast("double") >= lit(3.5e16d),
+        raise_error(lit("fivegram KN heldout: c1234k*c123k*c23*m3*(B+V) " +
+          ">= 3.5e16 overflows the exact int64 rational — rescale the " +
+          "rational before corpora this size")))
+        .otherwise(round((log(den4) - log(num4)) * lit(1000000.0d)))
+        .cast("long").as("s_quad"),
+      round((when(col("c1234k").isNotNull,
+          log(lit(4L) * col("c1234k") * den4)
+            - log(when(col("c12345").isNotNull,
+                (lit(4L) * col("c12345") - 3) * den4 +
+                  lit(3L) * col("t1234types") * num4)
+              .otherwise(lit(3L) * col("t1234types") * num4)))
+        .otherwise(log(den4) - log(num4)))
+        * lit(1000000.0d)).cast("long").as("s_five"))
+    val agg = rows.groupBy("split")
+      .agg(count(lit(1)).as("n_fivegrams"),
+        sum(when(col("unseen"), 1L).otherwise(0L)).as("unseen_fivegrams"),
+        sum(col("s_quad")).as("sq"), sum(col("s_five")).as("sf"))
+    def side(model: String, sumCol: String) = agg
+      .select(lit(model).as("model"), col("split"), col("n_fivegrams"),
+        col("unseen_fivegrams"),
+        expr(s"$sumCol div n_fivegrams").as("mean_micro"))
+    side("kn_quadgram", "sq").unionByName(side("kn_fivegram", "sf"))
+  }
+
+  def lmHeldoutFivegramQuery(spark: SparkSession, dir: String): DataFrame =
+    lmHeldoutFivegram(Tables.documents(spark, dir))
+      .orderBy(col("model"), col("split"))
+
   /** Token-distribution drift between two corpus slices — the
     * monitoring operator a continuously-crawled pipeline runs before
     * admitting a new batch: KL(new ‖ base) decomposed PER TOKEN TYPE,
@@ -2212,6 +2331,119 @@ object QualityModels {
          |UNION ALL
          |SELECT 'kn_trigram', split, n_quadgrams, unseen_quadgrams,
          | st // n_quadgrams FROM agg
+         |ORDER BY model, split""".stripMargin,
+    // train-split pruned fivegram KN vs pruned quadgram KN on the SAME
+    // fivegram positions; the quadgram leg's ladder (trigram ladder on
+    // (t3 t4 t5) + the pruned order-4 stack) branch-for-branch with
+    // the Spark side, the fivegram leg stacked on top
+    "lm_heldout_fivegram" ->
+      s"""WITH sp AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN b < ${4294967296L * 80 / 100} THEN 'train'
+         |       WHEN b < ${4294967296L * 90 / 100} THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id, text,
+         |        ${TextAnalysis.sampleBucketSql} AS b FROM documents)),
+         |tokall AS (
+         | SELECT split, string_split(text, ' ') AS toks FROM sp),
+         |pgall AS (
+         | SELECT split, unnest(CASE WHEN len(toks) >= 5
+         |   THEN list_transform(range(1, len(toks) - 3),
+         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |   ELSE [] END) AS pg
+         | FROM tokall),
+         |tok AS (SELECT toks FROM tokall WHERE split = 'train'),
+         |$trigramStreamCtesNoDoc
+         |${quadgramOccCtes(withDocId = false)},
+         |qkept AS (SELECT qg, c1234 FROM qall WHERE c1234 >= 2),
+         |qpre AS (
+         | SELECT string_split(qg, ' ')[1] || ' ' || string_split(qg, ' ')[2]
+         |   || ' ' || string_split(qg, ' ')[3] AS p123,
+         |  CAST(sum(c1234) AS BIGINT) AS c123k,
+         |  CAST(count(*) AS BIGINT) AS t123types
+         | FROM qkept GROUP BY 1),
+         |${fivegramOccCtes(withDocId = false)},
+         |pkept AS (SELECT pg, c12345 FROM pall WHERE c12345 >= 2),
+         |ppre AS (
+         | SELECT string_split(pg, ' ')[1] || ' ' || string_split(pg, ' ')[2]
+         |   || ' ' || string_split(pg, ' ')[3] || ' ' ||
+         |   string_split(pg, ' ')[4] AS p1234,
+         |  CAST(sum(c12345) AS BIGINT) AS c1234k,
+         |  CAST(count(*) AS BIGINT) AS t1234types
+         | FROM pkept GROUP BY 1),
+         |rows0 AS (
+         | SELECT g.split, (k.c12345 IS NULL) AS unseen,
+         |  k.c12345, pp.c1234k, pp.t1234types,
+         |  qk.c1234, qp.c123k, qp.t123types,
+         |  CASE WHEN p.c12 IS NOT NULL
+         |    THEN 4*p.c12*(4*ms.m2*(bb.b+vv.v))
+         |   WHEN ms.m2 IS NOT NULL THEN 4*ms.m2*(bb.b+vv.v)
+         |   ELSE bb.b+vv.v END AS den3,
+         |  CASE WHEN p.c12 IS NOT NULL
+         |    THEN greatest(4*COALESCE(t.c123, 0) - 3, 0)
+         |        *(4*ms.m2*(bb.b+vv.v))
+         |      + 3*p.t12types*(greatest(4*COALESCE(m.m23, 0) - 3, 0)
+         |          *(bb.b+vv.v)
+         |        + 3*ms.t2types*(COALESCE(cs.cont, 0)+1))
+         |   WHEN ms.m2 IS NOT NULL
+         |    THEN greatest(4*COALESCE(m.m23, 0) - 3, 0)*(bb.b+vv.v)
+         |      + 3*ms.t2types*(COALESCE(cs.cont, 0)+1)
+         |   ELSE COALESCE(cs.cont, 0) + 1 END AS num3
+         | FROM pgall g
+         |  LEFT JOIN pkept k USING (pg)
+         |  LEFT JOIN ppre pp ON string_split(g.pg, ' ')[1] || ' ' ||
+         |    string_split(g.pg, ' ')[2] || ' ' ||
+         |    string_split(g.pg, ' ')[3] || ' ' ||
+         |    string_split(g.pg, ' ')[4] = pp.p1234
+         |  LEFT JOIN qkept qk ON string_split(g.pg, ' ')[2] || ' ' ||
+         |    string_split(g.pg, ' ')[3] || ' ' ||
+         |    string_split(g.pg, ' ')[4] || ' ' ||
+         |    string_split(g.pg, ' ')[5] = qk.qg
+         |  LEFT JOIN qpre qp ON string_split(g.pg, ' ')[2] || ' ' ||
+         |    string_split(g.pg, ' ')[3] || ' ' ||
+         |    string_split(g.pg, ' ')[4] = qp.p123
+         |  LEFT JOIN tcnt t ON string_split(g.pg, ' ')[3] || ' ' ||
+         |    string_split(g.pg, ' ')[4] || ' ' ||
+         |    string_split(g.pg, ' ')[5] = t.tg
+         |  LEFT JOIN pstats p ON string_split(g.pg, ' ')[3] || ' ' ||
+         |    string_split(g.pg, ' ')[4] = p.p12
+         |  LEFT JOIN mid m ON string_split(g.pg, ' ')[4] || ' ' ||
+         |    string_split(g.pg, ' ')[5] = m.s23
+         |  LEFT JOIN mstats ms ON string_split(g.pg, ' ')[4] = ms.mt2
+         |  LEFT JOIN cstats cs ON string_split(g.pg, ' ')[5] = cs.ct3
+         |  CROSS JOIN btot bb CROSS JOIN vtot vv),
+         |rows1 AS (
+         | SELECT split, unseen, c12345, c1234k, t1234types,
+         |  CASE WHEN c123k IS NOT NULL THEN 4*c123k*den3
+         |   ELSE den3 END AS den4,
+         |  CASE WHEN c123k IS NOT NULL
+         |    THEN CASE WHEN c1234 IS NOT NULL
+         |      THEN (4*c1234-3)*den3 + 3*t123types*num3
+         |      ELSE 3*t123types*num3 END
+         |   ELSE num3 END AS num4
+         | FROM rows0),
+         |rows AS (
+         | SELECT split, unseen,
+         |  CAST(round((ln(den4) - ln(num4)) * 1000000) AS BIGINT) AS s_quad,
+         |  CAST(round((CASE WHEN c1234k IS NOT NULL
+         |    THEN ln(4*c1234k*den4) - ln(CASE WHEN c12345 IS NOT NULL
+         |        THEN (4*c12345-3)*den4 + 3*t1234types*num4
+         |        ELSE 3*t1234types*num4 END)
+         |    ELSE ln(den4) - ln(num4) END) * 1000000) AS BIGINT) AS s_five
+         | FROM rows1),
+         |agg AS (
+         | SELECT split, CAST(count(*) AS BIGINT) AS n_fivegrams,
+         |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS unseen_fivegrams,
+         |  CAST(sum(s_quad) AS BIGINT) AS sq,
+         |  CAST(sum(s_five) AS BIGINT) AS sf
+         | FROM rows GROUP BY 1)
+         |SELECT 'kn_fivegram' AS model, split, n_fivegrams,
+         | unseen_fivegrams, sf // n_fivegrams AS mean_micro FROM agg
+         |UNION ALL
+         |SELECT 'kn_quadgram', split, n_fivegrams, unseen_fivegrams,
+         | sq // n_fivegrams FROM agg
          |ORDER BY model, split""".stripMargin,
     "quality_calibrated" -> qualityCalibratedOracle(iters = 10,
       stepDiv = 10000000L),

@@ -119,7 +119,7 @@ class PlanPropertiesSpec extends SparkSpec {
     // order 5 (count-pruned, both top orders): the same two scalar
     // crosses; the fivegram/quadgram/trigram model tables all join by
     // key — the fivegram table is the most explosive frame in the repo
-    "fivegram_surprisal_kn",
+    "fivegram_surprisal_kn", "lm_heldout_fivegram",
     // composes trigram_surprisal_kn (same scalar crosses); the
     // histogram itself is one keyed aggregate
     "ppl_histogram",

@@ -397,6 +397,27 @@ class QualityModelsSpec extends SparkSpec {
       "order 4 must beat order 3 on its own training split")
   }
 
+  test("lmHeldoutFivegram: identical position frame across models and " +
+       "the order-5 train-split win") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val out = QualityModels.lmHeldoutFivegram(d)
+      .select("model", "split", "n_fivegrams", "unseen_fivegrams",
+        "mean_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.keys.map(_._1).toSet === Set("kn_quadgram", "kn_fivegram"))
+    // identical position frame: both models score the SAME sites
+    out.keys.filter(_._1 == "kn_fivegram").foreach { k =>
+      assert(out(k)._1 === out(("kn_quadgram", k._2))._1)
+      assert(out(k)._2 === out(("kn_quadgram", k._2))._2)
+    }
+    // on train the kept order-5 mass must win (it memorizes)
+    assert(out(("kn_fivegram", "train"))._3 <
+      out(("kn_quadgram", "train"))._3,
+      "order 5 must beat order 4 on its own training split")
+  }
+
   test("fivegramSurprisalKn: the order-5 pruned ladder replayed " +
        "independently with BigInt rationals") {
     // An independent straight-line replay of the DOCUMENTED math (not
