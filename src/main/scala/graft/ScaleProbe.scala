@@ -488,7 +488,11 @@ object ScaleProbe {
       // grid×source frame is model-sized, so the wall must ride the
       // single corpus scan.
       "fivegram_surprisal_kn" -> (operators.QualityModels.fivegramSurprisalKnQuery _),
-      "ks_drift" -> (operators.CorpusStats.ksDriftQuery _))
+      "ks_drift" -> (operators.CorpusStats.ksDriftQuery _),
+      // ks_norm_drift: |labels| rows; one map-only norm pass into the
+      // bucketed model-sized histogram — wall must ride the single
+      // vector scan like ks_drift rides the doc scan
+      "ks_norm_drift" -> (operators.CorpusStats.ksNormDriftQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

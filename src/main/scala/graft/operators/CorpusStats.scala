@@ -532,45 +532,101 @@ object CorpusStats {
   def ksDriftQuery(spark: SparkSession, dir: String): DataFrame =
     ksDrift(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Per-label embedding-NORM drift via the same one-vs-rest KS — the
+    * vector-side companion to [[ksDrift]] (an encoder rollout or a
+    * re-normalization bug shifts the norm distribution of one slice
+    * long before cosine quality visibly degrades): the exact
+    * micro-norm on the shared rounding basis every vector operator
+    * here uses (embed_norm_qc's l2norm fold, bit-parity with the
+    * oracle's list_sum), FLOOR-BUCKETED at a fixed width so the value
+    * grid stays model-sized at any corpus size — distinct raw norms
+    * are corpus-sized, buckets are bounded by max_norm/width. The
+    * reading is [[ksFromHist]] verbatim: batch and the vector-side
+    * streaming gate share the one code path. Non-finite vectors are
+    * EXCLUDED — their norm is undefined; embed_norm_qc is their gate,
+    * and counting them here would put an engine-dependent value into
+    * an exact integer compare. */
+  def ksNormDrift(emb: DataFrame, bucketMicro: Long = 10000L): DataFrame = {
+    require(bucketMicro >= 1)
+    val h = emb
+      .select(col("label"), toDoubleArray(col("embedding")).as("e"))
+      .filter(!exists(col("e"), x => isnan(x) ||
+        x === Double.PositiveInfinity || x === Double.NegativeInfinity))
+      .select(col("label").as("source"),
+        round(l2norm(col("e")) * lit(1000000.0d)).cast("long").as("nm"))
+      .select(col("source"), expr(s"nm div $bucketMicro").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("n"))
+    ksFromHist(h)
+      .select(col("source").as("label"), col("n_docs").as("n_vecs"),
+        col("ks_micro"), col("ks_at_len").as("ks_at_bucket"))
+  }
+
+  def ksNormDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    ksNormDrift(Tables.embeddings(spark, dir)).orderBy(col("label"))
+
+  /** The KS chain from an `h(source, len, n)` histogram CTE down to
+    * the ranked per-source verdict rows (`r`) — shared by the
+    * ks_drift and ks_norm_drift oracles; the caller supplies the
+    * histogram head and the final SELECT. */
+  private val ksOracleChain: String =
+    """grid AS (SELECT DISTINCT len FROM h),
+      |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+      |         FROM h GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM srcs),
+      |filled AS (
+      | SELECT s.source, g.len, COALESCE(h.n, 0) AS n
+      | FROM grid g CROSS JOIN srcs s
+      |  LEFT JOIN h ON h.source = s.source AND h.len = g.len),
+      |cs AS (
+      | SELECT source, len,
+      |  CAST(sum(n) OVER (PARTITION BY source ORDER BY len) AS BIGINT)
+      |   AS c_s
+      | FROM filled),
+      |ca AS (
+      | SELECT source, len, c_s,
+      |  CAST(sum(c_s) OVER (PARTITION BY len) AS BIGINT) AS c_all
+      | FROM cs),
+      |d AS (
+      | SELECT ca.source, ca.len, s.n_docs,
+      |  abs((1000000 * ca.c_s) // s.n_docs
+      |   - (1000000 * (ca.c_all - ca.c_s)) // (t.n_total - s.n_docs))
+      |   AS diff
+      | FROM ca JOIN srcs s USING (source) CROSS JOIN tot t
+      | WHERE s.n_docs < t.n_total),
+      |r AS (
+      | SELECT source, n_docs, len, diff,
+      |  row_number() OVER (PARTITION BY source
+      |                     ORDER BY diff DESC, len) AS rn
+      | FROM d)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ks_drift" ->
-      """WITH lens AS (
-        | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-        | FROM documents),
-        |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
-        |      FROM lens GROUP BY 1, 2),
-        |grid AS (SELECT DISTINCT len FROM h),
-        |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
-        |         FROM h GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM srcs),
-        |filled AS (
-        | SELECT s.source, g.len, COALESCE(h.n, 0) AS n
-        | FROM grid g CROSS JOIN srcs s
-        |  LEFT JOIN h ON h.source = s.source AND h.len = g.len),
-        |cs AS (
-        | SELECT source, len,
-        |  CAST(sum(n) OVER (PARTITION BY source ORDER BY len) AS BIGINT)
-        |   AS c_s
-        | FROM filled),
-        |ca AS (
-        | SELECT source, len, c_s,
-        |  CAST(sum(c_s) OVER (PARTITION BY len) AS BIGINT) AS c_all
-        | FROM cs),
-        |d AS (
-        | SELECT ca.source, ca.len, s.n_docs,
-        |  abs((1000000 * ca.c_s) // s.n_docs
-        |   - (1000000 * (ca.c_all - ca.c_s)) // (t.n_total - s.n_docs))
-        |   AS diff
-        | FROM ca JOIN srcs s USING (source) CROSS JOIN tot t
-        | WHERE s.n_docs < t.n_total),
-        |r AS (
-        | SELECT source, n_docs, len, diff,
-        |  row_number() OVER (PARTITION BY source
-        |                     ORDER BY diff DESC, len) AS rn
-        | FROM d)
-        |SELECT source, n_docs, CAST(diff AS BIGINT) AS ks_micro,
-        | CAST(len AS BIGINT) AS ks_at_len
-        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+      s"""WITH lens AS (
+         | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         | FROM documents),
+         |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+         |      FROM lens GROUP BY 1, 2),
+         |$ksOracleChain
+         |SELECT source, n_docs, CAST(diff AS BIGINT) AS ks_micro,
+         | CAST(len AS BIGINT) AS ks_at_len
+         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+    // the same chain over the bucketed micro-norm histogram; the norm
+    // fold/rounding is embed_norm_qc's parity-pinned idiom verbatim
+    "ks_norm_drift" ->
+      s"""WITH f AS (
+         | SELECT label AS source,
+         |  CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+         |    x -> x * x))) * 1000000.0) AS BIGINT) // 10000 AS len
+         | FROM embeddings
+         | WHERE len(list_filter(embedding::DOUBLE[],
+         |   x -> isnan(x) OR isinf(x))) = 0),
+         |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+         |      FROM f GROUP BY 1, 2),
+         |$ksOracleChain
+         |SELECT source AS label, n_docs AS n_vecs,
+         | CAST(diff AS BIGINT) AS ks_micro,
+         | CAST(len AS BIGINT) AS ks_at_bucket
+         |FROM r WHERE rn = 1 ORDER BY label""".stripMargin,
     "meta_consistency" ->
       """WITH b AS (
         | SELECT source,

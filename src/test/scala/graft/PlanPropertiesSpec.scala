@@ -131,8 +131,9 @@ class PlanPropertiesSpec extends SparkSpec {
     "vocab_kl_drift",
     // the length-value grid × the source list — BOTH model-sized
     // aggregates of the checkpointed histogram — plus the 1-row
-    // corpus-total scalar
-    "ks_drift",
+    // corpus-total scalar (ks_norm_drift: the same shape over the
+    // bucket-value grid × label list)
+    "ks_drift", "ks_norm_drift",
     // 1-row occurrence-totals frame + the numBuckets-row model
     // collapsed to ONE map row, crossed into the map-only doc scorer
     "dsir_importance",

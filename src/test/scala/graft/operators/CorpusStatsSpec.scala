@@ -194,6 +194,28 @@ class CorpusStatsSpec extends SparkSpec {
       ("C", 1L, 1000000L, 3L)))
   }
 
+  test("ksNormDrift: hand-computed per-label KS on bucketed norms; " +
+       "non-finite vectors excluded") {
+    // norms — label 0: {5.0, 1.0} → buckets {500, 100}; label 1:
+    // {1.0} → {100}; label 2: {5.0} plus one NaN vector (excluded →
+    // n_vecs 1). Grid {100, 500}, N=4. Floored micro-ECDFs:
+    //   label 0 (rest {100:1, 500:1}): equal at both grid points → 0@100
+    //   label 1 (rest {100:1, 500:2}): v=100: 10⁶ vs 333333 → 666667@100
+    //   label 2 (rest {100:2, 500:1}): v=100: 0 vs 666666 → 666666@100
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.6f, 0.8f), 1),
+      (4L, Seq(3.0f, 4.0f), 2),
+      (5L, Seq(Float.NaN, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = CorpusStats.ksNormDrift(emb)
+      .select("label", "n_vecs", "ks_micro", "ks_at_bucket")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((0, 2L, 0L, 100L), (1, 1L, 666667L, 100L),
+      (2, 1L, 666666L, 100L)))
+  }
+
   test("ksDrift: a source distributed like the rest scores 0; a " +
        "single-source corpus emits no row") {
     val same = Seq((1L, "a b", "A"), (2L, "a b c", "A"),
