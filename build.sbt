@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time ..." epilogue: the bench driver parses the
+// LAST stdout line as JSON, and sbt's success line has trailed (and
+// broken) that parse every round (BENCH_r*.json parsed:null at rc 0).
+// With this off, graft.Bench's compact summary IS the final line.
+Global / showSuccess := false
+// ... and route the forked run's own stdout STRAIGHT through (no
+// "[info] " logger prefix in any sbt mode), so the line is bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

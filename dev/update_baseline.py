@@ -14,8 +14,18 @@ average is >= 0.5 unless --force is passed.
 """
 import json, os, re, sys
 
-args = [a for a in sys.argv[1:] if a not in ("--force", "--merge-min")]
+args = [a for a in sys.argv[1:]
+        if a not in ("--force", "--merge-min", "--adjudicate")]
 force = "--force" in sys.argv[1:]
+# --adjudicate: re-record the floors of EXACTLY the queries in this
+# (usually subset) run — replacing the standing entry UP or DOWN with
+# the run's minimum — and leave every other standing entry untouched.
+# This is the sanctioned path for clearing reproducible-on-idle drift
+# flags (r17 verdict #6): the only-improves ratchet (--merge-min)
+# otherwise accumulates permanent false flags when a floor recorded in
+# an exceptionally warm window stops being reachable. Quiet-host gate
+# still applies in full.
+adjudicate = "--adjudicate" in sys.argv[1:]
 # --merge-min: NEVER raise an existing per-query baseline — take
 # min(standing, this run) per query and add first entries for queries
 # the standing block lacks. The safe mode when a capture self-marks
@@ -94,7 +104,7 @@ base = {
               for k, v in sorted(d.get("scaling", {}).items())
               if v["sf001"] >= 0},
 }
-if merge_min:
+if merge_min or adjudicate:
     md0 = open("BASELINE.md").read()
     m = re.search(r"```json\n(.*?)\n```", md0, flags=re.S)
     old = json.loads(m.group(1)) if m else {}
@@ -102,9 +112,16 @@ if merge_min:
         prev = old.get(tier, {})
         merged = dict(prev)
         for k, v in base[tier].items():
-            merged[k] = min(prev[k], v) if k in prev else v
+            if adjudicate:
+                if k in prev and v > prev[k]:
+                    print(f"adjudicate: {tier}/{k} floor raised "
+                          f"{prev[k]} -> {v}", file=sys.stderr)
+                merged[k] = v
+            else:
+                merged[k] = min(prev[k], v) if k in prev else v
         base[tier] = dict(sorted(merged.items()))
-    base["source"] = f"{note} (min-merge), local[32], sf0.1"
+    mode = "adjudicate" if adjudicate else "min-merge"
+    base["source"] = f"{note} ({mode}), local[32], sf0.1"
 rows = "\n".join(
     f"| {k} | {base['sf001'].get(k, '')} | {v} |" for k, v in base["sf01"].items())
 md = open("BASELINE.md").read()

@@ -390,8 +390,11 @@ object ScaleProbe {
       // is one extra linear pass, the xhat/ADC tables stay model-sized
       // (C·M·numCodes). bigram_surprisal_kn: rows exactly linear; the
       // prefixed replica multiplies bigram AND unigram vocab f-fold so
-      // all three model aggregates grow f-fold — the map-row broadcast
-      // assumption probed at its worst. lm_heldout_bigram: constant 6
+      // all three model aggregates grow f-fold — since r18 the scorer
+      // KEY-JOINS the model frame (the trigram ladder's shape; the old
+      // one-map-row broadcast was the repo's last unbounded-broadcast
+      // scorer), so f-fold vocab growth rides the join, not a
+      // driver-sized map. lm_heldout_bigram: constant 6
       // rows; wall rides the split-tagged explode + vocab-keyed joins
       // (all linear). decode_jpeg: map-only codec pass, rows exactly
       // linear — probes the per-partition writer-init amortization.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window => W}
 
@@ -108,7 +108,15 @@ object CorpusStats {
       .agg(sum("xm").as("c"), count(lit(1)).as("n"))
 
   /** The model-sized drift tail over the (label, dim, c, n) sums. */
-  private[graft] def driftFromSums(sums: DataFrame): DataFrame = {
+  private[graft] def driftFromSums(sums0: DataFrame): DataFrame = {
+    // sums is referenced FIVE times below (cent → norms/a/b, sizes ×2)
+    // — without a checkpoint each reference replays the corpus-sized
+    // explode behind it (r18: embed_centroid_drift planned 6 scans,
+    // and corpus_card's drift panel inherited them). The frame is
+    // |labels|·dim rows — model-sized — so the checkpoint is free;
+    // callers passing live streaming STATE (DriftStream.driftReading)
+    // hand a batch memory-sink table, also model-sized.
+    val sums = sums0.localCheckpoint()
     val cent = sums.select("label", "dim", "c")
     // dim-0 rows exist for EVERY embeddings row post componentSums'
     // outer explode, so this n is the label's full row count
@@ -230,7 +238,14 @@ object CorpusStats {
     * The map is order-insensitive, so no rank column is needed at
     * all: the limited V rows fold straight into the set. */
   def vocabSetRow(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
-    require(vocabSize >= 1)
+    // the one-map-row model is bounded by the LIMIT itself, so the
+    // broadcast-model contract (QualityModels.maxBroadcastModelRows)
+    // is enforceable statically: refuse a vocabSize that could not
+    // broadcast, rather than guarding in-plan like the data-dependent
+    // vocab maps (r17 verdict #5)
+    require(vocabSize >= 1 && vocabSize <= 5000000,
+      s"vocabSetRow: vocabSize $vocabSize outside [1, 5000000] — the " +
+        "top-V map row must stay broadcast-model-sized")
     val toks = docs.select(explode(tokens(col("text"))).as("t"))
       .filter(col("t") =!= "")
     toks.groupBy("t").agg(count(lit(1)).as("cnt"))
@@ -440,8 +455,47 @@ object CorpusStats {
           |) AS (metric, value)""".stripMargin)
   }
 
+  /** The card WITH the drift panel (r17 verdict #7): ks_drift,
+    * ks_norm_drift, vocab_kl_drift and embed_centroid_drift are four
+    * independent admission gates a crawl operator would run one by
+    * one — this overload folds each gate's VERDICT summary into the
+    * same tall card, so "admit this crawl" is one query:
+    *   drift_ks_len_max_micro      worst one-vs-rest doc-length KS
+    *   drift_ks_norm_max_micro     worst per-label embedding-norm KS
+    *   drift_vocab_kl_sum_micro    Σ per-type KL contributions
+    *   drift_vocab_kl_driver_types #types flagged as KL drivers
+    *   drift_centroid_min_cos_micro worst pairwise centroid cosine
+    * Each summary is a 1-row aggregate over an already-model-sized
+    * gate output, crossed into the card exactly like the base card's
+    * own 1-row frames — the panel adds zero corpus-sized shuffles
+    * beyond the gates' own (shared, checkpointed) aggregates. */
+  def corpusCard(docs: DataFrame, emb: DataFrame,
+                 isNew: Column): DataFrame = {
+    val ksLen = ksDrift(docs).agg(max(col("ks_micro")).as("ks_len_max"))
+    val ksNorm = ksNormDrift(emb)
+      .agg(max(col("ks_micro")).as("ks_norm_max"))
+    val kl = QualityModels.vocabKlDrift(docs, isNew)
+      .agg(sum(col("kl_contrib_micro")).as("kl_sum"),
+        sum(when(col("driver"), 1L).otherwise(0L)).as("kl_drivers"))
+    val cd = centroidDrift(emb)
+      .agg(min(col("cos_micro")).as("cent_min_cos"))
+    corpusCard(docs).unionByName(
+      ksLen.crossJoin(broadcast(ksNorm)).crossJoin(broadcast(kl))
+        .crossJoin(broadcast(cd))
+        .selectExpr(
+          """stack(5,
+            | 'drift_ks_len_max_micro', ks_len_max,
+            | 'drift_ks_norm_max_micro', ks_norm_max,
+            | 'drift_vocab_kl_sum_micro', kl_sum,
+            | 'drift_vocab_kl_driver_types', kl_drivers,
+            | 'drift_centroid_min_cos_micro', cent_min_cos
+            |) AS (metric, value)""".stripMargin))
+  }
+
   def corpusCardQuery(spark: SparkSession, dir: String): DataFrame =
-    corpusCard(Tables.documents(spark, dir)).orderBy(col("metric"))
+    corpusCard(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+        col("source").isin("src0", "src1"))
+      .orderBy(col("metric"))
 
   /** Metadata-consistency audit: the documents table CARRIES an
     * n_chars column — does it actually equal length(text)? The
@@ -479,8 +533,9 @@ object CorpusStats {
     * integer comparisons on both engines. Flooring before the max
     * costs ≤ 2 micro of precision, and keeps every intermediate
     * ≤ 10⁶·N — int64-safe to ~9·10¹² docs (a corpus-COUNT bound, not
-    * a token bound; documented, not guarded — 10⁶ × the trigram
-    * guard's corpus ceiling).
+    * a token bound — 10⁶ × the trigram guard's corpus ceiling), and
+    * GUARDED in-plan: past the bound the reading raise_errors instead
+    * of wrapping (the KN ladder's loud-fail discipline).
     *
     * Scale shape: ONE corpus scan builds the (source, len) histogram
     * (map-side combined, model-sized: |sources|·|distinct lengths|,
@@ -517,10 +572,19 @@ object CorpusStats {
       .withColumn("c_all", sum(col("c_s")).over(W.partitionBy("len")))
     val diffs = cs.join(srcs, "source").crossJoin(broadcast(tot))
       .filter(col("n_docs") < col("n_total"))
+      // the 10⁶-scaled cumulative counts stay exact only while
+      // 10⁶·n_total < 2⁶³ — past ~9·10¹² rows non-ANSI Spark would WRAP
+      // silently and report a wrong KS where the oracle engine errors;
+      // fail loudly instead (r17 advice: match the KN ladder's in-plan
+      // guard discipline — one broadcast scalar compare)
       .select(col("source"), col("len"), col("n_docs"),
-        abs(expr("(1000000 * c_s) div n_docs") -
-          expr("(1000000 * (c_all - c_s)) div (n_total - n_docs)"))
-          .as("diff"))
+        when(col("n_total") >= lit(9000000000000L),
+          raise_error(lit("ks drift: n_total >= 9e12 rows overflows the " +
+            "10^6-scaled int64 ECDF — shrink the slice or widen the " +
+            "micro unit before corpora this size")))
+          .otherwise(abs(expr("(1000000 * c_s) div n_docs") -
+            expr("(1000000 * (c_all - c_s)) div (n_total - n_docs)")))
+          .cast("long").as("diff"))
     diffs
       .withColumn("rn", row_number().over(
         W.partitionBy("source").orderBy(col("diff").desc, col("len"))))
@@ -542,16 +606,22 @@ object CorpusStats {
     * grid stays model-sized at any corpus size — distinct raw norms
     * are corpus-sized, buckets are bounded by max_norm/width. The
     * reading is [[ksFromHist]] verbatim: batch and the vector-side
-    * streaming gate share the one code path. Non-finite vectors are
-    * EXCLUDED — their norm is undefined; embed_norm_qc is their gate,
-    * and counting them here would put an engine-dependent value into
-    * an exact integer compare. */
+    * streaming gate share the one code path. Non-finite, NULL-element
+    * and EMPTY vectors are EXCLUDED — their norm is undefined or
+    * degenerate; embed_norm_qc is their gate, and counting them here
+    * would put an engine-dependent value into an exact integer
+    * compare (r17 advice: an empty array norms to 0.0 on Spark but
+    * NULL via DuckDB's list_sum, and a NULL ELEMENT nulls Spark's
+    * exists-predicate — silently dropping the row — while DuckDB's
+    * list_filter would keep the partial norm; the `x IS NULL` leg
+    * below makes the drop explicit and mirrored in the oracle). */
   def ksNormDrift(emb: DataFrame, bucketMicro: Long = 10000L): DataFrame = {
     require(bucketMicro >= 1)
     val h = emb
       .select(col("label"), toDoubleArray(col("embedding")).as("e"))
-      .filter(!exists(col("e"), x => isnan(x) ||
-        x === Double.PositiveInfinity || x === Double.NegativeInfinity))
+      .filter(size(col("e")) > 0 &&
+        !exists(col("e"), x => x.isNull || isnan(x) ||
+          x === Double.PositiveInfinity || x === Double.NegativeInfinity))
       .select(col("label").as("source"),
         round(l2norm(col("e")) * lit(1000000.0d)).cast("long").as("nm"))
       .select(col("source"), expr(s"nm div $bucketMicro").as("len"))
@@ -599,34 +669,73 @@ object CorpusStats {
       |                     ORDER BY diff DESC, len) AS rn
       | FROM d)""".stripMargin
 
+  // the three drift oracles are vals (not inline map entries) because
+  // corpus_card's oracle COMPOSES them as subqueries — the card's
+  // drift panel must read through the exact same SQL as the
+  // standalone gates
+  private val ksDriftOracle: String =
+    s"""WITH lens AS (
+       | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+       | FROM documents),
+       |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+       |      FROM lens GROUP BY 1, 2),
+       |$ksOracleChain
+       |SELECT source, n_docs, CAST(diff AS BIGINT) AS ks_micro,
+       | CAST(len AS BIGINT) AS ks_at_len
+       |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // the same chain over the bucketed micro-norm histogram; the norm
+  // fold/rounding is embed_norm_qc's parity-pinned idiom verbatim
+  private val ksNormDriftOracle: String =
+    s"""WITH f AS (
+       | SELECT label AS source,
+       |  CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+       |    x -> x * x))) * 1000000.0) AS BIGINT) // 10000 AS len
+       | FROM embeddings
+       | WHERE len(embedding) > 0
+       |  AND len(list_filter(embedding::DOUBLE[],
+       |   x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+       |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+       |      FROM f GROUP BY 1, 2),
+       |$ksOracleChain
+       |SELECT source AS label, n_docs AS n_vecs,
+       | CAST(diff AS BIGINT) AS ks_micro,
+       | CAST(len AS BIGINT) AS ks_at_bucket
+       |FROM r WHERE rn = 1 ORDER BY label""".stripMargin
+
+  private val centroidDriftOracle: String =
+    """WITH q AS (
+      | SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+      |        embedding::DOUBLE[] AS e
+      | FROM embeddings),
+      |qm AS (
+      | SELECT label, i - 1 AS dim,
+      |        CAST(round(e[i] * 1000000.0) AS BIGINT) AS xm
+      | FROM q),
+      |cent AS (
+      | SELECT label, dim, CAST(sum(xm) AS HUGEINT) AS c
+      | FROM qm GROUP BY 1, 2),
+      |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |          FROM embeddings GROUP BY 1),
+      |norms AS (SELECT label, sum(c * c) AS n2 FROM cent GROUP BY 1),
+      |dots AS (
+      | SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+      | FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      | GROUP BY 1, 2)
+      |SELECT d.label_a, d.label_b, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(round(CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |    * 1000000.0) AS BIGINT) AS cos_micro
+      |FROM dots d
+      | JOIN norms na ON d.label_a = na.label
+      | JOIN norms nb ON d.label_b = nb.label
+      | JOIN sizes sa ON d.label_a = sa.label
+      | JOIN sizes sb ON d.label_b = sb.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ks_drift" ->
-      s"""WITH lens AS (
-         | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-         | FROM documents),
-         |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
-         |      FROM lens GROUP BY 1, 2),
-         |$ksOracleChain
-         |SELECT source, n_docs, CAST(diff AS BIGINT) AS ks_micro,
-         | CAST(len AS BIGINT) AS ks_at_len
-         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
-    // the same chain over the bucketed micro-norm histogram; the norm
-    // fold/rounding is embed_norm_qc's parity-pinned idiom verbatim
-    "ks_norm_drift" ->
-      s"""WITH f AS (
-         | SELECT label AS source,
-         |  CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
-         |    x -> x * x))) * 1000000.0) AS BIGINT) // 10000 AS len
-         | FROM embeddings
-         | WHERE len(list_filter(embedding::DOUBLE[],
-         |   x -> isnan(x) OR isinf(x))) = 0),
-         |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
-         |      FROM f GROUP BY 1, 2),
-         |$ksOracleChain
-         |SELECT source AS label, n_docs AS n_vecs,
-         | CAST(diff AS BIGINT) AS ks_micro,
-         | CAST(len AS BIGINT) AS ks_at_bucket
-         |FROM r WHERE rn = 1 ORDER BY label""".stripMargin,
+    "ks_drift" -> ksDriftOracle,
+    "ks_norm_drift" -> ksNormDriftOracle,
     "meta_consistency" ->
       """WITH b AS (
         | SELECT source,
@@ -734,42 +843,61 @@ object CorpusStats {
         |   / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
         |FROM s""".stripMargin,
 
+    // the drift-panel rows (r17 verdict #7) read through the
+    // standalone gates' oracle SQL verbatim, each wrapped as a
+    // 1-row verdict subquery — batch card and individual gates
+    // CANNOT drift apart
     "corpus_card" ->
-      """WITH pd AS (
-        | SELECT md5(text) AS h,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-        |  CAST(length(text) AS BIGINT) AS nc,
-        |  source, lang,
-        |  CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
-        |        AND round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
-        |                  AS DOUBLE) / length(text), 4) > 0.5
-        |       THEN 1 ELSE 0 END AS keep
-        | FROM documents),
-        |b AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
-        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  CAST(sum(nw) AS BIGINT) AS n_tokens,
-        |  CAST(sum(nc) AS BIGINT) AS n_chars,
-        |  CAST(sum(keep) AS BIGINT) AS n_quality_keep
-        | FROM pd),
-        |v AS (
-        | SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_token_types FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents))
-        |SELECT metric, value FROM b, v, LATERAL (VALUES
-        | ('n_docs', n_docs),
-        | ('n_distinct_texts', n_distinct_texts),
-        | ('exact_dup_docs', n_docs - n_distinct_texts),
-        | ('n_sources', n_sources),
-        | ('n_langs', n_langs),
-        | ('n_tokens', n_tokens),
-        | ('n_chars', n_chars),
-        | ('n_token_types', n_token_types),
-        | ('mean_doc_tokens_milli', (1000 * n_tokens) // n_docs),
-        | ('quality_keep_bp', (10000 * n_quality_keep) // n_docs)
-        |) t(metric, value)
-        |ORDER BY metric""".stripMargin,
+      s"""WITH pd AS (
+         | SELECT md5(text) AS h,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |  CAST(length(text) AS BIGINT) AS nc,
+         |  source, lang,
+         |  CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+         |        AND round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+         |                  AS DOUBLE) / length(text), 4) > 0.5
+         |       THEN 1 ELSE 0 END AS keep
+         | FROM documents),
+         |b AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(keep) AS BIGINT) AS n_quality_keep
+         | FROM pd),
+         |v AS (
+         | SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_token_types FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |kd AS (SELECT max(ks_micro) AS ks_len_max
+         |       FROM ($ksDriftOracle)),
+         |knd AS (SELECT max(ks_micro) AS ks_norm_max
+         |        FROM ($ksNormDriftOracle)),
+         |klp AS (SELECT CAST(sum(kl_contrib_micro) AS BIGINT) AS kl_sum,
+         |  CAST(sum(CASE WHEN driver THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kl_drivers
+         | FROM (${QualityModels.oracles("vocab_kl_drift")})),
+         |cdp AS (SELECT min(cos_micro) AS cent_min_cos
+         |        FROM ($centroidDriftOracle))
+         |SELECT metric, value FROM b, v, kd, knd, klp, cdp, LATERAL (VALUES
+         | ('n_docs', n_docs),
+         | ('n_distinct_texts', n_distinct_texts),
+         | ('exact_dup_docs', n_docs - n_distinct_texts),
+         | ('n_sources', n_sources),
+         | ('n_langs', n_langs),
+         | ('n_tokens', n_tokens),
+         | ('n_chars', n_chars),
+         | ('n_token_types', n_token_types),
+         | ('mean_doc_tokens_milli', (1000 * n_tokens) // n_docs),
+         | ('quality_keep_bp', (10000 * n_quality_keep) // n_docs),
+         | ('drift_ks_len_max_micro', ks_len_max),
+         | ('drift_ks_norm_max_micro', ks_norm_max),
+         | ('drift_vocab_kl_sum_micro', kl_sum),
+         | ('drift_vocab_kl_driver_types', kl_drivers),
+         | ('drift_centroid_min_cos_micro', cent_min_cos)
+         |) t(metric, value)
+         |ORDER BY metric""".stripMargin,
 
     // same once-rounded micro-nat coordinates; slope/intercept are the
     // two display floats from exact integer sums in pinned order
@@ -866,33 +994,5 @@ object CorpusStats {
 
     // the same once-rounded micro components, HUGEINT sums/products,
     // and the display-only IEEE sqrt tail
-    "embed_centroid_drift" ->
-      """WITH q AS (
-        | SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
-        |        embedding::DOUBLE[] AS e
-        | FROM embeddings),
-        |qm AS (
-        | SELECT label, i - 1 AS dim,
-        |        CAST(round(e[i] * 1000000.0) AS BIGINT) AS xm
-        | FROM q),
-        |cent AS (
-        | SELECT label, dim, CAST(sum(xm) AS HUGEINT) AS c
-        | FROM qm GROUP BY 1, 2),
-        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-        |          FROM embeddings GROUP BY 1),
-        |norms AS (SELECT label, sum(c * c) AS n2 FROM cent GROUP BY 1),
-        |dots AS (
-        | SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
-        | FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
-        | GROUP BY 1, 2)
-        |SELECT d.label_a, d.label_b, sa.n AS n_a, sb.n AS n_b,
-        |  CAST(round(CAST(d.dot AS DOUBLE)
-        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-        |    * 1000000.0) AS BIGINT) AS cos_micro
-        |FROM dots d
-        | JOIN norms na ON d.label_a = na.label
-        | JOIN norms nb ON d.label_b = nb.label
-        | JOIN sizes sa ON d.label_a = sa.label
-        | JOIN sizes sb ON d.label_b = sb.label
-        |ORDER BY label_a, label_b""".stripMargin)
+    "embed_centroid_drift" -> centroidDriftOracle)
 }

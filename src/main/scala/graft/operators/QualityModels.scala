@@ -26,6 +26,32 @@ import graft.functions.TextFunctions._
   */
 object QualityModels {
 
+  /** Broadcast-model-row contract for every one-map-row scorer
+    * (lm_surprisal, bigram_surprisal, lm_heldout_eval): the whole
+    * model collapses into a single collect_list row and broadcasts,
+    * so it MUST stay model-sized. 5M entries mirrors BpeTrain's
+    * Heaps-contract word-table bound (a few hundred MB — comfortably
+    * one row-buffer and one broadcast); a corpus whose type table
+    * outgrows it violates the assumption the shape rests on and must
+    * fail LOUDLY in-plan instead of OOMing a driver or executor
+    * (r17 verdict #5). Past the bound, score by key-join — the KN
+    * ladder's shape (bigram_surprisal_kn and up). */
+  private[graft] val maxBroadcastModelRows: Long = 5000000L
+
+  /** Wraps a map-model column in the loud-fail row-count guard: below
+    * the bound the plan is unchanged (the `when` folds around the same
+    * map expression); above it the job raise_errors with the operator
+    * name and the measured row count. */
+  private[graft] def guardedModelMap(op: String, nRows: Column,
+      mapCol: Column): Column =
+    when(nRows > maxBroadcastModelRows,
+      raise_error(concat(lit(s"$op: "), nRows.cast("string"),
+        lit(s" model rows exceed the broadcast-model bound " +
+          s"$maxBroadcastModelRows — the one-map-row scorer is " +
+          "model-sized by contract; score by key-join (the KN " +
+          "ladder's shape) for corpora this size"))))
+      .otherwise(mapCol)
+
   /** Per-document unigram cross-entropy in micro-nats.
     *
     * Model: p(t) = cnt(t) / total over the corpus's own token stream
@@ -60,11 +86,13 @@ object QualityModels {
     val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
     val model = vocab
       .agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("vtypes"),
         collect_list(struct(col("t"), col("cnt"))).as("entries"))
-      .select(map_from_entries(transform(col("entries"), e =>
-        struct(e.getField("t"),
-          round((log(col("total")) - log(e.getField("cnt")))
-            * lit(1000000.0d)).cast("long")))).as("smap"))
+      .select(guardedModelMap("lm_surprisal", col("vtypes"),
+        map_from_entries(transform(col("entries"), e =>
+          struct(e.getField("t"),
+            round((log(col("total")) - log(e.getField("cnt")))
+              * lit(1000000.0d)).cast("long"))))).as("smap"))
 
     docs.crossJoin(broadcast(model))
       .select(col("doc_id"), tokens(col("text")).as("toks"), col("smap"))
@@ -309,6 +337,7 @@ object QualityModels {
     val bigs = docs.select(
       explode(wordShingles(tokens(col("text")), 2)).as("bg"))
     val bcnt = bigs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused by pcnt + the model build — one scan
     // prefix occurrences + V from the bigram table, not a rescan
     val pcnt = bcnt
       .groupBy(split(col("bg"), " ").getItem(0).as("t1"))
@@ -322,8 +351,10 @@ object QualityModels {
       .select(col("bg"),
         round((log(col("pcnt") + col("v")) - log(col("cnt") + 1))
           * lit(1000000.0d)).cast("long").as("s"))
-      .agg(collect_list(struct(col("bg"), col("s"))).as("es"))
-      .select(map_from_entries(col("es")).as("smap"))
+      .agg(count(lit(1)).as("btypes"),
+        collect_list(struct(col("bg"), col("s"))).as("es"))
+      .select(guardedModelMap("bigram_surprisal", col("btypes"),
+        map_from_entries(col("es"))).as("smap"))
 
     docs.crossJoin(broadcast(model))
       .select(col("doc_id"),
@@ -367,21 +398,36 @@ object QualityModels {
     * below 2⁵³ for corpora to ~5·10⁷ tokens — beyond that the same
     * 1-ulp libm caveat as the rest of the ln family applies).
     *
-    * Scale shape — bigramSurprisal's, verbatim: three vocab-sized
-    * map-side-combined aggregates (bigram, prefix, unigram), model →
-    * one broadcast map row, scoring an in-row fold. */
+    * Scale shape — the TRIGRAM ladder's, one order down (r17 verdict
+    * #1: the old whole-model `map_from_entries(collect_list)` →
+    * broadcast fold was this repo's one registered 100-TB
+    * scale-killer — a bigram TYPE table is effectively unbounded on
+    * web corpora, so collapsing it into one driver-sized map row is
+    * an OOM at scale and was GC-hypersensitive already at sf0.1):
+    * three vocab-sized map-side-combined aggregates (bigram, prefix,
+    * unigram) build a per-TYPE model FRAME, the exploded doc-bigram
+    * stream equi-joins it on `bg` (inner — every doc bigram is a seen
+    * type by construction), and ONE per-doc aggregate collapses it.
+    * Every stage is keyed and map-side-combinable; nothing
+    * model-sized crosses a driver or a broadcast. Docs with < 2
+    * tokens carry 0/NULL via the left join back (no evidence). */
   def bigramSurprisalKn(docs: DataFrame): DataFrame = {
     val bigs = docs.select(
       explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+    // bcnt feeds pstats AND the model select; ucnt feeds tot AND the
+    // model join — checkpoint each so the corpus is scanned once per
+    // count frame (the trigramModelFrames discipline)
     val bcnt = bigs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val pstats = bcnt
       .groupBy(split(col("bg"), " ").getItem(0).as("t1"))
       .agg(sum(col("cnt")).as("pcnt"), count(lit(1)).as("t1types"))
     val ucnt = docs.select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("u"))
+      .localCheckpoint()
     val tot = ucnt.agg(sum(col("u")).as("n_tok"),
       count(lit(1)).as("v"))
-    val model = bcnt
+    val smodel = bcnt
       .withColumn("t1", split(col("bg"), " ").getItem(0))
       .withColumn("t2", split(col("bg"), " ").getItem(1))
       .join(pstats, "t1")
@@ -392,19 +438,19 @@ object QualityModels {
           - log((lit(4L) * col("cnt") - 3) * (col("n_tok") + col("v"))
             + lit(3L) * col("t1types") * (col("u") + 1)))
           * lit(1000000.0d)).cast("long").as("s"))
-      .agg(collect_list(struct(col("bg"), col("s"))).as("es"))
-      .select(map_from_entries(col("es")).as("smap"))
-    docs.crossJoin(broadcast(model))
+    val perDoc = docs
       .select(col("doc_id"),
-        wordShingles(tokens(col("text")), 2).as("bgs"), col("smap"))
+        explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+      .join(smodel, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("s")).as("surprisal_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
-        aggregate(col("bgs"), lit(0L),
-          (acc, bg) => acc + element_at(col("smap"), bg))
-          .as("surprisal_micro"))
-      .withColumn("mean_micro",
-        when(col("n_bigrams") > 0,
-          expr("surprisal_micro div n_bigrams")))
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_micro"), lit(0L)).as("surprisal_micro"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("surprisal_micro div n_bigrams")).as("mean_micro"))
   }
 
   def bigramSurprisalKnQuery(spark: SparkSession, dir: String): DataFrame =
@@ -451,9 +497,13 @@ object QualityModels {
         .when(TextAnalysis.sampleBucket < valT, "val")
         .otherwise("test").as("split"))
     val train = tagged.filter(col("split") === "train")
+    // bcnt feeds pstats, cstats, btot AND the scored-stream join; ucnt
+    // feeds tot and the join — checkpoint each (the
+    // trigramModelFrames discipline: one corpus scan per count frame)
     val bcnt = train
       .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val pstats = bcnt
       .groupBy(split(col("bg"), " ").getItem(0).as("t1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1types"))
@@ -462,6 +512,7 @@ object QualityModels {
       .agg(count(lit(1)).as("cont"))
     val ucnt = train.select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("u"))
+      .localCheckpoint()
     val tot = ucnt.agg(sum(col("u")).as("n_tok"), count(lit(1)).as("v"))
     val btot = bcnt.agg(count(lit(1)).as("b"))
     val scoredRows = tagged
@@ -527,9 +578,17 @@ object QualityModels {
   private def trigramModelFrames(corpus: DataFrame):
       (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
        DataFrame, DataFrame) = {
+    // the two corpus-scan count frames are REUSED (tcnt feeds pstats,
+    // mid and the scorer join; bcnt feeds cstats and btot) — without a
+    // checkpoint each reference replays the corpus scan (r17 verdict
+    // #4: lm_heldout_fivegram planned 48 physical scans because every
+    // order re-derived its counts). localCheckpoint materializes each
+    // ONCE; all derived stats frames are vocab-sized aggregates over
+    // the checkpointed RDD, scan-free.
     val tcnt = corpus
       .select(explode(wordShingles(tokens(col("text")), 3)).as("tg"))
       .groupBy("tg").agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
     val pstats = tcnt
       .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
         split(col("tg"), " ").getItem(1)).as("p12"))
@@ -544,6 +603,7 @@ object QualityModels {
     val bcnt = corpus
       .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     val cstats = bcnt
       .groupBy(split(col("bg"), " ").getItem(1).as("ct3"))
       .agg(count(lit(1)).as("cont"))
@@ -680,6 +740,7 @@ object QualityModels {
     val btr = train
       .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb2"))
+      .localCheckpoint() // reused by bpstats + the scored join — one scan
     val bpstats = btr
       .groupBy(split(col("bg"), " ").getItem(0).as("bt1"))
       .agg(sum(col("cb2")).as("bc1"), count(lit(1)).as("bt1types"))
@@ -802,6 +863,7 @@ object QualityModels {
     val qall = corpus
       .select(explode(wordShingles(tokens(col("text")), 4)).as("qg"))
       .groupBy("qg").agg(count(lit(1)).as("c1234"))
+      .localCheckpoint() // reused by qpstats + the scorer join — one scan
     val qpstats = qall.filter(col("c1234") >= minCount)
       .groupBy(concat_ws(" ", split(col("qg"), " ").getItem(0),
         split(col("qg"), " ").getItem(1),
@@ -841,8 +903,8 @@ object QualityModels {
     * order, both engines bit-identical.
     *
     * Integer bound: every branch's probability is ≤ 1 so num ≤ den,
-    * and den = 64·c123k·c23·m3·(B+V); the in-plan guard raises when
-    * c123k·c23·m3·(B+V) ≥ 1.4e17 (den would pass 9e18 and WRAP here
+    * and den = 64·c123k·c12·m2·(B+V); the in-plan guard raises when
+    * c123k·c12·m2·(B+V) ≥ 1.4e17 (den would pass 9e18 and WRAP here
     * while the oracle engine fails loudly). Measured headroom at
     * sf0.1: max den ≈ 3.4e11.
     *
@@ -927,7 +989,7 @@ object QualityModels {
     * knPruneCurve: every SEEN quadgram type → (qg, c1234, s) — the
     * deferred rational above, rounded ONCE to micro-nats.
     * num ≤ den on every branch (probabilities ≤ 1), so guarding den
-    * = 64·c123k·c23·m3·(B+V) < 2⁶³ guards the whole rational. */
+    * = 64·c123k·c12·m2·(B+V) < 2⁶³ guards the whole rational. */
   private def scoreQuadgramTypes(qall: DataFrame, qpstats: DataFrame,
       minCount: Long, tcnt: DataFrame, pstats: DataFrame, mid: DataFrame,
       mstats: DataFrame, cstats: DataFrame, btot: DataFrame,
@@ -936,7 +998,7 @@ object QualityModels {
       mstats, cstats, btot, vtot)
       .select(col("qg"), col("c1234"),
         when(col("bound4") >= lit(1.4e17d),
-          raise_error(concat(lit("quadgram KN: c123k*c23*m3*(B+V) >= " +
+          raise_error(concat(lit("quadgram KN: c123k*c12*m2*(B+V) >= " +
             "1.4e17 overflows the exact int64 rational — rescale the " +
             "rational before corpora this size (qg="), col("qg"),
             lit(")"))))
@@ -1064,7 +1126,7 @@ object QualityModels {
           * coalesce(col("c12"), lit(1L)).cast("double")
           * coalesce(col("m2"), lit(1L)).cast("double")
           * bv.cast("double") >= lit(1.4e17d),
-        raise_error(lit("quadgram KN heldout: c123k*c23*m3*(B+V) >= " +
+        raise_error(lit("quadgram KN heldout: c123k*c12*m2*(B+V) >= " +
           "1.4e17 overflows the exact int64 rational — rescale the " +
           "rational before corpora this size")))
         .otherwise(round((log(den3) - log(num3)) * lit(1000000.0d)))
@@ -1104,6 +1166,7 @@ object QualityModels {
     val pall = corpus
       .select(explode(wordShingles(tokens(col("text")), 5)).as("pg"))
       .groupBy("pg").agg(count(lit(1)).as("c12345"))
+      .localCheckpoint() // reused by ppstats + the scorer join — one scan
     val ppstats = pall.filter(col("c12345") >= minCount)
       .groupBy(concat_ws(" ", split(col("pg"), " ").getItem(0),
         split(col("pg"), " ").getItem(1), split(col("pg"), " ").getItem(2),
@@ -1122,7 +1185,7 @@ object QualityModels {
     * The suffix-quadgram join is inner by construction (a seen
     * fivegram's suffix is a seen quadgram). num ≤ den on every branch,
     * so the den-only bound covers the rational: den = 256·c1234k·
-    * c123k·c23·m3·(B+V), guarded at c1234k·bound4 ≥ 3.5e16 ≈ 2⁶³/256. */
+    * c123k·c12·m2·(B+V), guarded at c1234k·bound4 ≥ 3.5e16 ≈ 2⁶³/256. */
   private def scoreFivegramTypes(pall: DataFrame, ppstats: DataFrame,
       minCount: Long, qrat: DataFrame): DataFrame = {
     val den5 = lit(4L) * col("c1234k") * col("den4")
@@ -1142,7 +1205,7 @@ object QualityModels {
       .select(col("pg"),
         when(coalesce(col("c1234k"), lit(1L)).cast("double")
             * col("bound4") >= lit(3.5e16d),
-          raise_error(concat(lit("fivegram KN: c1234k*c123k*c23*m3*(B+V) " +
+          raise_error(concat(lit("fivegram KN: c1234k*c123k*c12*m2*(B+V) " +
             ">= 3.5e16 overflows the exact int64 rational — rescale the " +
             "rational before corpora this size (pg="), col("pg"),
             lit(")"))))
@@ -1169,7 +1232,7 @@ object QualityModels {
     * position stream explodes once, ONE per-doc aggregate collapses
     * it. Docs with < 5 tokens carry 0/NULL (no evidence).
     *
-    * Integer bound: den = 256·c1234k·c123k·c23·m3·(B+V), guarded
+    * Integer bound: den = 256·c1234k·c123k·c12·m2·(B+V), guarded
     * in-plan at 3.5e16 ≈ 2⁶³/256 (measured max at sf0.1 ≈ 1.4e12 —
     * four orders of headroom; past it, rescale the rational by B+V
     * and round once more, the documented trigram discipline). */
@@ -1286,13 +1349,13 @@ object QualityModels {
     val rows = scored.select(col("split"),
       col("c12345").isNull.as("unseen"),
       // the fivegram guard with absent branch components coalesced to
-      // their bound-neutral 1 (den ≤ 256·c1234k·c123k·c23·m3·(B+V))
+      // their bound-neutral 1 (den ≤ 256·c1234k·c123k·c12·m2·(B+V))
       when(coalesce(col("c1234k"), lit(1L)).cast("double")
           * coalesce(col("c123k"), lit(1L)).cast("double")
           * coalesce(col("c12"), lit(1L)).cast("double")
           * coalesce(col("m2"), lit(1L)).cast("double")
           * bv.cast("double") >= lit(3.5e16d),
-        raise_error(lit("fivegram KN heldout: c1234k*c123k*c23*m3*(B+V) " +
+        raise_error(lit("fivegram KN heldout: c1234k*c123k*c12*m2*(B+V) " +
           ">= 3.5e16 overflows the exact int64 rational — rescale the " +
           "rational before corpora this size")))
         .otherwise(round((log(den4) - log(num4)) * lit(1000000.0d)))
@@ -1348,6 +1411,7 @@ object QualityModels {
     val cnts = occ.groupBy("t").agg(
       sum(when(!col("is_new"), 1L).otherwise(0L)).as("cnt_base"),
       sum(when(col("is_new"), 1L).otherwise(0L)).as("cnt_new"))
+      .localCheckpoint() // reused by tots + the scorer — one corpus scan
     val tots = cnts.agg(sum(col("cnt_base")).as("tot_base"),
       sum(col("cnt_new")).as("tot_new"), count(lit(1)).as("v"))
     cnts.crossJoin(broadcast(tots))
@@ -1580,12 +1644,14 @@ object QualityModels {
     val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
     val model = vocab
       .agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("vtypes"),
         collect_list(struct(col("t"), col("cnt"))).as("entries"))
       .select(
-        map_from_entries(transform(col("entries"), e =>
-          struct(e.getField("t"),
-            round((log(col("total")) - log(e.getField("cnt")))
-              * lit(1000000.0d)).cast("long")))).as("smap"),
+        guardedModelMap("lm_heldout_eval", col("vtypes"),
+          map_from_entries(transform(col("entries"), e =>
+            struct(e.getField("t"),
+              round((log(col("total")) - log(e.getField("cnt")))
+                * lit(1000000.0d)).cast("long"))))).as("smap"),
         round(log(col("total")) * lit(1000000.0d)).cast("long").as("unk"))
     tagged.crossJoin(broadcast(model))
       .select(col("split"), tokens(col("text")).as("toks"),

@@ -208,8 +208,11 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row V scalar + the one-row per-language trigram-map model and
     // floor frames crossed into the map-only classifier
     "lang_id_ngram",
-    // two 1-row aggregate frames (global stats × vocab count) crossed
-    // into the 10-row card
+    // 1-row aggregate frames crossed into the tall card: global stats
+    // × vocab count for the base rows, plus the drift panel's four
+    // 1-row gate verdicts (each a model-sized gate output collapsed
+    // to one row) and the gates' own 1-row scalar crosses (ks_drift /
+    // ks_norm_drift / vocab_kl_drift shapes, allowed above)
     "corpus_card",
     // the |taus|-row threshold frame theta-joins (jac_bp >= tau_bp)
     // the bounded basis-point histogram — both sides model-sized

@@ -521,6 +521,32 @@ class QualityModelsSpec extends SparkSpec {
     }
   }
 
+  test("guardedModelMap: loud-fail past the broadcast-model bound, the " +
+       "map passes through unchanged at the bound") {
+    val mk = map_from_entries(array(struct(lit("a"), lit(1L))))
+    val atBound = spark.range(1).select(QualityModels.guardedModelMap(
+        "unit", lit(QualityModels.maxBroadcastModelRows), mk).as("m"))
+      .select(element_at(col("m"), lit("a"))).as[Long].head()
+    assert(atBound === 1L)
+    val ex = intercept[Exception] {
+      spark.range(1).select(QualityModels.guardedModelMap(
+        "unit", lit(QualityModels.maxBroadcastModelRows + 1), mk)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("unit: 5000001 model rows exceed " +
+      "the broadcast-model bound 5000000")), s"got: $ex")
+  }
+
+  test("vocabSetRow refuses a vocabSize past the broadcast-model bound") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.CorpusStats.vocabSetRow(d, 5000001)
+    }
+    assert(ex.getMessage.contains("broadcast-model-sized"))
+  }
+
   implicit private class Map2Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
