@@ -495,7 +495,11 @@ object ScaleProbe {
       // ks_norm_drift: |labels| rows; one map-only norm pass into the
       // bucketed model-sized histogram — wall must ride the single
       // vector scan like ks_drift rides the doc scan
-      "ks_norm_drift" -> (operators.CorpusStats.ksNormDriftQuery _))
+      "ks_norm_drift" -> (operators.CorpusStats.ksNormDriftQuery _),
+      // psi_drift: |sources| rows; same lengthHist scan as ks_drift,
+      // binned so the grid stays ≤ max_len/binWidth even as distinct
+      // lengths grow — wall must track ks_drift's within noise
+      "psi_drift" -> (operators.CorpusStats.psiDriftQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -634,6 +634,88 @@ object CorpusStats {
   def ksNormDriftQuery(spark: SparkSession, dir: String): DataFrame =
     ksNormDrift(Tables.embeddings(spark, dir)).orderBy(col("label"))
 
+  /** Per-source POPULATION STABILITY INDEX on the binned doc-length
+    * distribution, one-vs-rest — the magnitude companion to
+    * [[ksDrift]]: KS reports the worst single point of ECDF
+    * divergence (sharp, localized shifts — truncation at one length),
+    * PSI integrates (p_s − p_r)·ln(p_s/p_r) over ALL bins, so a
+    * broad, low-amplitude reshaping that never produces a large KS
+    * gap still accumulates PSI (the industry monitoring convention:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 act — here in micro
+    * units, 100 000 and 250 000).
+    *
+    * Exactness: the same fixed-point micro-nat discipline as
+    * dsir_importance's λ weights — each bin's term is computed in
+    * DOUBLE with the four ln terms in a FIXED left-to-right order and
+    * the two smoothed ratios as single IEEE divisions, rounded ONCE
+    * per (source, bin) to integer micro-nats; the per-source PSI is
+    * then an exact integer sum, and the argmax bin (psi_top_len — the
+    * length band driving the drift, ties to the smallest bin) is a
+    * deterministic integer/rank compare. Zero bins are add-1 smoothed
+    * against B = |observed bins| (PSI's standard ε, in the corpus's
+    * own units), so ln never sees 0 and a bin one side lacks still
+    * contributes.
+    *
+    * Scale shape: rides [[lengthHist]]'s ONE map-side-combined corpus
+    * scan; everything downstream is model-sized (|sources|·|bins|
+    * with |bins| ≤ max_len/binWidth by construction — binning is what
+    * keeps the grid bounded when distinct lengths grow with the
+    * corpus), the only window is the per-source argmax rank over
+    * |bins| rows, and the scalar totals cross as 1-row broadcasts.
+    * Nothing corpus-sized shuffles; no int64 guard is needed because
+    * nothing scales counts — the ln/ratio terms are doubles of plain
+    * counts and the summed micro terms are ≤ |bins|·ln(N)·10⁶. */
+  def psiDrift(docs: DataFrame, binWidth: Long = 8L): DataFrame =
+    psiFromHist(lengthHist(docs), binWidth)
+
+  /** The model-sized PSI reading tail over a (source, len, n)
+    * histogram frame — shared by the batch operator and the live
+    * streaming state (streaming.KsGateStream.psiReading reads it off
+    * the SAME complete-mode histogram the KS gate maintains: one
+    * streamed state, two drift verdicts). */
+  def psiFromHist(hist: DataFrame, binWidth: Long = 8L): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val h = hist
+      .select(col("source"), expr(s"len div $binWidth").as("bin"), col("n"))
+      .groupBy("source", "bin").agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val grid = h.select(col("bin")).distinct()
+    val nb = grid.agg(count(lit(1)).as("n_bins"))
+    val srcs = h.groupBy("source").agg(sum(col("n")).as("n_docs"))
+    val tot = srcs.agg(sum(col("n_docs")).as("n_total"))
+    val btot = h.groupBy("bin").agg(sum(col("n")).as("n_bin_all"))
+    val full = grid.crossJoin(srcs.select("source"))
+      .join(h, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    val terms = full.join(btot, "bin").join(srcs, "source")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+      .filter(col("n_docs") < col("n_total"))
+      .withColumn("ns", col("n") + 1)
+      .withColumn("ds", col("n_docs") + col("n_bins"))
+      .withColumn("nr", col("n_bin_all") - col("n") + 1)
+      .withColumn("dr", col("n_total") - col("n_docs") + col("n_bins"))
+      .select(col("source"), col("bin"), col("n_docs"),
+        round(((col("ns").cast("double") / col("ds").cast("double")
+          - col("nr").cast("double") / col("dr").cast("double"))
+          * (log(col("ns").cast("double")) - log(col("ds").cast("double"))
+            - log(col("nr").cast("double")) + log(col("dr").cast("double"))))
+          * lit(1000000.0d)).cast("long").as("term_micro"))
+      .localCheckpoint()
+    val psi = terms.groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(col("term_micro")).as("psi_micro"))
+    val top = terms
+      .withColumn("rn", row_number().over(
+        W.partitionBy("source").orderBy(col("term_micro").desc, col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), (col("bin") * lit(binWidth)).as("psi_top_len"))
+    psi.join(top, "source")
+      .select("source", "n_docs", "psi_micro", "psi_top_len")
+  }
+
+  def psiDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.documents(spark, dir)).orderBy(col("source"))
+
   /** The KS chain from an `h(source, len, n)` histogram CTE down to
     * the ranked per-source verdict rows (`r`) — shared by the
     * ks_drift and ks_norm_drift oracles; the caller supplies the
@@ -673,6 +755,52 @@ object CorpusStats {
   // corpus_card's oracle COMPOSES them as subqueries — the card's
   // drift panel must read through the exact same SQL as the
   // standalone gates
+  // the PSI term mirrors the Spark side operation-for-operation: two
+  // smoothed ratios as single DOUBLE divisions, four ln terms in the
+  // same left-to-right order, one multiply, one 10^6 scale, ONE round
+  private val psiDriftOracle: String =
+    """WITH lens AS (
+      | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      | FROM documents),
+      |h AS (SELECT source, len // 8 AS bin, CAST(count(*) AS BIGINT) AS n
+      |      FROM lens GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT bin FROM h),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM grid),
+      |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+      |         FROM h GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM srcs),
+      |btot AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n_bin_all
+      |         FROM h GROUP BY 1),
+      |filled AS (
+      | SELECT s.source, g.bin, COALESCE(h.n, 0) AS n
+      | FROM grid g CROSS JOIN srcs s
+      |  LEFT JOIN h ON h.source = s.source AND h.bin = g.bin),
+      |terms AS (
+      | SELECT f.source, f.bin, s.n_docs,
+      |  CAST(round(((CAST(f.n + 1 AS DOUBLE)
+      |      / CAST(s.n_docs + nb.n_bins AS DOUBLE)
+      |    - CAST(b.n_bin_all - f.n + 1 AS DOUBLE)
+      |      / CAST(t.n_total - s.n_docs + nb.n_bins AS DOUBLE))
+      |   * (ln(f.n + 1) - ln(s.n_docs + nb.n_bins)
+      |    - ln(b.n_bin_all - f.n + 1)
+      |    + ln(t.n_total - s.n_docs + nb.n_bins)))
+      |   * 1000000.0) AS BIGINT) AS term_micro
+      | FROM filled f JOIN btot b USING (bin) JOIN srcs s USING (source)
+      |  CROSS JOIN tot t CROSS JOIN nb
+      | WHERE s.n_docs < t.n_total),
+      |psi AS (
+      | SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(term_micro) AS BIGINT) AS psi_micro
+      | FROM terms GROUP BY 1),
+      |top AS (
+      | SELECT source, bin FROM (
+      |  SELECT source, bin, row_number() OVER (PARTITION BY source
+      |    ORDER BY term_micro DESC, bin) AS rn FROM terms) WHERE rn = 1)
+      |SELECT p.source, p.n_docs, p.psi_micro,
+      | CAST(top.bin * 8 AS BIGINT) AS psi_top_len
+      |FROM psi p JOIN top USING (source)
+      |ORDER BY source""".stripMargin
+
   private val ksDriftOracle: String =
     s"""WITH lens AS (
        | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
@@ -735,6 +863,7 @@ object CorpusStats {
 
   val oracles: Map[String, String] = Map(
     "ks_drift" -> ksDriftOracle,
+    "psi_drift" -> psiDriftOracle,
     "ks_norm_drift" -> ksNormDriftOracle,
     "meta_consistency" ->
       """WITH b AS (

@@ -33,4 +33,12 @@ object KsGateStream {
     * registered by the complete-mode query). */
   def ksReading(state: DataFrame): DataFrame =
     CorpusStats.ksFromHist(state)
+
+  /** One-vs-rest PSI reading over the SAME live state — one streamed
+    * histogram, two drift verdicts (KS names the sharpest point of
+    * divergence, PSI integrates the whole reshaping; see
+    * CorpusStats.psiDrift). The gate pays zero extra streaming state
+    * for the second alarm. */
+  def psiReading(state: DataFrame, binWidth: Long = 8L): DataFrame =
+    CorpusStats.psiFromHist(state, binWidth)
 }

@@ -216,6 +216,55 @@ class CorpusStatsSpec extends SparkSpec {
       (2, 1L, 666666L, 100L)))
   }
 
+  // the spec's independent reimplementation of one PSI bin term —
+  // plain driver-side Scala doubles in the same fixed operation order
+  // as the plan (two divisions, four ln, one product, one 10^6 scale,
+  // one round); terms are >= 0 so math.round == HALF_UP here
+  private def psiTerm(ns: Long, ds: Long, nr: Long, dr: Long): Long =
+    math.round((ns.toDouble / ds.toDouble - nr.toDouble / dr.toDouble) *
+      (math.log(ns.toDouble) - math.log(ds.toDouble) -
+        math.log(nr.toDouble) + math.log(dr.toDouble)) * 1000000.0d)
+
+  test("psiDrift: hand-checked one-vs-rest PSI on the 3-source " +
+       "corpus at binWidth=1") {
+    // lengths — A: {1, 1, 3}; B: {1, 3, 3}; C: {5}; bins {1, 3, 5},
+    // B = 3 observed bins, add-1 smoothing denominators N_s + 3.
+    val docs = Seq(
+      (1L, "a", "A"), (2L, "b", "A"), (3L, "a b c", "A"),
+      (4L, "a", "B"), (5L, "a b c", "B"), (6L, "x y z", "B"),
+      (7L, "a b c d e", "C"))
+      .toDF("doc_id", "text", "source")
+    // per-source smoothed terms: (n_s, bin counts) A=(2,1,0) vs rest
+    // (1,2,1); B=(1,2,0) vs (2,1,1); C=(0,0,1) vs (3,3,0)
+    val expA = psiTerm(3, 6, 2, 7) + psiTerm(2, 6, 3, 7) + psiTerm(1, 6, 2, 7)
+    val expB = psiTerm(2, 6, 3, 7) + psiTerm(3, 6, 2, 7) + psiTerm(1, 6, 2, 7)
+    val expC = psiTerm(1, 4, 4, 9) + psiTerm(1, 4, 4, 9) + psiTerm(2, 4, 1, 9)
+    // argmaxes: A's largest term is bin 1 (2 docs vs 1), B's bin 3,
+    // C's bin 5 (its only mass, absent from the rest)
+    val out = CorpusStats.psiDrift(docs, binWidth = 1L)
+      .select("source", "n_docs", "psi_micro", "psi_top_len")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("A", 3L, expA, 1L), ("B", 3L, expB, 3L),
+      ("C", 1L, expC, 5L)))
+    assert(expA > 0L && expC > expA,
+      "the single-bin outlier source must out-score the mild shifts")
+  }
+
+  test("psiDrift: identical per-source histograms score exactly 0; " +
+       "a single-source corpus emits no row") {
+    val same = Seq((1L, "a b", "A"), (2L, "a b c", "A"),
+      (3L, "x y", "B"), (4L, "x y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.psiDrift(same, binWidth = 1L)
+      .select("source", "psi_micro").as[(String, Long)].collect().toMap
+    assert(out === Map("A" -> 0L, "B" -> 0L),
+      "equal smoothed ratios must cancel term-for-term")
+    val solo = Seq((1L, "a b", "A"), (2L, "c", "A"))
+      .toDF("doc_id", "text", "source")
+    assert(CorpusStats.psiDrift(solo).count() === 0L,
+      "one-vs-rest is undefined with a single source")
+  }
+
   test("ksDrift: a source distributed like the rest scores 0; a " +
        "single-source corpus emits no row") {
     val same = Seq((1L, "a b", "A"), (2L, "a b c", "A"),

@@ -53,6 +53,16 @@ class KsGateStreamSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(live === batch)
       assert(live.map(_.head) === Set("A", "B", "C"))
+
+      // the PSI verdict reads off the SAME state — no second
+      // streaming aggregation — and must equal the batch psiDrift
+      val livePsi = KsGateStream.psiReading(spark.table("ks_state"), 1L)
+        .collect().map(_.toSeq).toSet
+      val batchPsi = CorpusStats.psiDrift(
+        arrivals.toDF("doc_id", "text", "source"), binWidth = 1L)
+        .collect().map(_.toSeq).toSet
+      assert(livePsi === batchPsi)
+      assert(livePsi.map(_.head) === Set("A", "B", "C"))
     } finally q.stop()
   }
 
