@@ -498,8 +498,10 @@ object ScaleProbe {
       "ks_norm_drift" -> (operators.CorpusStats.ksNormDriftQuery _),
       // psi_drift: |sources| rows; same lengthHist scan as ks_drift,
       // binned so the grid stays ≤ max_len/binWidth even as distinct
-      // lengths grow — wall must track ks_drift's within noise
-      "psi_drift" -> (operators.CorpusStats.psiDriftQuery _))
+      // lengths grow — wall must track ks_drift's within noise.
+      // psi_norm_drift: same relationship to ks_norm_drift.
+      "psi_drift" -> (operators.CorpusStats.psiDriftQuery _),
+      "psi_norm_drift" -> (operators.CorpusStats.psiNormDriftQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

@@ -455,13 +455,16 @@ object CorpusStats {
           |) AS (metric, value)""".stripMargin)
   }
 
-  /** The card WITH the drift panel (r17 verdict #7): ks_drift,
-    * ks_norm_drift, vocab_kl_drift and embed_centroid_drift are four
-    * independent admission gates a crawl operator would run one by
-    * one — this overload folds each gate's VERDICT summary into the
-    * same tall card, so "admit this crawl" is one query:
+  /** The card WITH the drift panel (r17 verdict #7; completed r18):
+    * the six independent admission gates a crawl operator would run
+    * one by one — sharp (KS) and integral (PSI) readings on both the
+    * doc-length and embedding-norm axes, plus the token-level KL and
+    * the centroid-direction check — fold their VERDICT summaries into
+    * the same tall card, so "admit this crawl" is one query:
     *   drift_ks_len_max_micro      worst one-vs-rest doc-length KS
+    *   drift_psi_len_max_micro     worst one-vs-rest doc-length PSI
     *   drift_ks_norm_max_micro     worst per-label embedding-norm KS
+    *   drift_psi_norm_max_micro    worst per-label embedding-norm PSI
     *   drift_vocab_kl_sum_micro    Σ per-type KL contributions
     *   drift_vocab_kl_driver_types #types flagged as KL drivers
     *   drift_centroid_min_cos_micro worst pairwise centroid cosine
@@ -471,21 +474,33 @@ object CorpusStats {
     * beyond the gates' own (shared, checkpointed) aggregates. */
   def corpusCard(docs: DataFrame, emb: DataFrame,
                  isNew: Column): DataFrame = {
-    val ksLen = ksDrift(docs).agg(max(col("ks_micro")).as("ks_len_max"))
-    val ksNorm = ksNormDrift(emb)
+    // the sharp (KS) and integral (PSI) readings on each axis share
+    // ONE checkpointed histogram — the card pays one doc scan and one
+    // vector scan for all four distribution gates, not two each
+    val lenHist = lengthHist(docs).localCheckpoint()
+    val nHist = normHist(emb, 10000L).localCheckpoint()
+    val ksLen = ksFromHist(lenHist).agg(max(col("ks_micro")).as("ks_len_max"))
+    val psiLen = psiFromHist(lenHist)
+      .agg(max(col("psi_micro")).as("psi_len_max"))
+    val ksNorm = ksFromHist(nHist)
       .agg(max(col("ks_micro")).as("ks_norm_max"))
+    val psiNorm = psiFromHist(nHist, 10L)
+      .agg(max(col("psi_micro")).as("psi_norm_max"))
     val kl = QualityModels.vocabKlDrift(docs, isNew)
       .agg(sum(col("kl_contrib_micro")).as("kl_sum"),
         sum(when(col("driver"), 1L).otherwise(0L)).as("kl_drivers"))
     val cd = centroidDrift(emb)
       .agg(min(col("cos_micro")).as("cent_min_cos"))
     corpusCard(docs).unionByName(
-      ksLen.crossJoin(broadcast(ksNorm)).crossJoin(broadcast(kl))
+      ksLen.crossJoin(broadcast(psiLen)).crossJoin(broadcast(ksNorm))
+        .crossJoin(broadcast(psiNorm)).crossJoin(broadcast(kl))
         .crossJoin(broadcast(cd))
         .selectExpr(
-          """stack(5,
+          """stack(7,
             | 'drift_ks_len_max_micro', ks_len_max,
+            | 'drift_psi_len_max_micro', psi_len_max,
             | 'drift_ks_norm_max_micro', ks_norm_max,
+            | 'drift_psi_norm_max_micro', psi_norm_max,
             | 'drift_vocab_kl_sum_micro', kl_sum,
             | 'drift_vocab_kl_driver_types', kl_drivers,
             | 'drift_centroid_min_cos_micro', cent_min_cos
@@ -615,9 +630,18 @@ object CorpusStats {
     * exists-predicate — silently dropping the row — while DuckDB's
     * list_filter would keep the partial norm; the `x IS NULL` leg
     * below makes the drop explicit and mirrored in the oracle). */
-  def ksNormDrift(emb: DataFrame, bucketMicro: Long = 10000L): DataFrame = {
+  def ksNormDrift(emb: DataFrame, bucketMicro: Long = 10000L): DataFrame =
+    ksFromHist(normHist(emb, bucketMicro))
+      .select(col("source").as("label"), col("n_docs").as("n_vecs"),
+        col("ks_micro"), col("ks_at_len").as("ks_at_bucket"))
+
+  /** The bucketed micro-norm histogram both vector-side drift
+    * readings share — (source, len, n) with `len` the floor-bucketed
+    * norm in bucketMicro units; degenerate vectors excluded as
+    * documented on [[ksNormDrift]]. */
+  private def normHist(emb: DataFrame, bucketMicro: Long): DataFrame = {
     require(bucketMicro >= 1)
-    val h = emb
+    emb
       .select(col("label"), toDoubleArray(col("embedding")).as("e"))
       .filter(size(col("e")) > 0 &&
         !exists(col("e"), x => x.isNull || isnan(x) ||
@@ -626,10 +650,28 @@ object CorpusStats {
         round(l2norm(col("e")) * lit(1000000.0d)).cast("long").as("nm"))
       .select(col("source"), expr(s"nm div $bucketMicro").as("len"))
       .groupBy("source", "len").agg(count(lit(1)).as("n"))
-    ksFromHist(h)
-      .select(col("source").as("label"), col("n_docs").as("n_vecs"),
-        col("ks_micro"), col("ks_at_len").as("ks_at_bucket"))
   }
+
+  /** Per-label embedding-norm PSI — [[psiDrift]]'s integral reading
+    * on the vector side, completing the drift panel's 2×2 (sharp KS
+    * vs broad PSI × doc-length vs embedding-norm): an encoder
+    * rollout that slightly widens the whole norm distribution of one
+    * label never produces a large single ECDF gap, but every bucket's
+    * (p_s − p_r)·ln(p_s/p_r) term accumulates. Rides the SAME
+    * [[normHist]] scan as ks_norm_drift; buckets (bucketMicro
+    * micro-norm units) are re-binned by binWidth so the PSI grid
+    * stays coarse (|bins| ≤ max_norm/(bucketMicro·binWidth)) even
+    * where the KS reading keeps full bucket resolution for its
+    * argmax. psi_top_bucket is the argmax bin's low edge in BUCKET
+    * units (multiply by bucketMicro for micro-norms). */
+  def psiNormDrift(emb: DataFrame, bucketMicro: Long = 10000L,
+                   binWidth: Long = 10L): DataFrame =
+    psiFromHist(normHist(emb, bucketMicro), binWidth)
+      .select(col("source").as("label"), col("n_docs").as("n_vecs"),
+        col("psi_micro"), col("psi_top_len").as("psi_top_bucket"))
+
+  def psiNormDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    psiNormDrift(Tables.embeddings(spark, dir)).orderBy(col("label"))
 
   def ksNormDriftQuery(spark: SparkSession, dir: String): DataFrame =
     ksNormDrift(Tables.embeddings(spark, dir)).orderBy(col("label"))
@@ -757,49 +799,77 @@ object CorpusStats {
   // standalone gates
   // the PSI term mirrors the Spark side operation-for-operation: two
   // smoothed ratios as single DOUBLE divisions, four ln terms in the
-  // same left-to-right order, one multiply, one 10^6 scale, ONE round
+  // same left-to-right order, one multiply, one 10^6 scale, ONE
+  // round. The chain runs from an `h(source, len, n)` histogram CTE
+  // down to the per-source verdict frame `pr` — shared by psi_drift
+  // and psi_norm_drift and composed by corpus_card's panel.
+  private def psiOracleChain(binWidth: Long): String =
+    s"""hb AS (SELECT source, len // $binWidth AS bin,
+       |       CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT bin FROM hb),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM grid),
+       |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+       |         FROM hb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM srcs),
+       |btot AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n_bin_all
+       |         FROM hb GROUP BY 1),
+       |filled AS (
+       | SELECT s.source, g.bin, COALESCE(hb.n, 0) AS n
+       | FROM grid g CROSS JOIN srcs s
+       |  LEFT JOIN hb ON hb.source = s.source AND hb.bin = g.bin),
+       |terms AS (
+       | SELECT f.source, f.bin, s.n_docs,
+       |  CAST(round(((CAST(f.n + 1 AS DOUBLE)
+       |      / CAST(s.n_docs + nb.n_bins AS DOUBLE)
+       |    - CAST(b.n_bin_all - f.n + 1 AS DOUBLE)
+       |      / CAST(t.n_total - s.n_docs + nb.n_bins AS DOUBLE))
+       |   * (ln(f.n + 1) - ln(s.n_docs + nb.n_bins)
+       |    - ln(b.n_bin_all - f.n + 1)
+       |    + ln(t.n_total - s.n_docs + nb.n_bins)))
+       |   * 1000000.0) AS BIGINT) AS term_micro
+       | FROM filled f JOIN btot b USING (bin) JOIN srcs s USING (source)
+       |  CROSS JOIN tot t CROSS JOIN nb
+       | WHERE s.n_docs < t.n_total),
+       |psi AS (
+       | SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(term_micro) AS BIGINT) AS psi_micro
+       | FROM terms GROUP BY 1),
+       |top AS (
+       | SELECT source, bin FROM (
+       |  SELECT source, bin, row_number() OVER (PARTITION BY source
+       |    ORDER BY term_micro DESC, bin) AS rn FROM terms) WHERE rn = 1),
+       |pr AS (
+       | SELECT p.source, p.n_docs, p.psi_micro,
+       |  CAST(top.bin * $binWidth AS BIGINT) AS psi_top_len
+       | FROM psi p JOIN top USING (source))""".stripMargin
+
   private val psiDriftOracle: String =
-    """WITH lens AS (
-      | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-      | FROM documents),
-      |h AS (SELECT source, len // 8 AS bin, CAST(count(*) AS BIGINT) AS n
-      |      FROM lens GROUP BY 1, 2),
-      |grid AS (SELECT DISTINCT bin FROM h),
-      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM grid),
-      |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
-      |         FROM h GROUP BY 1),
-      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM srcs),
-      |btot AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n_bin_all
-      |         FROM h GROUP BY 1),
-      |filled AS (
-      | SELECT s.source, g.bin, COALESCE(h.n, 0) AS n
-      | FROM grid g CROSS JOIN srcs s
-      |  LEFT JOIN h ON h.source = s.source AND h.bin = g.bin),
-      |terms AS (
-      | SELECT f.source, f.bin, s.n_docs,
-      |  CAST(round(((CAST(f.n + 1 AS DOUBLE)
-      |      / CAST(s.n_docs + nb.n_bins AS DOUBLE)
-      |    - CAST(b.n_bin_all - f.n + 1 AS DOUBLE)
-      |      / CAST(t.n_total - s.n_docs + nb.n_bins AS DOUBLE))
-      |   * (ln(f.n + 1) - ln(s.n_docs + nb.n_bins)
-      |    - ln(b.n_bin_all - f.n + 1)
-      |    + ln(t.n_total - s.n_docs + nb.n_bins)))
-      |   * 1000000.0) AS BIGINT) AS term_micro
-      | FROM filled f JOIN btot b USING (bin) JOIN srcs s USING (source)
-      |  CROSS JOIN tot t CROSS JOIN nb
-      | WHERE s.n_docs < t.n_total),
-      |psi AS (
-      | SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
-      |  CAST(sum(term_micro) AS BIGINT) AS psi_micro
-      | FROM terms GROUP BY 1),
-      |top AS (
-      | SELECT source, bin FROM (
-      |  SELECT source, bin, row_number() OVER (PARTITION BY source
-      |    ORDER BY term_micro DESC, bin) AS rn FROM terms) WHERE rn = 1)
-      |SELECT p.source, p.n_docs, p.psi_micro,
-      | CAST(top.bin * 8 AS BIGINT) AS psi_top_len
-      |FROM psi p JOIN top USING (source)
-      |ORDER BY source""".stripMargin
+    s"""WITH lens AS (
+       | SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+       | FROM documents),
+       |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+       |      FROM lens GROUP BY 1, 2),
+       |${psiOracleChain(8)}
+       |SELECT source, n_docs, psi_micro, psi_top_len
+       |FROM pr ORDER BY source""".stripMargin
+
+  // the same chain over ks_norm_drift's bucketed micro-norm
+  // histogram, re-binned 10 buckets per PSI bin
+  private val psiNormDriftOracle: String =
+    s"""WITH f AS (
+       | SELECT label AS source,
+       |  CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+       |    x -> x * x))) * 1000000.0) AS BIGINT) // 10000 AS len
+       | FROM embeddings
+       | WHERE len(embedding) > 0
+       |  AND len(list_filter(embedding::DOUBLE[],
+       |   x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+       |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+       |      FROM f GROUP BY 1, 2),
+       |${psiOracleChain(10)}
+       |SELECT source AS label, n_docs AS n_vecs, psi_micro,
+       | psi_top_len AS psi_top_bucket
+       |FROM pr ORDER BY label""".stripMargin
 
   private val ksDriftOracle: String =
     s"""WITH lens AS (
@@ -864,6 +934,7 @@ object CorpusStats {
   val oracles: Map[String, String] = Map(
     "ks_drift" -> ksDriftOracle,
     "psi_drift" -> psiDriftOracle,
+    "psi_norm_drift" -> psiNormDriftOracle,
     "ks_norm_drift" -> ksNormDriftOracle,
     "meta_consistency" ->
       """WITH b AS (
@@ -1001,15 +1072,20 @@ object CorpusStats {
          |  SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
          |kd AS (SELECT max(ks_micro) AS ks_len_max
          |       FROM ($ksDriftOracle)),
+         |pld AS (SELECT max(psi_micro) AS psi_len_max
+         |        FROM ($psiDriftOracle)),
          |knd AS (SELECT max(ks_micro) AS ks_norm_max
          |        FROM ($ksNormDriftOracle)),
+         |pnd AS (SELECT max(psi_micro) AS psi_norm_max
+         |        FROM ($psiNormDriftOracle)),
          |klp AS (SELECT CAST(sum(kl_contrib_micro) AS BIGINT) AS kl_sum,
          |  CAST(sum(CASE WHEN driver THEN 1 ELSE 0 END) AS BIGINT)
          |    AS kl_drivers
          | FROM (${QualityModels.oracles("vocab_kl_drift")})),
          |cdp AS (SELECT min(cos_micro) AS cent_min_cos
          |        FROM ($centroidDriftOracle))
-         |SELECT metric, value FROM b, v, kd, knd, klp, cdp, LATERAL (VALUES
+         |SELECT metric, value FROM b, v, kd, pld, knd, pnd, klp, cdp,
+         | LATERAL (VALUES
          | ('n_docs', n_docs),
          | ('n_distinct_texts', n_distinct_texts),
          | ('exact_dup_docs', n_docs - n_distinct_texts),
@@ -1021,7 +1097,9 @@ object CorpusStats {
          | ('mean_doc_tokens_milli', (1000 * n_tokens) // n_docs),
          | ('quality_keep_bp', (10000 * n_quality_keep) // n_docs),
          | ('drift_ks_len_max_micro', ks_len_max),
+         | ('drift_psi_len_max_micro', psi_len_max),
          | ('drift_ks_norm_max_micro', ks_norm_max),
+         | ('drift_psi_norm_max_micro', psi_norm_max),
          | ('drift_vocab_kl_sum_micro', kl_sum),
          | ('drift_vocab_kl_driver_types', kl_drivers),
          | ('drift_centroid_min_cos_micro', cent_min_cos)

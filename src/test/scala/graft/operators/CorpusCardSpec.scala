@@ -35,7 +35,7 @@ class CorpusCardSpec extends SparkSpec {
   }
 
   test("corpusCard drift panel: the card's verdict rows equal the " +
-       "standalone gates' own aggregates (one query == four gates)") {
+       "standalone gates' own aggregates (one query == six gates)") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     val docs = graft.core.Tables.documents(spark, dir)
@@ -44,12 +44,16 @@ class CorpusCardSpec extends SparkSpec {
     val card = CorpusStats.corpusCard(docs, emb, isNew)
       .as[(String, Long)].collect().toMap
     // base rows still present and the panel appends, never replaces
-    assert(card.size === 15)
+    assert(card.size === 17)
     assert(card.contains("n_docs") && card.contains("quality_keep_bp"))
     val ksLen = CorpusStats.ksDrift(docs)
       .agg(max("ks_micro")).as[Long].head()
+    val psiLen = CorpusStats.psiDrift(docs)
+      .agg(max("psi_micro")).as[Long].head()
     val ksNorm = CorpusStats.ksNormDrift(emb)
       .agg(max("ks_micro")).as[Long].head()
+    val psiNorm = CorpusStats.psiNormDrift(emb)
+      .agg(max("psi_micro")).as[Long].head()
     val (klSum, klDrivers) = QualityModels.vocabKlDrift(docs, isNew)
       .agg(sum("kl_contrib_micro"),
         sum(when(col("driver"), 1L).otherwise(0L)))
@@ -57,7 +61,9 @@ class CorpusCardSpec extends SparkSpec {
     val centMin = CorpusStats.centroidDrift(emb)
       .agg(min("cos_micro")).as[Long].head()
     assert(card("drift_ks_len_max_micro") === ksLen)
+    assert(card("drift_psi_len_max_micro") === psiLen)
     assert(card("drift_ks_norm_max_micro") === ksNorm)
+    assert(card("drift_psi_norm_max_micro") === psiNorm)
     assert(card("drift_vocab_kl_sum_micro") === klSum)
     assert(card("drift_vocab_kl_driver_types") === klDrivers)
     assert(card("drift_centroid_min_cos_micro") === centMin)

@@ -265,6 +265,31 @@ class CorpusStatsSpec extends SparkSpec {
       "one-vs-rest is undefined with a single source")
   }
 
+  test("psiNormDrift: hand-checked per-label PSI on re-binned norm " +
+       "buckets; non-finite vectors excluded") {
+    // the ksNormDrift corpus: buckets — label 0: {500, 100}; label 1:
+    // {100}; label 2: {500} (NaN vector excluded). binWidth=10 →
+    // bins {10, 50}, B = 2, N_total = 4.
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.6f, 0.8f), 1),
+      (4L, Seq(3.0f, 4.0f), 2),
+      (5L, Seq(Float.NaN, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    // label 0 (N=2, ds=4) mirrors its rest bin-for-bin → terms 0,
+    // argmax ties to bin 10 (bucket-unit low edge 100); labels 1/2
+    // (N=1, ds=3, rest dr=5) are each other's mirror image — same
+    // PSI, argmax on the bin where the rest has the mass they lack
+    val exp12 = psiTerm(2, 3, 2, 5) + psiTerm(1, 3, 3, 5)
+    val out = CorpusStats.psiNormDrift(emb)
+      .select("label", "n_vecs", "psi_micro", "psi_top_bucket")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((0, 2L, 0L, 100L), (1, 1L, exp12, 500L),
+      (2, 1L, exp12, 100L)))
+    assert(exp12 > 0L)
+  }
+
   test("ksDrift: a source distributed like the rest scores 0; a " +
        "single-source corpus emits no row") {
     val same = Seq((1L, "a b", "A"), (2L, "a b c", "A"),
