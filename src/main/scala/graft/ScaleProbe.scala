@@ -501,7 +501,12 @@ object ScaleProbe {
       // lengths grow — wall must track ks_drift's within noise.
       // psi_norm_drift: same relationship to ks_norm_drift.
       "psi_drift" -> (operators.CorpusStats.psiDriftQuery _),
-      "psi_norm_drift" -> (operators.CorpusStats.psiNormDriftQuery _))
+      "psi_norm_drift" -> (operators.CorpusStats.psiNormDriftQuery _),
+      // ppl_buckets: rows exactly linear; the centinat threshold grid
+      // is bounded by the surprisal range (not the corpus) and the
+      // scoring is lm_surprisal's guarded one-map-row broadcast —
+      // wall must ride the two map-only corpus passes
+      "ppl_buckets" -> (operators.QualityModels.pplBucketsQuery _))
 
     // special (non-query) probes are filterable by name too
     val specials: Map[String, () => Unit] = Map(

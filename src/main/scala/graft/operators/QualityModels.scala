@@ -81,31 +81,81 @@ object QualityModels {
     */
   def lmSurprisal(docs: DataFrame,
                   minKeepMicro: Long = 3200000L,
-                  maxKeepMicro: Long = 3600000L): DataFrame = {
+                  maxKeepMicro: Long = 3600000L): DataFrame =
+    unigramScored(docs, "lm_surprisal", Nil)
+      .withColumn("keep",
+        col("mean_micro") >= minKeepMicro && col("mean_micro") <= maxKeepMicro)
+
+  /** The scoring core of [[lmSurprisal]] with caller-chosen carry
+    * columns (ppl_buckets needs lang alongside the score; the public
+    * operator keeps its original schema — extra = Nil leaves the plan
+    * byte-identical). */
+  private def unigramScored(docs: DataFrame, guardName: String,
+                            extra: Seq[String]): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("t"))
     val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
     val model = vocab
       .agg(sum(col("cnt")).as("total"),
         count(lit(1)).as("vtypes"),
         collect_list(struct(col("t"), col("cnt"))).as("entries"))
-      .select(guardedModelMap("lm_surprisal", col("vtypes"),
+      .select(guardedModelMap(guardName, col("vtypes"),
         map_from_entries(transform(col("entries"), e =>
           struct(e.getField("t"),
             round((log(col("total")) - log(e.getField("cnt")))
               * lit(1000000.0d)).cast("long"))))).as("smap"))
 
+    val carry = extra.map(col)
     docs.crossJoin(broadcast(model))
-      .select(col("doc_id"), tokens(col("text")).as("toks"), col("smap"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
+      .select(col("doc_id") +: carry :+
+        tokens(col("text")).as("toks") :+ col("smap"): _*)
+      .select(col("doc_id") +: carry :+
+        size(col("toks")).cast("long").as("n_toks") :+
         aggregate(col("toks"), lit(0L),
           (acc, t) => acc + element_at(col("smap"), t))
-          .as("surprisal_micro"))
+          .as("surprisal_micro"): _*)
       .withColumn("mean_micro", expr("surprisal_micro div n_toks"))
-      .withColumn("keep",
-        col("mean_micro") >= minKeepMicro && col("mean_micro") <= maxKeepMicro)
   }
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020): within each
+    * language, split documents into equal-count HEAD / MIDDLE / TAIL
+    * terciles by LM score — head feeds the clean corpus, tail is
+    * dropped, middle kept for diversity. Scores are [[lmSurprisal]]'s
+    * exact micro-nat means (self-scored here; a reference-corpus LM
+    * swaps in without structural change).
+    *
+    * Scale shape — CCNet's own split SORTS each language shard; this
+    * implementation never materializes a per-lang total order over
+    * docs. Tercile thresholds come from the CENTINAT histogram
+    * (mean_micro div 10⁴ — the score grid is bounded by the surprisal
+    * range in centinats, not by the corpus), cumulated by a window
+    * over model-sized per-lang bins; docs then bucket through a
+    * broadcast threshold join, map-only. Exactness: thresholds are
+    * smallest-bin-covering integer compares (t_k = min m with
+    * 3·cum(m) ≥ k·n_lang), so docs sharing one centinat bin share a
+    * bucket — thresholds are corpus-level score CUTOFFS (the
+    * deployable CCNet form: "keep if ppl < t"), not a rank split that
+    * would cut mid-bin nondeterministically on equal scores. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val s = unigramScored(docs, "ppl_buckets", Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_micro"),
+        expr("mean_micro div 10000").as("m"))
+    val hist = s.groupBy("lang", "m").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cum = hist.withColumn("c",
+      sum(col("n")).over(W.partitionBy("lang").orderBy("m")))
+    val nl = hist.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    val th = cum.join(nl, "lang").groupBy("lang")
+      .agg(min(when(col("c") * 3 >= col("n_lang"), col("m"))).as("t1"),
+        min(when(col("c") * 3 >= col("n_lang") * 2, col("m"))).as("t2"))
+    s.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_micro"),
+        when(col("m") <= col("t1"), lit("head"))
+          .when(col("m") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  def pplBucketsQuery(spark: SparkSession, dir: String): DataFrame =
+    pplBuckets(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   def lmSurprisalQuery(spark: SparkSession, dir: String): DataFrame =
     lmSurprisal(Tables.documents(spark, dir)).orderBy(col("doc_id"))
@@ -2597,6 +2647,45 @@ object QualityModels {
         | surprisal_micro // n_toks AS mean_micro,
         | (surprisal_micro // n_toks) BETWEEN 3200000 AND 3600000 AS keep
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+    // lm_surprisal's scoring CTEs with lang carried, then the
+    // centinat-histogram tercile thresholds mirrored integer-for-
+    // integer (smallest covering bin, 3c >= k*n compares)
+    "ppl_buckets" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        | FROM documents),
+        |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM tok GROUP BY 1),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        |smap AS (
+        | SELECT t, CAST(round((ln(total) - ln(cnt)) * 1000000) AS BIGINT) AS s
+        | FROM vocab CROSS JOIN total),
+        |per_doc AS (
+        | SELECT tok.doc_id, tok.lang, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(smap.s) AS BIGINT) AS surprisal_micro
+        | FROM tok JOIN smap USING (t) GROUP BY 1, 2),
+        |sc AS (
+        | SELECT doc_id, lang, surprisal_micro // n_toks AS mean_micro,
+        |  (surprisal_micro // n_toks) // 10000 AS m
+        | FROM per_doc),
+        |hist AS (SELECT lang, m, CAST(count(*) AS BIGINT) AS n
+        |         FROM sc GROUP BY 1, 2),
+        |cum AS (
+        | SELECT lang, m,
+        |  CAST(sum(n) OVER (PARTITION BY lang ORDER BY m) AS BIGINT) AS c
+        | FROM hist),
+        |nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+        |       FROM hist GROUP BY 1),
+        |th AS (
+        | SELECT lang,
+        |  CAST(min(CASE WHEN c * 3 >= n_lang THEN m END) AS BIGINT) AS t1,
+        |  CAST(min(CASE WHEN c * 3 >= n_lang * 2 THEN m END) AS BIGINT) AS t2
+        | FROM cum JOIN nl USING (lang) GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang, sc.mean_micro,
+        | CASE WHEN sc.m <= th.t1 THEN 'head'
+        |      WHEN sc.m <= th.t2 THEN 'middle'
+        |      ELSE 'tail' END AS ppl_bucket
+        |FROM sc JOIN th USING (lang) ORDER BY sc.doc_id""".stripMargin,
     "quality_floor_per_source" ->
       """WITH scored AS (
         | SELECT doc_id, source,

@@ -89,6 +89,9 @@ class PlanPropertiesSpec extends SparkSpec {
     // 1-row vocab-map frame (the broadcast unigram model) crossed into
     // the map-only doc scan
     "lm_surprisal",
+    // the same 1-row unigram model cross on the scoring leg; the
+    // tercile thresholds themselves join by lang (broadcast equi)
+    "ppl_buckets",
     // the same 1-row model (train-split vocab map + unk scalar)
     // crossed into the split-tagged doc scan
     "lm_heldout_eval",

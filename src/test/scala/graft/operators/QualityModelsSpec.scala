@@ -35,6 +35,51 @@ class QualityModelsSpec extends SparkSpec {
     assert(math.abs(out(1L) - out(2L)) <= 1)
   }
 
+  test("pplBuckets: hand-derived per-lang terciles, single-doc lang, " +
+       "and same-bin ties all bucketing as head") {
+    // global self-scored counts: a=3, b=1, c=2, x=1, y=1, z=4,
+    // total=12; per-type micro-nats via the spec's own ln replication
+    def sMicro(cnt: Long): Long =
+      math.round((math.log(12.0) - math.log(cnt.toDouble)) * 1000000.0d)
+    val docs = Seq(
+      (1L, "a a", "en"), (2L, "a b", "en"), (3L, "c c", "en"),
+      (4L, "x y", "fr"),
+      (5L, "z z", "de"), (6L, "z z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val m1 = sMicro(3)                      // en "a a"
+    val m2 = (sMicro(3) + sMicro(1)) / 2    // en "a b" (trunc div)
+    val m3 = sMicro(2)                      // en "c c"
+    val m4 = sMicro(1)                      // fr "x y"
+    val m5 = sMicro(4)                      // de "z z"
+    // en centinat bins: m1=138 < m3=179 < m2=193 ⇒ head/middle/tail;
+    // fr has ONE doc ⇒ t1 = its own bin ⇒ head; de's two docs share
+    // a bin ⇒ the covering threshold puts BOTH in head (the tie rule)
+    val out = QualityModels.pplBuckets(docs)
+      .select("doc_id", "lang", "mean_micro", "ppl_bucket")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "en", m1, "head"), (2L, "en", m2, "tail"),
+      (3L, "en", m3, "middle"), (4L, "fr", m4, "head"),
+      (5L, "de", m5, "head"), (6L, "de", m5, "head")))
+  }
+
+  test("pplBuckets: tercile mass is balanced on real data and every " +
+       "head score <= every tail score within a lang") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = QualityModels.pplBuckets(d)
+      .select("lang", "mean_micro", "ppl_bucket")
+      .as[(String, Long, String)].collect().toSeq
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      for (h <- byB.get("head"); t <- byB.get("tail"))
+        assert(h.max <= t.min, s"$lang: head/tail order inverted")
+      // covering-threshold terciles: head holds at least a third
+      // (ties only ever push MORE docs under the cutoff, never fewer)
+      assert(byB.getOrElse("head", Nil).size * 3 >= rows.size,
+        s"$lang: head tercile under-filled")
+    }
+  }
+
   test("qualityFloorPerSource == naive per-source rank rule on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = QualityModels.qualityFloorPerSource(d)
