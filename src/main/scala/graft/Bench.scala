@@ -308,10 +308,19 @@ object Bench {
     val json = s"""{"metric":"total","partial":false,"value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"reps":$reps,"rep_sums":$repSums,"failed":$failed,"load1_start":$load1Json,"load_gate":"$loadGate","quiet_wait_sec":$quietWaited,"suite_wall_sec":$suiteWall$adjJson$scaling${vsBaseline._1},"sf":"$sfDir"}"""
     writeLast(json)
     println(json)
-    // compact line: NO per-query map (it is in the detail line and the
-    // file) — totals + baseline summary only, so the line stays O(1)
-    // in query count and can never outgrow the tail capture again
-    println(s"""{"metric":"total","partial":false,"value":$total,"unit":"sec","n_queries":${names.size},"reps":$reps,"rep_sums":$repSums,"failed":$failed,"load1_start":$load1Json,"load_gate":"$loadGate","quiet_wait_sec":$quietWaited,"suite_wall_sec":$suiteWall${vsBaseline._2},"sf":"$sfDir","detail":"target/bench_last.json"}""")
+    // LAST stdout line: the driver contract's one-line summary —
+    // metric/value/unit/QUERIES/sf. The r17 artifact came back
+    // parsed:null because sbt's `[success]` epilogue trailed the
+    // summary; `Global / showSuccess := false` (build.sbt) removed
+    // that, so this line really is last. It must carry the per-query
+    // map (the contract names it), so it is O(queries) — values
+    // rounded to ms keep it ~7 KB at 241 queries; the full-precision
+    // map plus runs/scaling/vs_baseline live in the detail line above
+    // and in target/bench_last.json.
+    val qsRounded = best.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else ((v * 1000).round / 1000.0).toString)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","partial":false,"value":$total,"unit":"sec","queries":$qsRounded,"n_queries":${names.size},"reps":$reps,"rep_sums":$repSums,"failed":$failed,"load1_start":$load1Json,"load_gate":"$loadGate","quiet_wait_sec":$quietWaited,"suite_wall_sec":$suiteWall${vsBaseline._2},"sf":"$sfDir","detail":"target/bench_last.json"}""")
     spark.stop()
   }
 }
